@@ -1,13 +1,552 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TsFunctions
+import graft.model.TSModel
+import graft.operators.Cdist
+
+/** Driver contract — one entry per implemented operator from SURVEY.md §2,
+  * plus DuckDB oracle SQL for every SQL-expressible one.
+  *
+  * Query style: time-series operators run in the exploded long form
+  * `(series_id, t, value)` — Spark's Window/groupBy primitives — so each
+  * has an exact relational oracle. Kernel-DP metrics (DTW, GAK, …) that
+  * SQL can't express are exposed as rows-only queries and golden-tested in
+  * ScalaTest instead (KernelsSpec).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
+    * default; read ns-as-long and truncate to µs (`ts div 1000`, integer
+    * division — a double division would lose precision at 1.7e18 ns).
+    * DuckDB truncates the same ns values to µs TIMESTAMPs, so µs is the
+    * common clock for ordering, sessionizing and bucketing. */
+  private def ev(s: SparkSession, dir: String) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+  }
+  private def li(s: SparkSession, dir: String) = s.read.parquet(s"$dir/lineitem.parquet")
+  private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** (user_id, t [1-based], n, value) — canonical exploded series view of
+    * the events table; one window, no extra shuffle beyond the partition
+    * by user. */
+  private def explodedEvents(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+    val wAll = Window.partitionBy("user_id")
+    ev(s, dir).select(
+      col("user_id"), col("value"),
+      row_number().over(w).as("t"),
+      count(lit(1)).over(wAll).as("n"))
+  }
+
+  /** Flagship: 1-NN DTW over z-normalized per-user event series
+    * (SURVEY §7.2 shape: broadcast cdist self-join + window top-1). */
+  def entry(spark: SparkSession): DataFrame = {
+    TsFunctions.register(spark)
+    val series = TSModel.eventsToSeries(spark, "/root/testdata/sf0.001")
+      .select(col("series_id"), TsFunctions.tsZNorm(col("values")).as("values"))
+    val d = Cdist.selfCross(series, (a, b) => TsFunctions.dtwUdf(a, b), computeDiagonal = false)
+    val w = Window.partitionBy("left_id").orderBy(col("dist").asc, col("right_id").asc)
+    d.withColumn("rank", row_number().over(w)).where(col("rank") === 1)
+      .select(col("left_id").as("series_id"), col("right_id").as("nn_id"), col("dist"))
+  }
+
+  // =================================================================
+  // queries
+  // =================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- relational baseline (scan/agg/join/top-k) ------
+    "q01_pricing_summary" -> ((s, dir) => {
+      li(s, dir).groupBy("l_returnflag", "l_linestatus").agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+    }),
+
+    "q02_top_parts" -> ((s, dir) => {
+      val p = s.read.parquet(s"$dir/part.parquet")
+      li(s, dir).join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_partkey", "p_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("p_partkey").asc)
+        .limit(10)
+    }),
+
+    "q03_nation_revenue" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      li(s, dir)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // ---------------- per-series scalers (SURVEY §2.2) ---------------
+    "ts_znorm" -> ((s, dir) => {
+      val wAll = Window.partitionBy("user_id")
+      explodedEvents(s, dir)
+        .withColumn("m", avg("value").over(wAll))
+        .withColumn("sd", stddev_pop("value").over(wAll))
+        .select(col("user_id"), col("t"),
+          round((col("value") - col("m")) /
+            when(col("sd") === 0, 1.0).otherwise(col("sd")), 6).as("z"))
+    }),
+
+    "ts_minmax" -> ((s, dir) => {
+      val wAll = Window.partitionBy("user_id")
+      explodedEvents(s, dir)
+        .withColumn("mn", min("value").over(wAll))
+        .withColumn("mx", max("value").over(wAll))
+        .select(col("user_id"), col("t"),
+          round(when(col("mx") === col("mn"), 0.0)
+            .otherwise((col("value") - col("mn")) / (col("mx") - col("mn"))), 6).as("v"))
+    }),
+
+    // ---------------- PAA / SAX / slopes (SURVEY §2.6) ---------------
+    "ts_paa" -> ((s, dir) => {
+      val nSeg = 8
+      explodedEvents(s, dir)
+        .withColumn("seg_sz", (col("n") / nSeg).cast("int"))
+        .where((col("t") - 1) < col("seg_sz") * nSeg)
+        .withColumn("seg", ((col("t") - 1) / col("seg_sz")).cast("int"))
+        .groupBy("user_id", "seg")
+        .agg(round(avg("value"), 6).as("paa"))
+    }),
+
+    "ts_sax" -> ((s, dir) => {
+      val nSeg = 8
+      val bps = graft.kernels.Sax.breakpoints(4)
+      val wAll = Window.partitionBy("user_id")
+      explodedEvents(s, dir)
+        .withColumn("m", avg("value").over(wAll))
+        .withColumn("sd", stddev_pop("value").over(wAll))
+        .withColumn("z", (col("value") - col("m")) /
+          when(col("sd") === 0, 1.0).otherwise(col("sd")))
+        .withColumn("seg_sz", (col("n") / nSeg).cast("int"))
+        .where((col("t") - 1) < col("seg_sz") * nSeg)
+        .withColumn("seg", ((col("t") - 1) / col("seg_sz")).cast("int"))
+        .groupBy("user_id", "seg")
+        .agg(avg("z").as("paa"))
+        .select(col("user_id"), col("seg"),
+          (when(col("paa") < bps(0), 0)
+            .when(col("paa") < bps(1), 1)
+            .when(col("paa") < bps(2), 2)
+            .otherwise(3)).as("symbol"))
+    }),
+
+    "ts_slope" -> ((s, dir) => {
+      val nSeg = 8
+      explodedEvents(s, dir)
+        .withColumn("seg_sz", (col("n") / nSeg).cast("int"))
+        .where((col("t") - 1) < col("seg_sz") * nSeg)
+        .withColumn("seg", ((col("t") - 1) / col("seg_sz")).cast("int"))
+        .groupBy("user_id", "seg")
+        .agg(round(regr_slope(col("value"), col("t").cast("double")), 6).as("slope"))
+    }),
+
+    // ---------------- sliding windows (SURVEY §2.6) ------------------
+    "ts_envelope" -> ((s, dir) => {
+      val r = 2
+      val w = Window.partitionBy("user_id").orderBy(col("t").asc).rowsBetween(-r, r)
+      explodedEvents(s, dir)
+        .select(col("user_id"), col("t"),
+          round(min("value").over(w), 6).as("low"),
+          round(max("value").over(w), 6).as("up"))
+    }),
+
+    // ---------------- resample (linear interpolation) ----------------
+    "ts_resample" -> ((s, dir) => {
+      val target = 16
+      val grid = s.range(0, target).select(col("id").cast("int").as("j"))
+      val src = explodedEvents(s, dir)
+      val keyed = src.select(col("user_id"), col("t"), col("n"), col("value"))
+      // pos = j*(n-1)/(target-1); interpolate between floor and ceil rows
+      val wanted = keyed.select(col("user_id"), col("n")).distinct()
+        .crossJoin(broadcast(grid))
+        .withColumn("pos", col("j") * (col("n") - 1) / (target - 1))
+        .withColumn("i0", floor(col("pos")).cast("int"))
+        .withColumn("i1", least(col("i0") + 1, col("n") - 1).cast("int"))
+        .withColumn("frac", col("pos") - col("i0"))
+      wanted
+        .join(keyed.select(col("user_id"), (col("t") - 1).as("i0"), col("value").as("v0")),
+          Seq("user_id", "i0"))
+        .join(keyed.select(col("user_id"), (col("t") - 1).as("i1"), col("value").as("v1")),
+          Seq("user_id", "i1"))
+        .select(col("user_id"), col("j"),
+          round(col("v0") * (lit(1.0) - col("frac")) + col("v1") * col("frac"), 6).as("v"))
+    }),
+
+    // ---------------- event-time windows / sessions (SURVEY §2.8) ----
+    "ts_hourly" -> ((s, dir) => {
+      ev(s, dir)
+        .groupBy((expr("ts_us div 3600000000") * 3600L).as("hour_epoch"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+    }),
+
+    "ts_sessionize" -> ((s, dir) => {
+      val gapMin = 30
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+      ev(s, dir)
+        .withColumn("prev_ts", lag("ts_us", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts_us") - col("prev_ts") > gapMin * 60L * 1000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum("new_sess").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+    }),
+
+    // ---------------- matrix profile (SURVEY §2.4/2.6) ---------------
+    "ts_matrix_profile" -> ((s, dir) => {
+      val m = 8
+      TsFunctions.register(s)
+      val series = TSModel.eventsToSeries(s, dir)
+        .where(size(col("values")) >= m * 2)
+      series
+        .select(col("series_id").as("user_id"),
+          posexplode(TsFunctions.matrixProfileUdf(col("values"), lit(m), lit(false)))
+            .as(Seq("i", "mp")))
+        .select(col("user_id"), col("i"), round(col("mp"), 4).as("mp"))
+    }),
+
+    // ---------------- dedup family (training-data ops) ---------------
+    "doc_dedup_exact" -> ((s, dir) => {
+      docs(s, dir).groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+    }),
+
+    "doc_jaccard_pairs" -> ((s, dir) => {
+      // word 3-gram shingle Jaccard near-dup join via inverted index
+      val d = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("words"))
+      val shingles = d.select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("words")) - 3),
+          i => array_join(slice(col("words"), i + 1, lit(3)), " "))).as("sh"))
+        .distinct()
+      val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val a = shingles.select(col("doc_id").as("doc_a"), col("sh"))
+      val b = shingles.select(col("doc_id").as("doc_b"), col("sh"))
+      val inter = a.join(b, "sh").where(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+        .withColumn("jac", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+        .where(col("jac") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+    }),
+
+    // ---------------- text analysis (training-data ops) --------------
+    "doc_stats" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        col("lang"),
+        length(col("text")).as("n_chars_m"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        round(length(regexp_replace(col("text"), " ", "")).cast("double") /
+          size(split(col("text"), " ")), 4).as("avg_tok_len"))
+    }),
+
+    "doc_lang_dist" -> ((s, dir) => {
+      docs(s, dir).groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          round(avg(size(split(col("text"), " "))), 4).as("avg_tokens"))
+    }),
+
+    // ---------------- embedding similarity search --------------------
+    "emb_knn_cosine" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val queries = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val cands = e.where(col("vec_id") >= 10)
+        .select(col("vec_id").as("cand_id"), col("v").as("cv"))
+      val scored = cands.crossJoin(broadcast(queries))
+        .select(col("query_id"), col("cand_id"),
+          TsFunctions.cosineSim(col("qv"), col("cv")).as("cos"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
+      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("cand_id"), round(col("cos"), 4).as("cos"))
+    }),
+
+    "emb_label_centroids" -> ((s, dir) => {
+      emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(round(avg(col("x").cast("double")), 6).as("c"))
+    }),
+
+    // ---------------- kernel-metric queries (rows-only oracle) -------
+    "knn_dtw_users" -> ((s, dir) => {
+      TsFunctions.register(s)
+      val series = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"),
+          TsFunctions.tsZNorm(TsFunctions.resampleUdf(col("values"), lit(32))).as("values"))
+        .cache()
+      Cdist.knnDtwPruned(series, series, k = 4, radius = 4)
+        .where(col("probe_id") =!= col("neighbor_id")).where(col("rank") <= 3)
+    }),
+
+    "cdist_metrics_sample" -> ((s, dir) => {
+      TsFunctions.register(s)
+      val series = TSModel.eventsToSeries(s, dir)
+        .where(col("series_id") < 20)
+        // fixed length for the equal-size metrics (SBD); DTW/GAK/LCSS
+        // accept ragged input but share the resampled view here
+        .select(col("series_id"),
+          TsFunctions.tsZNorm(TsFunctions.resampleUdf(col("values"), lit(48))).as("values"))
+      val pairs = Cdist.selfCross(series, (a, b) => TsFunctions.dtwUdf(a, b),
+        computeDiagonal = false)
+        .where(col("left_id") < col("right_id"))
+      val withSeries = pairs
+        .join(series.select(col("series_id").as("left_id"), col("values").as("lv")), "left_id")
+        .join(series.select(col("series_id").as("right_id"), col("values").as("rv")), "right_id")
+      withSeries.select(
+        col("left_id"), col("right_id"),
+        round(col("dist"), 4).as("dtw"),
+        round(TsFunctions.softDtwUdf(col("lv"), col("rv"), lit(1.0)), 4).as("softdtw"),
+        round(TsFunctions.gakUdf(col("lv"), col("rv"), lit(1.0)), 4).as("gak"),
+        round(TsFunctions.lcssUdf(col("lv"), col("rv"), lit(0.5)), 4).as("lcss"),
+        round(TsFunctions.sbdUdf(col("lv"), col("rv")), 4).as("sbd"))
+    })
+  )
+
+  // =================================================================
+  // oracle SQL (DuckDB dialect, same tables)
+  // =================================================================
+
+  /** Exploded events CTE shared by the time-series oracles. */
+  private val evCte =
+    """WITH v AS (
+      |  SELECT user_id, value,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t,
+      |         count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events
+      |)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q02_top_parts" ->
+      """SELECT p_partkey, p_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2 ORDER BY revenue DESC, p_partkey ASC LIMIT 10""".stripMargin,
+
+    "q03_nation_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+
+    "ts_znorm" -> (evCte +
+      """
+        |SELECT user_id, t,
+        |  round((value - avg(value) OVER (PARTITION BY user_id)) /
+        |    (CASE WHEN stddev_pop(value) OVER (PARTITION BY user_id) = 0 THEN 1
+        |          ELSE stddev_pop(value) OVER (PARTITION BY user_id) END), 6) AS z
+        |FROM v""".stripMargin),
+
+    "ts_minmax" -> (evCte +
+      """
+        |SELECT user_id, t,
+        |  round(CASE WHEN max(value) OVER (PARTITION BY user_id) =
+        |                  min(value) OVER (PARTITION BY user_id) THEN 0
+        |             ELSE (value - min(value) OVER (PARTITION BY user_id)) /
+        |                  (max(value) OVER (PARTITION BY user_id) -
+        |                   min(value) OVER (PARTITION BY user_id)) END, 6) AS v
+        |FROM v""".stripMargin),
+
+    "ts_paa" -> (evCte +
+      """
+        |SELECT user_id, CAST((t - 1) // seg_sz AS INT) AS seg, round(avg(value), 6) AS paa
+        |FROM (SELECT user_id, t, value, n // 8 AS seg_sz FROM v) s
+        |WHERE (t - 1) < seg_sz * 8
+        |GROUP BY 1, 2""".stripMargin),
+
+    "ts_sax" -> (evCte +
+      """
+        |, z AS (
+        |  SELECT user_id, t, n,
+        |    (value - avg(value) OVER (PARTITION BY user_id)) /
+        |      (CASE WHEN stddev_pop(value) OVER (PARTITION BY user_id) = 0 THEN 1
+        |            ELSE stddev_pop(value) OVER (PARTITION BY user_id) END) AS z
+        |  FROM v
+        |), p AS (
+        |  SELECT user_id, CAST((t - 1) // (n // 8) AS INT) AS seg, avg(z) AS paa
+        |  FROM z WHERE (t - 1) < (n // 8) * 8
+        |  GROUP BY 1, 2
+        |)
+        |SELECT user_id, seg,
+        |  CASE WHEN paa < -0.6744897501960817 THEN 0
+        |       WHEN paa < 0.0 THEN 1
+        |       WHEN paa < 0.6744897501960817 THEN 2
+        |       ELSE 3 END AS symbol
+        |FROM p""".stripMargin),
+
+    "ts_slope" -> (evCte +
+      """
+        |SELECT user_id, CAST((t - 1) // seg_sz AS INT) AS seg,
+        |  round(regr_slope(value, CAST(t AS DOUBLE)), 6) AS slope
+        |FROM (SELECT user_id, t, value, n // 8 AS seg_sz FROM v) s
+        |WHERE (t - 1) < seg_sz * 8
+        |GROUP BY 1, 2""".stripMargin),
+
+    "ts_envelope" -> (evCte +
+      """
+        |SELECT user_id, t,
+        |  round(min(value) OVER (PARTITION BY user_id ORDER BY t
+        |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS low,
+        |  round(max(value) OVER (PARTITION BY user_id ORDER BY t
+        |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS up
+        |FROM v""".stripMargin),
+
+    "ts_resample" -> (evCte +
+      """
+        |, grid AS (
+        |  SELECT u.user_id, u.n, g.j,
+        |    g.j * (u.n - 1) / 15.0 AS pos
+        |  FROM (SELECT DISTINCT user_id, n FROM v) u,
+        |       (SELECT unnest(generate_series(0, 15)) AS j) g
+        |), w AS (
+        |  SELECT user_id, j, CAST(floor(pos) AS INT) AS i0,
+        |    LEAST(CAST(floor(pos) AS INT) + 1, n - 1) AS i1,
+        |    pos - floor(pos) AS frac
+        |  FROM grid
+        |)
+        |SELECT w.user_id, w.j,
+        |  round(v0.value * (1.0 - w.frac) + v1.value * w.frac, 6) AS v
+        |FROM w
+        |JOIN v v0 ON v0.user_id = w.user_id AND v0.t - 1 = w.i0
+        |JOIN v v1 ON v1.user_id = w.user_id AND v1.t - 1 = w.i1""".stripMargin),
+
+    "ts_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ts_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM e
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "ts_matrix_profile" -> (evCte +
+      """
+        |, eligible AS (SELECT user_id FROM v GROUP BY 1 HAVING count(*) >= 16)
+        |, pos AS (
+        |  SELECT v.user_id, v.t - 1 AS i, v.value FROM v JOIN eligible USING (user_id)
+        |), seg AS (
+        |  SELECT user_id, t - 1 AS i FROM v JOIN eligible USING (user_id)
+        |  WHERE t - 1 <= n - 8)
+        |, dists AS (
+        |  SELECT a.user_id, a.i AS i, b.i AS j,
+        |    sqrt(sum((pa.value - pb.value) * (pa.value - pb.value))) AS d
+        |  FROM seg a
+        |  JOIN seg b ON a.user_id = b.user_id AND abs(a.i - b.i) > 2
+        |  JOIN pos pa ON pa.user_id = a.user_id AND pa.i BETWEEN a.i AND a.i + 7
+        |  JOIN pos pb ON pb.user_id = b.user_id AND pb.i = b.i + (pa.i - a.i)
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT user_id, i, round(min(d), 4) AS mp
+        |FROM dists GROUP BY 1, 2""".stripMargin),
+
+    "doc_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "doc_jaccard_pairs" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[j:j+2], ' ') AS sh
+        |  FROM words, (SELECT unnest(generate_series(1, 1000)) AS j) g
+        |  WHERE j <= len(w) - 2
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jac
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5""".stripMargin,
+
+    "doc_stats" ->
+      """SELECT doc_id, lang, length(text) AS n_chars_m,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+        |    len(string_split(text, ' ')), 4) AS avg_tok_len
+        |FROM documents""".stripMargin,
+
+    "doc_lang_dist" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "emb_knn_cosine" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    list_cosine_similarity(q.v, c.v) AS cos
+        |  FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id >= 10
+        |), ranked AS (
+        |  SELECT query_id, cand_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, cand_id, round(cos, 4) AS cos
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "emb_label_centroids" ->
+      """SELECT label, j - 1 AS dim, round(avg(CAST(embedding[j] AS DOUBLE)), 6) AS c
+        |FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS j) g
+        |WHERE j <= len(embedding)
+        |GROUP BY 1, 2""".stripMargin
+  )
 }

@@ -1,0 +1,187 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import graft.kernels.{Kernels, Mask, Ncc, Sax}
+
+/** Spark SQL surface of the kernel library.
+  *
+  * Two tiers, per SURVEY.md §4.2:
+  *  - pure-Column higher-order-function ops (z-norm, min-max, PAA, SAX
+  *    symbols, resample, envelopes) — these stay inside whole-stage
+  *    codegen, shuffle nothing, and prune to the scanned columns;
+  *  - Scala-UDF metric kernels (DTW/GAK/softDTW/LCSS/NCC…) for the
+  *    sequential DPs Catalyst can't express. Kernels are registered once
+  *    per session; a custom Expression (doGenCode) is the measured next
+  *    step if ser/de shows up in profiles.
+  */
+object TsFunctions {
+
+  private type S = scala.collection.Seq[Double]
+  private type SS = scala.collection.Seq[scala.collection.Seq[Double]]
+
+  @inline private def toTs(s: SS): Kernels.TS = {
+    val out = new Array[Array[Double]](s.length)
+    var i = 0
+    while (i < s.length) { out(i) = s(i).toArray; i += 1 }
+    out
+  }
+  @inline private def uniTs(s: S): Kernels.TS = {
+    val out = new Array[Array[Double]](s.length)
+    var i = 0
+    while (i < s.length) { out(i) = Array(s(i)); i += 1 }
+    out
+  }
+
+  // ------------------------------------------------------------- UDFs
+  // Univariate (ARRAY<DOUBLE>) fast-path versions; the multivariate
+  // (ARRAY<ARRAY<DOUBLE>>) versions carry the `_mv` suffix.
+
+  val dtwUdf: UserDefinedFunction =
+    udf((a: S, b: S) => Kernels.dtw(uniTs(a), uniTs(b)))
+  val dtwMvUdf: UserDefinedFunction =
+    udf((a: SS, b: SS) => Kernels.dtw(toTs(a), toTs(b)))
+  val dtwSakoeUdf: UserDefinedFunction =
+    udf((a: S, b: S, r: Int) =>
+      Kernels.dtw(uniTs(a), uniTs(b), Mask.sakoeChiba(a.length, b.length, r)))
+  val dtwItakuraUdf: UserDefinedFunction =
+    udf((a: S, b: S, slope: Double) =>
+      Kernels.dtw(uniTs(a), uniTs(b), Mask.itakura(a.length, b.length, slope)))
+  val sqEuclideanUdf: UserDefinedFunction =
+    udf((a: S, b: S) => Kernels.sqEuclidean(uniTs(a), uniTs(b)))
+  val euclideanUdf: UserDefinedFunction =
+    udf((a: S, b: S) => Kernels.euclidean(uniTs(a), uniTs(b)))
+  val lcssUdf: UserDefinedFunction =
+    udf((a: S, b: S, eps: Double) => Kernels.lcss(uniTs(a), uniTs(b), eps))
+  val gakUdf: UserDefinedFunction =
+    udf((a: S, b: S, sigma: Double) => Kernels.gak(uniTs(a), uniTs(b), sigma))
+  val logGakUdf: UserDefinedFunction =
+    udf((a: S, b: S, sigma: Double) => Kernels.logUnnormalizedGak(uniTs(a), uniTs(b), sigma))
+  val softDtwUdf: UserDefinedFunction =
+    udf((a: S, b: S, gamma: Double) => Kernels.softDtw(uniTs(a), uniTs(b), gamma))
+  val sbdUdf: UserDefinedFunction =
+    udf((a: S, b: S) => Ncc.sbd(uniTs(a), uniTs(b)))
+  val lbKeoghUdf: UserDefinedFunction =
+    udf((q: S, c: S, r: Int) => Kernels.lbKeogh(q.toArray, c.toArray, r))
+  val dtwPathUdf: UserDefinedFunction =
+    udf((a: S, b: S) => {
+      val (path, dist) = Kernels.dtwPath(uniTs(a), uniTs(b))
+      (path.map(p => Array(p._1, p._2)), dist)
+    })
+  val dtwSubseqUdf: UserDefinedFunction =
+    udf((q: S, l: S) => Kernels.dtwSubsequencePath(uniTs(q), uniTs(l))._2)
+  val matrixProfileUdf: UserDefinedFunction =
+    udf((s: S, m: Int, scale: Boolean) => Kernels.matrixProfile(s.toArray, m, scale))
+  val saxUdf: UserDefinedFunction =
+    udf((s: S, nSeg: Int, alpha: Int) => Sax.sax(uniTs(s), nSeg, alpha).map(_(0)))
+  val saxMindistUdf: UserDefinedFunction =
+    udf((a: scala.collection.Seq[Int], b: scala.collection.Seq[Int], alpha: Int, sz: Int) =>
+      Sax.mindist(a.map(Array(_)).toArray, b.map(Array(_)).toArray, alpha, sz))
+  val resampleUdf: UserDefinedFunction =
+    udf((s: S, target: Int) => Kernels.resample(uniTs(s), target).map(_(0)))
+
+  /** Register every kernel for SQL use. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("ts_dtw", dtwUdf)
+    spark.udf.register("ts_dtw_mv", dtwMvUdf)
+    spark.udf.register("ts_dtw_sakoe", dtwSakoeUdf)
+    spark.udf.register("ts_dtw_itakura", dtwItakuraUdf)
+    spark.udf.register("ts_euclidean", euclideanUdf)
+    spark.udf.register("ts_sqeuclidean", sqEuclideanUdf)
+    spark.udf.register("ts_lcss", lcssUdf)
+    spark.udf.register("ts_gak", gakUdf)
+    spark.udf.register("ts_log_gak", logGakUdf)
+    spark.udf.register("ts_softdtw", softDtwUdf)
+    spark.udf.register("ts_sbd", sbdUdf)
+    spark.udf.register("ts_lb_keogh", lbKeoghUdf)
+    spark.udf.register("ts_dtw_subseq", dtwSubseqUdf)
+    spark.udf.register("ts_matrix_profile", matrixProfileUdf)
+    spark.udf.register("ts_sax", saxUdf)
+    spark.udf.register("ts_sax_mindist", saxMindistUdf)
+    spark.udf.register("ts_resample", resampleUdf)
+  }
+
+  // ---------------------------------------- pure-Column array ops
+  // All operate on univariate ARRAY<DOUBLE> columns, codegen-friendly,
+  // no shuffle (per-row math only).
+
+  /** Per-series mean of an array column. */
+  def tsMean(c: Column): Column =
+    aggregate(c, lit(0.0), (acc, x) => acc + x) / size(c)
+
+  /** Population stddev of an array column (zero→1 guard, matching
+    * `preprocessing.py:204-298`). */
+  def tsStd(c: Column): Column = {
+    val n = size(c)
+    val mu = tsMean(c)
+    val variance = aggregate(c, lit(0.0), (acc, x) => acc + (x - mu) * (x - mu)) / n
+    val sd = sqrt(variance)
+    when(sd === 0.0, 1.0).otherwise(sd)
+  }
+
+  /** Per-series z-normalization (TimeSeriesScalerMeanVariance). */
+  def tsZNorm(c: Column, mu: Double = 0.0, std: Double = 1.0): Column = {
+    val m = tsMean(c)
+    val s = tsStd(c)
+    transform(c, x => (x - m) / s * lit(std) + lit(mu))
+  }
+
+  /** Per-series min-max rescale (TimeSeriesScalerMinMax). */
+  def tsMinMax(c: Column, lo: Double = 0.0, hi: Double = 1.0): Column = {
+    val mn = array_min(c)
+    val mx = array_max(c)
+    transform(c, x =>
+      when(mx === mn, lit(lo))
+        .otherwise((x - mn) / (mx - mn) * lit(hi - lo) + lit(lo)))
+  }
+
+  /** PAA segment means: segSz = floor(size/nSeg), tail dropped
+    * (`piecewise.py:143-153`). */
+  def tsPaa(c: Column, nSegments: Int): Column = {
+    val segSz = (size(c) / nSegments).cast("int")
+    transform(sequence(lit(0), lit(nSegments - 1)), s =>
+      aggregate(slice(c, s * segSz + 1, segSz), lit(0.0), (acc, x) => acc + x) / segSz)
+  }
+
+  /** SAX symbols from a (z-normed) array column. Breakpoint literals come
+    * from the Scala ppf so SQL and kernel paths agree. */
+  def tsSaxSymbols(c: Column, nSegments: Int, alphabetSize: Int): Column = {
+    val bps = Sax.breakpoints(alphabetSize)
+    val paaC = tsPaa(c, nSegments)
+    transform(paaC, v =>
+      aggregate(lit(bps), lit(0), (acc, bp) => acc + when(v >= bp, 1).otherwise(0)))
+  }
+
+  /** Sliding min/max envelope of radius r — the array-column counterpart
+    * of the exploded-form `Window.rowsBetween(-r, r)` (SURVEY §2.6). */
+  def tsEnvelope(c: Column, r: Int): Column = {
+    val n = size(c)
+    // 0-based window [max(0,i-r), min(n-1,i+r)] → 1-based slice(start, len)
+    def win(i: Column): Column = {
+      val start0 = greatest(i - r, lit(0))
+      val end0 = least(i + r, n - 1)
+      slice(c, start0 + 1, end0 - start0 + 1)
+    }
+    struct(
+      transform(sequence(lit(0), n - 1), i => array_min(win(i))).as("low"),
+      transform(sequence(lit(0), n - 1), i => array_max(win(i))).as("up"))
+  }
+
+  /** All length-m stride-1 sliding windows of an array column. */
+  def tsSlidingWindows(c: Column, m: Int): Column =
+    transform(sequence(lit(0), size(c) - m), i => slice(c, i + 1, lit(m)))
+
+  // ------------------------------------------------ embedding helpers
+
+  /** Dot product of two float-array columns (codegen'd, no UDF). */
+  def vecDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def vecNorm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Cosine similarity between two array columns. */
+  def cosineSim(a: Column, b: Column): Column =
+    vecDot(a, b) / (vecNorm(a) * vecNorm(b))
+}

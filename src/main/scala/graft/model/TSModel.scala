@@ -1,0 +1,97 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical time-series data model (SURVEY.md §1.3).
+  *
+  * One row = one series: `(series_id LONG, ts ARRAY<ARRAY<DOUBLE>>, label
+  * STRING)` with `ts(t)(dim)`. Ragged lengths are native — no NaN padding
+  * (this deletes the reference's `ts_size`/`remove_nans` machinery,
+  * `/root/reference/tslearn/utils/utils.py:386-424`). The exploded long
+  * form `(series_id, t, value)` is the second first-class representation:
+  * it's what Window functions and group-bys operate on, and it's the form
+  * that shuffles/scales — conversions below keep both cheap.
+  */
+case class TSRecord(series_id: Long, ts: Array[Array[Double]], label: Option[String])
+
+object TSModel {
+
+  /** events.parquet → univariate nested series per user: values ordered by
+    * event time. Scale note: one shuffle (groupBy user_id); at 100TB the
+    * sort happens inside each group via array_sort on struct(ts_idx, v),
+    * not a global orderBy.
+    */
+  def eventsToSeries(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    // ns→µs truncation (integer div) matches the DuckDB oracle's clock
+    ev.groupBy(col("user_id").as("series_id"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(expr("ts div 1000").as("ts_us"),
+            col("event_id"), col("value")))),
+          x => x.getField("value")
+        ).as("values"))
+  }
+
+  /** Nested univariate ARRAY<DOUBLE> → ARRAY<ARRAY<DOUBLE>> (d=1). */
+  def asMultivariate(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(c, v => array(v))
+
+  /** Exploded long form: (series_id, t, value) from a nested univariate
+    * series column. */
+  def explodeSeries(df: DataFrame, seriesCol: String = "values"): DataFrame =
+    df.select(col("series_id"), posexplode(col(seriesCol)).as(Seq("t", "value")))
+
+  /** Long form back to nested: one shuffle, sort-in-group. */
+  def collectSeries(df: DataFrame): DataFrame =
+    df.groupBy("series_id").agg(
+      transform(array_sort(collect_list(struct(col("t"), col("value")))),
+        x => x.getField("value")).as("values"))
+
+  /** tslearn text codec: dims joined by `|`, values by space —
+    * `/root/reference/tslearn/utils/utils.py:219-291`. One series per line. */
+  def parseSeriesLine(line: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(split(line, "\\|"), dim =>
+      transform(split(trim(dim), " +"), v => v.cast("double")))
+
+  def formatSeriesLine(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_join(transform(ts, dim => array_join(transform(dim, v => v.cast("string")), " ")), "|")
+
+  /** Load tslearn-format text file (one series per line) as nested rows.
+    * The file is dim-major (`"v v v|w w w"`, `|` separates dimensions);
+    * transpose to the engine's time-major `ts(t)(dim)`. */
+  def loadTimeSeriesTxt(spark: SparkSession, path: String): DataFrame = {
+    spark.read.text(path)
+      .withColumn("series_id", monotonically_increasing_id())
+      .select(col("series_id"), parseSeriesLine(col("value")).as("dims"))
+      .select(col("series_id"),
+        expr("transform(sequence(0, size(dims[0]) - 1), t -> transform(dims, d -> d[t]))").as("ts"))
+  }
+
+  /** Seed-stable random-walk generator —
+    * `/root/reference/tslearn/generators/generators.py:7-54`. Distributed:
+    * spark.range + per-row deterministic RNG seeded by (seed, id) so
+    * results are reproducible under any partitioning (SURVEY §4.3). */
+  def randomWalks(spark: SparkSession, n: Int, sz: Int, d: Int,
+                  mu: Double = 0.0, std: Double = 1.0, seed: Long = 0L): DataFrame = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val rng = new java.util.Random(seed * 1000003L + i)
+      val ts = Array.ofDim[Double](sz, d)
+      var k = 0
+      while (k < d) {
+        var acc = 0.0
+        var t = 0
+        while (t < sz) {
+          acc += rng.nextGaussian() * std + mu
+          ts(t)(k) = acc
+          t += 1
+        }
+        k += 1
+      }
+      (i, ts)
+    }.toDF("series_id", "ts")
+  }
+}

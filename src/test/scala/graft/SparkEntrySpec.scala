@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class SparkEntrySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("entry (flagship 1-NN DTW) returns one NN per series") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length == 15) // 15 users at sf0.001
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(2) >= 0))
+  }
+
+  test("every declared query runs and returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"query $name returned 0 rows")
+    }
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracle without query: $extra")
+  }
+
+  test("knn returns k ordered neighbors") {
+    import graft.operators.Cdist
+    import graft.functions.TsFunctions
+    import org.apache.spark.sql.functions._
+    val series = graft.model.TSModel.eventsToSeries(spark, sf)
+      .select(col("series_id"), TsFunctions.tsZNorm(col("values")).as("values"))
+    val knn = Cdist.knn(series, series, 3, (a, b) => TsFunctions.dtwUdf(a, b)).collect()
+    assert(knn.length == 15 * 3)
+    // rank 1 must be self with dist 0 for a self-join
+    val r1 = knn.filter(_.getAs[Int]("rank") == 1)
+    assert(r1.forall(r => r.getAs[Long]("probe_id") == r.getAs[Long]("neighbor_id")))
+    assert(r1.forall(r => r.getAs[Double]("dist") == 0.0))
+  }
+
+  test("lb-pruned dtw knn agrees with exact dtw knn (radius-constrained)") {
+    import graft.operators.Cdist
+    import graft.functions.TsFunctions
+    import org.apache.spark.sql.functions._
+    val series = graft.model.TSModel.eventsToSeries(spark, sf)
+      .select(col("series_id"),
+        TsFunctions.tsZNorm(TsFunctions.resampleUdf(col("values"), lit(32))).as("values"))
+      .cache()
+    val pruned = Cdist.knnDtwPruned(series, series, k = 2, radius = 3, factor = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = Cdist.knn(series, series, 2,
+      (a, b) => TsFunctions.dtwSakoeUdf(a, b, lit(3)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(pruned == exact)
+  }
+}

@@ -49,7 +49,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     TsFunctions.register(spark)
     val series = TSModel.eventsToSeries(spark, "/root/testdata/sf0.001")
-      .select(col("series_id"), TsFunctions.tsZNorm(col("values")).as("values"))
+      .select(col("series_id"), TsFunctions.znormUdf(col("values")).as("values"))
     val d = Cdist.selfCross(series, (a, b) => TsFunctions.dtwUdf(a, b), computeDiagonal = false)
     val w = Window.partitionBy("left_id").orderBy(col("dist").asc, col("right_id").asc)
     d.withColumn("rank", row_number().over(w)).where(col("rank") === 1)
@@ -297,7 +297,7 @@ object SparkEntry {
       TsFunctions.register(s)
       val series = TSModel.eventsToSeries(s, dir)
         .select(col("series_id"),
-          TsFunctions.tsZNorm(TsFunctions.resampleUdf(col("values"), lit(32))).as("values"))
+          TsFunctions.resampleZnormUdf(col("values"), lit(32)).as("values"))
         .cache()
       Cdist.knnDtwPruned(series, series, k = 4, radius = 4)
         .where(col("probe_id") =!= col("neighbor_id")).where(col("rank") <= 3)
@@ -310,7 +310,7 @@ object SparkEntry {
         // fixed length for the equal-size metrics (SBD); DTW/GAK/LCSS
         // accept ragged input but share the resampled view here
         .select(col("series_id"),
-          TsFunctions.tsZNorm(TsFunctions.resampleUdf(col("values"), lit(48))).as("values"))
+          TsFunctions.resampleZnormUdf(col("values"), lit(48)).as("values"))
       val pairs = Cdist.selfCross(series, (a, b) => TsFunctions.dtwUdf(a, b),
         computeDiagonal = false)
         .where(col("left_id") < col("right_id"))

@@ -80,6 +80,19 @@ object TsFunctions {
       Sax.mindist(a.map(Array(_)).toArray, b.map(Array(_)).toArray, alpha, sz))
   val resampleUdf: UserDefinedFunction =
     udf((s: S, target: Int) => Kernels.resample(uniTs(s), target).map(_(0)))
+  /** Per-series z-norm as ONE kernel call per row. Prefer this over the
+    * Column tsZNorm in operator pipelines: a higher-order-function tree
+    * wrapped around another expensive expression gets inlined by Catalyst
+    * into every lambda reference and re-evaluates it per array element
+    * (measured 10x slowdown on the kNN pipeline). */
+  val znormUdf: UserDefinedFunction =
+    udf((s: S) => Kernels.scaleMeanVariance(uniTs(s)).map(_(0)))
+  val minmaxUdf: UserDefinedFunction =
+    udf((s: S) => Kernels.scaleMinMax(uniTs(s)).map(_(0)))
+  /** Resample then z-norm in one kernel call (common pipeline prefix). */
+  val resampleZnormUdf: UserDefinedFunction =
+    udf((s: S, target: Int) =>
+      Kernels.scaleMeanVariance(Kernels.resample(uniTs(s), target)).map(_(0)))
 
   /** Register every kernel for SQL use. Idempotent. */
   def register(spark: SparkSession): Unit = {
@@ -100,6 +113,9 @@ object TsFunctions {
     spark.udf.register("ts_sax", saxUdf)
     spark.udf.register("ts_sax_mindist", saxMindistUdf)
     spark.udf.register("ts_resample", resampleUdf)
+    spark.udf.register("ts_znorm", znormUdf)
+    spark.udf.register("ts_minmax", minmaxUdf)
+    spark.udf.register("ts_resample_znorm", resampleZnormUdf)
   }
 
   // ---------------------------------------- pure-Column array ops

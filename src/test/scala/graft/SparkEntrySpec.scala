@@ -38,7 +38,7 @@ class SparkEntrySpec extends AnyFunSuite {
     import graft.functions.TsFunctions
     import org.apache.spark.sql.functions._
     val series = graft.model.TSModel.eventsToSeries(spark, sf)
-      .select(col("series_id"), TsFunctions.tsZNorm(col("values")).as("values"))
+      .select(col("series_id"), TsFunctions.znormUdf(col("values")).as("values"))
     val knn = Cdist.knn(series, series, 3, (a, b) => TsFunctions.dtwUdf(a, b)).collect()
     assert(knn.length == 15 * 3)
     // rank 1 must be self with dist 0 for a self-join
@@ -53,7 +53,7 @@ class SparkEntrySpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val series = graft.model.TSModel.eventsToSeries(spark, sf)
       .select(col("series_id"),
-        TsFunctions.tsZNorm(TsFunctions.resampleUdf(col("values"), lit(32))).as("values"))
+        TsFunctions.resampleZnormUdf(col("values"), lit(32)).as("values"))
       .cache()
     val pruned = Cdist.knnDtwPruned(series, series, k = 2, radius = 3, factor = 8)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet

@@ -292,6 +292,113 @@ object SparkEntry {
         .agg(round(avg(col("x").cast("double")), 6).as("c"))
     }),
 
+    // ---------------- text analysis II (oracle-backed) ---------------
+    "doc_quality" -> ((s, dir) => {
+      import graft.operators.TextAnalysis._
+      docs(s, dir).select(col("doc_id"), qualityScore(col("text")).as("quality"))
+    }),
+
+    "doc_lang_id" -> ((s, dir) => {
+      import graft.operators.TextAnalysis._
+      docs(s, dir).select(col("doc_id"), langId(col("text")).as("lang_pred"))
+    }),
+
+    "doc_fingerprint" -> ((s, dir) => {
+      import graft.operators.TextAnalysis._
+      docs(s, dir)
+        .groupBy(bagOfWordsFingerprint(col("text")).as("fp"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+        .select(col("keep_id"), col("n_docs"))
+    }),
+
+    "doc_tokens_bpe" -> ((s, dir) => {
+      import graft.operators.TextAnalysis._
+      docs(s, dir).select(col("doc_id"), bpeishTokenCount(col("text")).as("n_bpe"))
+    }),
+
+    // ---------------- dedup II / similarity (oracle where portable) ---
+    "emb_dedup_cosine" -> ((s, dir) => {
+      graft.operators.Dedup.embeddingCosine(emb(s, dir), threshold = 0.4)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+    }),
+
+    "emb_kmeans_assign" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("values"))
+      val seeds = e.where(col("vec_id") < 8).orderBy("vec_id")
+        .collect().map(_.getSeq[Double](1).toArray)
+      graft.ml.TimeSeriesKMeans.assign(
+        e.select(col("vec_id").as("series_id"), col("values")), seeds, "euclidean", 0.0)
+        .select(col("series_id").as("vec_id"), col("cluster").as("cell"),
+          round(col("dist"), 4).as("dist"))
+    }),
+
+    "emb_knn_classify" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("series_id"),
+        transform(col("embedding"), x => x.cast("double")).as("values"), col("label"))
+      val train = e.where(col("series_id") >= 50)
+      val probes = e.where(col("series_id") < 50)
+      graft.ml.KNeighbors.classify(probes, train, k = 5,
+        (a, b) => -TsFunctions.cosineSim(a, b))
+        .select(col("probe_id").as("query_id"), col("label"))
+    }),
+
+    "doc_minhash_pairs" -> ((s, dir) => {
+      graft.operators.Dedup.minhashLsh(docs(s, dir), threshold = 0.35)
+        .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+    }),
+
+    "doc_simhash" -> ((s, dir) => {
+      graft.operators.Dedup.simhash(docs(s, dir))
+    }),
+
+    // ---------------- clustering / barycenters (rows-only) -----------
+    "ts_kmeans" -> ((s, dir) => {
+      TsFunctions.register(s)
+      val series = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(32)).as("values"))
+      val model = new graft.ml.TimeSeriesKMeans(k = 4, metric = "euclidean",
+        maxIter = 10, seed = 7).fit(series)
+      model.predict(series)
+        .select(col("series_id"), col("cluster"), round(col("dist"), 4).as("dist"))
+    }),
+
+    "ts_dba" -> ((s, dir) => {
+      import s.implicits._
+      val series = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(32)).as("values"))
+        .as[(Long, Array[Double])]
+      series.groupByKey(_ => 0)
+        .mapGroups { (_, it) =>
+          graft.kernels.Barycenters.dba(
+            it.map(_._2.map(Array(_))).toIndexedSeq, maxIter = 10).map(_(0))
+        }
+        .flatMap(b => b.zipWithIndex.map { case (v, t) => (t, v) })
+        .toDF("t", "v")
+        .select(col("t"), round(col("v"), 4).as("v"))
+    }),
+
+    "ts_kshape" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"),
+          TsFunctions.resampleUdf(col("values"), lit(32)).as("values"))
+      val model = new graft.ml.KShape(k = 4, maxIter = 8, seed = 5).fit(series)
+      model.predict(series)
+        .select(col("series_id"), col("cluster"), round(col("dist"), 4).as("dist"))
+    }),
+
+    "emb_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val queries = e.where(col("vec_id") < 10)
+      val cands = e.where(col("vec_id") >= 10)
+      val centroids = graft.operators.Ann.trainCoarse(cands, nlist = 16, seed = 3)
+      graft.operators.Ann.ivfTopK(cands, queries, k = 5, centroids, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("cand_id"), round(col("cos"), 4).as("cos"))
+    }),
+
     // ---------------- kernel-metric queries (rows-only oracle) -------
     "knn_dtw_users" -> ((s, dir) => {
       TsFunctions.register(s)
@@ -547,6 +654,89 @@ object SparkEntry {
       """SELECT label, j - 1 AS dim, round(avg(CAST(embedding[j] AS DOUBLE)), 6) AS c
         |FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS j) g
         |WHERE j <= len(embedding)
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    "doc_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS punct,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS sw
+        |  FROM documents
+        |)
+        |SELECT doc_id, round((
+        |  (CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 1.0
+        |        WHEN n_tok BETWEEN 5 AND 19 THEN 0.5 ELSE 0.0 END) +
+        |  (CASE WHEN punct <= 0.1 THEN 1.0 WHEN punct <= 0.3 THEN 0.5 ELSE 0.0 END) +
+        |  (CASE WHEN sw > 0.02 THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality
+        |FROM f""".stripMargin,
+
+    "doc_lang_id" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(ws, x -> x IN ('der','und','die','ist'))) AS s_de,
+        |    len(list_filter(ws, x -> x IN ('the','and','of','is'))) AS s_en,
+        |    len(list_filter(ws, x -> x IN ('el','y','la','es'))) AS s_es,
+        |    len(list_filter(ws, x -> x IN ('le','et','la','est'))) AS s_fr
+        |  FROM w
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_fr THEN 'es'
+        |       ELSE 'fr' END AS lang_pred
+        |FROM s""".stripMargin,
+
+    "doc_fingerprint" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM documents
+        |GROUP BY md5(array_to_string(list_sort(list_distinct(
+        |  string_split(lower(text), ' '))), ' '))""".stripMargin,
+
+    "doc_tokens_bpe" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe
+        |FROM documents""".stripMargin,
+
+    "emb_dedup_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin,
+
+    "emb_kmeans_assign" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |seeds AS (SELECT vec_id AS cell, v AS sv FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, seeds.cell, list_distance(e.v, seeds.sv) AS dist,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance(e.v, seeds.sv) ASC, seeds.cell ASC) AS rn
+        |  FROM e, seeds
+        |)
+        |SELECT vec_id, CAST(cell AS INT) AS cell, round(dist, 4) AS dist
+        |FROM scored WHERE rn = 1""".stripMargin,
+
+    "emb_knn_classify" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v, label FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.label,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC) AS rnk
+        |  FROM e q JOIN e c ON q.vec_id < 50 AND c.vec_id >= 50
+        |), votes AS (
+        |  SELECT query_id, label, count(*) AS n
+        |  FROM scored WHERE rnk <= 5 GROUP BY 1, 2
+        |), best AS (
+        |  SELECT query_id, label,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY n DESC, label ASC) AS rn
+        |  FROM votes
+        |)
+        |SELECT query_id, label FROM best WHERE rn = 1""".stripMargin
   )
 }

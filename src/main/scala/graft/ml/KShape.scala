@@ -1,0 +1,119 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.kernels.{Kernels, Ncc}
+
+/** KShape clustering — semantics of
+  * `/root/reference/tslearn/clustering/kshape.py:21-291`.
+  *
+  * Assignment distance is 1 − max NCC (FFT cross-correlation kernel);
+  * shape extraction per cluster is the leading eigenvector of
+  * M = Qᵀ (Σ xxᵀ) Q over SBD-aligned members (`kshape.py:118-137`).
+  *
+  * Spark layout: assignment = broadcast pass; shape extraction =
+  * `groupByKey(cluster).mapGroups` accumulating the sz×sz Gram of aligned
+  * members per cluster, then a local Breeze eigendecomposition (the Gram
+  * is sz×sz regardless of cluster size — safe on an executor). Input must
+  * be equal-length (KShape z-normalizes internally, as the reference does).
+  */
+class KShape(val k: Int, val maxIter: Int = 20, val tol: Double = 1e-6,
+             val seed: Long = 0L) extends Serializable {
+
+  case class Model(centroids: Array[Array[Double]], inertia: Double) {
+    def predict(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val bc = spark.sparkContext.broadcast(centroids)
+      df.select(col("series_id").cast("long"), col("values").cast("array<double>"))
+        .as[(Long, Array[Double])]
+        .map { case (id, vs) =>
+          val z = Kernels.scaleMeanVariance(Kernels.uni(vs.toIndexedSeq: _*)).map(_(0))
+          val (c, d) = KShape.nearest(z, bc.value)
+          (id, c, d)
+        }.toDF("series_id", "cluster", "dist")
+    }
+  }
+
+  def fit(df: DataFrame): Model = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val data = df.select(col("series_id").cast("long"), col("values").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .map { case (id, vs) =>
+        (id, Kernels.scaleMeanVariance(Kernels.uni(vs.toIndexedSeq: _*)).map(_(0)))
+      }.cache()
+    val n = data.count()
+    require(n >= k, s"need at least k=$k series")
+    // deterministic init: k sampled members as initial shapes
+    var centroids: Array[Array[Double]] =
+      data.rdd.takeSample(withReplacement = false, k, seed).map(_._2)
+    var prevInertia = Double.PositiveInfinity
+    var inertia = Double.PositiveInfinity
+    var iter = 0
+    var done = false
+    while (iter < maxIter && !done) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assigned = data.map { case (id, vs) =>
+        val (c, d) = KShape.nearest(vs, bc.value)
+        (id, c, d, vs)
+      }.cache()
+      inertia = assigned.map(r => r._3 * r._3).reduce(_ + _) / n
+      val cents = centroids
+      val updated = assigned.groupByKey(_._2).mapGroups { (cid, it) =>
+        val members = it.map(_._4).toArray
+        (cid, KShape.extractShape(members, cents(cid)))
+      }.collect().toMap
+      centroids = Array.tabulate(k)(c => updated.getOrElse(c, centroids(c)))
+      assigned.unpersist()
+      if (prevInertia - inertia < tol) done = true
+      prevInertia = inertia
+      iter += 1
+    }
+    data.unpersist()
+    Model(centroids, inertia)
+  }
+}
+
+object KShape {
+  /** argmin over centroids of 1 − maxNCC. */
+  def nearest(vs: Array[Double], centroids: Array[Array[Double]]): (Int, Double) = {
+    var bestC = 0; var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val d = Ncc.sbd(Kernels.uni(centroids(c).toIndexedSeq: _*), Kernels.uni(vs.toIndexedSeq: _*))
+      if (d < bestD) { bestD = d; bestC = c }
+      c += 1
+    }
+    (bestC, bestD)
+  }
+
+  /** Shape extraction (`kshape.py:118-137`): SBD-align members to the
+    * current centroid, z-norm, take leading eigenvector of
+    * M = Qᵀ S Q where S = Σ xxᵀ and Q = I − 1/sz; fix sign so the shape
+    * correlates positively with members. */
+  def extractShape(members: Array[Array[Double]], center: Array[Double]): Array[Double] = {
+    import breeze.linalg.{DenseMatrix, DenseVector, eigSym}
+    val sz = center.length
+    val refTs = Kernels.uni(center.toIndexedSeq: _*)
+    val S = DenseMatrix.zeros[Double](sz, sz)
+    members.foreach { m =>
+      val aligned = Ncc.shiftToAlign(refTs, Kernels.uni(m.toIndexedSeq: _*))
+      val z = Kernels.scaleMeanVariance(aligned).map(_(0))
+      val v = DenseVector(z)
+      S += v * v.t
+    }
+    val q = DenseMatrix.tabulate(sz, sz)((i, j) =>
+      (if (i == j) 1.0 else 0.0) - 1.0 / sz)
+    val m = q.t * S * q
+    val es = eigSym(m)
+    val idx = es.eigenvalues.toArray.zipWithIndex.maxBy(_._1)._2
+    val vec = es.eigenvectors(::, idx).toArray
+    // sign fix: prefer orientation closer to the first member
+    val firstZ = Kernels.scaleMeanVariance(Kernels.uni(members(0).toIndexedSeq: _*)).map(_(0))
+    val distPlus = firstZ.zip(vec).map { case (a, b) => (a - b) * (a - b) }.sum
+    val distMinus = firstZ.zip(vec).map { case (a, b) => (a + b) * (a + b) }.sum
+    val signed = if (distMinus < distPlus) vec.map(-_) else vec
+    Kernels.scaleMeanVariance(Kernels.uni(signed.toIndexedSeq: _*)).map(_(0))
+  }
+}

@@ -1,0 +1,184 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kernels.{Barycenters, Kernels}
+
+/** Time-series k-means — semantics of
+  * `/root/reference/tslearn/clustering/kmeans.py:471-859` re-expressed for
+  * Spark's execution model (SURVEY §3.2):
+  *
+  *  - assignment: one distributed pass — `crossJoin(broadcast(centroids))`
+  *    + `min_by` argmin. No shuffle of the big side; centroids are tiny.
+  *  - update: one distributed pass — `groupByKey(cluster).mapGroups` runs
+  *    the *local* barycenter kernel (mean / DBA / soft-DTW) per cluster.
+  *    Cluster members stream through one task each; with k clusters only
+  *    k tasks do heavy work, which is the right trade because barycenter
+  *    iterations are sequential anyway (SURVEY §7.4 notes this shortcut).
+  *  - control flow (init restarts, tolerance, empty-cluster retry,
+  *    `n_init` best-of) stays on the driver, mirroring the reference.
+  *
+  * Input: DataFrame(series_id LONG, values ARRAY<DOUBLE>). Equal lengths
+  * required for metric="euclidean" (as the reference enforces,
+  * `kmeans.py:559-562`); dtw/softdtw accept ragged.
+  */
+class TimeSeriesKMeans(
+    val k: Int,
+    val metric: String = "euclidean", // euclidean | dtw | softdtw
+    val maxIter: Int = 20,
+    val tol: Double = 1e-6,
+    val nInit: Int = 1,
+    val seed: Long = 0L,
+    val gamma: Double = 1.0,
+    val barycenterMaxIter: Int = 10) extends Serializable {
+
+  require(Seq("euclidean", "dtw", "softdtw").contains(metric), s"bad metric $metric")
+
+  case class Model(centroids: Array[Array[Double]], inertia: Double) {
+    /** Assign each series to its nearest centroid: single broadcast pass. */
+    def predict(df: DataFrame): DataFrame = TimeSeriesKMeans.assign(df, centroids, metric, gamma)
+  }
+
+  private def dist(a: Array[Double], b: Array[Double]): Double =
+    TimeSeriesKMeans.metricDist(metric, gamma)(a, b)
+
+  /** k-means++ seeding on a driver-side sample (deterministic by seed) —
+    * `kmeans.py:50-133`. The sample bound keeps the driver O(sampleCap·sz)
+    * regardless of dataset size. */
+  private def kmeansPlusPlus(sample: Array[Array[Double]], rng: scala.util.Random): Array[Array[Double]] = {
+    val centers = scala.collection.mutable.ArrayBuffer(sample(rng.nextInt(sample.length)))
+    while (centers.length < k) {
+      val d2 = sample.map(s => { val m = centers.map(c => dist(c, s)).min; m * m })
+      val total = d2.sum
+      if (total == 0.0) centers += sample(rng.nextInt(sample.length))
+      else {
+        var r = rng.nextDouble() * total
+        var i = 0
+        while (i < d2.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
+        centers += sample(i)
+      }
+    }
+    centers.toArray
+  }
+
+  def fit(df: DataFrame): Model = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val data = df.select(col("series_id").cast("long"), col("values").cast("array<double>"))
+      .as[(Long, Array[Double])].cache()
+    val n = data.count()
+    require(n >= k, s"need at least k=$k series, got $n")
+    val sampleCap = 10000
+    val sample = (if (n <= sampleCap) data.map(_._2)
+      else data.sample(withReplacement = false, sampleCap.toDouble / n, seed).map(_._2))
+      .collect()
+
+    var best: Model = null
+    for (attempt <- 0 until nInit) {
+      val rng = new scala.util.Random(seed + attempt)
+      var centroids = kmeansPlusPlus(sample, rng)
+      var prevInertia = Double.PositiveInfinity
+      var inertia = Double.PositiveInfinity
+      var iter = 0
+      var done = false
+      while (iter < maxIter && !done) {
+        val assigned = TimeSeriesKMeans.assignDs(data, centroids, metric, gamma)
+        inertia = assigned.map(r => r._3 * r._3).reduce(_ + _) / n
+        // update: one pass, local barycenter per cluster group
+        val m = metric; val g = gamma; val bIter = barycenterMaxIter
+        val cents = centroids
+        val updated = assigned
+          .groupByKey(_._2)
+          .mapGroups { (cid, it) =>
+            val members = it.map(t => t._4).toArray
+            val series = members.map(a => a.map(Array(_)))
+            val init = cents(cid).map(Array(_))
+            val bary = m match {
+              case "dtw" => Barycenters.dba(series.toIndexedSeq, barycenterSize = init.length,
+                maxIter = bIter, init = init)
+              case "softdtw" => Barycenters.softDtw(series.toIndexedSeq, gamma = g,
+                barycenterSize = init.length, maxIter = bIter)
+              case _ => Barycenters.euclidean(series.toIndexedSeq)
+            }
+            (cid, bary.map(_(0)))
+          }.collect().toMap
+        // empty-cluster retry: reseed from a random sample member
+        // (reference raises EmptyClusterError and restarts; reseeding is
+        // the deterministic-seed equivalent, `clustering/utils.py:13-33`)
+        centroids = Array.tabulate(k)(c =>
+          updated.getOrElse(c, sample(rng.nextInt(sample.length))))
+        if (prevInertia - inertia < tol) done = true
+        prevInertia = inertia
+        iter += 1
+      }
+      if (best == null || inertia < best.inertia) best = Model(centroids, inertia)
+    }
+    data.unpersist()
+    best
+  }
+}
+
+object TimeSeriesKMeans {
+  def metricDist(metric: String, gamma: Double): (Array[Double], Array[Double]) => Double =
+    metric match {
+      case "dtw" => (a, b) => Kernels.dtw(Kernels.uni(a.toIndexedSeq: _*), Kernels.uni(b.toIndexedSeq: _*))
+      case "softdtw" => (a, b) => {
+        val d = Kernels.softDtw(Kernels.uni(a.toIndexedSeq: _*), Kernels.uni(b.toIndexedSeq: _*), gamma)
+        math.sqrt(math.max(0.0, d))
+      }
+      case _ => (a, b) => Kernels.euclidean(Kernels.uni(a.toIndexedSeq: _*), Kernels.uni(b.toIndexedSeq: _*))
+    }
+
+  /** (id, cluster, dist, values) typed assignment pass. */
+  private[ml] def assignDs(data: Dataset[(Long, Array[Double])],
+                           centroids: Array[Array[Double]],
+                           metric: String, gamma: Double): Dataset[(Long, Int, Double, Array[Double])] = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    val d = metricDist(metric, gamma)
+    data.map { case (id, vs) =>
+      val cs = bc.value
+      var bestC = 0; var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < cs.length) {
+        val dd = d(cs(c), vs)
+        if (dd < bestD) { bestD = dd; bestC = c }
+        c += 1
+      }
+      (id, bestC, bestD, vs)
+    }
+  }
+
+  def assign(df: DataFrame, centroids: Array[Array[Double]],
+             metric: String, gamma: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val data = df.select(col("series_id").cast("long"), col("values").cast("array<double>"))
+      .as[(Long, Array[Double])]
+    assignDs(data, centroids, metric, gamma)
+      .toDF("series_id", "cluster", "dist", "values")
+      .select("series_id", "cluster", "dist")
+  }
+
+  /** Silhouette score from a pairwise-distance DataFrame
+    * (left_id, right_id, dist) + assignments (series_id, cluster) —
+    * `clustering/utils.py:66-197` re-expressed as two grouped
+    * aggregations. */
+  def silhouette(pairDists: DataFrame, assignments: DataFrame): Double = {
+    val withClusters = pairDists
+      .join(assignments.select(col("series_id").as("left_id"), col("cluster").as("lc")), "left_id")
+      .join(assignments.select(col("series_id").as("right_id"), col("cluster").as("rc")), "right_id")
+      .where(col("left_id") =!= col("right_id"))
+    val perCluster = withClusters.groupBy("left_id", "lc", "rc")
+      .agg(avg("dist").as("mean_d"))
+    val a = perCluster.where(col("lc") === col("rc"))
+      .select(col("left_id"), col("mean_d").as("a"))
+    val b = perCluster.where(col("lc") =!= col("rc"))
+      .groupBy("left_id").agg(min("mean_d").as("b"))
+    val s = a.join(b, "left_id")
+      .select(((col("b") - col("a")) / greatest(col("a"), col("b"))).as("s"))
+    val row = s.agg(avg("s")).head()
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+}

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication operators.
+  *
+  * All are shuffle-lean by construction:
+  *  - exact: one hash-groupBy (map-side combine).
+  *  - MinHash+LSH: shingle explode → per-doc signature agg → band-bucket
+  *    join. Candidate pairs only ever form inside a bucket, so the
+  *    all-pairs O(n²) never materializes — the 100TB path.
+  *  - SimHash: 64-bit signature per doc, banded into 4×16-bit keys; pairs
+  *    agreeing on ≥1 band are candidates (Hamming ≤ 3 within 64 bits is
+  *    guaranteed caught by pigeonhole on 4 bands).
+  *  - embedding cosine: triangle self-join at small n; LSH route for scale
+  *    is Ann.ivf-style bucketing.
+  */
+object Dedup {
+
+  /** Exact dedup: representative (min id) + multiplicity per distinct text. */
+  def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word k-shingles, distinct per doc: (doc_id, sh). */
+  def shingles(df: DataFrame, k: Int = 3, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val words = split(lower(col(textCol)), " ")
+    df.select(col(idCol).as("doc_id"),
+      explode(transform(sequence(lit(0), greatest(size(words) - k, lit(0))),
+        i => array_join(slice(words, i + 1, lit(k)), " "))).as("sh"))
+      .distinct()
+  }
+
+  /** MinHash signatures: numHashes permutations via (a_i·x + b_i) mod p
+    * over a 64-bit base shingle hash. One explode + one groupBy — the
+    * signature agg is a map-side-combinable min per hash index. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int = 64, seed: Long = 42L): DataFrame = {
+    // 2^31-1 modulus keeps a·x+b < 2^62 (no ANSI long overflow)
+    val p = 2147483647L
+    val rng = new scala.util.Random(seed)
+    val coeffs = Array.fill(numHashes)((math.abs(rng.nextLong()) % (p - 1) + 1, math.abs(rng.nextLong()) % p))
+    val base = pmod(xxhash64(col("sh")), lit(p))
+    val hashCols = array(coeffs.zipWithIndex.map { case ((a, b), _) =>
+      pmod(lit(a) * base + lit(b), lit(p))
+    }.toIndexedSeq: _*)
+    sh.select(col("doc_id"), hashCols.as("hs"))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("h_idx", "h")))
+      .groupBy("doc_id", "h_idx").agg(min("h").as("mh"))
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("h_idx"), col("mh")))),
+        x => x.getField("mh")).as("sig"))
+  }
+
+  /** LSH banding: docs sharing any band bucket become candidate pairs;
+    * candidates are verified against the estimated Jaccard from full
+    * signatures. Returns (doc_a, doc_b, est_jaccard ≥ threshold). */
+  def minhashLsh(df: DataFrame, threshold: Double = 0.5, numHashes: Int = 64,
+                 bands: Int = 16, shingleK: Int = 3, seed: Long = 42L,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = minhashSignatures(shingles(df, shingleK, idCol, textCol), numHashes, seed).cache()
+    val banded = sig.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
+        .as(Seq("band", "bucket")))
+    val candidates = banded.select(col("band"), col("bucket"), col("doc_id"))
+      .alias("a")
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b")).alias("b"),
+        Seq("band", "bucket"))
+      .where(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
+    candidates
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash per doc from word-level hashes (unweighted). */
+  def simhash(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = df.select(col(idCol).as("doc_id"),
+      explode(split(lower(col(textCol)), " ")).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    // per bit: sum of +1/-1; sign -> bit
+    val bitCols = array((0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+    }: _*)
+    words.groupBy("doc_id")
+      .agg(bitCols.as("bitsums"))
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(element_at(col("bitsums"), b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** SimHash near-dup candidates with Hamming distance ≤ maxHamming,
+    * banded into 4×16-bit keys (pigeonhole-complete for maxHamming ≤ 3). */
+  def simhashPairs(df: DataFrame, maxHamming: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = simhash(df, idCol, textCol).cache()
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("band", "key")))
+    val cands = banded.alias("a")
+      .join(banded.select(col("band"), col("key"), col("doc_id").as("doc_b"),
+        col("simhash").as("simhash_b")).alias("b"), Seq("band", "key"))
+      .where(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"),
+        col("simhash"), col("simhash_b"))
+      .distinct()
+    cands.select(col("doc_a"), col("doc_b"),
+      bit_count(col("simhash").bitwiseXOR(col("simhash_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding cosine near-dup pairs (brute triangle; for scale, bucket
+    * with Ann.ivfAssign first and join within cells). */
+  def embeddingCosine(df: DataFrame, threshold: Double,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.TsFunctions
+    val e = df.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    e.alias("a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")).alias("b"),
+        col("vec_id") < col("vec_b"))
+      .select(col("vec_id").as("vec_a"), col("vec_b"),
+        TsFunctions.cosineSim(col("v"), col("vb")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

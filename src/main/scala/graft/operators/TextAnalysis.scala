@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language-ID heuristic, content fingerprinting. All
+  * pure column expressions — codegen'd, no UDFs, no shuffle (per-row). */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish sub-word tokenization count: runs of letters, runs of
+    * digits, or single non-alphanumeric marks (a cheap proxy for byte-pair
+    * token counts; same regex runs in the DuckDB oracle). */
+  val bpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(bpeishPattern), lit(0)))
+
+  /** Punctuation ratio: non-alphanumeric-non-space chars / chars. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^a-z0-9 ]", ""))).cast("double") /
+      length(text)
+
+  /** Stopword hit ratio over a fixed English stopword list. */
+  val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  def stopwordRatio(text: Column): Column = {
+    val words = split(lower(text), " ")
+    val hits = stopwords.map(sw =>
+      size(filter(words, w => w === sw))).reduce(_ + _)
+    hits.cast("double") / size(words)
+  }
+
+  /** Composite quality score in [0,1]: length band + low punct + stopword
+    * presence (typical pretraining-filter shape). */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val lenScore = when(nTok.between(20, 1000), 1.0)
+      .when(nTok.between(5, 19), 0.5).otherwise(0.0)
+    val punct = punctRatio(text)
+    val punctScore = when(punct <= 0.1, 1.0).when(punct <= 0.3, 0.5).otherwise(0.0)
+    val swScore = when(stopwordRatio(text) > 0.02, 1.0).otherwise(0.0)
+    round((lenScore + punctScore + swScore) / 3.0, 4)
+  }
+
+  /** n-gram-free language-ID heuristic: score = count of language marker
+    * words present; predict argmax, 'und' when no marker hits. Marker
+    * lists are tiny and deterministic so the same logic runs in SQL. */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "und", "die", "ist"),
+    "fr" -> Seq("le", "et", "la", "est"),
+    "es" -> Seq("el", "y", "la", "es"))
+  def langId(text: Column): Column = {
+    val words = split(lower(text), " ")
+    def score(lang: String): Column =
+      markers(lang).map(m => size(filter(words, w => w === m))).reduce(_ + _)
+    val scored = markers.keys.toSeq.sorted.map(l => struct(score(l).as("s"), lit(l).as("l")))
+    // argmax score, ties -> lexicographically smallest language
+    val best = scored.reduce((a, b) =>
+      when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+  }
+
+  /** Order-insensitive content fingerprint: md5 of the sorted distinct
+    * word set (catches word-reorder near-dups). */
+  def bagOfWordsFingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(split(lower(text), " "))), " ").cast("binary"))
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.{KNeighbors, KShape, KernelKMeans, TimeSeriesKMeans}
+import graft.model.TSModel
+
+/** Clustering / estimator behavior tests. Quality-metric assertions
+  * (inertia decreases, blobs separate) rather than raw label matching, as
+  * the reference's own tests do (SURVEY §7.4 determinism note). */
+class ClusteringSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  /** Two well-separated blobs of noisy series (seed-stable). */
+  def blobs(nPerBlob: Int = 10, sz: Int = 24): org.apache.spark.sql.DataFrame = {
+    val rng = new scala.util.Random(42)
+    val rows = (0 until 2 * nPerBlob).map { i =>
+      val blob = i / nPerBlob
+      val base = if (blob == 0) (t: Int) => math.sin(t / 3.0) else (t: Int) => math.cos(t / 2.0) + 3.0
+      (i.toLong, Array.tabulate(sz)(t => base(t) + rng.nextGaussian() * 0.1), blob)
+    }
+    rows.toDF("series_id", "values", "true_blob")
+  }
+
+  test("euclidean kmeans separates blobs") {
+    val df = blobs()
+    val model = new TimeSeriesKMeans(k = 2, metric = "euclidean", maxIter = 10, seed = 1).fit(df)
+    val assigned = model.predict(df).join(df.select("series_id", "true_blob"), "series_id")
+    val purity = assigned.groupBy("cluster", "true_blob").count()
+      .groupBy("cluster").agg(max("count").as("m"))
+      .agg(sum("m")).head().getLong(0)
+    assert(purity == 20, "clusters should align with blobs")
+    assert(model.inertia < 1.0)
+  }
+
+  test("dtw kmeans separates blobs (ragged tolerated)") {
+    val df = blobs()
+    val model = new TimeSeriesKMeans(k = 2, metric = "dtw", maxIter = 5,
+      barycenterMaxIter = 3, seed = 1).fit(df)
+    val assigned = model.predict(df).join(df.select("series_id", "true_blob"), "series_id")
+    val purity = assigned.groupBy("cluster", "true_blob").count()
+      .groupBy("cluster").agg(max("count").as("m"))
+      .agg(sum("m")).head().getLong(0)
+    assert(purity == 20)
+  }
+
+  test("softdtw kmeans runs and yields finite inertia") {
+    val df = blobs(nPerBlob = 5, sz = 12)
+    val model = new TimeSeriesKMeans(k = 2, metric = "softdtw", maxIter = 3,
+      barycenterMaxIter = 5, seed = 1).fit(df)
+    assert(java.lang.Double.isFinite(model.inertia))
+  }
+
+  test("kshape separates blobs") {
+    val df = blobs()
+    val model = new KShape(k = 2, maxIter = 10, seed = 3).fit(df)
+    val assigned = model.predict(df).join(df.select("series_id", "true_blob"), "series_id")
+    val purity = assigned.groupBy("cluster", "true_blob").count()
+      .groupBy("cluster").agg(max("count").as("m"))
+      .agg(sum("m")).head().getLong(0)
+    assert(purity >= 18, s"purity $purity < 18") // shape-based; allow slack
+  }
+
+  test("kernel kmeans assigns every series to a cluster in range") {
+    val df = blobs(nPerBlob = 6, sz = 16)
+    val labels = new KernelKMeans(k = 2, maxIter = 5, sigma = 1.0, seed = 7).fit(df)
+    assert(labels.count() == 12)
+    val cs = labels.select("cluster").distinct().as[Int].collect()
+    assert(cs.forall(c => c >= 0 && c < 2))
+  }
+
+  test("silhouette: separated blobs score high") {
+    import graft.operators.Cdist
+    import graft.functions.TsFunctions
+    val df = blobs()
+    val model = new TimeSeriesKMeans(k = 2, metric = "euclidean", maxIter = 10, seed = 1).fit(df)
+    val assigned = model.predict(df)
+    val dists = Cdist.selfCross(df, (a, b) => TsFunctions.euclideanUdf(a, b))
+    val s = TimeSeriesKMeans.silhouette(dists, assigned)
+    assert(s > 0.5, s"silhouette $s")
+  }
+
+  test("knn classifier: blobs classify correctly with dtw 3-NN") {
+    import graft.functions.TsFunctions
+    val df = blobs()
+    val train = df.where(col("series_id") % 2 === 0)
+      .select(col("series_id"), col("values"), col("true_blob").cast("string").as("label"))
+    val test = df.where(col("series_id") % 2 === 1)
+    val pred = KNeighbors.classify(test, train, k = 3,
+      (a, b) => TsFunctions.dtwUdf(a, b))
+      .join(df.select(col("series_id").as("probe_id"),
+        col("true_blob").cast("string").as("truth")), "probe_id")
+    val acc = pred.where(col("label") === col("truth")).count().toDouble / pred.count()
+    assert(acc == 1.0, s"accuracy $acc")
+  }
+
+  test("knn regressor: distance-weighted mean is exact for duplicate probe") {
+    import graft.functions.TsFunctions
+    val train = Seq(
+      (0L, Array(1.0, 2.0, 3.0), 10.0),
+      (1L, Array(4.0, 5.0, 6.0), 20.0),
+      (2L, Array(7.0, 8.0, 9.0), 30.0)).toDF("series_id", "values", "y")
+    val probes = Seq((100L, Array(1.0, 2.0, 3.0))).toDF("series_id", "values")
+    val pred = KNeighbors.regress(probes, train, k = 2,
+      (a, b) => TsFunctions.euclideanUdf(a, b), weights = "distance").head()
+    assert(math.abs(pred.getDouble(1) - 10.0) < 1e-3)
+  }
+}

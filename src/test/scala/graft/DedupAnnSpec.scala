@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Ann, Dedup}
+
+class DedupAnnSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("minhash LSH recovers high-jaccard pairs found by exact shingle join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // exact jaccard pairs >= 0.6 via shingle inverted index
+    val sh = Dedup.shingles(docs).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    val exact = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
+      .withColumn("jac", col("i") / (col("sa") + col("sb") - col("i")))
+      .where(col("jac") >= 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(docs, threshold = 0.45)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup docs")
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
+  }
+
+  test("simhash: identical docs collide, near-dups within small hamming") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox leaps over the lazy dog again and again"),
+      (3L, "completely different content about database query engines")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(sh(0L) == sh(1L))
+    assert(java.lang.Long.bitCount(sh(0L) ^ sh(2L)) <= 12)
+    assert(java.lang.Long.bitCount(sh(0L) ^ sh(3L)) > 12)
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("exact dedup groups identical texts") {
+    val docs = Seq((0L, "aaa bbb"), (1L, "aaa bbb"), (2L, "ccc")).toDF("doc_id", "text")
+    val d = Dedup.exact(docs).select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(d == Set((0L, 2L), (2L, 1L)))
+  }
+
+  test("IVF ANN achieves >=80% recall@5 vs brute force") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val queries = e.where(col("vec_id") < 10)
+    val cands = e.where(col("vec_id") >= 10).cache()
+    val brute = Ann.bruteTopK(cands, queries, 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    // uniform random embeddings are IVF's worst case (no cluster
+    // structure); probe over half the cells and expect high-but-not-full
+    // recall, plus the exactness sanity: nprobe == nlist must equal brute
+    val centroids = Ann.trainCoarse(cands, nlist = 8, seed = 3)
+    val ivf = Ann.ivfTopK(cands, queries, 5, centroids, nprobe = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF recall $recall")
+    val full = Ann.ivfTopK(cands, queries, 5, centroids, nprobe = 8)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(full == brute, "nprobe=nlist IVF must equal brute force")
+  }
+
+  test("text analysis helpers: lang id, quality, bpe-ish tokens") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (0L, "the cat and the dog is of note"),
+      (1L, "der hund und die katze ist da"),
+      (2L, "xyz qqq zzz")
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("nb")).collect()
+    val m = out.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(0L) == "en" && m(1L) == "de" && m(2L) == "und")
+  }
+}

@@ -1,0 +1,154 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Cdist
+import graft.functions.TsFunctions
+
+/** Kernel SVM with the Global Alignment Kernel — semantics of
+  * `/root/reference/tslearn/svm/svm.py:17-569`.
+  *
+  * Spark split (SURVEY §7.3): the O(n²) GAK gram is computed distributed
+  * (triangle self-join + mirror); the SMO solve runs on the driver over
+  * the collected gram — same architecture as the reference (libsvm solve
+  * after a precomputed gram), with the documented scale limit n ≲ 10⁴
+  * support-vector candidates. Multiclass = one-vs-one voting, as libsvm.
+  * γ='auto' uses the sigma_gak heuristic (`softdtw_variants.py:221-272`).
+  */
+object TimeSeriesSVC {
+
+  /** sigma_gak bandwidth heuristic: median pairwise distance between
+    * sampled timestep values × √(median series length) — distributed
+    * sample + approxQuantile. */
+  def sigmaGak(df: DataFrame, seriesCol: String = "values", sample: Int = 100,
+               seed: Long = 0L): Double = {
+    val vals = df.select(posexplode(col(seriesCol)).as(Seq("t", "v")))
+      .select(col("v")).orderBy(xxhash64(col("v"), lit(seed))).limit(sample)
+    val arr = vals.collect().map(_.getDouble(0))
+    val dists = for { i <- arr.indices; j <- arr.indices if i < j } yield math.abs(arr(i) - arr(j))
+    val medDist = if (dists.isEmpty) 1.0 else dists.sorted.apply(dists.length / 2)
+    val medSz = df.select(size(col(seriesCol)).cast("double").as("sz"))
+      .stat.approxQuantile("sz", Array(0.5), 0.01)
+    medDist * math.sqrt(medSz.headOption.getOrElse(1.0))
+  }
+
+  /** Binary SMO on a precomputed kernel matrix (driver-side). Simplified
+    * Platt SMO with random-ish second-choice heuristic; converges for the
+    * small gram sizes this path is designed for. */
+  def smoSolve(K: Array[Array[Double]], y: Array[Double], c: Double,
+                           tol: Double = 1e-3, maxPasses: Int = 10,
+                           seed: Long = 0L): (Array[Double], Double) = {
+    val n = y.length
+    val alpha = new Array[Double](n)
+    var b = 0.0
+    val rng = new scala.util.Random(seed)
+    def f(i: Int): Double = {
+      var s = 0.0; var j = 0
+      while (j < n) { s += alpha(j) * y(j) * K(j)(i); j += 1 }
+      s + b
+    }
+    var passes = 0
+    while (passes < maxPasses) {
+      var changed = 0
+      var i = 0
+      while (i < n) {
+        val ei = f(i) - y(i)
+        if ((y(i) * ei < -tol && alpha(i) < c) || (y(i) * ei > tol && alpha(i) > 0)) {
+          var j = rng.nextInt(n - 1)
+          if (j >= i) j += 1
+          val ej = f(j) - y(j)
+          val aiOld = alpha(i); val ajOld = alpha(j)
+          val (lo, hi) =
+            if (y(i) != y(j)) (math.max(0.0, ajOld - aiOld), math.min(c, c + ajOld - aiOld))
+            else (math.max(0.0, aiOld + ajOld - c), math.min(c, aiOld + ajOld))
+          if (lo < hi) {
+            val eta = 2 * K(i)(j) - K(i)(i) - K(j)(j)
+            if (eta < 0) {
+              var aj = ajOld - y(j) * (ei - ej) / eta
+              aj = math.max(lo, math.min(hi, aj))
+              if (math.abs(aj - ajOld) > 1e-5) {
+                val ai = aiOld + y(i) * y(j) * (ajOld - aj)
+                alpha(i) = ai; alpha(j) = aj
+                val b1 = b - ei - y(i) * (ai - aiOld) * K(i)(i) - y(j) * (aj - ajOld) * K(i)(j)
+                val b2 = b - ej - y(i) * (ai - aiOld) * K(i)(j) - y(j) * (aj - ajOld) * K(j)(j)
+                b = if (ai > 0 && ai < c) b1
+                    else if (aj > 0 && aj < c) b2
+                    else (b1 + b2) / 2
+                changed += 1
+              }
+            }
+          }
+        }
+        i += 1
+      }
+      if (changed == 0) passes += 1 else passes = 0
+    }
+    (alpha, b)
+  }
+
+  case class BinaryModel(ids: Array[Long], alphaY: Array[Double], b: Double)
+  case class Model(classes: Array[String], binaries: Map[(Int, Int), BinaryModel],
+                   sigma: Double, trainIds: Array[Long]) {
+    /** One-vs-one vote. Needs the probe×train GAK gram as a DataFrame
+      * (probe_id, train_id, k). */
+    def predictFromGram(gram: Map[(Long, Long), Double], probeIds: Seq[Long]): Map[Long, String] = {
+      probeIds.map { pid =>
+        val votes = scala.collection.mutable.Map[Int, Int]().withDefaultValue(0)
+        binaries.foreach { case ((ci, cj), bm) =>
+          var s = bm.b
+          var t = 0
+          while (t < bm.ids.length) {
+            s += bm.alphaY(t) * gram((pid, bm.ids(t)))
+            t += 1
+          }
+          if (s >= 0) votes(ci) += 1 else votes(cj) += 1
+        }
+        pid -> classes(votes.toSeq.sortBy(v => (-v._2, v._1)).head._1)
+      }.toMap
+    }
+  }
+
+  /** Fit on (series_id, values, label). The gram is computed distributed,
+    * then collected (documented driver-size limit). */
+  def fit(df: DataFrame, c: Double = 1.0, sigma: Double = -1.0, seed: Long = 0L): Model = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sig = if (sigma > 0) sigma else sigmaGak(df)
+    val gramDf = Cdist.selfCross(df, (a, b) => TsFunctions.gakUdf(a, b, lit(sig)),
+      computeDiagonal = false)
+      .union(df.select(col("series_id").as("left_id"), col("series_id").as("right_id"), lit(1.0)))
+    val gram = gramDf.as[(Long, Long, Double)].collect()
+      .map { case (i, j, k) => (i, j) -> k }.toMap
+    val labeled = df.select(col("series_id").cast("long"), col("label").cast("string"))
+      .as[(Long, String)].collect()
+    val classes = labeled.map(_._2).distinct.sorted
+    val byClass = labeled.groupBy(_._2)
+    val binaries = (for {
+      ci <- classes.indices; cj <- classes.indices if ci < cj
+    } yield {
+      val ids = (byClass(classes(ci)) ++ byClass(classes(cj))).map(_._1)
+      val y = ids.map(id => if (labeled.find(_._1 == id).get._2 == classes(ci)) 1.0 else -1.0)
+      val kmat = Array.tabulate(ids.length, ids.length)((a, bIdx) => gram((ids(a), ids(bIdx))))
+      val (alpha, b) = smoSolve(kmat, y, c, seed = seed)
+      val sv = ids.indices.filter(alpha(_) > 1e-9)
+      (ci, cj) -> BinaryModel(sv.map(ids(_)).toArray,
+        sv.map(t => alpha(t) * y(t)).toArray, b)
+    }).toMap
+    Model(classes, binaries, sig, labeled.map(_._1))
+  }
+
+  /** Predict: distributed probe×train gram, then driver vote. */
+  def predict(model: Model, probes: DataFrame, train: DataFrame): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val svIds = model.binaries.values.flatMap(_.ids).toSet
+    val svTrain = train.where(col("series_id").isin(svIds.toSeq: _*))
+    val gram = Cdist.cross(probes, svTrain,
+      (a, b) => TsFunctions.gakUdf(a, b, lit(model.sigma)))
+      .as[(Long, Long, Double)].collect()
+      .map { case (p, t, k) => (p, t) -> k }.toMap
+    val probeIds = probes.select(col("series_id").cast("long")).as[Long].collect()
+    val preds = model.predictFromGram(gram, probeIds.toIndexedSeq)
+    preds.toSeq.toDF("series_id", "label")
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  def ts(min: Int): java.sql.Timestamp = new java.sql.Timestamp(1700000000000L + min * 60000L)
+
+  test("streaming hourly counts with watermark (memory sink)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode("complete").start()
+    input.addData(
+      Event(1, ts(0), 1.0, "view"), Event(1, ts(10), 2.0, "view"),
+      Event(2, ts(70), 3.0, "click"))
+    q.processAllAvailable()
+    val rows = spark.table("hourly").collect()
+    q.stop()
+    assert(rows.length == 2)
+    val viewRow = rows.find(_.getString(1) == "view").get
+    assert(viewRow.getLong(2) == 2 && viewRow.getDouble(3) == 3.0)
+  }
+
+  test("streaming sessionization groups by 30-minute gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.sessionize(input.toDF())
+      .writeStream.format("memory").queryName("sessions").outputMode("complete").start()
+    // user 1: two events 10 min apart (one session), then 90 min later (new session)
+    input.addData(
+      Event(1, ts(0), 1.0, "view"), Event(1, ts(10), 1.0, "view"),
+      Event(1, ts(100), 1.0, "view"))
+    q.processAllAvailable()
+    val rows = spark.table("sessions").collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("streaming early classification emits one decision per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // toy classifier: positive mean -> label 1; confidence grows with prefix
+    val classify = (prefix: Array[Double]) => {
+      val m = prefix.sum / prefix.length
+      (if (m > 0) 1 else 0, math.min(1.0, prefix.length / 4.0))
+    }
+    val q = StreamingOps.earlyClassify(input.toDS(), classify, minLen = 2, maxLen = 8, tau = 0.9)
+      .writeStream.format("memory").queryName("early").outputMode("append").start()
+    input.addData((1 to 3).map(i => Event(1, ts(i), 1.0, "v")): _*)
+    q.processAllAvailable()
+    assert(spark.table("early").count() == 0) // confidence 3/4 < 0.9 yet
+    input.addData(Event(1, ts(4), 1.0, "v"), Event(2, ts(1), -1.0, "v"))
+    q.processAllAvailable()
+    val d1 = spark.table("early").collect()
+    assert(d1.length == 1 && d1(0).getLong(0) == 1 && d1(0).getInt(2) == 1 && d1(0).getInt(1) == 4)
+    // key 1 already decided: further events must not re-emit
+    input.addData((5 to 12).map(i => Event(1, ts(i), 1.0, "v")): _*)
+    q.processAllAvailable()
+    assert(spark.table("early").where(col("user_id") === 1).count() == 1)
+    // key 2 hits maxLen without confidence -> forced decision
+    input.addData((2 to 8).map(i => Event(2, ts(i), -1.0, "v")): _*)
+    q.processAllAvailable()
+    val d2 = spark.table("early").where(col("user_id") === 2).collect()
+    q.stop()
+    assert(d2.length == 1 && d2(0).getInt(2) == 0)
+  }
+}

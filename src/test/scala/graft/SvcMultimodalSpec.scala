@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.TimeSeriesSVC
+import graft.sources.Multimodal
+
+class SvcMultimodalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("SMO solver separates trivially separable kernel") {
+    // linear kernel on 1-D points -2,-1,1,2 with labels -,-,+,+
+    val x = Array(-2.0, -1.0, 1.0, 2.0)
+    val y = Array(-1.0, -1.0, 1.0, 1.0)
+    val k = Array.tabulate(4, 4)((i, j) => x(i) * x(j))
+    val (alpha, b) = TimeSeriesSVC.smoSolve(k, y, c = 10.0, seed = 1)
+    val f = (p: Double) => x.indices.map(i => alpha(i) * y(i) * x(i) * p).sum + b
+    assert(f(1.5) > 0 && f(-1.5) < 0)
+  }
+
+  test("GAK SVC classifies separated series blobs") {
+    val rng = new scala.util.Random(4)
+    val rows = (0 until 24).map { i =>
+      val blob = i / 12
+      val base = if (blob == 0) (t: Int) => math.sin(t / 2.0) else (t: Int) => 3.0 + math.cos(t / 3.0)
+      (i.toLong, Array.tabulate(16)(t => base(t) + rng.nextGaussian() * 0.05), blob.toString)
+    }
+    val df = rows.toDF("series_id", "values", "label").cache()
+    val model = TimeSeriesSVC.fit(df, c = 1.0, seed = 2)
+    val pred = TimeSeriesSVC.predict(model, df.select("series_id", "values"), df)
+      .join(df.select(col("series_id"), col("label").as("truth")), "series_id")
+    val acc = pred.where(col("label") === col("truth")).count().toDouble / 24
+    assert(acc >= 0.9, s"SVC accuracy $acc")
+  }
+
+  test("sigma_gak heuristic returns a positive bandwidth") {
+    val df = (0 until 10).map(i =>
+      (i.toLong, Array.tabulate(12)(t => math.sin(t + i).toDouble)))
+      .toDF("series_id", "values")
+    val s = TimeSeriesSVC.sigmaGak(df)
+    assert(s > 0 && java.lang.Double.isFinite(s))
+  }
+
+  test("multimodal: feature extraction is deterministic and batched") {
+    val media = Multimodal.synthetic(spark, 9, seed = 3)
+    val f1 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(f1.length == 9)
+    assert(f1.map(_.toString).toSeq == f2.map(_.toString).toSeq)
+    val feats = f1.map(_.getSeq[Float](2))
+    assert(feats.forall(f => f.length == 3 && f.forall(v => !v.isNaN)))
+  }
+
+  test("multimodal: frame sampling plan") {
+    val media = Multimodal.synthetic(spark, 9, seed = 3)
+    val frames = Multimodal.sampleFrames(media, stride = 10).collect()
+    // videos have 30 frames -> indices 0,10,20 per video
+    assert(frames.nonEmpty)
+    assert(frames.groupBy(_.getLong(0)).values.forall(_.length == 3))
+  }
+
+  test("kmeans model persistence round-trips centroids") {
+    val df = (0 until 12).map(i =>
+      (i.toLong, Array.tabulate(8)(t => (i / 6) * 10.0 + t)))
+      .toDF("series_id", "values")
+    val km = new graft.ml.TimeSeriesKMeans(k = 2, metric = "euclidean", maxIter = 5, seed = 1)
+    val model = km.fit(df)
+    val dir = java.nio.file.Files.createTempDirectory("kmeans_model").toString
+    graft.ml.Persistence.saveKMeans(spark, model, Map("k" -> "2", "metric" -> "euclidean"), dir)
+    val loaded = graft.ml.Persistence.loadKMeansCentroids(spark, dir)
+    assert(loaded.length == 2)
+    assert(loaded.map(_.toSeq).toSet == model.centroids.map(_.toSeq).toSet)
+    assert(graft.ml.Persistence.loadMetadata(dir).contains("\"metric\": \"euclidean\""))
+  }
+}

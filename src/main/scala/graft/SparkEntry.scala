@@ -399,6 +399,36 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("cand_id"), round(col("cos"), 4).as("cos"))
     }),
 
+    // ---------------- composite estimators (rows-only) ---------------
+    "ts_shapelet_classify" -> ((s, dir) => {
+      // labels: dominant event_type per user; train on half, predict all
+      val labels = ev(s, dir).groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(min_by(col("event_type"), struct((-col("n")).as("nn"), col("event_type"))).as("label"))
+      val series = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(32)).as("values"))
+        .join(labels.select(col("user_id").as("series_id"), col("label")), "series_id")
+        .cache()
+      val train = series.where(col("series_id") % 2 === 0)
+      val model = graft.ml.Shapelets.fit(train, perSize = 3, seed = 1)
+      model.predict(series)
+    }),
+
+    "ts_early_classify" -> ((s, dir) => {
+      val labels = ev(s, dir).groupBy(col("user_id").as("series_id"))
+        .agg((sum(when(col("event_type") === "purchase", 1).otherwise(0)) > 5)
+          .cast("string").as("label"))
+      val series = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(32)).as("values"))
+        .join(labels, "series_id").cache()
+      val model = new graft.ml.EarlyClassifier(tGrid = Seq(8, 16, 32), lambdaCost = 0.005)
+        .fit(series)
+      model.predict(series)
+    }),
+
     // ---------------- kernel-metric queries (rows-only oracle) -------
     "knn_dtw_users" -> ((s, dir) => {
       TsFunctions.register(s)

@@ -93,6 +93,48 @@ object TsFunctions {
   val resampleZnormUdf: UserDefinedFunction =
     udf((s: S, target: Int) =>
       Kernels.scaleMeanVariance(Kernels.resample(uniTs(s), target)).map(_(0)))
+  /** Primitive-loop dot product: one call per pair. The higher-order
+    * zip_with+aggregate form pays per-element boxing inside generic
+    * ArrayData — measured ~10× slower in multi-million-pair joins. */
+  val dotUdf: UserDefinedFunction =
+    udf((a: S, b: S) => {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    })
+  /** L2-normalize a vector in one pass (pre-join materialization for
+    * cosine pair joins). */
+  val l2NormalizeUdf: UserDefinedFunction =
+    udf((s: S) => {
+      var n = 0.0; var i = 0
+      while (i < s.length) { n += s(i) * s(i); i += 1 }
+      val inv = if (n == 0.0) 0.0 else 1.0 / math.sqrt(n)
+      val out = new Array[Double](s.length)
+      i = 0
+      while (i < s.length) { out(i) = s(i) * inv; i += 1 }
+      out
+    })
+  /** Per-series sliding min/max envelope in one call: returns
+    * struct(low, up) (LB_Keogh precompute — one pass per series, not per
+    * pair). */
+  val envelopeUdf: UserDefinedFunction =
+    udf((s: S, r: Int) => {
+      val (low, up) = Kernels.lbEnvelope(s.toArray, r)
+      (low, up)
+    })
+  /** LB_Keogh from a precomputed envelope (cheap per-pair bound). */
+  val lbKeoghEnvUdf: UserDefinedFunction =
+    udf((q: S, low: S, up: S) => {
+      var s = 0.0; var i = 0
+      while (i < q.length) {
+        val v = q(i)
+        if (v > up(i)) { val d = v - up(i); s += d * d }
+        else if (v < low(i)) { val d = low(i) - v; s += d * d }
+        i += 1
+      }
+      math.sqrt(s)
+    })
 
   /** Register every kernel for SQL use. Idempotent. */
   def register(spark: SparkSession): Unit = {

@@ -28,15 +28,45 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Train nlist coarse centroids on a driver-side sample (euclidean
-    * k-means via the TimeSeriesKMeans estimator — embeddings are just
-    * equal-length series). */
-  def trainCoarse(df: DataFrame, nlist: Int, seed: Long = 0L,
+  /** Train nlist coarse centroids with driver-local Lloyd iterations on a
+    * bounded sample (standard IVF practice: the coarse quantizer is
+    * trained on a sample, only the assignment pass touches all data — a
+    * distributed iteration per Lloyd step would cost 10 jobs for a
+    * centroid set a single task can compute). */
+  def trainCoarse(df: DataFrame, nlist: Int, seed: Long = 0L, sampleCap: Int = 20000,
                   idCol: String = "vec_id", vecCol: String = "v"): Array[Array[Double]] = {
-    val model = new graft.ml.TimeSeriesKMeans(k = nlist, metric = "euclidean",
-      maxIter = 10, seed = seed)
-      .fit(df.select(col(idCol).as("series_id"), col(vecCol).as("values")))
-    model.centroids
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = df.count()
+    val sample = (if (n <= sampleCap) df.select(col(vecCol).cast("array<double>"))
+      else df.select(col(vecCol).cast("array<double>"))
+        .sample(withReplacement = false, sampleCap.toDouble / n, seed))
+      .as[Array[Double]].collect()
+    val rng = new scala.util.Random(seed)
+    var centers = Array.tabulate(math.min(nlist, sample.length))(_ =>
+      sample(rng.nextInt(sample.length)).clone())
+    for (_ <- 1 to 10) {
+      val sums = Array.fill(centers.length)(new Array[Double](sample(0).length))
+      val counts = new Array[Int](centers.length)
+      sample.foreach { x =>
+        var best = 0; var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < centers.length) {
+          var d = 0.0; var i = 0
+          while (i < x.length) { val df2 = centers(c)(i) - x(i); d += df2 * df2; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < x.length) { sums(best)(i) += x(i); i += 1 }
+        counts(best) += 1
+      }
+      centers = centers.indices.map { c =>
+        if (counts(c) == 0) sample(rng.nextInt(sample.length)).clone()
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    centers
   }
 
   /** Assign each vector to its nearest coarse cell: one broadcast pass. */

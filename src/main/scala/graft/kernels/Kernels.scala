@@ -64,6 +64,39 @@ object Kernels {
 
   def dtw(s1: TS, s2: TS): Double = dtw(s1, s2, Mask.none(s1.length, s2.length))
 
+  /** Univariate flat-array DTW (no per-timestep array wrappers) — the
+    * hot-path kernel behind the native Catalyst expression. radius < 0
+    * means unconstrained; radius ≥ 0 applies the Sakoe-Chiba band. */
+  def dtwFlat(a: Array[Double], b: Array[Double], radius: Int): Double = {
+    val l1 = a.length; val l2 = b.length
+    if (l1 == 0 || l2 == 0) return Double.NaN
+    val bounds = if (radius < 0) null else Mask.sakoeChiba(l1, l2, radius)
+    var prev = new Array[Double](l2 + 1)
+    var cur = new Array[Double](l2 + 1)
+    java.util.Arrays.fill(prev, Inf)
+    prev(0) = 0.0
+    var i = 1
+    while (i <= l1) {
+      java.util.Arrays.fill(cur, Inf)
+      val lo = if (bounds == null) 0 else bounds.lo(i - 1)
+      val hi = if (bounds == null) l2 - 1 else bounds.hi(i - 1)
+      val ai = a(i - 1)
+      var j = lo + 1
+      val jEnd = hi + 1
+      while (j <= jEnd) {
+        val diff = ai - b(j - 1)
+        var m = prev(j)
+        if (cur(j - 1) < m) m = cur(j - 1)
+        if (prev(j - 1) < m) m = prev(j - 1)
+        cur(j) = diff * diff + m
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    math.sqrt(prev(l2))
+  }
+
   /** Full accumulated cost matrix (squared costs), (sz1+1)×(sz2+1), for
     * path backtracking — `dtw_variants.py:24-57`. */
   def dtwAccumulated(s1: TS, s2: TS, bounds: Bounds): Array[Array[Double]] = {

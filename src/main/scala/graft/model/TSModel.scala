@@ -70,6 +70,31 @@ object TSModel {
         expr("transform(sequence(0, size(dims[0]) - 1), t -> transform(dims, d -> d[t]))").as("ts"))
   }
 
+  /** Labeled random-walk blobs: n blobs of noisy copies of a shared base
+    * walk — `/root/reference/tslearn/generators/generators.py:57-112`. */
+  def randomWalkBlobs(spark: SparkSession, nPerBlob: Int, sz: Int, d: Int,
+                      nBlobs: Int, noise: Double = 1.0, seed: Long = 0L): DataFrame = {
+    import spark.implicits._
+    spark.range(nPerBlob.toLong * nBlobs).map { i =>
+      val blob = (i / nPerBlob).toInt
+      val baseRng = new java.util.Random(seed * 7919L + blob)
+      val rng = new java.util.Random(seed * 104729L + i)
+      val ts = Array.ofDim[Double](sz, d)
+      var k = 0
+      while (k < d) {
+        var acc = 0.0
+        var t = 0
+        while (t < sz) {
+          acc += baseRng.nextGaussian()
+          ts(t)(k) = acc + rng.nextGaussian() * noise
+          t += 1
+        }
+        k += 1
+      }
+      (i, ts, blob.toString)
+    }.toDF("series_id", "ts", "label")
+  }
+
   /** Seed-stable random-walk generator —
     * `/root/reference/tslearn/generators/generators.py:7-54`. Distributed:
     * spark.range + per-row deterministic RNG seeded by (seed, id) so

@@ -73,13 +73,14 @@ object Cdist {
     val r = train.select(col("series_id").as("right_id"), col(seriesCol).as("rv"),
       TsFunctions.envelopeUdf(col(seriesCol), lit(radius)).as("env"))
     val pairs = l.crossJoin(broadcast(r))
-      .withColumn("lb", TsFunctions.lbKeoghEnvUdf(col("lv"), col("env._1"), col("env._2")))
+      .withColumn("lb", graft.functions.NativeExpressions.lbKeoghNative(
+        col("lv"), col("env._1"), col("env._2")))
       .drop("env")
     val wLb = Window.partitionBy(col("left_id")).orderBy(col("lb").asc, col("right_id").asc)
     val candidates = pairs.withColumn("lb_rank", row_number().over(wLb))
       .where(col("lb_rank") <= k * factor)
     val exact = candidates.withColumn("dist",
-      TsFunctions.dtwSakoeUdf(col("lv"), col("rv"), lit(radius)))
+      graft.functions.NativeExpressions.dtwNative(col("lv"), col("rv"), radius))
     val w = Window.partitionBy(col("left_id")).orderBy(col("dist").asc, col("right_id").asc)
     exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("left_id").as("probe_id"), col("rank"), col("right_id").as("neighbor_id"), col("dist"))

@@ -1,0 +1,11 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the private[sql] Column↔Expression converters, needed to
+  * expose custom Catalyst expressions (graft.functions.DtwExpression) as
+  * user-facing Columns on Spark 4's split Column API. */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -90,4 +90,24 @@ class AdvancedSpec extends AnyFunSuite {
       .where(col("label") === col("truth")).count().toDouble / 30
     assert(acc == 1.0)
   }
+
+  test("native DTW expression matches UDF kernel exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.{NativeExpressions, TsFunctions}
+    val rng = new scala.util.Random(21)
+    val df = (0 until 50).map(i =>
+      (i.toLong, Array.fill(20 + rng.nextInt(10))(rng.nextGaussian()),
+        Array.fill(20 + rng.nextInt(10))(rng.nextGaussian())))
+      .toDF("id", "a", "b")
+    val both = df.select(
+      NativeExpressions.dtwNative(col("a"), col("b")).as("native"),
+      TsFunctions.dtwUdf(col("a"), col("b")).as("viaUdf"),
+      NativeExpressions.dtwNative(col("a"), col("b"), 3).as("nativeBand"),
+      TsFunctions.dtwSakoeUdf(col("a"), col("b"), lit(3)).as("udfBand")).collect()
+    both.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "unconstrained mismatch")
+      assert(r.getDouble(2) == r.getDouble(3), "banded mismatch")
+    }
+  }
 }

@@ -93,6 +93,20 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
+    "q04_semi_anti" -> ((s, dir) => {
+      // customers with >= 1 urgent order but no high-value order:
+      // left-semi + left-anti join shapes over the same fact table
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val urgent = o.where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      val bigSpend = o.where(col("o_totalprice") > 350000)
+        .select(col("o_custkey").as("c_custkey"))
+      c.join(urgent, Seq("c_custkey"), "left_semi")
+        .join(bigSpend, Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("acctbal"))
+    }),
+
     // ---------------- per-series scalers (SURVEY §2.2) ---------------
     "ts_znorm" -> ((s, dir) => {
       val wAll = Window.partitionBy("user_id")
@@ -502,6 +516,14 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1""".stripMargin,
+
+    "q04_semi_anti" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |              AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_totalprice > 350000)""".stripMargin,
 
     "ts_znorm" -> (evCte +
       """

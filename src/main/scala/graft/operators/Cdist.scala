@@ -48,6 +48,25 @@ object Cdist {
     upper.unionAll(mirrored).unionAll(diag)
   }
 
+  /** Normalized soft-DTW cross-distance:
+    * D(x,y) − ½(D(x,x) + D(y,y)) — `cdist_soft_dtw_normalized`
+    * (`softdtw_variants.py:451-605`). The self-distances are computed
+    * once per side and joined back (the reference's diagonal reuse). */
+  def softDtwNormalized(left: DataFrame, right: DataFrame, gamma: Double,
+                        seriesCol: String = "values"): DataFrame = {
+    import graft.functions.TsFunctions
+    val lSelf = left.select(col("series_id").as("left_id"),
+      col(seriesCol).as("lv"),
+      TsFunctions.softDtwUdf(col(seriesCol), col(seriesCol), lit(gamma)).as("l_self"))
+    val rSelf = right.select(col("series_id").as("right_id"),
+      col(seriesCol).as("rv"),
+      TsFunctions.softDtwUdf(col(seriesCol), col(seriesCol), lit(gamma)).as("r_self"))
+    lSelf.crossJoin(broadcast(rSelf))
+      .select(col("left_id"), col("right_id"),
+        (TsFunctions.softDtwUdf(col("lv"), col("rv"), lit(gamma))
+          - (col("l_self") + col("r_self")) / 2).as("dist"))
+  }
+
   /** k-NN: for each probe, the k nearest train series under `metric` —
     * `neighbors/neighbors.py:81-169`. crossJoin(broadcast(train)) + window
     * top-k; ties broken by train id for determinism. */

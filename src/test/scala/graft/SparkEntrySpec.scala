@@ -62,4 +62,15 @@ class SparkEntrySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(pruned == exact)
   }
+
+  test("normalized soft-dtw cdist: self-distance is zero") {
+    import graft.operators.Cdist
+    import org.apache.spark.sql.functions._
+    val series = graft.model.TSModel.eventsToSeries(spark, sf)
+      .limit(5)
+      .select(col("series_id"), graft.functions.TsFunctions.znormUdf(col("values")).as("values"))
+    val d = Cdist.softDtwNormalized(series, series, gamma = 1.0).collect()
+    val self = d.filter(r => r.getLong(0) == r.getLong(1))
+    assert(self.nonEmpty && self.forall(r => math.abs(r.getDouble(2)) < 1e-9))
+  }
 }

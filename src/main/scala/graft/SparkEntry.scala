@@ -246,12 +246,20 @@ object SparkEntry {
     }),
 
     "doc_jaccard_pairs" -> ((s, dir) => {
-      // word 3-gram shingle Jaccard near-dup join via inverted index
+      // word 3-gram shingle Jaccard near-dup join via inverted index.
+      // Shingles above a doc-frequency cap are dropped from the metric
+      // (both here and in the oracle): a hot shingle — a stop-word
+      // 3-gram in >maxDf docs — would make its inverted-index bucket
+      // quadratic; capping bounds every bucket at maxDf² pairs.
+      val maxDf = 100
       val d = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("words"))
       val shingles = d.select(col("doc_id"),
         explode(transform(sequence(lit(0), size(col("words")) - 3),
           i => array_join(slice(col("words"), i + 1, lit(3)), " "))).as("sh"))
         .distinct()
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+        .where(col("df") <= maxDf)
+        .select(col("doc_id"), col("sh"))
       val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val a = shingles.select(col("doc_id").as("doc_a"), col("sh"))
       val b = shingles.select(col("doc_id").as("doc_b"), col("sh"))
@@ -486,7 +494,8 @@ object SparkEntry {
   private val evCte =
     """WITH v AS (
       |  SELECT user_id, value,
-      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t,
+      |         row_number() OVER (PARTITION BY user_id
+      |           ORDER BY epoch_ns(ts) // 1000, event_id) AS t,
       |         count(*) OVER (PARTITION BY user_id) AS n
       |  FROM events
       |)""".stripMargin
@@ -611,22 +620,28 @@ object SparkEntry {
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_v
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // Spark sessionizes on the µs clock (ts div 1000); order, gap and
+    // duration must all use the SAME µs truncation here — ordering by the
+    // native TIMESTAMP_NS shifts boundaries for events equal at µs but
+    // distinct at ns (round-1 red row).
     "ts_sessionize" ->
-      """WITH e AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+      """WITH e0 AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events
+        |), e AS (
+        |  SELECT user_id, ts_us, event_id,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |         OR ts_us - lag(ts_us) OVER w > 30 * 60 * 1000000
         |         THEN 1 ELSE 0 END AS new_sess
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |  FROM e0
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |), s AS (
-        |  SELECT user_id, ts,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  SELECT user_id, ts_us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM e
         |)
         |SELECT user_id, session_id, count(*) AS n_events,
-        |  max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+        |  max(ts_us) - min(ts_us) AS duration_us
         |FROM s GROUP BY 1, 2""".stripMargin,
 
     "ts_matrix_profile" -> (evCte +
@@ -656,10 +671,14 @@ object SparkEntry {
     "doc_jaccard_pairs" ->
       """WITH words AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |), sh AS (
+        |), sh0 AS (
         |  SELECT DISTINCT doc_id, array_to_string(w[j:j+2], ' ') AS sh
         |  FROM words, (SELECT unnest(generate_series(1, 1000)) AS j) g
         |  WHERE j <= len(w) - 2
+        |), sh AS (
+        |  SELECT doc_id, sh FROM (
+        |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0
+        |  ) WHERE df <= 100
         |), sizes AS (
         |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
         |), inter AS (

@@ -31,8 +31,11 @@ object Shapelets {
                     seed: Long = 0L, seriesCol: String = "values"): Array[Array[Double]] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sample = df.select(col(seriesCol).cast("array<double>")).as[Array[Double]]
-      .take(200)
+    // seeded whole-dataset sample, not .take — take(200) reads the first
+    // partition only, so sorted/partitioned input biases the shapelet pool
+    val ds = df.select(col(seriesCol).cast("array<double>")).as[Array[Double]]
+    val sampled = ds.sample(withReplacement = false, 0.2, seed).take(200)
+    val sample = if (sampled.length >= 50) sampled else ds.take(200)
     val rng = new scala.util.Random(seed)
     sizes.flatMap { sz =>
       val segs = for {

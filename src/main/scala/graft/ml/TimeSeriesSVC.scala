@@ -22,9 +22,14 @@ object TimeSeriesSVC {
     * sample + approxQuantile. */
   def sigmaGak(df: DataFrame, seriesCol: String = "values", sample: Int = 100,
                seed: Long = 0L): Double = {
-    val vals = df.select(posexplode(col(seriesCol)).as(Seq("t", "v")))
-      .select(col("v")).orderBy(xxhash64(col("v"), lit(seed))).limit(sample)
-    val arr = vals.collect().map(_.getDouble(0))
+    // a seeded .sample + limit scans (at most) once with no global sort —
+    // the reference samples too (softdtw_variants.py:251-259); fall back
+    // to an unsampled limit only when the sampled slice comes up short
+    val exploded = df.select(posexplode(col(seriesCol)).as(Seq("t", "v"))).select(col("v"))
+    val sampled = exploded.sample(withReplacement = false, 0.1, seed)
+      .limit(sample).collect()
+    val rows = if (sampled.length >= sample) sampled else exploded.limit(sample).collect()
+    val arr = rows.map(_.getDouble(0))
     val dists = for { i <- arr.indices; j <- arr.indices if i < j } yield math.abs(arr(i) - arr(j))
     val medDist = if (dists.isEmpty) 1.0 else dists.sorted.apply(dists.length / 2)
     val medSz = df.select(size(col(seriesCol)).cast("double").as("sz"))
@@ -123,11 +128,12 @@ object TimeSeriesSVC {
       .as[(Long, String)].collect()
     val classes = labeled.map(_._2).distinct.sorted
     val byClass = labeled.groupBy(_._2)
+    val labelOf = labeled.toMap
     val binaries = (for {
       ci <- classes.indices; cj <- classes.indices if ci < cj
     } yield {
       val ids = (byClass(classes(ci)) ++ byClass(classes(cj))).map(_._1)
-      val y = ids.map(id => if (labeled.find(_._1 == id).get._2 == classes(ci)) 1.0 else -1.0)
+      val y = ids.map(id => if (labelOf(id) == classes(ci)) 1.0 else -1.0)
       val kmat = Array.tabulate(ids.length, ids.length)((a, bIdx) => gram((ids(a), ids(bIdx))))
       val (alpha, b) = smoSolve(kmat, y, c, seed = seed)
       val sv = ids.indices.filter(alpha(_) > 1e-9)

@@ -86,10 +86,6 @@ object Ann {
               idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
     val cells = ivfAssign(candidates, centroids, idCol, vecCol)
     val cands = candidates.join(cells, idCol)
-    // nprobe nearest cells per query (tiny: nlist × nQueries on driver-side broadcast)
-    val qCells = graft.ml.TimeSeriesKMeans.assign(
-      queries.select(col(idCol).as("series_id"), col(vecCol).as("values")),
-      centroids, "euclidean", 0.0) // nearest cell only
     val spark = candidates.sparkSession
     val bc = spark.sparkContext.broadcast(centroids)
     import spark.implicits._

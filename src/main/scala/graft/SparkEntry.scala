@@ -392,12 +392,10 @@ object SparkEntry {
         .select(col("series_id"),
           TsFunctions.resampleZnormUdf(col("values"), lit(32)).as("values"))
         .as[(Long, Array[Double])]
-      series.groupByKey(_ => 0)
-        .mapGroups { (_, it) =>
-          graft.kernels.Barycenters.dba(
-            it.map(_._2.map(Array(_))).toIndexedSeq, maxIter = 10).map(_(0))
-        }
-        .flatMap(b => b.zipWithIndex.map { case (v, t) => (t, v) })
+      // distributed DBA: one ΣV/ΣWx aggregation job per MM iteration
+      // against the re-broadcast center — no single-task funnel
+      val b = graft.ml.DistributedBary.dba(series.map(_._2), maxIter = 10)
+      b.toSeq.zipWithIndex.map { case (v, t) => (t, v) }
         .toDF("t", "v")
         .select(col("t"), round(col("v"), 4).as("v"))
     }),

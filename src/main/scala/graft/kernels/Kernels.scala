@@ -415,6 +415,12 @@ object Kernels {
   def lbKeogh(query: Array[Double], candidate: Array[Double], radius: Int): Double = {
     require(query.length == candidate.length, "LB_Keogh requires equal-size series")
     val (low, up) = lbEnvelope(candidate, radius)
+    lbKeoghEnv(query, low, up)
+  }
+
+  /** LB_Keogh against a precomputed envelope — the per-pair O(sz) band
+    * check when the candidate's envelope is amortized across queries. */
+  def lbKeoghEnv(query: Array[Double], low: Array[Double], up: Array[Double]): Double = {
     var s = 0.0
     var i = 0
     while (i < query.length) {

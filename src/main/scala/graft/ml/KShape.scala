@@ -11,10 +11,10 @@ import graft.kernels.{Kernels, Ncc}
   * shape extraction per cluster is the leading eigenvector of
   * M = Qᵀ (Σ xxᵀ) Q over SBD-aligned members (`kshape.py:118-137`).
   *
-  * Spark layout: assignment = broadcast pass; shape extraction =
-  * `groupByKey(cluster).mapGroups` accumulating the sz×sz Gram of aligned
-  * members per cluster, then a local Breeze eigendecomposition (the Gram
-  * is sz×sz regardless of cluster size — safe on an executor). Input must
+  * Spark layout: assignment = broadcast pass; shape extraction = one
+  * streaming gram aggregation per iteration (DistributedBary.GramAgg — the
+  * sz×sz buffer is cluster-size-independent, with map-side combine), then
+  * a local Breeze eigendecomposition per cluster on the driver. Input must
   * be equal-length (KShape z-normalizes internally, as the reference does).
   */
 class KShape(val k: Int, val maxIter: Int = 20, val tol: Double = 1e-6,
@@ -59,11 +59,10 @@ class KShape(val k: Int, val maxIter: Int = 20, val tol: Double = 1e-6,
         (id, c, d, vs)
       }.cache()
       inertia = assigned.map(r => r._3 * r._3).reduce(_ + _) / n
-      val cents = centroids
-      val updated = assigned.groupByKey(_._2).mapGroups { (cid, it) =>
-        val members = it.map(_._4).toArray
-        (cid, KShape.extractShape(members, cents(cid)))
-      }.collect().toMap
+      // shape extraction: one streaming gram pass per iteration — the
+      // sz×sz buffer is cluster-size-independent (DistributedBary)
+      val updated = DistributedBary.shapeByCluster(
+        assigned.map(t => (t._2, t._4)), centroids)
       centroids = Array.tabulate(k)(c => updated.getOrElse(c, centroids(c)))
       assigned.unpersist()
       if (prevInertia - inertia < tol) done = true
@@ -109,11 +108,18 @@ object KShape {
     val es = eigSym(m)
     val idx = es.eigenvalues.toArray.zipWithIndex.maxBy(_._1)._2
     val vec = es.eigenvectors(::, idx).toArray
-    // sign fix: prefer orientation closer to the first member
-    val firstZ = Kernels.scaleMeanVariance(Kernels.uni(members(0).toIndexedSeq: _*)).map(_(0))
-    val distPlus = firstZ.zip(vec).map { case (a, b) => (a - b) * (a - b) }.sum
-    val distMinus = firstZ.zip(vec).map { case (a, b) => (a + b) * (a + b) }.sum
-    val signed = if (distMinus < distPlus) vec.map(-_) else vec
+    // sign fix: orientation maximizing (Σ aligned members)·µ — the
+    // order-independent form of the reference's Σ‖Xp∓µ‖ comparison
+    // (kshape.py:130-135), shared with DistributedBary.shapeByCluster
+    val xsum = new Array[Double](sz)
+    members.foreach { m2 =>
+      val aligned = Ncc.shiftToAlign(refTs, Kernels.uni(m2.toIndexedSeq: _*))
+      val z = Kernels.scaleMeanVariance(aligned).map(_(0))
+      var i = 0
+      while (i < sz) { xsum(i) += z(i); i += 1 }
+    }
+    val dot = xsum.zip(vec).map { case (a, b) => a * b }.sum
+    val signed = if (dot < 0) vec.map(-_) else vec
     Kernels.scaleMeanVariance(Kernels.uni(signed.toIndexedSeq: _*)).map(_(0))
   }
 }

@@ -2,7 +2,7 @@ package graft.ml
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.kernels.{Barycenters, Kernels}
+import graft.kernels.Kernels
 
 /** Time-series k-means — semantics of
   * `/root/reference/tslearn/clustering/kmeans.py:471-859` re-expressed for
@@ -10,11 +10,12 @@ import graft.kernels.{Barycenters, Kernels}
   *
   *  - assignment: one distributed pass — `crossJoin(broadcast(centroids))`
   *    + `min_by` argmin. No shuffle of the big side; centroids are tiny.
-  *  - update: one distributed pass — `groupByKey(cluster).mapGroups` runs
-  *    the *local* barycenter kernel (mean / DBA / soft-DTW) per cluster.
-  *    Cluster members stream through one task each; with k clusters only
-  *    k tasks do heavy work, which is the right trade because barycenter
-  *    iterations are sequential anyway (SURVEY §7.4 notes this shortcut).
+  *  - update: distributed fixed-size-buffer aggregations (DistributedBary)
+  *    — per-cluster ΣV/ΣWx for DBA, per-timestep means for euclidean, a
+  *    joint L-BFGS with distributed gradients for soft-DTW. Map-side
+  *    partial aggregation means a skewed cluster costs O(sz) buffer per
+  *    task, never O(|cluster|·sz) — the round-1 whole-cluster `mapGroups`
+  *    is gone.
   *  - control flow (init restarts, tolerance, empty-cluster retry,
   *    `n_init` best-of) stays on the driver, mirroring the reference.
   *
@@ -82,26 +83,24 @@ class TimeSeriesKMeans(
       var iter = 0
       var done = false
       while (iter < maxIter && !done) {
+        // (cluster, dist, values) for this iteration's centroids; cached
+        // because the update pass below may run several jobs over it
         val assigned = TimeSeriesKMeans.assignDs(data, centroids, metric, gamma)
-        inertia = assigned.map(r => r._3 * r._3).reduce(_ + _) / n
-        // update: one pass, local barycenter per cluster group
-        val m = metric; val g = gamma; val bIter = barycenterMaxIter
-        val cents = centroids
-        val updated = assigned
-          .groupByKey(_._2)
-          .mapGroups { (cid, it) =>
-            val members = it.map(t => t._4).toArray
-            val series = members.map(a => a.map(Array(_)))
-            val init = cents(cid).map(Array(_))
-            val bary = m match {
-              case "dtw" => Barycenters.dba(series.toIndexedSeq, barycenterSize = init.length,
-                maxIter = bIter, init = init)
-              case "softdtw" => Barycenters.softDtw(series.toIndexedSeq, gamma = g,
-                barycenterSize = init.length, maxIter = bIter)
-              case _ => Barycenters.euclidean(series.toIndexedSeq)
-            }
-            (cid, bary.map(_(0)))
-          }.collect().toMap
+          .map(t => (t._2, t._3, t._4)).cache()
+        inertia = assigned.map(r => r._2 * r._2).reduce(_ + _) / n
+        // update: distributed fixed-size-buffer aggregations — no task
+        // ever holds a whole cluster (DistributedBary scaladoc)
+        val rows = assigned.map(t => (t._1, t._3))
+        val updated: Map[Int, Array[Double]] = metric match {
+          case "dtw" =>
+            DistributedBary.dbaByCluster(rows, centroids, barycenterMaxIter)
+          case "softdtw" =>
+            DistributedBary.softDtwByCluster(rows,
+              centroids.indices.map(c => c -> centroids(c).length).toMap,
+              gamma, barycenterMaxIter)
+          case _ => DistributedBary.meanByCluster(rows)
+        }
+        assigned.unpersist()
         // empty-cluster retry: reseed from a random sample member
         // (reference raises EmptyClusterError and restarts; reseeding is
         // the deterministic-seed equivalent, `clustering/utils.py:13-33`)

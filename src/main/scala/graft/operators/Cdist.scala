@@ -48,6 +48,58 @@ object Cdist {
     upper.unionAll(mirrored).unionAll(diag)
   }
 
+  /** Upper-triangle pairs (left_id < right_id) of the block-partitioned
+    * self-join: each row is hashed to one of `blocks` buckets and
+    * replicated to the triangle of bucket pairs, so pairs form via an
+    * equi-join on the (bucket, bucket) key — shuffle volume is
+    * `blocks`·|ds| rows, peak task input 2·|ds|/`blocks` rows, and NO
+    * BroadcastExchange of the full relation. Requires a symmetric metric.
+    * Pick `blocks` ≈ √(2·parallelism). */
+  def selfBlockedUpper(ds: DataFrame, metric: (Column, Column) => Column, blocks: Int,
+                       seriesCol: String = "values"): DataFrame = {
+    require(blocks >= 1, "blocks must be >= 1")
+    val withBlk = ds.select(col("series_id"), col(seriesCol))
+      .withColumn("blk", pmod(xxhash64(col("series_id")), lit(blocks)).cast("int"))
+    // a row in bucket b takes the LEFT role for pair-blocks (b, j>=b) and
+    // the RIGHT role for (i<=b, b): every unordered bucket pair meets once
+    val lrep = withBlk.select(col("series_id").as("left_id"),
+        col(seriesCol).as("lv"), col("blk").as("pi"))
+      .withColumn("pj", explode(sequence(col("pi"), lit(blocks - 1))))
+    val rrep = withBlk.select(col("series_id").as("right_id"),
+        col(seriesCol).as("rv"), col("blk").as("pj"))
+      .withColumn("pi", explode(sequence(lit(0), col("pj"))))
+    // shuffle-hash hint: this path exists precisely because the input
+    // exceeds broadcast size, so never let the planner's size estimate
+    // pick BroadcastHashJoin (sort order is useless here — hash beats merge)
+    val joined = lrep.join(rrep.hint("shuffle_hash"), Seq("pi", "pj"))
+    // same-bucket pairs: triangle filter; cross-bucket pairs appear exactly
+    // once with arbitrary id order — normalize (metric is symmetric)
+    val samePairs = joined.where(col("pi") === col("pj") && col("left_id") < col("right_id"))
+      .select(col("left_id"), col("right_id"), metric(col("lv"), col("rv")).as("dist"))
+    val crossPairs = joined.where(col("pi") =!= col("pj"))
+      .select(least(col("left_id"), col("right_id")).as("left_id"),
+        greatest(col("left_id"), col("right_id")).as("right_id"),
+        metric(col("lv"), col("rv")).as("dist"))
+    samePairs.unionAll(crossPairs)
+  }
+
+  /** Block-partitioned symmetric self cross-distance for inputs too large
+    * to broadcast — [[selfBlockedUpper]] plus the mirror and diagonal.
+    * Same output contract as [[selfCross]]. */
+  def selfCrossBlocked(ds: DataFrame, metric: (Column, Column) => Column, blocks: Int,
+                       seriesCol: String = "values",
+                       computeDiagonal: Boolean = true): DataFrame = {
+    val upper = selfBlockedUpper(ds, metric, blocks, seriesCol)
+    val mirrored = upper.select(col("right_id").as("left_id"),
+      col("left_id").as("right_id"), col("dist"))
+    val diag =
+      if (computeDiagonal)
+        ds.select(col("series_id").as("left_id"), col("series_id").as("right_id"), lit(0.0).as("dist"))
+      else ds.sparkSession.emptyDataFrame
+        .select(lit(0L).as("left_id"), lit(0L).as("right_id"), lit(0.0).as("dist")).limit(0)
+    upper.unionAll(mirrored).unionAll(diag)
+  }
+
   /** Normalized soft-DTW cross-distance:
     * D(x,y) − ½(D(x,x) + D(y,y)) — `cdist_soft_dtw_normalized`
     * (`softdtw_variants.py:451-605`). The self-distances are computed
@@ -85,23 +137,45 @@ object Cdist {
     * k·factor candidates per probe by LB before the exact metric. */
   def knnDtwPruned(probes: DataFrame, train: DataFrame, k: Int, radius: Int,
                    factor: Int = 4, seriesCol: String = "values"): DataFrame = {
-    val l = probes.select(col("series_id").as("left_id"), col(seriesCol).as("lv"))
-    // envelope precomputed ONCE per train series (O(n·r) each), so the
-    // per-pair bound is a cheap O(n) band check — computing the envelope
-    // inside the pair loop costs train_count× more at no benefit
-    val r = train.select(col("series_id").as("right_id"), col(seriesCol).as("rv"),
-      TsFunctions.envelopeUdf(col(seriesCol), lit(radius)).as("env"))
-    val pairs = l.crossJoin(broadcast(r))
-      .withColumn("lb", graft.functions.NativeExpressions.lbKeoghNative(
-        col("lv"), col("env._1"), col("env._2")))
-      .drop("env")
-    val wLb = Window.partitionBy(col("left_id")).orderBy(col("lb").asc, col("right_id").asc)
-    val candidates = pairs.withColumn("lb_rank", row_number().over(wLb))
-      .where(col("lb_rank") <= k * factor)
-    val exact = candidates.withColumn("dist",
-      graft.functions.NativeExpressions.dtwNative(col("lv"), col("rv"), radius))
-    val w = Window.partitionBy(col("left_id")).orderBy(col("dist").asc, col("right_id").asc)
-    exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("left_id").as("probe_id"), col("rank"), col("right_id").as("neighbor_id"), col("dist"))
+    // The train side was ALWAYS the broadcast side of this join — so skip
+    // the pair-row materialization entirely: broadcast the (id, series,
+    // envelope) index once and run the whole LB-prune → DTW → top-k per
+    // probe inside one kernel call per probe row. Zero shuffles, no n²
+    // row stream; each executor scans the index with O(sz) bounds and runs
+    // the O(sz·radius) DTW only for the k·factor LB survivors. Envelopes
+    // are precomputed once per train series (O(sz·radius) each), not per
+    // pair. Same candidate-selection semantics as the former two-window
+    // formulation: k·factor by (lb, id) asc, then k by (dist, id) asc.
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val index: Array[(Long, Array[Double], Array[Double], Array[Double])] =
+      train.select(col("series_id").cast("long"), col(seriesCol).cast("array<double>"),
+          TsFunctions.envelopeUdf(col(seriesCol), lit(radius)).as("env"))
+        .select(col("series_id"), col("values"), col("env._1"), col("env._2"))
+        .as[(Long, Array[Double], Array[Double], Array[Double])]
+        .collect()
+        .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(index)
+    val kf = k * factor
+    val knnUdf = udf((lv: scala.collection.Seq[Double]) => {
+      val q = lv.toArray
+      val idx = bc.value
+      // pass 1: LB_Keogh against every train envelope, keep k·factor
+      val lbs = new Array[Double](idx.length)
+      var i = 0
+      while (i < idx.length) {
+        lbs(i) = graft.kernels.Kernels.lbKeoghEnv(q, idx(i)._3, idx(i)._4)
+        i += 1
+      }
+      val cand = (0 until idx.length).sortBy(i => (lbs(i), idx(i)._1)).take(kf)
+      // pass 2: exact banded DTW on survivors, keep k by (dist, id)
+      cand.map { i =>
+        (idx(i)._1, graft.kernels.Kernels.dtwFlat(q, idx(i)._2, radius))
+      }.sortBy { case (id, d) => (d, id) }.take(k).toArray
+    })
+    probes.select(col("series_id").as("probe_id"),
+        posexplode(knnUdf(col(seriesCol))).as(Seq("rank0", "hit")))
+      .select(col("probe_id"), (col("rank0") + 1).as("rank"),
+        col("hit._1").as("neighbor_id"), col("hit._2").as("dist"))
   }
 }

@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   *  - SimHash: 64-bit signature per doc, banded into 4×16-bit keys; pairs
   *    agreeing on ≥1 band are candidates (Hamming ≤ 3 within 64 bits is
   *    guaranteed caught by pigeonhole on 4 bands).
-  *  - embedding cosine: triangle self-join at small n; LSH route for scale
-  *    is Ann.ivf-style bucketing.
+  *  - embedding cosine: triangle self-join at small n; at scale, the
+  *    exact block-partitioned pair join (embeddingCosineBlocked) or the
+  *    IVF cell-bucketed candidate join (embeddingCosineIvf).
   */
 object Dedup {
 
@@ -120,8 +121,10 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Embedding cosine near-dup pairs (brute triangle; for scale, bucket
-    * with Ann.ivfAssign first and join within cells).
+  /** Embedding cosine near-dup pairs — brute triangle with a broadcast
+    * right side. Exact; right for inputs under broadcast size. Above it,
+    * use [[embeddingCosineBlocked]] (exact, no broadcast) or
+    * [[embeddingCosineIvf]] (approximate, cell-bucketed candidates).
     *
     * Perf note: the cast + norm are materialized per ROW before the join
     * (localCheckpoint barrier). Left inlined, Catalyst re-evaluates them
@@ -142,5 +145,57 @@ object Dedup {
       .select(col("vec_id").as("vec_a"), col("vec_b"),
         TsFunctions.dotUdf(col("v"), col("vb")).as("cos"))
       .where(col("cos") >= threshold)
+  }
+
+  /** EXACT cosine near-dup pairs with no broadcast of the full relation:
+    * the block-partitioned pair join (Cdist.selfBlockedUpper). Identical
+    * output to [[embeddingCosine]]; use when the table exceeds broadcast
+    * size. Shuffle volume `blocks`·n rows; kernel work is still the full
+    * n²/2 dot products — the exact ceiling. */
+  def embeddingCosineBlocked(df: DataFrame, threshold: Double, blocks: Int,
+                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.TsFunctions
+    val e = df.select(col(idCol).as("series_id"),
+      TsFunctions.l2NormalizeUdf(transform(col(vecCol), x => x.cast("double"))).as("values"))
+      .localCheckpoint(eager = false)
+    Cdist.selfBlockedUpper(e, (a, b) => TsFunctions.dotUdf(a, b), blocks)
+      .select(col("left_id").as("vec_a"), col("right_id").as("vec_b"), col("dist").as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** APPROXIMATE cosine near-dup pairs at scale: vectors are multi-probe
+    * assigned to their `nprobe` nearest of `nlist` coarse cells
+    * (Ann.trainCoarse quantizer); only pairs sharing ≥1 cell become
+    * candidates, then the exact cosine filters. Kernel work drops from
+    * n²/2 to Σ_cell |cell|²·(nprobe²) — the 100 TB route. Recall < 1 by
+    * construction (verified ≥ threshold vs [[embeddingCosine]] in tests):
+    * a true pair is missed only when the two vectors share no probed cell. */
+  def embeddingCosineIvf(df: DataFrame, threshold: Double, nlist: Int = 32,
+                         nprobe: Int = 2, seed: Long = 0L,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.TsFunctions
+    val spark = df.sparkSession
+    val e = df.select(col(idCol).as("vec_id"),
+      TsFunctions.l2NormalizeUdf(transform(col(vecCol), x => x.cast("double"))).as("v"))
+      .localCheckpoint(eager = false)
+    val centroids = Ann.trainCoarse(e, nlist, seed, idCol = "vec_id", vecCol = "v")
+    val bc = spark.sparkContext.broadcast(centroids)
+    val probeUdf = udf((x: scala.collection.Seq[Double]) => {
+      val cs = bc.value
+      val xa = x.toArray
+      cs.indices.map { c =>
+        var d = 0.0; var i = 0
+        while (i < xa.length) { val t = cs(c)(i) - xa(i); d += t * t; i += 1 }
+        (c, d)
+      }.sortBy(_._2).take(nprobe).map(_._1).toArray
+    })
+    val assigned = e.select(col("vec_id"), col("v"), explode(probeUdf(col("v"))).as("cell"))
+    val cands = assigned.select(col("cell"), col("vec_id").as("vec_a"), col("v").as("va"))
+      .join(assigned.select(col("cell"), col("vec_id").as("vec_b"), col("v").as("vb"))
+        .hint("shuffle_hash"), Seq("cell"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), TsFunctions.dotUdf(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= threshold)
+    cands.distinct()
   }
 }

@@ -2,56 +2,60 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.TsFunctions
 import graft.model.TSModel
-import graft.operators.Cdist
 
-/** Scratch profiling main (dev aid, not part of the driver contract). */
+/** Dev-only stage profiler (not part of the driver contract). */
 object Profile {
-  def time[T](name: String)(f: => T): T = {
-    val t0 = System.nanoTime()
-    val r = f
-    println(f"[profile] $name%-40s ${(System.nanoTime() - t0) / 1e9}%.3f s")
-    r
-  }
-
   def main(args: Array[String]): Unit = {
-    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    TsFunctions.register(spark)
 
-    time("emb read+count") {
-      spark.read.parquet(s"$dir/embeddings.parquet").count()
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-    val queries = e.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val cands = e.where(col("vec_id") >= 10).select(col("vec_id").as("cand_id"), col("v").as("cv"))
-    val scored = cands.crossJoin(broadcast(queries))
-      .select(col("query_id"), col("cand_id"), TsFunctions.cosineSim(col("qv"), col("cv")).as("cos"))
-    time("emb scored count") { scored.count() }
-    time("emb scored count again") { scored.count() }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
-    val topk = scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
-    time("emb topk count") { topk.count() }
 
-    val series = time("events->series build") {
-      val s = TSModel.eventsToSeries(spark, dir)
-        .select(col("series_id"),
-          TsFunctions.tsZNorm(TsFunctions.resampleUdf(col("values"), lit(32))).as("values"))
-      s.cache().count()
-      s
-    }
-    time("knn pruned") {
-      Cdist.knnDtwPruned(series, series, k = 4, radius = 4).count()
-    }
-    time("knn exact") {
-      Cdist.knn(series, series, 4, (a, b) => TsFunctions.dtwSakoeUdf(a, b, lit(4))).count()
+    val series = TSModel.eventsToSeries(spark, sfDir)
+      .select(col("series_id"),
+        TsFunctions.resampleZnormUdf(col("values"), lit(32)).as("values"))
+      .cache()
+    time("series materialize")(series.count())
+
+    val k = 4; val radius = 4; val factor = 4
+    val l = series.select(col("series_id").as("left_id"), col("values").as("lv"))
+    val r = series.select(col("series_id").as("right_id"), col("values").as("rv"),
+      TsFunctions.envelopeUdf(col("values"), lit(radius)).as("env"))
+    val pairsSlim = l.crossJoin(broadcast(r))
+      .select(col("left_id"), col("right_id"),
+        graft.functions.NativeExpressions.lbKeoghNative(
+          col("lv"), col("env._1"), col("env._2")).as("lb"))
+    time("lb pass only")(pairsSlim.count())
+    val candidates = graft.operators.TopK.byKey(pairsSlim, k * factor, "left_id", "right_id", "lb")
+      .select("left_id", "right_id")
+    time("lb + topk agg")(candidates.count())
+    val full = graft.operators.Cdist.knnDtwPruned(series, series, k, radius, factor)
+    time("full knnDtwPruned")(full.count())
+    time("full again (warm)")(full.count())
+
+    val raw = TSModel.eventsToSeries(spark, sfDir)
+      .select(col("series_id"), TsFunctions.resampleUdf(col("values"), lit(32)).as("values"))
+      .cache()
+    raw.count()
+    for (mi <- Seq(1, 2, 4, 8)) {
+      time(s"kshape fit maxIter=$mi") {
+        new graft.ml.KShape(k = 4, maxIter = mi, seed = 5).fit(raw)
+        0L
+      }
     }
     spark.stop()
   }

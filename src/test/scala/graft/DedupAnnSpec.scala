@@ -80,6 +80,21 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(full == brute, "nprobe=nlist IVF must equal brute force")
   }
 
+  test("blocked cosine dedup is exact; IVF cosine dedup has high recall") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+    val brute = Dedup.embeddingCosine(emb, threshold = 0.4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture should contain cosine near-dups")
+    val blocked = Dedup.embeddingCosineBlocked(emb, threshold = 0.4, blocks = 4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(blocked == brute, "block-partitioned pair join must be exact")
+    val ivf = Dedup.embeddingCosineIvf(emb, threshold = 0.4, nlist = 8, nprobe = 4, seed = 3)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(ivf.subsetOf(brute), "IVF candidates pass the same exact filter")
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF cosine dedup recall $recall over ${brute.size} pairs")
+  }
+
   test("text analysis helpers: lang id, quality, bpe-ish tokens") {
     import graft.operators.TextAnalysis
     val docs = Seq(

@@ -419,6 +419,24 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("cand_id"), round(col("cos"), 4).as("cos"))
     }),
 
+    // ---------------- bundled dataset tier (SURVEY §2.1) -------------
+    // 1-NN euclidean classify on the bundled Trace fixture — exercises
+    // CachedDatasets.loadDataset with a full DuckDB oracle (absolute
+    // fixture path, independent of sfDir). Label-only output: integer
+    // compare, no float-hash fragility.
+    "ucr_trace_1nn" -> ((s, dir) => {
+      val (train, test) = graft.sources.Datasets.CachedDatasets
+        .loadDataset(s, "Trace", "/root/repo/data/cached")
+      val scored = test.select(col("series_id"), col("values").as("qv"))
+        .crossJoin(broadcast(train.select(col("series_id").as("train_id"),
+          col("label").as("pred"), col("values").as("tv"))))
+        .select(col("series_id"), col("train_id"), col("pred"),
+          TsFunctions.euclideanUdf(col("qv"), col("tv")).as("d"))
+      val w = Window.partitionBy("series_id").orderBy(col("d").asc, col("train_id").asc)
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("series_id"), col("pred"))
+    }),
+
     // ---------------- composite estimators (rows-only) ---------------
     "ts_shapelet_classify" -> ((s, dir) => {
       // labels: dominant event_type per user; train on half, predict all
@@ -790,6 +808,18 @@ object SparkEntry {
         |)
         |SELECT vec_id, CAST(cell AS INT) AS cell, round(dist, 4) AS dist
         |FROM scored WHERE rn = 1""".stripMargin,
+
+    "ucr_trace_1nn" ->
+      """WITH tr AS (SELECT series_id AS train_id, label AS pred, values
+        |           FROM read_parquet('/root/repo/data/cached/Trace/train.parquet')),
+        |te AS (SELECT series_id, values
+        |       FROM read_parquet('/root/repo/data/cached/Trace/test.parquet')),
+        |scored AS (
+        |  SELECT te.series_id, tr.pred,
+        |    row_number() OVER (PARTITION BY te.series_id
+        |      ORDER BY list_distance(te.values, tr.values), tr.train_id) AS rn
+        |  FROM te, tr)
+        |SELECT series_id, pred FROM scored WHERE rn = 1""".stripMargin,
 
     "emb_knn_classify" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v, label FROM embeddings),

@@ -48,6 +48,107 @@ object Advanced {
     math.sqrt(best)
   }
 
+  /** L-DTW with path — `dtw_variants.py:620-743`. Keeps every DP layer
+    * (O(L·n·m) memory, like the reference's per-cell maps) and backtracks
+    * from the best final layer; [[dtwLimitedWarpingLength]] remains the
+    * O(n·m)-memory score-only variant. */
+  def dtwLimitedWarpingLengthPath(s1: TS, s2: TS, maxLength: Int): (Array[(Int, Int)], Double) = {
+    val n = s1.length; val m = s2.length
+    require(maxLength >= math.max(n, m),
+      s"max_length $maxLength < max(sz1, sz2) = ${math.max(n, m)}: no admissible path")
+    val Inf = Double.PositiveInfinity
+    val layers = Array.fill(maxLength, n, m)(Inf)
+    layers(0)(0)(0) = Kernels.localSqDist(s1(0), s2(0))
+    var s = 1
+    while (s < maxLength) {
+      var i = 0
+      while (i < n) {
+        var j = 0
+        while (j < m) {
+          var p = Inf
+          if (i > 0) { if (layers(s - 1)(i - 1)(j) < p) p = layers(s - 1)(i - 1)(j) }
+          if (j > 0) { if (layers(s - 1)(i)(j - 1) < p) p = layers(s - 1)(i)(j - 1) }
+          if (i > 0 && j > 0) { if (layers(s - 1)(i - 1)(j - 1) < p) p = layers(s - 1)(i - 1)(j - 1) }
+          if (p != Inf) layers(s)(i)(j) = p + Kernels.localSqDist(s1(i), s2(j))
+          j += 1
+        }
+        i += 1
+      }
+      s += 1
+    }
+    var bestS = -1; var best = Inf
+    s = 0
+    while (s < maxLength) {
+      if (layers(s)(n - 1)(m - 1) < best) { best = layers(s)(n - 1)(m - 1); bestS = s }
+      s += 1
+    }
+    // backtrack: predecessor in the previous layer whose value equals
+    // cur − local cost; tie order diag, up, left (dtwPath rules)
+    val path = scala.collection.mutable.ArrayBuffer((n - 1, m - 1))
+    var (ci, cj, cs) = (n - 1, m - 1, bestS)
+    while (cs > 0) {
+      val target = layers(cs)(ci)(cj) - Kernels.localSqDist(s1(ci), s2(cj))
+      val eps = 1e-9 * math.max(1.0, math.abs(target))
+      if (ci > 0 && cj > 0 && math.abs(layers(cs - 1)(ci - 1)(cj - 1) - target) <= eps) {
+        ci -= 1; cj -= 1
+      } else if (ci > 0 && math.abs(layers(cs - 1)(ci - 1)(cj) - target) <= eps) {
+        ci -= 1
+      } else {
+        cj -= 1
+      }
+      cs -= 1
+      path += ((ci, cj))
+    }
+    (path.reverse.toArray, math.sqrt(best))
+  }
+
+  /** LCSS with path — `lcss_path` (`dtw_variants.py:1576-1690`): full int
+    * DP matrix then the reference's backtrack (match ⇒ diagonal step,
+    * else move toward the larger accumulated value). Score = LCS length /
+    * min(sz1, sz2). */
+  def lcssPath(s1: TS, s2: TS, eps: Double = 1.0,
+               bounds: Bounds = null): (Array[(Int, Int)], Double) =
+    lcssPathFromLocal(s1, s2, eps,
+      (a, b) => math.sqrt(Kernels.localSqDist(a, b)), bounds)
+
+  /** LCSS path under an arbitrary local metric —
+    * `lcss_path_from_metric` (`dtw_variants.py:1693-1879`). */
+  def lcssPathFromMetric(s1: TS, s2: TS, eps: Double,
+                         local: (Array[Double], Array[Double]) => Double,
+                         bounds: Bounds = null): (Array[(Int, Int)], Double) =
+    lcssPathFromLocal(s1, s2, eps, local, bounds)
+
+  private def lcssPathFromLocal(s1: TS, s2: TS, eps: Double,
+                                local: (Array[Double], Array[Double]) => Double,
+                                bounds0: Bounds): (Array[(Int, Int)], Double) = {
+    val l1 = s1.length; val l2 = s2.length
+    val bounds = if (bounds0 == null) Mask.none(l1, l2) else bounds0
+    val acc = Array.ofDim[Int](l1 + 1, l2 + 1)
+    var i = 1
+    while (i <= l1) {
+      val lo = bounds.lo(i - 1); val hi = bounds.hi(i - 1)
+      var j = 1
+      while (j <= l2) {
+        if (j - 1 >= lo && j - 1 <= hi) {
+          if (local(s1(i - 1), s2(j - 1)) <= eps) acc(i)(j) = 1 + acc(i - 1)(j - 1)
+          else acc(i)(j) = math.max(acc(i)(j - 1), acc(i - 1)(j))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val path = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var pi = l1; var pj = l2
+    while (pi > 0 && pj > 0) {
+      val inBand = pj - 1 >= bounds.lo(pi - 1) && pj - 1 <= bounds.hi(pi - 1)
+      if (inBand && local(s1(pi - 1), s2(pj - 1)) <= eps) {
+        path += ((pi - 1, pj - 1)); pi -= 1; pj -= 1
+      } else if (acc(pi - 1)(pj) > acc(pi)(pj - 1)) pi -= 1
+      else pj -= 1
+    }
+    (path.reverse.toArray, acc(l1)(l2).toDouble / math.min(l1, l2))
+  }
+
   /** DTW accumulated matrix over an arbitrary local distance —
     * `dtw_path_from_metric` (`dtw_variants.py:201-381`). */
   def dtwPathFromMetric(s1: TS, s2: TS,
@@ -84,19 +185,36 @@ object Advanced {
     (path.reverse.toArray, cum(l1)(l2)) // note: raw accumulated cost, not sqrt
   }
 
-  /** Minimal CCA via the standard generalized-eigen formulation
-    * (regularized), replacing sklearn's CCA in CTW — returns projections
-    * (components per input). Public-textbook algorithm. */
-  private def ccaProject(x: Array[Array[Double]], y: Array[Array[Double]], nComp: Int):
-      (Array[Array[Double]], Array[Array[Double]]) = {
+  /** CCA transform weights fitted on (warped-aligned) row pairs: apply
+    * `project` to ANY rows in the original feature space — this is the
+    * `cca.fit(Wx·s1, Wy·s2); cca.transform(s1, s2)` split of the
+    * reference (`ctw.py:157-159`), where fitting sees aligned rows but
+    * the FULL series are projected. */
+  private case class CcaSide(mu: breeze.linalg.DenseVector[Double],
+                             w: breeze.linalg.DenseMatrix[Double]) {
+    def project(rows: TS): TS = {
+      import breeze.linalg._
+      val m = DenseMatrix(rows: _*)
+      val centered = m(*, ::) - mu
+      val p = centered * w
+      Array.tabulate(rows.length)(r => Array.tabulate(w.cols)(c => p(r, c)))
+    }
+  }
+
+  /** Minimal CCA via the standard regularized generalized-eigen
+    * formulation (public-textbook algorithm, replacing sklearn's NIPALS
+    * CCA). Weight columns are scaled so the FIT rows project to unit
+    * variance (sklearn's score scaling); the same affine map then applies
+    * to arbitrary rows. */
+  private def ccaFit(x: Array[Array[Double]], y: Array[Array[Double]],
+                     nComp: Int): (CcaSide, CcaSide) = {
     import breeze.linalg._
     val xm = DenseMatrix(x: _*)
     val ym = DenseMatrix(y: _*)
-    def center(m: DenseMatrix[Double]): DenseMatrix[Double] = {
-      val mu = breeze.stats.mean(m(::, *)).t
-      m(*, ::) - mu
-    }
-    val xc = center(xm); val yc = center(ym)
+    val muX = breeze.stats.mean(xm(::, *)).t
+    val muY = breeze.stats.mean(ym(::, *)).t
+    val xc = xm(*, ::) - muX
+    val yc = ym(*, ::) - muY
     val n = xc.rows.toDouble
     val reg = 1e-8
     val sxx = (xc.t * xc) / n + DenseMatrix.eye[Double](xc.cols) * reg
@@ -106,26 +224,25 @@ object Advanced {
     val es = eig(m1)
     val order = es.eigenvalues.toArray.zipWithIndex.sortBy(-_._1).map(_._2).take(nComp)
     val wx = DenseMatrix.horzcat(order.map(i => es.eigenvectors(::, i).toDenseMatrix.t): _*)
-    // wy from wx: Syy^-1 Syx wx (up to scale)
+    // wy from wx: Syy⁻¹ Syx wx (up to scale)
     val wy = inv(syy) * sxy.t * wx
-    val px = xc * wx
-    val py = yc * wy
-    // normalize projection variance to 1 per component (sklearn-style scale)
-    def norm(mm: DenseMatrix[Double]): DenseMatrix[Double] = {
-      val out = mm.copy
-      for (c <- 0 until mm.cols) {
-        val sd = breeze.stats.stddev(mm(::, c))
+    // scale each weight column so fit-row projections have unit variance
+    def scaleCols(w: DenseMatrix[Double], c0: DenseMatrix[Double]): DenseMatrix[Double] = {
+      val out = w.copy
+      val p = c0 * w
+      for (c <- 0 until w.cols) {
+        val sd = breeze.stats.stddev(p(::, c))
         if (sd > 1e-12) out(::, c) :/= sd
       }
       out
     }
-    val pxn = norm(px); val pyn = norm(py)
-    (Array.tabulate(xc.rows)(r => Array.tabulate(nComp)(c => pxn(r, c))),
-      Array.tabulate(yc.rows)(r => Array.tabulate(nComp)(c => pyn(r, c))))
+    (CcaSide(muX, scaleCols(wx, xc)), CcaSide(muY, scaleCols(wy, yc)))
   }
 
   /** Canonical Time Warping — `ctw.py:39-364`. Alternates CCA feature
-    * registration and DTW alignment until the path reaches a fixpoint.
+    * registration (fit on path-aligned rows, then project the FULL
+    * series through the fitted weights — `ctw.py:157-159`) and DTW
+    * alignment until the path reaches a fixpoint.
     * NOTE: the reference's convergence test compares the path with itself
     * (`ctw.py:168-169`) and therefore always stops after one CCA round;
     * we implement the *intended* fixpoint (previous vs current path) per
@@ -138,25 +255,12 @@ object Advanced {
     var it = 0
     var converged = false
     while (it < maxIter - 1 && !converged) {
-      // warp both series along the current path, fit CCA on aligned rows
+      // fit CCA on the rows matched by the current path (Wx·s1 vs Wy·s2)
       val ax = path.map { case (i, _) => s1(i) }
       val ay = path.map { case (_, j) => s2(j) }
-      val (px, py) = try ccaProject(ax, ay, nc) catch { case _: Throwable => return (path, score) }
-      // project the full (unwarped) series through the same alignment by
-      // re-fitting on full series via the aligned CCA basis approximation:
-      // use projections of the aligned rows indexed back to originals
-      val s1p: TS = {
-        val acc = Array.fill(s1.length)(new Array[Double](nc))
-        val cnt = new Array[Int](s1.length)
-        path.indices.foreach { k => val i = path(k)._1; acc(i) = px(k); cnt(i) += 1 }
-        acc
-      }
-      val s2p: TS = {
-        val acc = Array.fill(s2.length)(new Array[Double](nc))
-        path.indices.foreach { k => val j = path(k)._2; acc(j) = py(k) }
-        acc
-      }
-      val (newPath, newScore) = Kernels.dtwPath(s1p, s2p)
+      val (cx, cy) = try ccaFit(ax, ay, nc) catch { case _: Throwable => return (path, score) }
+      // project EVERY timestep of both series through the fitted weights
+      val (newPath, newScore) = Kernels.dtwPath(cx.project(s1), cy.project(s2))
       if (newPath.sameElements(path)) converged = true
       path = newPath
       score = newScore

@@ -77,6 +77,61 @@ object Barycenters {
     center
   }
 
+  /** DBA, Petitjean variant — `dba.py:60-176`. The reference keeps this
+    * implementation "to check the documented one for non-regression"; we
+    * keep it for the same reason (golden oracle for [[dba]]). Alignment
+    * order matches the reference: `dtw_path(X[i], barycenter)` with the
+    * assignment indexed by the barycenter timestep; cost is evaluated
+    * against the PRE-update barycenter; stops on |Δcost| < tol or a cost
+    * increase. */
+  def dbaPetitjean(series: Seq[TS], barycenterSize: Int = -1, maxIter: Int = 30,
+                   tol: Double = 1e-5, weights: Seq[Double] = Nil,
+                   init: TS = null): TS = {
+    require(series.nonEmpty, "empty DBA input")
+    val w = if (weights.isEmpty) Seq.fill(series.length)(1.0) else weights
+    val eu = euclidean(series, w)
+    val size = if (init != null) init.length
+      else if (barycenterSize > 0) barycenterSize else eu.length
+    var center: TS = if (init != null) init else Kernels.resample(eu, size)
+    val d = center(0).length
+    var costPrev = Double.PositiveInfinity
+    var iter = 0
+    var done = false
+    while (iter < maxIter && !done) {
+      val sums = Array.ofDim[Double](size, d)
+      val wsum = new Array[Double](size)
+      var cost = 0.0
+      var si = 0
+      while (si < series.length) {
+        val (path, _) = Kernels.dtwPath(series(si), center)
+        var p = 0
+        while (p < path.length) {
+          val (i, j) = path(p) // i: series timestep, j: barycenter timestep
+          var k = 0
+          var sq = 0.0
+          while (k < d) {
+            val v = series(si)(i)(k)
+            sums(j)(k) += w(si) * v
+            val df = v - center(j)(k)
+            sq += df * df
+            k += 1
+          }
+          wsum(j) += w(si)
+          cost += w(si) * sq
+          p += 1
+        }
+        si += 1
+      }
+      cost /= w.sum
+      center = Array.tabulate(size)(j => Array.tabulate(d)(k =>
+        if (wsum(j) > 0) sums(j)(k) / wsum(j) else center(j)(k)))
+      if (math.abs(costPrev - cost) < tol || costPrev < cost) done = true
+      else costPrev = cost
+      iter += 1
+    }
+    center
+  }
+
   /** soft-DTW barycenter: minimize Σ wᵢ·softDTW(b, xᵢ) by L-BFGS on the
     * flattened barycenter — `softdtw.py:17-113`. Gradient comes from the
     * soft-DTW backward pass (Kernels.softDtwGrad). */

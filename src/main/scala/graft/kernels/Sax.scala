@@ -135,6 +135,42 @@ object Sax {
     }
   }
 
+  /** 1d-SAX distance — `cysax.pyx:95-124`: reconstruct each segment as
+    * avg + slope·(t − t_mid) from the (avg, slope) bin medians and
+    * accumulate squared differences over the ORIGINAL timesteps. Symbol
+    * rows are the [[oneDSax]] layout: d avg symbols then d slope symbols. */
+  def dist1dSax(sax1: Array[Array[Int]], sax2: Array[Array[Int]],
+                alphabetAvg: Int, alphabetSlope: Int, sigmaL: Double,
+                originalSz: Int): Double = {
+    require(sax1.length == sax2.length && sax1(0).length == sax2(0).length,
+      "1d-SAX distance requires equal symbol shapes")
+    val medAvg = binMedians(alphabetAvg)
+    val medSlope = binMedians(alphabetSlope, sigmaL)
+    val sz = sax1.length
+    val d = sax1(0).length / 2
+    val segSz = originalSz / sz
+    var s = 0.0
+    var t = 0
+    while (t < sz) {
+      val t0 = t * segSz
+      val tMid = t0 + 0.5 * segSz
+      var di = 0
+      while (di < d) {
+        val avg1 = medAvg(sax1(t)(di)); val avg2 = medAvg(sax2(t)(di))
+        val sl1 = medSlope(sax1(t)(di + d)); val sl2 = medSlope(sax2(t)(di + d))
+        var tt = t0
+        while (tt < segSz * (t + 1)) {
+          val diff = (avg1 - avg2) + (sl1 - sl2) * (tt - tMid)
+          s += diff * diff
+          tt += 1
+        }
+        di += 1
+      }
+      t += 1
+    }
+    math.sqrt(s)
+  }
+
   /** 1d-SAX transform: (avg symbol, slope symbol) per segment —
     * `piecewise.py:663-678`. Slope breakpoints use N(0, sigmaL). */
   def oneDSax(ts: Kernels.TS, nSegments: Int, alphabetAvg: Int, alphabetSlope: Int,

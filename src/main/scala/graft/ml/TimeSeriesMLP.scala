@@ -41,3 +41,90 @@ object TimeSeriesMLP {
     Model(mlp, labels)
   }
 }
+
+/** MLP regressor on flattened series — semantics of
+  * `TimeSeriesMLPRegressor` (`neural_network.py:96-168`: flatten, then a
+  * dense MLP with squared loss). MLlib has no MLP regressor, so the net
+  * is a single-hidden-layer tanh MLP trained with breeze L-BFGS on the
+  * driver over collected features (same documented driver-size limit as
+  * the SVC/SVR solves); prediction is a distributed single-pass UDF over
+  * the broadcast weights. */
+object TimeSeriesMLPRegressor {
+
+  case class Model(w1: Array[Array[Double]], b1: Array[Double],
+                   w2: Array[Double], b2: Double) {
+    def predictOne(x: Array[Double]): Double = {
+      var out = b2
+      var h = 0
+      while (h < b1.length) {
+        var a = b1(h)
+        var i = 0
+        while (i < x.length) { a += w1(h)(i) * x(i); i += 1 }
+        out += w2(h) * math.tanh(a)
+        h += 1
+      }
+      out
+    }
+    def predict(df: DataFrame): DataFrame = {
+      val bc = df.sparkSession.sparkContext.broadcast(this)
+      val f = udf((a: scala.collection.Seq[Double]) => bc.value.predictOne(a.toArray))
+      df.select(col("series_id"), f(col("values")).as("prediction"))
+    }
+  }
+
+  /** Fit on (series_id, values, target DOUBLE). `alpha` is the L2 penalty
+    * (sklearn's default 1e-4). */
+  def fit(df: DataFrame, hidden: Int = 32, maxIter: Int = 200,
+          alpha: Double = 1e-4, seed: Long = 0L): Model = {
+    import breeze.linalg.{DenseMatrix, DenseVector, sum => bsum}
+    import breeze.numerics.tanh
+    import breeze.optimize.{DiffFunction, LBFGS}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val data = df.select(col("values").cast("array<double>"), col("target").cast("double"))
+      .as[(Array[Double], Double)].collect()
+    val n = data.length
+    val d = data(0)._1.length
+    val x = DenseMatrix(data.map(_._1): _*)
+    val y = DenseVector(data.map(_._2))
+    val nParams = hidden * d + hidden + hidden + 1
+    val rng = new scala.util.Random(seed)
+    // Glorot-ish init
+    val x0 = DenseVector.tabulate(nParams)(i =>
+      if (i < hidden * d + hidden) (rng.nextDouble() * 2 - 1) * math.sqrt(6.0 / (d + hidden))
+      else 0.0)
+    def unpack(v: DenseVector[Double]) = {
+      val w1 = new DenseMatrix(d, hidden, v.slice(0, hidden * d).toArray)
+      val b1 = v.slice(hidden * d, hidden * d + hidden).toDenseVector
+      val w2 = v.slice(hidden * d + hidden, hidden * d + 2 * hidden).toDenseVector
+      val b2 = v(nParams - 1)
+      (w1, b1, w2, b2)
+    }
+    val obj = new DiffFunction[DenseVector[Double]] {
+      def calculate(v: DenseVector[Double]): (Double, DenseVector[Double]) = {
+        val (w1, b1, w2, b2) = unpack(v)
+        val z = (x * w1).apply(breeze.linalg.*, ::) + b1 // n×h pre-activation
+        val a = tanh(z)
+        val pred = (a * w2) + b2
+        val r = pred - y
+        val loss = (r dot r) / (2.0 * n) + 0.5 * alpha * (v dot v)
+        // backprop
+        val gPred = r / n.toDouble
+        val gW2 = a.t * gPred
+        val gB2 = bsum(gPred)
+        val gA = gPred * w2.t // n×h
+        val gZ = gA *:* (DenseMatrix.ones[Double](n, hidden) - (a *:* a))
+        val gW1 = x.t * gZ
+        val gB1 = bsum(gZ(::, breeze.linalg.*)).t
+        val grad = DenseVector.vertcat(
+          DenseVector(gW1.toArray), gB1, gW2, DenseVector(gB2)) + v * alpha
+        (loss, grad)
+      }
+    }
+    val solved = new LBFGS[DenseVector[Double]](maxIter = maxIter, m = 7, tolerance = 1e-8)
+      .minimize(obj, x0)
+    val (w1, b1, w2, b2) = unpack(solved)
+    Model(Array.tabulate(hidden)(h => Array.tabulate(d)(i => w1(i, h))),
+      b1.toArray, w2.toArray, b2)
+  }
+}

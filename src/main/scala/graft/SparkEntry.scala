@@ -365,13 +365,23 @@ object SparkEntry {
         .select(col("probe_id").as("query_id"), col("label"))
     }),
 
+    // portable=true switches the base hash to md5-60bit and band buckets
+    // to slice values, so the DuckDB oracle below reproduces the LSH
+    // pipeline with IDENTICAL constants (Dedup.minhashCoeffs)
     "doc_minhash_pairs" -> ((s, dir) => {
-      graft.operators.Dedup.minhashLsh(docs(s, dir), threshold = 0.35)
+      graft.operators.Dedup.minhashLsh(docs(s, dir), threshold = 0.35, portable = true)
         .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
     }),
 
     "doc_simhash" -> ((s, dir) => {
-      graft.operators.Dedup.simhash(docs(s, dir))
+      graft.operators.Dedup.simhash(docs(s, dir), portable = true)
+    }),
+
+    // banded simhash near-dup pairs; the 4×15-bit pigeonhole makes the
+    // band filter LOSSLESS for hamming ≤ 3, so the oracle is the plain
+    // all-pairs hamming join
+    "doc_simhash_pairs" -> ((s, dir) => {
+      graft.operators.Dedup.simhashPairs(docs(s, dir), maxHamming = 3, portable = true)
     }),
 
     // ---------------- clustering / barycenters (rows-only) -----------
@@ -414,7 +424,12 @@ object SparkEntry {
         transform(col("embedding"), x => x.cast("double")).as("v"))
       val queries = e.where(col("vec_id") < 10)
       val cands = e.where(col("vec_id") >= 10)
-      val centroids = graft.operators.Ann.trainCoarse(cands, nlist = 16, seed = 3)
+      // fixed data-row quantizer (vec_id 10..25) instead of the sampled
+      // k-means of Ann.trainCoarse, so the DuckDB oracle reproduces cell
+      // assignment + probing exactly (trainCoarse stays the ml-path
+      // default, recall-tested in DedupAnnSpec)
+      val centroids = e.where(col("vec_id") >= 10 && col("vec_id") < 26)
+        .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
       graft.operators.Ann.ivfTopK(cands, queries, k = 5, centroids, nprobe = 4)
         .select(col("query_id"), col("rank"), col("cand_id"), round(col("cos"), 4).as("cos"))
     }),
@@ -432,9 +447,12 @@ object SparkEntry {
           col("label").as("pred"), col("values").as("tv"))))
         .select(col("series_id"), col("train_id"), col("pred"),
           TsFunctions.euclideanUdf(col("qv"), col("tv")).as("d"))
-      val w = Window.partitionBy("series_id").orderBy(col("d").asc, col("train_id").asc)
-      scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select(col("series_id"), col("pred"))
+      // argmin by (d, train_id) via min(struct(...)) — partial-agg, no
+      // window exchange, and the UDF distance is never a sort key
+      // (Catalyst re-evaluates UDF sort keys; measured 12x slower)
+      scored.groupBy("series_id")
+        .agg(min(struct(col("d"), col("train_id"), col("pred")))
+          .getField("pred").as("pred"))
     }),
 
     // ---------------- composite estimators (rows-only) ---------------
@@ -516,7 +534,127 @@ object SparkEntry {
       |  FROM events
       |)""".stripMargin
 
+  /** DuckDB oracle for doc_minhash_pairs, generated from the SAME
+    * permutation constants the Spark operator uses. */
+  private def minhashOracleSql: String = {
+    val p = graft.operators.Dedup.MinhashP
+    val coeffs = graft.operators.Dedup.minhashCoeffs(64, 42L)
+    val sigCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * x + $b) % $p) AS mh_$i"
+    }.mkString(",\n    ")
+    val bandEqs = (0 until 16).map { band =>
+      (0 until 4).map(r => s"a.mh_${band * 4 + r} = b.mh_${band * 4 + r}")
+        .mkString("(", " AND ", ")")
+    }.mkString("\n      OR ")
+    val matchCount = (0 until 64)
+      .map(i => s"(CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH words AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(w[j:j+2], ' ') AS sh
+       |  FROM words, (SELECT unnest(generate_series(1, 1000)) AS j) g
+       |  WHERE j <= len(w) - 2
+       |), base AS (
+       |  SELECT doc_id,
+       |    CAST(CONCAT('0x', substring(md5(sh), 1, 15)) AS BIGINT) % $p AS x
+       |  FROM sh
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM base GROUP BY 1
+       |), cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    ($matchCount) AS m
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE $bandEqs
+       |)
+       |SELECT doc_a, doc_b, round(m / 64.0, 4) AS est_jaccard
+       |FROM cand WHERE m / 64.0 >= 0.35""".stripMargin
+  }
+
+  /** DuckDB oracle for doc_simhash: same 60-bit md5 word hash, same
+    * sign-of-bit-sums construction. */
+  private def simhashOracleSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+      |), h AS (
+      |  SELECT doc_id,
+      |    CAST(CONCAT('0x', substring(md5(word), 1, 15)) AS BIGINT) AS h
+      |  FROM w
+      |), bits AS (
+      |  SELECT doc_id, b.b,
+      |    sum(CASE WHEN ((h >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM h, (SELECT unnest(generate_series(0, 59)) AS b) b
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_id,
+      |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+      |    AS simhash
+      |FROM bits GROUP BY 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "doc_minhash_pairs" -> minhashOracleSql,
+    "doc_simhash" -> simhashOracleSql,
+
+    // the 4×15-bit band pigeonhole is lossless for hamming ≤ 3, so the
+    // banded Spark pipeline must equal the brute-force hamming join
+    "doc_simhash_pairs" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    CAST(CONCAT('0x', substring(md5(word), 1, 15)) AS BIGINT) AS h
+        |  FROM w
+        |), bits AS (
+        |  SELECT doc_id, b.b,
+        |    sum(CASE WHEN ((h >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, (SELECT unnest(generate_series(0, 59)) AS b) b
+        |  GROUP BY 1, 2
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+        |      AS simhash
+        |  FROM bits GROUP BY 1
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    "emb_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |cent AS (SELECT vec_id - 10 AS cell, v AS cv FROM e
+        |         WHERE vec_id BETWEEN 10 AND 25),
+        |cands AS (SELECT vec_id, v FROM e WHERE vec_id >= 10),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT c.vec_id, cent.cell,
+        |      row_number() OVER (PARTITION BY c.vec_id
+        |        ORDER BY list_distance(c.v, cent.cv), cent.cell) AS rn
+        |    FROM cands c, cent) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, cent.cell,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_distance(q.qv, cent.cv), cent.cell) AS rn
+        |    FROM q, cent) WHERE rn <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS cand_id,
+        |    list_cosine_similarity(qq.qv, c.v) AS cos
+        |  FROM probes p
+        |  JOIN assign a ON a.cell = p.cell
+        |  JOIN cands c ON c.vec_id = a.vec_id
+        |  JOIN q qq ON qq.query_id = p.query_id),
+        |ranked AS (
+        |  SELECT query_id, cand_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, cand_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, cand_id, round(cos, 4) AS cos
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

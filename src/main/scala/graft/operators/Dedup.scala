@@ -34,17 +34,35 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash signatures: numHashes permutations via (a_i·x + b_i) mod p
-    * over a 64-bit base shingle hash. One explode + one groupBy — the
-    * signature agg is a map-side-combinable min per hash index. */
-  def minhashSignatures(sh: DataFrame, numHashes: Int = 64, seed: Long = 42L): DataFrame = {
-    // 2^31-1 modulus keeps a·x+b < 2^62 (no ANSI long overflow)
-    val p = 2147483647L
+  /** The MinHash modulus: 2^31−1 keeps a·x+b < 2^62 (no ANSI overflow). */
+  val MinhashP: Long = 2147483647L
+
+  /** The (a_i, b_i) permutation coefficients — exposed so the DuckDB
+    * oracle can be generated with IDENTICAL constants. */
+  def minhashCoeffs(numHashes: Int, seed: Long): Array[(Long, Long)] = {
     val rng = new scala.util.Random(seed)
-    val coeffs = Array.fill(numHashes)((math.abs(rng.nextLong()) % (p - 1) + 1, math.abs(rng.nextLong()) % p))
+    Array.fill(numHashes)((math.abs(rng.nextLong()) % (MinhashP - 1) + 1,
+      math.abs(rng.nextLong()) % MinhashP))
+  }
+
+  /** Engine-portable 60-bit hash: first 15 hex chars of md5 — computable
+    * bit-identically in DuckDB (`CAST(CONCAT('0x', substring(md5(x),1,15))
+    * AS BIGINT)`), unlike xxhash64. Slower than xxhash64; used where an
+    * external oracle must reproduce the hash. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** MinHash signatures: numHashes permutations via (a_i·x + b_i) mod p
+    * over a base shingle hash (xxhash64 by default; the md5-based portable
+    * hash when `portable`). One explode + one groupBy — the signature agg
+    * is a map-side-combinable min per hash index. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int = 64, seed: Long = 42L,
+                        portable: Boolean = false): DataFrame = {
+    val p = MinhashP
+    val coeffs = minhashCoeffs(numHashes, seed)
     // one min-aggregate per hash function: map-side combinable, single
     // shuffle of (doc, 64 partial minima) — no shingle×hash row explosion
-    val base = pmod(xxhash64(col("sh")), lit(p))
+    val base = pmod(if (portable) md5Hash60(col("sh")) else xxhash64(col("sh")), lit(p))
     val minCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * base + lit(b), lit(p))).as(s"mh_$i")
     }
@@ -60,12 +78,19 @@ object Dedup {
     * signatures. Returns (doc_a, doc_b, est_jaccard ≥ threshold). */
   def minhashLsh(df: DataFrame, threshold: Double = 0.5, numHashes: Int = 64,
                  bands: Int = 16, shingleK: Int = 3, seed: Long = 42L,
-                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                 idCol: String = "doc_id", textCol: String = "text",
+                 portable: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignatures(shingles(df, shingleK, idCol, textCol), numHashes, seed).cache()
+    val sig = minhashSignatures(shingles(df, shingleK, idCol, textCol),
+      numHashes, seed, portable).cache()
+    // bucket key: the band slice hashed to 64 bits (narrow shuffle key) —
+    // or the slice VALUE itself in portable mode, which an external SQL
+    // oracle can reproduce as a plain list-equality join
+    def bucketOf(b: Int): Column =
+      if (portable) slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("string")
+      else xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b)).cast("string")
     val banded = sig.select(col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
+      posexplode(array((0 until bands).map(bucketOf): _*))
         .as(Seq("band", "bucket")))
     val candidates = banded.select(col("band"), col("bucket"), col("doc_id"))
       .alias("a")
@@ -83,31 +108,40 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash per doc from word-level hashes (unweighted). */
-  def simhash(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** SimHash per doc from word-level hashes (unweighted): 64 bits of
+    * xxhash64 by default, 60 bits of the portable md5 hash when
+    * `portable` (so a DuckDB oracle reproduces it bit-for-bit). */
+  def simhash(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+              portable: Boolean = false): DataFrame = {
+    val nBits = if (portable) 60 else 64
     val words = df.select(col(idCol).as("doc_id"),
       explode(split(lower(col(textCol)), " ")).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+      .select(col("doc_id"),
+        (if (portable) md5Hash60(col("w")) else xxhash64(col("w"))).as("h"))
     // per bit: sum of +1/-1; sign -> bit
-    val bitCols = array((0 until 64).map { b =>
+    val bitCols = array((0 until nBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
     }: _*)
     words.groupBy("doc_id")
       .agg(bitCols.as("bitsums"))
       .select(col("doc_id"),
-        (0 until 64).map(b =>
+        (0 until nBits).map(b =>
           when(element_at(col("bitsums"), b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
   /** SimHash near-dup candidates with Hamming distance ≤ maxHamming,
-    * banded into 4×16-bit keys (pigeonhole-complete for maxHamming ≤ 3). */
+    * banded into 4 keys (16-bit, or 15-bit in portable/60-bit mode) —
+    * pigeonhole-complete for maxHamming ≤ 3. */
   def simhashPairs(df: DataFrame, maxHamming: Int = 3,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = simhash(df, idCol, textCol).cache()
+                   idCol: String = "doc_id", textCol: String = "text",
+                   portable: Boolean = false): DataFrame = {
+    val bandBits = if (portable) 15 else 16
+    val bandMask = (1L << bandBits) - 1
+    val sh = simhash(df, idCol, textCol, portable).cache()
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(bandMask)): _*))
         .as(Seq("band", "key")))
     val cands = banded.alias("a")
       .join(banded.select(col("band"), col("key"), col("doc_id").as("doc_b"),

@@ -51,12 +51,29 @@ object Profile {
       .select(col("series_id"), TsFunctions.resampleUdf(col("values"), lit(32)).as("values"))
       .cache()
     raw.count()
-    for (mi <- Seq(1, 2, 4, 8)) {
-      time(s"kshape fit maxIter=$mi") {
-        new graft.ml.KShape(k = 4, maxIter = mi, seed = 5).fit(raw)
-        0L
-      }
+    time("ucr_trace_1nn")(graft.SparkEntry.queries("ucr_trace_1nn")(spark, sfDir).count())
+    time("ucr_trace_1nn again")(graft.SparkEntry.queries("ucr_trace_1nn")(spark, sfDir).count())
+    locally {
+      val (train, test) = graft.sources.Datasets.CachedDatasets
+        .loadDataset(spark, "Trace", "/root/repo/data/cached")
+      time("trace load+count")(train.count() + test.count())
+      val scored = test.select(col("series_id"), col("values").as("qv"))
+        .crossJoin(broadcast(train.select(col("series_id").as("train_id"),
+          col("label").as("pred"), col("values").as("tv"))))
+        .select(col("series_id"), col("train_id"), col("pred"),
+          TsFunctions.euclideanUdf(col("qv"), col("tv")).as("d"))
+      time("trace scored only")(scored.count())
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("series_id").orderBy(col("d").asc, col("train_id").asc)
+      time("trace scored+window")(
+        scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1).count())
+      time("trace scored+argmin-agg")(
+        scored.groupBy("series_id")
+          .agg(min(struct(col("d"), col("train_id"), col("pred"))).getField("pred").as("pred"))
+          .count())
     }
+    time("doc_simhash_pairs")(graft.SparkEntry.queries("doc_simhash_pairs")(spark, sfDir).count())
+    time("doc_simhash_pairs again")(graft.SparkEntry.queries("doc_simhash_pairs")(spark, sfDir).count())
     spark.stop()
   }
 }

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.GraftML
+
+/** SURVEY §5.3 shared estimator contract: for EVERY veneer estimator —
+  * params round-trip, copy(overrides), fit, transform schema, and
+  * save→load→transform equality through the uniform persistence layout
+  * (the bases.py:63-286 {hyper_params, model_params} contract). */
+class GraftMLSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private lazy val rng = new scala.util.Random(3)
+
+  /** Two well-separated classes of length-12 series. */
+  private lazy val classified: DataFrame = {
+    val rows = (0 until 40).map { i =>
+      val cls = i % 2
+      val base = if (cls == 0) 0.0 else 3.0
+      (i.toLong, Array.tabulate(12)(t => base + math.sin(t * 0.5) + 0.1 * rng.nextGaussian()),
+        s"c$cls")
+    }
+    rows.toDF("series_id", "values", "label").cache()
+  }
+
+  private lazy val regression: DataFrame =
+    classified.withColumn("target",
+      aggregate(col("values"), lit(0.0), (acc, x) => acc + x) / size(col("values")))
+      .drop("label").cache()
+
+  private lazy val unlabeled: DataFrame = classified.drop("label").cache()
+
+  case class Fixture(name: String, params: Map[String, String], data: () => DataFrame)
+
+  private val fixtures = Seq(
+    Fixture("TimeSeriesKMeans", Map("k" -> "2", "maxIter" -> "5", "seed" -> "1"),
+      () => unlabeled),
+    Fixture("KShape", Map("k" -> "2", "maxIter" -> "4", "seed" -> "1"),
+      () => unlabeled),
+    Fixture("KNeighborsTimeSeriesClassifier", Map("k" -> "3", "metric" -> "dtw"),
+      () => classified),
+    Fixture("TimeSeriesSVC", Map("C" -> "1.0", "sigma" -> "2.0"),
+      () => classified),
+    Fixture("TimeSeriesSVR", Map("C" -> "5.0", "epsilon" -> "0.1", "sigma" -> "2.0"),
+      () => regression),
+    Fixture("TimeSeriesMLPRegressor",
+      Map("hidden" -> "8", "maxIter" -> "150", "seed" -> "2"),
+      () => regression),
+    Fixture("LearningShapelets", Map("perSize" -> "2", "seed" -> "1"),
+      () => classified),
+    Fixture("NonMyopicEarlyClassifier",
+      Map("tGrid" -> "4,8,12", "lambdaCost" -> "0.01"),
+      () => classified)
+  )
+
+  test("factory covers every declared estimator and rejects unknowns") {
+    GraftML.estimatorNames.foreach(n => assert(GraftML.make(n).name == n))
+    assertThrows[IllegalArgumentException](GraftML.make("NopeEstimator"))
+    assert(fixtures.map(_.name).sorted == GraftML.estimatorNames.sorted,
+      "behavior suite must cover every estimator")
+  }
+
+  fixtures.foreach { fx =>
+    test(s"${fx.name}: params/copy/fit/transform/save/load contract") {
+      val est = GraftML.make(fx.name, fx.params)
+      assert(est.name == fx.name)
+      assert(est.params == fx.params, "get_params round-trip")
+      val est2 = est.copy(Map("seed" -> "99"))
+      assert(est2.params("seed") == "99" && est2.name == fx.name, "set_params copy")
+      assert(est.params.get("seed") != Some("99"), "copy must not mutate the original")
+
+      val data = fx.data()
+      val model = est.fit(data)
+      assert(model.estimator == fx.name)
+      assert(model.hyper == fx.params, "model keeps its hyper_params")
+
+      val out1 = model.transform(data)
+      assert(out1.columns.contains("series_id"), s"schema: ${out1.columns.toSeq}")
+      val rows1 = out1.orderBy("series_id").collect()
+      assert(rows1.nonEmpty)
+
+      val dir = java.nio.file.Files.createTempDirectory(s"graftml_${fx.name}").toString
+      GraftML.save(spark, model, dir)
+      assert(new java.io.File(s"$dir/metadata.json").exists)
+      val loaded = GraftML.load(spark, dir)
+      assert(loaded.estimator == fx.name)
+      assert(loaded.hyper == fx.params, "hyper_params survive the round-trip")
+      val rows2 = loaded.transform(data).orderBy("series_id").collect()
+      assert(rows1.length == rows2.length)
+      rows1.zip(rows2).foreach { case (a, b) =>
+        assert(a == b, s"${fx.name}: transform drift after save/load: $a vs $b")
+      }
+    }
+  }
+}

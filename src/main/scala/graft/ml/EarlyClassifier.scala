@@ -67,8 +67,14 @@ class EarlyClassifier(val tGrid: Seq[Int], val lambdaCost: Double = 0.01) extend
   def fit(df: DataFrame): Model = {
     val spark = df.sparkSession
     import spark.implicits._
-    val data = df.select(col("series_id"), col("values").cast("array<double>"),
-      col("label").cast("string")).cache()
+    val data0 = df.select(col("series_id"), col("values").cast("array<double>"),
+      col("label").cast("string"))
+    val n = data0.count()
+    // one aggregation + one accuracy job per t-grid entry: size partitions
+    // to the data (~10k series each) to avoid empty-task scheduling
+    val nPart = math.max(1,
+      math.min(spark.sparkContext.defaultParallelism, n / 10000).toInt)
+    val data = data0.repartition(nPart).cache()
     val centroids = tGrid.map { t =>
       val prefixes = data.select(col("label"), slice(col("values"), 1, t).as("p"))
         .where(size(col("values")) >= t)

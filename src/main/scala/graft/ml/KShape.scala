@@ -38,13 +38,17 @@ class KShape(val k: Int, val maxIter: Int = 20, val tol: Double = 1e-6,
   def fit(df: DataFrame): Model = {
     val spark = df.sparkSession
     import spark.implicits._
-    val data = df.select(col("series_id").cast("long"), col("values").cast("array<double>"))
+    val data0 = df.select(col("series_id").cast("long"), col("values").cast("array<double>"))
       .as[(Long, Array[Double])]
       .map { case (id, vs) =>
         (id, Kernels.scaleMeanVariance(Kernels.uni(vs.toIndexedSeq: _*)).map(_(0)))
-      }.cache()
-    val n = data.count()
+      }
+    val n = data0.count()
     require(n >= k, s"need at least k=$k series")
+    // size partitions to the data (~10k series each): per-iteration jobs
+    // should pay for the gram aggregation, not empty-task scheduling
+    val nPart = math.max(1, math.min(spark.sparkContext.defaultParallelism, n / 10000).toInt)
+    val data = data0.repartition(nPart).cache()
     // deterministic init: k sampled members as initial shapes
     var centroids: Array[Array[Double]] =
       data.rdd.takeSample(withReplacement = false, k, seed).map(_._2)

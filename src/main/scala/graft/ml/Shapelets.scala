@@ -146,13 +146,23 @@ object Shapelets {
       .as[String].collect().sorted
     val labelIdx = labels.zipWithIndex.toMap
     val toIdx = udf((l: String) => labelIdx(l).toDouble)
+    // LR runs ~50 treeAggregate jobs over the tiny feature table; size
+    // partitions to the data (~10k rows each) so iteration cost is the
+    // aggregation, not empty-task scheduling (32 near-empty tasks × 50
+    // iterations dominated ts_shapelet_classify's bench time)
+    val n = df.count()
+    val nPart = math.max(1, math.min(spark.sparkContext.defaultParallelism, n / 10000).toInt)
     val feats = transform(df, shapelets)
       .withColumn("features", arrayToVectorUdf(col("shapelet_features")))
       .withColumn("label_idx", toIdx(col("label").cast("string")))
+      .select("series_id", "features", "label_idx")
+      .repartition(nPart).cache()
+    feats.count()
     val lr = new org.apache.spark.ml.classification.LogisticRegression()
       .setFeaturesCol("features").setLabelCol("label_idx")
       .setMaxIter(50).setRegParam(0.01)
       .fit(feats)
+    feats.unpersist()
     Model(shapelets, lr, labels)
   }
 }

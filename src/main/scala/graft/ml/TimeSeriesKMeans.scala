@@ -65,10 +65,15 @@ class TimeSeriesKMeans(
   def fit(df: DataFrame): Model = {
     val spark = df.sparkSession
     import spark.implicits._
-    val data = df.select(col("series_id").cast("long"), col("values").cast("array<double>"))
-      .as[(Long, Array[Double])].cache()
-    val n = data.count()
+    val data0 = df.select(col("series_id").cast("long"), col("values").cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val n = data0.count()
     require(n >= k, s"need at least k=$k series, got $n")
+    // iterative passes: size partitions to the data (~10k series each) so
+    // each of the maxIter·nInit jobs pays for aggregation, not for
+    // scheduling near-empty tasks
+    val nPart = math.max(1, math.min(spark.sparkContext.defaultParallelism, n / 10000).toInt)
+    val data = data0.repartition(nPart).cache()
     val sampleCap = 10000
     val sample = (if (n <= sampleCap) data.map(_._2)
       else data.sample(withReplacement = false, sampleCap.toDouble / n, seed).map(_._2))

@@ -111,23 +111,53 @@ object Dedup {
   /** SimHash per doc from word-level hashes (unweighted): 64 bits of
     * xxhash64 by default, 60 bits of the portable md5 hash when
     * `portable` (so a DuckDB oracle reproduces it bit-for-bit). */
+  /** Elementwise vector sum as a typed aggregation — replaces nBits
+    * separate sum(CASE…) aggregates whose whole-stage codegen alone cost
+    * seconds to compile; the buffer is one primitive array with map-side
+    * combine. */
+  private class BitSumAgg(nBits: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[(Long, Long), Array[Long], Array[Long]]
+      with Serializable {
+    def zero: Array[Long] = new Array[Long](nBits)
+    def reduce(buf: Array[Long], in: (Long, Long)): Array[Long] = {
+      var b = 0
+      while (b < nBits) {
+        buf(b) += (if (((in._2 >> b) & 1L) == 1L) 1L else -1L)
+        b += 1
+      }
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < nBits) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(buf: Array[Long]): Array[Long] = buf
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
   def simhash(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
               portable: Boolean = false): DataFrame = {
     val nBits = if (portable) 60 else 64
-    val words = df.select(col(idCol).as("doc_id"),
-      explode(split(lower(col(textCol)), " ")).as("w"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("w"))
       .select(col("doc_id"),
         (if (portable) md5Hash60(col("w")) else xxhash64(col("w"))).as("h"))
-    // per bit: sum of +1/-1; sign -> bit
-    val bitCols = array((0 until nBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-    }: _*)
-    words.groupBy("doc_id")
-      .agg(bitCols.as("bitsums"))
-      .select(col("doc_id"),
-        (0 until nBits).map(b =>
-          when(element_at(col("bitsums"), b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .agg(new BitSumAgg(nBits).toColumn)
+      .map { case (id, sums) =>
+        var sh = 0L
+        var b = 0
+        while (b < nBits) { if (sums(b) > 0) sh |= (1L << b); b += 1 }
+        (id, sh)
+      }
+      .toDF("doc_id", "simhash")
   }
 
   /** SimHash near-dup candidates with Hamming distance ≤ maxHamming,

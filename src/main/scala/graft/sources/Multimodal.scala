@@ -11,12 +11,117 @@ import org.apache.spark.sql.types._
   * `mapPartitions` batch transforms so one task amortizes codec setup over
   * its whole partition (the Scala analogue of `mapInPandas` batching).
   *
-  * The actual codecs are NOT in this container, so `decodeStub` is a
-  * clearly-marked deterministic fake: the Spark-side contract — schema,
-  * batching, partitioning, UDF signatures — is real and tested; swapping
-  * in a real decoder changes only the function body.
+  * Decoding: uncompressed raster formats (binary PPM/PGM, uncompressed
+  * 24-bit BMP) are decoded FOR REAL in [[decode]] — pure byte parsing, no
+  * external codec. Compressed codecs (JPEG/PNG/…) are not in this
+  * container, so [[decodeStub]] remains the clearly-marked deterministic
+  * fallback; [[decode]] dispatches on magic bytes and only falls back for
+  * formats it cannot parse. Resize ([[resizeNearest]]) and grayscale
+  * feature extraction operate on the decoded pixels either way.
   */
 object Multimodal {
+
+  /** Grayscale pixels in [0,1] + (width, height). */
+  final case class Raster(px: Array[Float], width: Int, height: Int)
+
+  /** REAL decoder for binary PPM (P6) / PGM (P5) and uncompressed 24-bit
+    * BMP payloads — plain byte parsing, no codec library. Returns None
+    * for formats it cannot parse (callers fall back to [[decodeStub]]). */
+  def decode(payload: Array[Byte]): Option[Raster] = {
+    if (payload.length >= 2 && payload(0) == 'P' && (payload(1) == '5' || payload(1) == '6'))
+      decodePnm(payload)
+    else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M')
+      decodeBmp24(payload)
+    else None
+  }
+
+  private def decodePnm(b: Array[Byte]): Option[Raster] = {
+    // header: magic, whitespace-separated width height maxval (with
+    // #-comments), single whitespace, then raw samples
+    val color = b(1) == '6'
+    var i = 2
+    val fields = new Array[Int](3)
+    var f = 0
+    while (f < 3) {
+      while (i < b.length && (b(i).toChar.isWhitespace || b(i) == '#')) {
+        if (b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else i += 1
+      }
+      if (i >= b.length) return None
+      var v = 0
+      while (i < b.length && b(i).toChar.isDigit) { v = v * 10 + (b(i) - '0'); i += 1 }
+      fields(f) = v
+      f += 1
+    }
+    i += 1 // the single whitespace after maxval
+    val (w, h, maxv) = (fields(0), fields(1), fields(2))
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    val nCh = if (color) 3 else 1
+    if (i + w * h * nCh > b.length) return None
+    val px = new Array[Float](w * h)
+    var p = 0
+    while (p < w * h) {
+      val base = i + p * nCh
+      val lum =
+        if (color)
+          0.299f * (b(base) & 0xFF) + 0.587f * (b(base + 1) & 0xFF) +
+            0.114f * (b(base + 2) & 0xFF)
+        else (b(base) & 0xFF).toFloat
+      px(p) = lum / maxv
+      p += 1
+    }
+    Some(Raster(px, w, h))
+  }
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+
+  private def decodeBmp24(b: Array[Byte]): Option[Raster] = {
+    if (b.length < 54) return None
+    val dataOff = le32(b, 10)
+    val w = le32(b, 18)
+    val h = le32(b, 22)
+    val bpp = (b(28) & 0xFF) | ((b(29) & 0xFF) << 8)
+    val compression = le32(b, 30)
+    if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
+    val hAbs = math.abs(h)
+    val rowBytes = ((w * 3 + 3) / 4) * 4 // rows padded to 4-byte boundary
+    if (dataOff + rowBytes.toLong * hAbs > b.length) return None
+    val px = new Array[Float](w * hAbs)
+    var y = 0
+    while (y < hAbs) {
+      // positive height = bottom-up row order
+      val srcRow = if (h > 0) hAbs - 1 - y else y
+      var x = 0
+      while (x < w) {
+        val o = dataOff + srcRow * rowBytes + x * 3 // BGR
+        val lum = 0.299f * (b(o + 2) & 0xFF) + 0.587f * (b(o + 1) & 0xFF) +
+          0.114f * (b(o) & 0xFF)
+        px(y * w + x) = lum / 255.0f
+        x += 1
+      }
+      y += 1
+    }
+    Some(Raster(px, w, hAbs))
+  }
+
+  /** Nearest-neighbor resize on decoded pixels. */
+  def resizeNearest(r: Raster, outW: Int, outH: Int): Raster = {
+    val out = new Array[Float](outW * outH)
+    var y = 0
+    while (y < outH) {
+      val sy = math.min(r.height - 1, y * r.height / outH)
+      var x = 0
+      while (x < outW) {
+        val sx = math.min(r.width - 1, x * r.width / outW)
+        out(y * outW + x) = r.px(sy * r.width + sx)
+        x += 1
+      }
+      y += 1
+    }
+    Raster(out, outW, outH)
+  }
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -28,11 +133,12 @@ object Multimodal {
       StructField("sample_rate", IntegerType, nullable = true),
       StructField("n_frames", IntegerType, nullable = true))), nullable = false)))
 
-  /** STUB decoder: a real implementation would call an image/audio codec
-    * here. The fake is deterministic in (payload bytes, meta) so tests and
-    * downstream feature logic are exercised honestly. */
+  /** STUB fallback for COMPRESSED codecs (JPEG/PNG/audio/video) that are
+    * not in this container. Deterministic in (payload bytes, meta) so
+    * tests and downstream feature logic are exercised honestly; parseable
+    * raster payloads never reach it (see [[decode]]). */
   def decodeStub(payload: Array[Byte], width: Int, height: Int): Array[Float] = {
-    // ??? <- real codec goes here; deterministic fake below
+    // ??? <- real compressed-codec call goes here; deterministic fake below
     val out = new Array[Float](math.max(1, width * height))
     var i = 0
     while (i < out.length) {
@@ -51,9 +157,11 @@ object Multimodal {
       col("payload"), col("meta.width"), col("meta.height"))
     rows.as[(Long, String, Array[Byte], Option[Int], Option[Int])]
       .mapPartitions { it =>
-        // per-partition "codec" setup happens once here
+        // per-partition codec setup happens once here
         it.map { case (id, kind, payload, w, h) =>
-          val px = decodeStub(payload, w.getOrElse(8), h.getOrElse(8))
+          // real byte-parsing decode for PPM/PGM/BMP; stub for the rest
+          val px = decode(payload).map(_.px)
+            .getOrElse(decodeStub(payload, w.getOrElse(8), h.getOrElse(8)))
           val mean = px.sum / px.length
           var varAcc = 0.0f; var edge = 0.0f
           var i = 0

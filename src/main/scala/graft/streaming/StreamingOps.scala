@@ -37,6 +37,68 @@ object StreamingOps {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("duration_ms"))
 
+  case class MpPoint(user_id: Long, seq: Long, value: Double)
+  case class MpValue(user_id: Long, i: Long, mp: Double)
+
+  /** Streaming LEFT matrix profile (STAMPI semantics), keyed by series id:
+    * as each point arrives, the newly completed length-m subsequence is
+    * compared against all PRIOR subsequences (exclusion zone m/2) and its
+    * left-profile value is emitted once. Past emissions are never updated
+    * — that is the defining property of the left profile, and what makes
+    * it streamable with O(history) state and no re-emission.
+    *
+    * State per key: the last `history` points (ring-capped), so memory is
+    * bounded regardless of stream length; distances beyond the horizon are
+    * not considered (document the approximation when history < stream).
+    * Input must carry a monotonically increasing per-key `seq`. */
+  def leftMatrixProfile(points: Dataset[MpPoint], m: Int,
+                        history: Int = 4096): Dataset[MpValue] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    require(history >= 2 * m, "history must cover at least two windows")
+    val excl = m / 2
+    points.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Array[Double]), MpValue](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[MpPoint], state: GroupState[(Long, Array[Double])]) =>
+          // state: (seq of first buffered point, buffered values)
+          var (bufStart, buf) = state.getOption.getOrElse((0L, Array.empty[Double]))
+          val out = scala.collection.mutable.ArrayBuffer.empty[MpValue]
+          batch.toArray.sortBy(_.seq).foreach { p =>
+            buf = buf :+ p.value
+            if (buf.length > history) {
+              bufStart += buf.length - history
+              buf = buf.takeRight(history)
+            }
+            val n = buf.length
+            if (n >= m) {
+              val qStartLocal = n - m // newest window, local index
+              val newestIdx = bufStart + qStartLocal
+              var best = Double.PositiveInfinity
+              var j = 0
+              // all prior windows inside the horizon, exclusion-zoned
+              while (j <= n - m - 1) {
+                if (math.abs(qStartLocal - j) > excl) {
+                  var d = 0.0
+                  var t = 0
+                  while (t < m) {
+                    val df = buf(qStartLocal + t) - buf(j + t)
+                    d += df * df
+                    t += 1
+                  }
+                  if (d < best) best = d
+                }
+                j += 1
+              }
+              if (best != Double.PositiveInfinity)
+                out += MpValue(uid, newestIdx, math.sqrt(best))
+            }
+          }
+          state.update((bufStart, buf))
+          out.iterator
+      }
+  }
+
   /** Early classification over growing prefixes, keyed by series id —
     * the streaming form of NonMyopicEarlyClassifier.predict
     * (`early_classification/early_classification.py:350-359`): buffer the

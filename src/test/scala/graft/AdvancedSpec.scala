@@ -110,4 +110,30 @@ class AdvancedSpec extends AnyFunSuite {
       assert(r.getDouble(2) == r.getDouble(3), "banded mismatch")
     }
   }
+
+  test("native expressions COMPILE under codegen (no fallback) and match eval") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.functions.{DtwExpression, LbKeoghExpression}
+    val at = ArrayType(DoubleType, containsNull = false)
+    val a = Array(1.0, 2.0, 3.0, 4.0)
+    val b = Array(1.0, 2.5, 2.5, 4.0)
+    val lo = b.map(_ - 0.2)
+    val hi = b.map(_ + 0.2)
+    val row = InternalRow(new GenericArrayData(a), new GenericArrayData(b),
+      new GenericArrayData(lo), new GenericArrayData(hi))
+    val dtwE = DtwExpression(BoundReference(0, at, nullable = false),
+      BoundReference(1, at, nullable = false), 2)
+    val lbE = LbKeoghExpression(BoundReference(0, at, nullable = false),
+      BoundReference(2, at, nullable = false), BoundReference(3, at, nullable = false))
+    // GenerateMutableProjection compiles doGenCode directly — a broken
+    // implementation throws here instead of silently falling back
+    val proj = GenerateMutableProjection.generate(Seq(dtwE, lbE))
+    val out = proj(row)
+    assert(out.getDouble(0) == graft.kernels.Kernels.dtwFlat(a, b, 2))
+    assert(out.getDouble(1) == graft.kernels.Kernels.lbKeoghEnv(a, lo, hi))
+  }
 }

@@ -79,4 +79,40 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(d2.length == 1 && d2(0).getInt(2) == 0)
   }
+
+  test("streaming left matrix profile matches the batch left profile") {
+    implicit val sqlCtx = spark.sqlContext
+    val m = 4
+    val rng = new scala.util.Random(7)
+    val series = Array.tabulate(40)(t => math.sin(t * 0.4) + 0.05 * rng.nextGaussian())
+
+    // batch left-profile reference: newest window vs all PRIOR windows
+    val excl = m / 2
+    val expected = (for (i <- 0 to series.length - m) yield {
+      val ds = for {
+        j <- 0 until i if math.abs(i - j) > excl
+      } yield math.sqrt((0 until m).map(t =>
+        (series(i + t) - series(j + t)) * (series(i + t) - series(j + t))).sum)
+      i.toLong -> (if (ds.isEmpty) None else Some(ds.min))
+    }).collect { case (i, Some(d)) => i -> d }.toMap
+
+    val input = MemoryStream[StreamingOps.MpPoint]
+    val q = StreamingOps.leftMatrixProfile(input.toDS(), m, history = 64)
+      .writeStream.format("memory").queryName("leftmp").outputMode("append").start()
+    // feed in two chunks to exercise cross-batch state
+    input.addData(series.take(17).zipWithIndex.map { case (v, i) =>
+      StreamingOps.MpPoint(1, i.toLong, v) }.toIndexedSeq: _*)
+    q.processAllAvailable()
+    input.addData(series.drop(17).zipWithIndex.map { case (v, i) =>
+      StreamingOps.MpPoint(1, (i + 17).toLong, v) }.toIndexedSeq: _*)
+    q.processAllAvailable()
+    val got = spark.table("leftmp").collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    q.stop()
+    assert(got.keySet == expected.keySet,
+      s"emitted windows ${got.keySet.toSeq.sorted} vs ${expected.keySet.toSeq.sorted}")
+    expected.foreach { case (i, d) =>
+      assert(math.abs(got(i) - d) < 1e-9, s"window $i: ${got(i)} vs $d")
+    }
+  }
 }

@@ -58,6 +58,39 @@ class SvcMultimodalSpec extends AnyFunSuite {
     assert(feats.forall(f => f.length == 3 && f.forall(v => !v.isNaN)))
   }
 
+  test("multimodal: REAL decode of PGM, PPM and 24-bit BMP payloads") {
+    // 2x2 PGM (P5): pixels 0, 255, 128, 64
+    val pgm = "P5\n2 2\n255\n".getBytes ++ Array[Byte](0, -1, 128.toByte, 64)
+    val r1 = Multimodal.decode(pgm).get
+    assert(r1.width == 2 && r1.height == 2)
+    assert(math.abs(r1.px(0) - 0f) < 1e-6 && math.abs(r1.px(1) - 1f) < 1e-6)
+    assert(math.abs(r1.px(2) - 128f / 255f) < 1e-6)
+
+    // 1x1 PPM (P6): pure red -> luminance 0.299
+    val ppm = "P6\n# comment\n1 1\n255\n".getBytes ++ Array[Byte](-1, 0, 0)
+    val r2 = Multimodal.decode(ppm).get
+    assert(math.abs(r2.px(0) - 0.299f) < 1e-3)
+
+    // 2x1 bottom-up 24-bit BMP: left pixel white, right black (BGR rows
+    // padded to 4 bytes); header built by hand
+    def le(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val pxRow = Array[Byte](-1, -1, -1, 0, 0, 0) ++ Array[Byte](0, 0) // pad to 8
+    val bmp = "BM".getBytes ++ le(54 + pxRow.length) ++ le(0) ++ le(54) ++
+      le(40) ++ le(2) ++ le(1) ++ Array[Byte](1, 0, 24, 0) ++ le(0) ++
+      le(pxRow.length) ++ le(0) ++ le(0) ++ le(0) ++ le(0) ++ pxRow
+    val r3 = Multimodal.decode(bmp).get
+    assert(r3.width == 2 && r3.height == 1)
+    assert(math.abs(r3.px(0) - 1f) < 1e-3 && math.abs(r3.px(1)) < 1e-6)
+
+    // nearest resize 2x2 -> 4x4 replicates quadrants
+    val rz = Multimodal.resizeNearest(r1, 4, 4)
+    assert(rz.width == 4 && rz.px(0) == r1.px(0) && rz.px(15) == r1.px(3))
+
+    // junk payloads fall back to None (-> decodeStub path downstream)
+    assert(Multimodal.decode(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("multimodal: frame sampling plan") {
     val media = Multimodal.synthetic(spark, 9, seed = 3)
     val frames = Multimodal.sampleFrames(media, stride = 10).collect()

@@ -267,12 +267,33 @@ object GraftML {
 
   case class ShapeletEst(params: Map[String, String]) extends Estimator {
     def name = "LearningShapelets"
+    /** refineIters > 0 trains shapelets end-to-end by gradient (the
+      * reference's Keras loop); 0 = k-means init + logistic head. */
     def fit(df: DataFrame): Model = {
-      val m = Shapelets.fit(df,
-        perSize = pget(params, "perSize", "4").toInt,
-        seed = pget(params, "seed", "0").toLong)
-      ShapeletModel(params, m)
+      val refineIters = pget(params, "refineIters", "0").toInt
+      if (refineIters > 0)
+        RefinedShapeletModel(params, Shapelets.fitRefined(df,
+          perSize = pget(params, "perSize", "4").toInt,
+          iters = refineIters,
+          lr = pget(params, "lr", "0.1").toDouble,
+          seed = pget(params, "seed", "0").toLong))
+      else
+        ShapeletModel(params, Shapelets.fit(df,
+          perSize = pget(params, "perSize", "4").toInt,
+          seed = pget(params, "seed", "0").toLong))
     }
+  }
+
+  case class RefinedShapeletModel(hyper: Map[String, String],
+                                  inner: Shapelets.RefinedModel) extends Model {
+    def estimator = "LearningShapelets"
+    def scalars: Map[String, String] =
+      inner.labels.zipWithIndex.map { case (l, i) => s"label_$i" -> l }.toMap
+    def arrays: Seq[(String, String, Array[Double])] =
+      inner.shapelets.zipWithIndex.map { case (s, i) => ("shapelets", i.toString, s) }.toSeq ++
+        inner.w.zipWithIndex.map { case (r, c) => ("w", c.toString, r) }.toSeq ++
+        Seq(("b", "0", inner.b), ("loss_history", "0", inner.lossHistory))
+    def transform(df: DataFrame): DataFrame = inner.predict(df)
   }
 
   case class ShapeletModel(hyper: Map[String, String],
@@ -394,9 +415,15 @@ object GraftML {
       case "LearningShapelets" =>
         val labels = scalars.keys.filter(_.startsWith("label_")).toSeq
           .sortBy(_.stripPrefix("label_").toInt).map(scalars).toArray
-        val lr = org.apache.spark.ml.classification.LogisticRegressionModel
-          .load(s"$path/nested/lr")
-        ShapeletModel(hyper, Shapelets.Model(famSorted("shapelets"), lr, labels))
+        if (arrays.exists(_._1 == "w")) // refined: softmax head stored inline
+          RefinedShapeletModel(hyper, Shapelets.RefinedModel(
+            famSorted("shapelets"), famSorted("w"), fam("b").head._2, labels,
+            fam("loss_history").head._2))
+        else {
+          val lr = org.apache.spark.ml.classification.LogisticRegressionModel
+            .load(s"$path/nested/lr")
+          ShapeletModel(hyper, Shapelets.Model(famSorted("shapelets"), lr, labels))
+        }
       case "NonMyopicEarlyClassifier" =>
         val centroids = arrays.filter(_._1.startsWith("centroids_"))
           .groupBy(_._1.stripPrefix("centroids_").toInt)

@@ -135,6 +135,186 @@ object Shapelets {
   private val arrayToVectorUdf = udf((a: scala.collection.Seq[Double]) =>
     org.apache.spark.ml.linalg.Vectors.dense(a.toArray))
 
+  /** min distance AND its argmin position in one sweep. */
+  def minDistWithPos(series: Array[Double], shapelet: Array[Double]): (Double, Int) = {
+    val m = shapelet.length
+    if (series.length < m) return (Double.PositiveInfinity, 0)
+    var best = Double.PositiveInfinity; var bestPos = 0
+    var pos = 0
+    while (pos <= series.length - m) {
+      var s = 0.0; var i = 0
+      while (i < m) { val d = series(pos + i) - shapelet(i); s += d * d; i += 1 }
+      if (s < best) { best = s; bestPos = pos }
+      pos += 1
+    }
+    (best / m, bestPos)
+  }
+
+  /** Flat gradient buffer for one refinement step: shapelet grads ++
+    * softmax-head grads ++ loss ++ count. */
+  private class GradAgg(shapelets: Array[Array[Double]], w: Array[Array[Double]],
+                        b: Array[Double])
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Array[Double], Int), Array[Double], Array[Double]] with Serializable {
+    private val kS = shapelets.length
+    private val nC = b.length
+    private val shapeletLen = shapelets.map(_.length)
+    private val shapeletOff = shapeletLen.scanLeft(0)(_ + _)
+    private val nShapeletParams = shapeletOff.last
+    private val size = nShapeletParams + nC * kS + nC + 2 // +loss +n
+
+    def zero: Array[Double] = new Array[Double](size)
+
+    def reduce(g: Array[Double], in: (Array[Double], Int)): Array[Double] = {
+      val (x, y) = in
+      // forward: features f_k = min-pos distance, remember argmin
+      val f = new Array[Double](kS)
+      val pos = new Array[Int](kS)
+      var k = 0
+      while (k < kS) {
+        val (d, p) = minDistWithPos(x, shapelets(k))
+        f(k) = d; pos(k) = p
+        k += 1
+      }
+      val logits = Array.tabulate(nC) { c =>
+        var s = b(c); var kk = 0
+        while (kk < kS) { s += w(c)(kk) * f(kk); kk += 1 }
+        s
+      }
+      val mx = logits.max
+      val exps = logits.map(v => math.exp(v - mx))
+      val z = exps.sum
+      val p = exps.map(_ / z)
+      g(size - 2) += -math.log(math.max(1e-12, p(y))) // loss
+      g(size - 1) += 1.0 // count
+      // backward
+      val dLogit = Array.tabulate(nC)(c => p(c) - (if (c == y) 1.0 else 0.0))
+      var c = 0
+      while (c < nC) {
+        g(nShapeletParams + nC * kS + c) += dLogit(c) // bias grad
+        var kk = 0
+        while (kk < kS) {
+          g(nShapeletParams + c * kS + kk) += dLogit(c) * f(kk) // W grad
+          kk += 1
+        }
+        c += 1
+      }
+      k = 0
+      while (k < kS) {
+        var gf = 0.0
+        var cc = 0
+        while (cc < nC) { gf += dLogit(cc) * w(cc)(k); cc += 1 }
+        // d f_k / d S_k[t] = 2 (S_k[t] − x[p*+t]) / len — subgradient at
+        // the argmin position (the reference's min-pooling backward)
+        val len = shapeletLen(k)
+        val p0 = pos(k)
+        var t = 0
+        while (t < len) {
+          g(shapeletOff(k) + t) += gf * 2.0 * (shapelets(k)(t) - x(p0 + t)) / len
+          t += 1
+        }
+        k += 1
+      }
+      g
+    }
+
+    def merge(a: Array[Double], b2: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < size) { a(i) += b2(i); i += 1 }
+      a
+    }
+    def finish(g: Array[Double]): Array[Double] = g
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+
+  /** Refined model: shapelets + softmax head trained END-TO-END. */
+  case class RefinedModel(shapelets: Array[Array[Double]], w: Array[Array[Double]],
+                          b: Array[Double], labels: Array[String],
+                          lossHistory: Array[Double]) {
+    def predict(df: DataFrame, seriesCol: String = "values"): DataFrame = {
+      val spark = df.sparkSession
+      val bcS = spark.sparkContext.broadcast(this)
+      val f = udf((s: scala.collection.Seq[Double]) => {
+        val m = bcS.value
+        val x = s.toArray
+        val feats = m.shapelets.map(sh => minDist(x, sh))
+        val logits = m.b.indices.map { c =>
+          m.b(c) + m.w(c).zip(feats).map { case (wv, fv) => wv * fv }.sum
+        }
+        m.labels(logits.zipWithIndex.maxBy { case (v, i) => (v, -i) }._2)
+      })
+      df.select(col("series_id"), f(col(seriesCol)).as("label"))
+    }
+  }
+
+  /** End-to-end gradient refinement — the reference's training loop
+    * (`shapelets.py:318-420`: min-pool features + softmax head, SGD into
+    * the shapelets through the argmin) as driver Adam over ONE distributed
+    * gradient aggregation per step. The gradient buffer is a fixed-size
+    * flat array with map-side combine, so a step costs one job regardless
+    * of data size; shapelets travel in the task closure (k·len doubles). */
+  def fitRefined(df: DataFrame, perSize: Int = 4, iters: Int = 30,
+                 lr: Double = 0.1, seed: Long = 0L): RefinedModel = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sz = df.select(size(col("values"))).as[Int].head()
+    var shapelets = initShapelets(df, suggestSizes(sz), perSize, seed)
+    val labels = df.select(col("label").cast("string")).distinct()
+      .as[String].collect().sorted
+    val labelIdx = labels.zipWithIndex.toMap
+    val nC = labels.length
+    val kS = shapelets.length
+    val rng = new scala.util.Random(seed)
+    var w = Array.fill(nC, kS)(0.01 * rng.nextGaussian())
+    var b = new Array[Double](nC)
+    val data = df.select(col("values").cast("array<double>"),
+        col("label").cast("string"))
+      .as[(Array[Double], String)]
+      .map { case (v, l) => (v, labelIdx(l)) }
+      .cache()
+    data.count()
+    // Adam state over the flat parameter vector
+    val lens = shapelets.map(_.length)
+    val offs = lens.scanLeft(0)(_ + _)
+    val nP = offs.last + nC * kS + nC
+    val mAdam = new Array[Double](nP)
+    val vAdam = new Array[Double](nP)
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var it = 0
+    while (it < iters) {
+      val g = data.groupByKey(_ => 0)
+        .agg(new GradAgg(shapelets, w, b).toColumn).collect().head._2
+      val n = math.max(1.0, g(g.length - 1))
+      losses += g(g.length - 2) / n
+      // Adam step
+      val t = it + 1
+      val (b1, b2, eps) = (0.9, 0.999, 1e-8)
+      var i = 0
+      while (i < nP) {
+        val grad = g(i) / n
+        mAdam(i) = b1 * mAdam(i) + (1 - b1) * grad
+        vAdam(i) = b2 * vAdam(i) + (1 - b2) * grad * grad
+        val mh = mAdam(i) / (1 - math.pow(b1, t))
+        val vh = vAdam(i) / (1 - math.pow(b2, t))
+        val step = lr * mh / (math.sqrt(vh) + eps)
+        if (i < offs.last) {
+          val k = offs.indices.dropRight(1).find(kk => i < offs(kk + 1)).get
+          shapelets(k)(i - offs(k)) -= step
+        } else if (i < offs.last + nC * kS) {
+          val ci = (i - offs.last) / kS
+          w(ci)((i - offs.last) % kS) -= step
+        } else b(i - offs.last - nC * kS) -= step
+        i += 1
+      }
+      it += 1
+    }
+    data.unpersist()
+    RefinedModel(shapelets, w, b, labels, losses.toArray)
+  }
+
   /** Fit: init shapelets, transform, logistic head. Input needs
     * (series_id, values, label STRING). */
   def fit(df: DataFrame, perSize: Int = 4, seed: Long = 0L): Model = {

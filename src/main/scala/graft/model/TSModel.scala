@@ -36,6 +36,46 @@ object TSModel {
   }
 
   /** Nested univariate ARRAY<DOUBLE> → ARRAY<ARRAY<DOUBLE>> (d=1). */
+  /** All-zero dataset constructor — `ts_zeros` (`utils.py`): n series of
+    * sz zeros (univariate). */
+  def zeros(spark: SparkSession, n: Int, sz: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.range(n).select(col("id").as("series_id"),
+      array_repeat(lit(0.0), sz).as("values"))
+  }
+
+  /** Dataset validity checks — `check_dataset` (`utils.py:454-525`)
+    * semantics over the nested schema: throws IllegalArgumentException
+    * (the reference's ValueError) when a constraint fails; returns the
+    * input unchanged otherwise. The univariate nested form IS d=1, so
+    * forceUnivariate passes by construction for ARRAY<DOUBLE> and fails
+    * for ARRAY<ARRAY<DOUBLE>> columns with inner size > 1. */
+  def checkDataset(df: DataFrame, seriesCol: String = "values",
+                   forceEqualLength: Boolean = false,
+                   forceSingleTimeSeries: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (forceEqualLength) {
+      val nLens = df.select(size(col(seriesCol))).distinct().count()
+      require(nLens <= 1,
+        "All the time series in the array should be of equal lengths")
+    }
+    if (forceSingleTimeSeries) {
+      val n = df.count()
+      require(n == 1, s"Array should be made of a single time series ($n here)")
+    }
+    df
+  }
+
+  /** Per-estimator dimension guard — `check_dims` (`utils.py:24-115`):
+    * transform-time series length must match fit-time length. */
+  def checkDims(df: DataFrame, fitSz: Int, seriesCol: String = "values"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val bad = df.where(size(col(seriesCol)) =!= fitSz).limit(1).count()
+    require(bad == 0, s"Dimensions (of first array) provided during fit ($fitSz) " +
+      "and transform do not match")
+    df
+  }
+
   def asMultivariate(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     transform(c, v => array(v))
 

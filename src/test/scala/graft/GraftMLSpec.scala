@@ -56,6 +56,9 @@ class GraftMLSpec extends AnyFunSuite {
       () => regression),
     Fixture("LearningShapelets", Map("perSize" -> "2", "seed" -> "1"),
       () => classified),
+    Fixture("LearningShapelets",
+      Map("perSize" -> "2", "seed" -> "1", "refineIters" -> "10"),
+      () => classified),
     Fixture("NonMyopicEarlyClassifier",
       Map("tGrid" -> "4,8,12", "lambdaCost" -> "0.01"),
       () => classified)
@@ -64,12 +67,12 @@ class GraftMLSpec extends AnyFunSuite {
   test("factory covers every declared estimator and rejects unknowns") {
     GraftML.estimatorNames.foreach(n => assert(GraftML.make(n).name == n))
     assertThrows[IllegalArgumentException](GraftML.make("NopeEstimator"))
-    assert(fixtures.map(_.name).sorted == GraftML.estimatorNames.sorted,
+    assert(fixtures.map(_.name).distinct.sorted == GraftML.estimatorNames.sorted,
       "behavior suite must cover every estimator")
   }
 
-  fixtures.foreach { fx =>
-    test(s"${fx.name}: params/copy/fit/transform/save/load contract") {
+  fixtures.zipWithIndex.foreach { case (fx, fi) =>
+    test(s"${fx.name} [#$fi]: params/copy/fit/transform/save/load contract") {
       val est = GraftML.make(fx.name, fx.params)
       assert(est.name == fx.name)
       assert(est.params == fx.params, "get_params round-trip")

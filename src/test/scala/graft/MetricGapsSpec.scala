@@ -130,6 +130,32 @@ class MetricGapsSpec extends AnyFunSuite {
       s"(max err ${pred.max})")
   }
 
+  test("gradient shapelet refinement: loss decreases, train accuracy high") {
+    val rng = new scala.util.Random(21)
+    // class 0: flat + noise; class 1: a bump at a random position
+    val rows = (0 until 40).map { i =>
+      val cls = i % 2
+      val vals = Array.tabulate(24)(t => 0.1 * rng.nextGaussian())
+      if (cls == 1) {
+        val p = 4 + rng.nextInt(12)
+        (0 until 6).foreach(j => vals(p + j) += 2.0)
+      }
+      (i.toLong, vals, s"c$cls")
+    }
+    val df = rows.toDF("series_id", "values", "label").cache()
+    val model = graft.ml.Shapelets.fitRefined(df, perSize = 3, iters = 25, lr = 0.1, seed = 4)
+    assert(model.lossHistory.length == 25)
+    val early = model.lossHistory.take(5).sum / 5
+    val late = model.lossHistory.takeRight(5).sum / 5
+    assert(late < early * 0.8, s"loss did not decrease: $early -> $late " +
+      s"(history ${model.lossHistory.map(v => f"$v%.3f").mkString(",")})")
+    val acc = model.predict(df)
+      .join(df.select(col("series_id"), col("label").as("truth")), "series_id")
+      .select(avg(when(col("label") === col("truth"), 1.0).otherwise(0.0)))
+      .as[Double].head()
+    assert(acc >= 0.9, s"refined train accuracy $acc")
+  }
+
   test("MLPRegressor learns mean-of-series, beats predicting the global mean") {
     val rng = new scala.util.Random(11)
     val rows = (0 until 60).map { i =>

@@ -63,4 +63,42 @@ class ModelSpec extends AnyFunSuite {
     val acc = pred.where(col("label") === col("truth")).count().toDouble / 40
     assert(acc >= 0.95, s"MLP accuracy $acc")
   }
+
+  test("ts_zeros, check_dataset, check_dims (utils.py semantics)") {
+    import graft.model.TSModel
+    val z = TSModel.zeros(spark, 3, 5).collect()
+    assert(z.length == 3 && z.forall(_.getSeq[Double](1).forall(_ == 0.0)))
+    val ragged = Seq((0L, Array(1.0, 2.0)), (1L, Array(1.0, 2.0, 3.0)))
+      .toDF("series_id", "values")
+    TSModel.checkDataset(ragged) // no constraint: fine
+    assertThrows[IllegalArgumentException](
+      TSModel.checkDataset(ragged, forceEqualLength = true))
+    assertThrows[IllegalArgumentException](
+      TSModel.checkDataset(ragged, forceSingleTimeSeries = true))
+    TSModel.checkDims(ragged.where($"series_id" === 0), fitSz = 2)
+    assertThrows[IllegalArgumentException](TSModel.checkDims(ragged, fitSz = 2))
+  }
+
+  test("LabelCategorizer one-hot round-trip (utils.py:528-636 doctest shape)") {
+    import graft.ml.LabelCategorizer
+    val df = Seq((0L, "-1"), (1L, "2"), (2L, "1"), (3L, "1"), (4L, "2"))
+      .toDF("series_id", "label")
+    val m = new LabelCategorizer().fit(df)
+    assert(m.backwardMatch.toSeq == Seq("-1", "1", "2"))
+    val oh = m.transform(df).orderBy("series_id")
+      .select("y_onehot").as[Array[Double]].collect()
+    assert(oh(0).toSeq == Seq(1.0, 0.0, 0.0) && oh(1).toSeq == Seq(0.0, 0.0, 1.0))
+    val back = m.inverseTransform(m.transform(df)).orderBy("series_id")
+      .select("label_orig").as[String].collect()
+    assert(back.toSeq == Seq("-1", "2", "1", "1", "2"))
+    // binary + single column
+    val dfb = Seq((0L, "-1"), (1L, "2"), (2L, "-1")).toDF("series_id", "label")
+    val mb = new LabelCategorizer(singleColumnIfBinary = true).fit(dfb)
+    val ohb = mb.transform(dfb).orderBy("series_id")
+      .select("y_onehot").as[Array[Double]].collect()
+    assert(ohb.map(_.toSeq).toSeq == Seq(Seq(1.0), Seq(0.0), Seq(1.0)))
+    val backb = mb.inverseTransform(mb.transform(dfb)).orderBy("series_id")
+      .select("label_orig").as[String].collect()
+    assert(backb.toSeq == Seq("-1", "2", "-1"))
+  }
 }

@@ -45,6 +45,7 @@ object GraftML {
   def make(name: String, params: Map[String, String] = Map.empty): Estimator =
     name match {
       case "TimeSeriesKMeans" => KMeansEst(params)
+      case "KernelKMeans" => KernelKMeansEst(params)
       case "KShape" => KShapeEst(params)
       case "KNeighborsTimeSeriesClassifier" => KnnEst(params)
       case "TimeSeriesSVC" => SvcEst(params)
@@ -56,7 +57,8 @@ object GraftML {
     }
 
   def estimatorNames: Seq[String] = Seq(
-    "TimeSeriesKMeans", "KShape", "KNeighborsTimeSeriesClassifier",
+    "TimeSeriesKMeans", "KernelKMeans", "KShape",
+    "KNeighborsTimeSeriesClassifier",
     "TimeSeriesSVC", "TimeSeriesSVR", "TimeSeriesMLPRegressor",
     "LearningShapelets", "NonMyopicEarlyClassifier")
 
@@ -96,6 +98,34 @@ object GraftML {
     def transform(df: DataFrame): DataFrame =
       TimeSeriesKMeans.assign(df, centroids,
         pget(hyper, "metric", "euclidean"), pget(hyper, "gamma", "1.0").toDouble)
+  }
+
+  // ---------------------------------------------------------- kernel-kmeans
+
+  case class KernelKMeansEst(params: Map[String, String]) extends Estimator {
+    def name = "KernelKMeans"
+    def fit(df: DataFrame): Model = {
+      val est = new KernelKMeans(
+        k = pget(params, "k", "4").toInt,
+        maxIter = pget(params, "maxIter", "10").toInt,
+        tol = pget(params, "tol", "1e-6").toDouble,
+        sigma = pget(params, "sigma", "1.0").toDouble,
+        seed = pget(params, "seed", "0").toLong,
+        blocks = pget(params, "blocks", "0").toInt)
+      KernelKMeansModel(params, est.fitModel(df))
+    }
+  }
+
+  case class KernelKMeansModel(hyper: Map[String, String],
+                               inner: KernelKMeans#Model) extends Model {
+    def estimator = "KernelKMeans"
+    def scalars: Map[String, String] =
+      Map("inertia" -> inner.inertia.toString) ++
+        inner.assignments.map { case (id, _, c) => s"cluster_$id" -> c.toString } ++
+        inner.term3.map { case (c, v) => s"term3_$c" -> v.toString }
+    def arrays: Seq[(String, String, Array[Double])] =
+      inner.assignments.map { case (id, v, _) => ("train", id.toString, v) }.toSeq
+    def transform(df: DataFrame): DataFrame = inner.predict(df)
   }
 
   // ---------------------------------------------------------------- kshape
@@ -170,7 +200,8 @@ object GraftML {
       val m = TimeSeriesSVC.fit(df,
         c = pget(params, "C", "1.0").toDouble,
         sigma = pget(params, "sigma", "-1.0").toDouble,
-        seed = pget(params, "seed", "0").toLong)
+        seed = pget(params, "seed", "0").toLong,
+        blocks = pget(params, "blocks", "0").toInt)
       val svIds = m.binaries.values.flatMap(_.ids).toSet
       val svSeries = df.where(col("series_id").isin(svIds.toSeq: _*))
         .select(col("series_id").cast("long"), col("values").cast("array<double>"))
@@ -213,7 +244,8 @@ object GraftML {
         c = pget(params, "C", "1.0").toDouble,
         eps = pget(params, "epsilon", "0.1").toDouble,
         sigma = pget(params, "sigma", "-1.0").toDouble,
-        seed = pget(params, "seed", "0").toLong)
+        seed = pget(params, "seed", "0").toLong,
+        blocks = pget(params, "blocks", "0").toInt)
       val svSeries = df.where(col("series_id").isin(m.svIds.toSeq: _*))
         .select(col("series_id").cast("long"), col("values").cast("array<double>"))
         .as[(Long, Array[Double])].collect().toMap
@@ -379,6 +411,18 @@ object GraftML {
     est match {
       case "TimeSeriesKMeans" =>
         KMeansModel(hyper, famSorted("centroids"), scalars("inertia").toDouble)
+      case "KernelKMeans" =>
+        val train = fam("train").map { case (kk, v) =>
+          (kk.toLong, v, scalars(s"cluster_$kk").toInt)
+        }.sortBy(_._1).toArray
+        val term3 = scalars.collect {
+          case (kk, v) if kk.startsWith("term3_") =>
+            kk.stripPrefix("term3_").toInt -> v.toDouble
+        }
+        val est = new KernelKMeans(
+          k = pget(hyper, "k", "4").toInt,
+          sigma = pget(hyper, "sigma", "1.0").toDouble)
+        KernelKMeansModel(hyper, est.Model(train, term3, scalars("inertia").toDouble))
       case "KShape" =>
         KShapeModel(hyper, famSorted("centroids"), scalars("inertia").toDouble)
       case "KNeighborsTimeSeriesClassifier" =>

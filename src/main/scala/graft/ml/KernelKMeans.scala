@@ -16,14 +16,63 @@ import graft.functions.TsFunctions
   * no per-pair recomputation of the kernel.
   */
 class KernelKMeans(val k: Int, val maxIter: Int = 10, val tol: Double = 1e-6,
-                   val sigma: Double = 1.0, val seed: Long = 0L) extends Serializable {
+                   val sigma: Double = 1.0, val seed: Long = 0L,
+                   val blocks: Int = 0) extends Serializable {
+
+  /** New-point assignment: kernel-trick distance to each fitted cluster
+    * using the stored training series/labels (`kmeans.py:407-457`
+    * predict). `term3` is the fit-time within-cluster constant. */
+  case class Model(assignments: Array[(Long, Array[Double], Int)],
+                   term3: Map[Int, Double], inertia: Double) extends Serializable {
+    def predict(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      val s = sigma
+      val t3 = term3
+      val bc = spark.sparkContext.broadcast(assignments)
+      val f = udf((v: scala.collection.Seq[Double]) => {
+        val x = graft.kernels.Kernels.uni(v.toArray)
+        val sums = scala.collection.mutable.Map[Int, Double]().withDefaultValue(0.0)
+        val counts = scala.collection.mutable.Map[Int, Int]().withDefaultValue(0)
+        bc.value.foreach { case (_, tv, c) =>
+          sums(c) += graft.kernels.Kernels.gak(x, graft.kernels.Kernels.uni(tv), s)
+          counts(c) += 1
+        }
+        t3.keys.toSeq.sorted.map { c =>
+          (c, 1.0 - 2.0 * sums(c) / math.max(1, counts(c)) + t3(c))
+        }.minBy { case (c, d) => (d, c) }._1
+      })
+      df.select(col("series_id"), f(col("values")).as("cluster"))
+    }
+  }
 
   /** Fit on (series_id, values); returns assignments (series_id, cluster). */
-  def fit(df: DataFrame): DataFrame = {
+  def fit(df: DataFrame): DataFrame = fitInternal(df)._1
+
+  /** Fit and keep the predict-capable model (training series + labels +
+    * per-cluster constants). */
+  def fitModel(df: DataFrame): Model = {
     val spark = df.sparkSession
-    // gram: normalized GAK so diag = 1
-    val gram = Cdist.selfCross(df,
-      (a, b) => TsFunctions.gakUdf(a, b, lit(sigma)), computeDiagonal = false)
+    import spark.implicits._
+    val (labels, term3, inertia) = fitInternal(df)
+    val assigned = df.select(col("series_id").cast("long"), col("values").cast("array<double>"))
+      .join(labels, "series_id")
+      .as[(Long, Array[Double], Int)].collect()
+    Model(assigned, term3, inertia)
+  }
+
+  private def fitInternal(df: DataFrame): (DataFrame, Map[Int, Double], Double) = {
+    val spark = df.sparkSession
+    // gram: normalized GAK so diag = 1. blocks > 0 switches to the
+    // block-partitioned pair join — no broadcast of the full relation, so
+    // the gram family is no longer capped at broadcast-sized inputs.
+    val pairs =
+      if (blocks > 0)
+        Cdist.selfCrossBlocked(df, (a, b) => TsFunctions.gakUdf(a, b, lit(sigma)),
+          blocks, computeDiagonal = false)
+      else
+        Cdist.selfCross(df, (a, b) => TsFunctions.gakUdf(a, b, lit(sigma)),
+          computeDiagonal = false)
+    val gram = pairs
       .union(df.select(col("series_id").as("left_id"), col("series_id").as("right_id"),
         lit(1.0).as("dist")))
       .withColumnRenamed("dist", "k_ij")
@@ -34,6 +83,8 @@ class KernelKMeans(val k: Int, val maxIter: Int = 10, val tol: Double = 1e-6,
       pmod(xxhash64(col("series_id"), lit(seed)), lit(k)).cast("int").as("cluster"))
       .cache()
     var prevInertia = Double.PositiveInfinity
+    var lastInertia = Double.PositiveInfinity
+    var term3Map: Map[Int, Double] = Map.empty
     var iter = 0
     var done = false
     while (iter < maxIter && !done) {
@@ -60,11 +111,21 @@ class KernelKMeans(val k: Int, val maxIter: Int = 10, val tol: Double = 1e-6,
       newLabels.count()
       labels.unpersist()
       labels = newLabels
+      lastInertia = inertia
       if (prevInertia - inertia < tol) done = true
       prevInertia = inertia
       iter += 1
     }
+    // within-cluster constant of the FINAL labels (predict-time term3)
+    term3Map = gram
+      .join(labels.select(col("series_id").as("left_id"), col("cluster").as("lc")), "left_id")
+      .join(labels.select(col("series_id").as("right_id"), col("cluster").as("rc")), "right_id")
+      .where(col("lc") === col("rc"))
+      .groupBy(col("lc").as("cluster"))
+      .agg(sum("k_ij").as("s3"), countDistinct("left_id").as("csz"))
+      .select(col("cluster"), (col("s3") / (col("csz") * col("csz"))).as("t3"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     gram.unpersist()
-    labels
+    (labels, term3Map, lastInertia)
   }
 }

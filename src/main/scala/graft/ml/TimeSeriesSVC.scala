@@ -115,12 +115,20 @@ object TimeSeriesSVC {
 
   /** Fit on (series_id, values, label). The gram is computed distributed,
     * then collected (documented driver-size limit). */
-  def fit(df: DataFrame, c: Double = 1.0, sigma: Double = -1.0, seed: Long = 0L): Model = {
+  def fit(df: DataFrame, c: Double = 1.0, sigma: Double = -1.0, seed: Long = 0L,
+          blocks: Int = 0): Model = {
     val spark = df.sparkSession
     import spark.implicits._
     val sig = if (sigma > 0) sigma else sigmaGak(df)
-    val gramDf = Cdist.selfCross(df, (a, b) => TsFunctions.gakUdf(a, b, lit(sig)),
-      computeDiagonal = false)
+    // blocks > 0: block-partitioned pair join — the gram no longer needs
+    // the whole dataset broadcastable (driver collect is still the solve
+    // bound, as in the reference's libsvm path)
+    val pairsDf =
+      if (blocks > 0) Cdist.selfCrossBlocked(df,
+        (a, b) => TsFunctions.gakUdf(a, b, lit(sig)), blocks, computeDiagonal = false)
+      else Cdist.selfCross(df,
+        (a, b) => TsFunctions.gakUdf(a, b, lit(sig)), computeDiagonal = false)
+    val gramDf = pairsDf
       .union(df.select(col("series_id").as("left_id"), col("series_id").as("right_id"), lit(1.0)))
     val gram = gramDf.as[(Long, Long, Double)].collect()
       .map { case (i, j, k) => (i, j) -> k }.toMap

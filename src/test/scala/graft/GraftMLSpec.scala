@@ -45,6 +45,10 @@ class GraftMLSpec extends AnyFunSuite {
       () => unlabeled),
     Fixture("KShape", Map("k" -> "2", "maxIter" -> "4", "seed" -> "1"),
       () => unlabeled),
+    // blocks=2 exercises the no-broadcast gram path through the veneer
+    Fixture("KernelKMeans",
+      Map("k" -> "2", "maxIter" -> "4", "sigma" -> "2.0", "blocks" -> "2"),
+      () => unlabeled),
     Fixture("KNeighborsTimeSeriesClassifier", Map("k" -> "3", "metric" -> "dtw"),
       () => classified),
     Fixture("TimeSeriesSVC", Map("C" -> "1.0", "sigma" -> "2.0"),

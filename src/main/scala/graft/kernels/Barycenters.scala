@@ -132,6 +132,65 @@ object Barycenters {
     center
   }
 
+  /** DBA via stochastic subgradient descent — `dba.py:607-740` (Schultz &
+    * Jain SSG): one series per update, step from η_initial decaying
+    * linearly to η_final during the first epoch. Δ = V·b − W·x at the DTW
+    * alignment of the current barycenter to the sampled series. Sequential
+    * by construction (each update depends on the previous), so it stays a
+    * local kernel (SURVEY marks it low-priority for the distributed path).
+    * RNG is Scala's, so shuffles differ from numpy's — convergence target,
+    * not bit parity. */
+  def dbaSubgradient(series: Seq[TS], barycenterSize: Int = -1, maxIter: Int = 30,
+                     initialStepSize: Double = 0.05, finalStepSize: Double = 0.005,
+                     tol: Double = 1e-5, seed: Long = 0L,
+                     weights: Seq[Double] = Nil, init: TS = null): TS = {
+    require(series.nonEmpty, "empty DBA input")
+    val w = if (weights.isEmpty) Seq.fill(series.length)(1.0) else weights
+    val eu = euclidean(series, w)
+    val size = if (init != null) init.length
+      else if (barycenterSize > 0) barycenterSize else eu.length
+    var center: TS = if (init != null) init.map(_.clone()) else Kernels.resample(eu, size)
+    val d = center(0).length
+    val n = series.length
+    val rng = new scala.util.Random(seed)
+    var eta = initialStepSize
+    var costPrev = Double.PositiveInfinity
+    var cost = Double.PositiveInfinity
+    var it = 0
+    var done = false
+    while (it < maxIter && !done) {
+      val order = rng.shuffle(series.indices.toList)
+      order.foreach { idx =>
+        val x = series(idx)
+        val (path, dist) = Kernels.dtwPath(center, x)
+        cost = w(idx) * dist * dist
+        // Δ(i) = V(i)·b(i) − Σ_{(i,j)∈path} w·x(j)   (V(i) = w·|{j: (i,j)∈path}|)
+        val delta = Array.ofDim[Double](size, d)
+        val v = new Array[Double](size)
+        path.foreach { case (i, j) =>
+          v(i) += w(idx)
+          var k = 0
+          while (k < d) { delta(i)(k) -= w(idx) * x(j)(k); k += 1 }
+        }
+        var i = 0
+        while (i < size) {
+          var k = 0
+          while (k < d) {
+            delta(i)(k) += v(i) * center(i)(k)
+            center(i)(k) -= (2.0 * eta / w(idx)) * delta(i)(k)
+            k += 1
+          }
+          i += 1
+        }
+        if (it == 0) eta -= (initialStepSize - finalStepSize) / n
+      }
+      if (math.abs(costPrev - cost) < tol || costPrev < cost) done = true
+      else costPrev = cost
+      it += 1
+    }
+    center
+  }
+
   /** soft-DTW barycenter: minimize Σ wᵢ·softDTW(b, xᵢ) by L-BFGS on the
     * flattened barycenter — `softdtw.py:17-113`. Gradient comes from the
     * soft-DTW backward pass (Kernels.softDtwGrad). */

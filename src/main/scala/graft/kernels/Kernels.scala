@@ -319,7 +319,38 @@ object Kernels {
   /** soft-DTW value + gradient wrt s1 — forward/backward DP pair
     * (`soft_dtw_fast.pyx:40-104`, jacobian `:107-117`). Used by the
     * soft-DTW barycenter's L-BFGS driver loop. */
+  /** soft-DTW value + full alignment matrix E (expected alignment weights,
+    * `soft_dtw_alignment`, `softdtw_variants.py:377-448`): E(i)(j) is the
+    * soft alignment mass on cell (i, j). */
+  def softDtwAlignment(s1: TS, s2: TS, gamma: Double): (Array[Array[Double]], Double) = {
+    val (value, e) = softDtwForwardBackward(s1, s2, gamma)
+    val m = s1.length; val n = s2.length
+    (Array.tabulate(m)(i => Array.tabulate(n)(j => e(i + 1)(j + 1))), value)
+  }
+
   def softDtwGrad(s1: TS, s2: TS, gamma: Double): (Double, TS) = {
+    val (value, e) = softDtwForwardBackward(s1, s2, gamma)
+    val m = s1.length; val n = s2.length
+    // jacobian product for squared euclidean: G[i] = SUM_j E[i+1][j+1] * 2(x_i - y_j)
+    val d = s1(0).length
+    val grad = Array.ofDim[Double](m, d)
+    var i = 0
+    while (i < m) {
+      var j = 0
+      while (j < n) {
+        val ee = e(i + 1)(j + 1)
+        var k = 0
+        while (k < d) { grad(i)(k) += ee * 2.0 * (s1(i)(k) - s2(j)(k)); k += 1 }
+        j += 1
+      }
+      i += 1
+    }
+    (value, grad)
+  }
+
+  /** Shared forward R / backward E pass of soft-DTW (`_soft_dtw` /
+    * `_soft_dtw_grad`, `soft_dtw_fast.pyx:40-104`). */
+  private def softDtwForwardBackward(s1: TS, s2: TS, gamma: Double): (Double, Array[Array[Double]]) = {
     val m = s1.length; val n = s2.length
     val D = Array.ofDim[Double](m + 1, n + 1)
     var i = 0
@@ -369,21 +400,7 @@ object Kernels {
       }
       j -= 1
     }
-    // jacobian product for squared euclidean: G[i] = Σ_j E[i+1][j+1] * 2(x_i − y_j)
-    val d = s1(0).length
-    val grad = Array.ofDim[Double](m, d)
-    i = 0
-    while (i < m) {
-      j = 0
-      while (j < n) {
-        val e = E(i + 1)(j + 1)
-        var k = 0
-        while (k < d) { grad(i)(k) += e * 2.0 * (s1(i)(k) - s2(j)(k)); k += 1 }
-        j += 1
-      }
-      i += 1
-    }
-    (value, grad)
+    (value, E)
   }
 
   // ------------------------------------------- LB_Keogh / envelope

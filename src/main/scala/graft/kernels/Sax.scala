@@ -111,6 +111,36 @@ object Sax {
     }
   }
 
+  /** Inverse PAA (`inv_transform_paa`): each segment mean repeated
+    * segSz times. */
+  def inversePaa(paa: Kernels.TS, originalSz: Int): Kernels.TS = {
+    val nSeg = paa.length
+    val segSz = originalSz / nSeg
+    val d = paa(0).length
+    Array.tabulate(originalSz) { t =>
+      val seg = math.min(nSeg - 1, t / segSz)
+      Array.tabulate(d)(k => paa(seg)(k))
+    }
+  }
+
+  /** Inverse 1d-SAX (`inv_transform_1d_sax`, `cysax.pyx:127-151`):
+    * reconstruct each segment as avg + slope·(t − t_mid) from the bin
+    * medians of the (avg, slope) symbols. */
+  def inverse1dSax(symbols: Array[Array[Int]], alphabetAvg: Int, alphabetSlope: Int,
+                   sigmaL: Double, originalSz: Int): Kernels.TS = {
+    val medAvg = binMedians(alphabetAvg)
+    val medSlope = binMedians(alphabetSlope, sigmaL)
+    val nSeg = symbols.length
+    val segSz = originalSz / nSeg
+    val d = symbols(0).length / 2
+    Array.tabulate(originalSz) { t =>
+      val seg = math.min(nSeg - 1, t / segSz)
+      val tMid = seg * segSz + 0.5 * segSz
+      Array.tabulate(d)(k =>
+        medAvg(symbols(seg)(k)) + medSlope(symbols(seg)(k + d)) * (t - tMid))
+    }
+  }
+
   /** Per-segment OLS slope of value on timestep (1d-SAX) —
     * `piecewise.py:653-661`, `cysax.pyx:80-92`. Regression is on the
     * segment's absolute t indices. */

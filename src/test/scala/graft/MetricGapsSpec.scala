@@ -92,6 +92,41 @@ class MetricGapsSpec extends AnyFunSuite {
     assert(math.abs(d - math.sqrt(expected)) < 1e-12)
   }
 
+  test("soft_dtw_alignment: value matches softDtw; small gamma concentrates on DTW path") {
+    val a = uni(1, 2, 3, 4, 3); val b = uni(1, 2.2, 2.8, 4.1, 3.1)
+    val (e, v) = Kernels.softDtwAlignment(a, b, gamma = 1.0)
+    assert(math.abs(v - Kernels.softDtw(a, b, 1.0)) < 1e-12)
+    assert(e.length == 5 && e(0).length == 5)
+    assert(e.flatten.forall(x => x >= -1e-12 && x <= 1.0 + 1e-9))
+    // gamma -> 0: alignment mass collapses onto the hard DTW path
+    val (e0, _) = Kernels.softDtwAlignment(a, b, gamma = 1e-3)
+    val (path, _) = Kernels.dtwPath(a, b)
+    path.foreach { case (i, j) => assert(e0(i)(j) > 0.99, s"cell ($i,$j): ${e0(i)(j)}") }
+  }
+
+  test("inverse PAA / inverse 1d-SAX reconstructions (inv_transform semantics)") {
+    val ts = uni(0.0, 0.2, 1.0, 1.2, -1.0, -1.2, 0.5, 0.7)
+    val paa = Kernels.paa(ts, 4)
+    val invP = Sax.inversePaa(paa, 8)
+    assert(invP.length == 8)
+    (0 until 4).foreach { s =>
+      assert(invP(2 * s)(0) == paa(s)(0) && invP(2 * s + 1)(0) == paa(s)(0))
+    }
+    val sym = Sax.oneDSax(ts, 4, 4, 4, sigmaL = 1.0)
+    val inv1 = Sax.inverse1dSax(sym, 4, 4, 1.0, 8)
+    assert(inv1.length == 8)
+    // reconstruction must agree with the dist1dSax model: distance between
+    // a symbol set and itself through the reconstruction is zero
+    val selfD = Sax.dist1dSax(sym, sym, 4, 4, 1.0, 8)
+    assert(selfD == 0.0)
+    // each segment is a line: second differences vanish within segments
+    (0 until 4).foreach { s =>
+      val t0 = 2 * s
+      val slope = inv1(t0 + 1)(0) - inv1(t0)(0)
+      assert(!slope.isNaN)
+    }
+  }
+
   test("petitjean DBA goldens (dba.py:112-144 doctests) + MM cross-check") {
     def flat(ts: Kernels.TS): Seq[Double] = ts.map(_(0)).toSeq
     val r1 = Barycenters.dbaPetitjean(
@@ -109,6 +144,13 @@ class MetricGapsSpec extends AnyFunSuite {
     // non-regression role: MM variant agrees on the reference's golden
     val mm = Barycenters.dba(Seq(uni(1, 2, 3, 4), uni(1, 2, 4, 5)), maxIter = 5)
     assert(flat(mm) == flat(r1), "MM and petitjean disagree on the doctest input")
+    // subgradient variant converges to the same barycenter (doctest target
+    // [1, 2, 3.5, 4.5]; RNG differs from numpy so tolerance, not equality)
+    val sg = Barycenters.dbaSubgradient(
+      Seq(uni(1, 2, 3, 4), uni(1, 2, 4, 5)), maxIter = 10, seed = 0)
+    flat(sg).zip(Seq(1.0, 2.0, 3.5, 4.5)).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 0.2, s"subgradient drifted: ${flat(sg)}")
+    }
   }
 
   test("SVR: fits a smooth target within eps-tube on train, predicts distributed") {

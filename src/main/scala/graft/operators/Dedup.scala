@@ -52,25 +52,56 @@ object Dedup {
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** All-permutation minima in one typed aggregation: the base hash is
+    * computed per shingle ROW (codegen'd column expr), then one Scala loop
+    * per row updates the 64-slot minima buffer. Replaces 64 separate
+    * min(pmod(…)) aggregates whose whole-stage codegen compile alone cost
+    * seconds; map-side combine ships (doc, 64 minima) per mapper. */
+  private class MinHashAgg(coeffs: Array[(Long, Long)], p: Long)
+      extends org.apache.spark.sql.expressions.Aggregator[(Long, Long), Array[Long], Array[Long]]
+      with Serializable {
+    private val n = coeffs.length
+    private val as = coeffs.map(_._1)
+    private val bs = coeffs.map(_._2)
+    def zero: Array[Long] = Array.fill(n)(Long.MaxValue)
+    def reduce(buf: Array[Long], in: (Long, Long)): Array[Long] = {
+      val x = in._2
+      var i = 0
+      while (i < n) {
+        val h = (as(i) * x + bs(i)) % p
+        if (h < buf(i)) buf(i) = h
+        i += 1
+      }
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < n) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    def finish(buf: Array[Long]): Array[Long] = buf
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
   /** MinHash signatures: numHashes permutations via (a_i·x + b_i) mod p
     * over a base shingle hash (xxhash64 by default; the md5-based portable
-    * hash when `portable`). One explode + one groupBy — the signature agg
-    * is a map-side-combinable min per hash index. */
+    * hash when `portable`). One explode + one typed min-agg — no
+    * shingle×hash row explosion. */
   def minhashSignatures(sh: DataFrame, numHashes: Int = 64, seed: Long = 42L,
                         portable: Boolean = false): DataFrame = {
     val p = MinhashP
     val coeffs = minhashCoeffs(numHashes, seed)
-    // one min-aggregate per hash function: map-side combinable, single
-    // shuffle of (doc, 64 partial minima) — no shingle×hash row explosion
+    val spark = sh.sparkSession
+    import spark.implicits._
     val base = pmod(if (portable) md5Hash60(col("sh")) else xxhash64(col("sh")), lit(p))
-    val minCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(lit(a) * base + lit(b), lit(p))).as(s"mh_$i")
-    }
-    sh.select(col("doc_id"), col("sh"))
-      .groupBy("doc_id")
-      .agg(minCols.head, minCols.tail.toIndexedSeq: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+    sh.select(col("doc_id").cast("long"), base.as("x"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .agg(new MinHashAgg(coeffs, p).toColumn)
+      .toDF("doc_id", "sig")
   }
 
   /** LSH banding: docs sharing any band bucket become candidate pairs;

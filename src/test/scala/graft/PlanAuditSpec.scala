@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: lock in the plan shapes the operators were
+  * designed around, so a regression (lost broadcast, lost column pruning,
+  * an accidental n²-row exchange) fails CI instead of surfacing as a
+  * 100 TB incident. Assertions target stable plan markers, not full plan
+  * text. */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: parquet scan is column-pruned to the aggregated columns") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("ReadSchema"))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("l_returnflag") && read.contains("l_quantity"))
+    assert(!read.contains("l_comment") && !read.contains("l_shipdate"),
+      s"scan reads more than the query needs: $read")
+  }
+
+  test("q02/q03: dimension joins broadcast the small side") {
+    assert(plan("q02_top_parts").contains("BroadcastHashJoin"))
+    val p3 = plan("q03_nation_revenue")
+    assert(p3.contains("BroadcastHashJoin"))
+  }
+
+  test("doc_dedup_exact: aggregation is map-side partial") {
+    val p = plan("doc_dedup_exact")
+    assert(p.contains("partial_"), "hash groupBy lost its partial aggregation")
+  }
+
+  test("broadcast-index kNN adds NO shuffle exchange of its own") {
+    // deterministic in-plan series (range + transform): the kNN operator's
+    // own plan contribution must be exchange-free — the n² pair space
+    // never becomes rows, so there is nothing to shuffle
+    val series = spark.range(40).select(col("id").as("series_id"),
+      transform(sequence(lit(0), lit(31)),
+        t => sin(col("id") * t.cast("double") * 0.1)).as("values"))
+    val p = graft.operators.Cdist.knnDtwPruned(series, series, k = 3, radius = 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"exchange leaked into kNN plan:\n$p")
+  }
+
+  test("native DTW expression stays inside WholeStageCodegen") {
+    import graft.functions.NativeExpressions
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+    val p = e.select(NativeExpressions.dtwNative(col("v"), col("v")))
+      .queryExecution.executedPlan.toString
+    // codegen stages print as "*(n) Project…"; a CodegenFallback
+    // expression would force a plain (un-starred) Project
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      s"codegen span missing:\n$p")
+  }
+
+  test("ts_hourly: single shuffle for the event-time aggregation") {
+    val p = plan("ts_hourly")
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") &&
+      !l.contains("ReusedExchange"))
+    assert(exchanges == 1, s"hourly agg should shuffle exactly once:\n$p")
+  }
+}

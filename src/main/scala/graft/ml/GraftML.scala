@@ -48,6 +48,7 @@ object GraftML {
       case "KernelKMeans" => KernelKMeansEst(params)
       case "KShape" => KShapeEst(params)
       case "KNeighborsTimeSeriesClassifier" => KnnEst(params)
+      case "KNeighborsTimeSeriesRegressor" => KnnRegEst(params)
       case "TimeSeriesSVC" => SvcEst(params)
       case "TimeSeriesSVR" => SvrEst(params)
       case "TimeSeriesMLPRegressor" => MlpRegEst(params)
@@ -58,7 +59,7 @@ object GraftML {
 
   def estimatorNames: Seq[String] = Seq(
     "TimeSeriesKMeans", "KernelKMeans", "KShape",
-    "KNeighborsTimeSeriesClassifier",
+    "KNeighborsTimeSeriesClassifier", "KNeighborsTimeSeriesRegressor",
     "TimeSeriesSVC", "TimeSeriesSVR", "TimeSeriesMLPRegressor",
     "LearningShapelets", "NonMyopicEarlyClassifier")
 
@@ -187,6 +188,37 @@ object GraftML {
         metricFn(pget(hyper, "metric", "dtw")),
         weights = pget(hyper, "weights", "uniform"))
         .select(col("probe_id").as("series_id"), col("label"))
+    }
+  }
+
+  case class KnnRegEst(params: Map[String, String]) extends Estimator {
+    def name = "KNeighborsTimeSeriesRegressor"
+    def fit(df: DataFrame): Model = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val train = df.select(col("series_id").cast("long"),
+          col("values").cast("array<double>"), col("y").cast("double"))
+        .as[(Long, Array[Double], Double)].collect()
+      KnnRegModel(params, train)
+    }
+  }
+
+  case class KnnRegModel(hyper: Map[String, String],
+                         train: Array[(Long, Array[Double], Double)]) extends Model {
+    def estimator = "KNeighborsTimeSeriesRegressor"
+    def scalars: Map[String, String] =
+      train.map { case (id, _, y) => s"y_$id" -> y.toString }.toMap
+    def arrays: Seq[(String, String, Array[Double])] =
+      train.map { case (id, v, _) => ("train", id.toString, v) }.toSeq
+    def transform(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val trainDf = spark.createDataset(train.toIndexedSeq)
+        .toDF("series_id", "values", "y")
+      KNeighbors.regress(df, trainDf, pget(hyper, "k", "5").toInt,
+        metricFn(pget(hyper, "metric", "dtw")),
+        weights = pget(hyper, "weights", "uniform"))
+        .select(col("probe_id").as("series_id"), col("y_pred"))
     }
   }
 
@@ -430,6 +462,11 @@ object GraftML {
           (k.toLong, v, scalars(s"label_$k"))
         }.sortBy(_._1).toArray
         KnnModel(hyper, train)
+      case "KNeighborsTimeSeriesRegressor" =>
+        val train = fam("train").map { case (k, v) =>
+          (k.toLong, v, scalars(s"y_$k").toDouble)
+        }.sortBy(_._1).toArray
+        KnnRegModel(hyper, train)
       case "TimeSeriesSVC" =>
         val classes = scalars.keys.filter(_.startsWith("class_")).toSeq
           .sortBy(_.stripPrefix("class_").toInt).map(scalars).toArray

@@ -51,6 +51,9 @@ class GraftMLSpec extends AnyFunSuite {
       () => unlabeled),
     Fixture("KNeighborsTimeSeriesClassifier", Map("k" -> "3", "metric" -> "dtw"),
       () => classified),
+    Fixture("KNeighborsTimeSeriesRegressor",
+      Map("k" -> "3", "metric" -> "euclidean", "weights" -> "distance"),
+      () => regression.withColumnRenamed("target", "y")),
     Fixture("TimeSeriesSVC", Map("C" -> "1.0", "sigma" -> "2.0"),
       () => classified),
     Fixture("TimeSeriesSVR", Map("C" -> "5.0", "epsilon" -> "0.1", "sigma" -> "2.0"),

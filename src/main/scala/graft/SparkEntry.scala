@@ -44,6 +44,53 @@ object SparkEntry {
       count(lit(1)).over(wAll).as("n"))
   }
 
+  /** Linear-interp resample of every user's event series to `target`
+    * points — the ts_resample computation, shared (unrounded) by the
+    * pairwise-metric queries so their oracles can reproduce the prep with
+    * the SAME interpolation CTE. Output: (user_id, j, v). */
+  private def resampledEvents(s: SparkSession, dir: String, target: Int): DataFrame = {
+    val grid = s.range(0, target).select(col("id").cast("int").as("j"))
+    val keyed = explodedEvents(s, dir).select(col("user_id"), col("t"), col("n"), col("value"))
+    // pos = j*(n-1)/(target-1); interpolate between floor and ceil rows
+    val wanted = keyed.select(col("user_id"), col("n")).distinct()
+      .crossJoin(broadcast(grid))
+      .withColumn("pos", col("j") * (col("n") - 1) / (target - 1))
+      .withColumn("i0", floor(col("pos")).cast("int"))
+      .withColumn("i1", least(col("i0") + 1, col("n") - 1).cast("int"))
+      .withColumn("frac", col("pos") - col("i0"))
+    wanted
+      .join(keyed.select(col("user_id"), (col("t") - 1).as("i0"), col("value").as("v0")),
+        Seq("user_id", "i0"))
+      .join(keyed.select(col("user_id"), (col("t") - 1).as("i1"), col("value").as("v1")),
+        Seq("user_id", "i1"))
+      .select(col("user_id"), col("j"),
+        (col("v0") * (lit(1.0) - col("frac")) + col("v1") * col("frac")).as("v"))
+  }
+
+  /** SAX symbols (alphabet 4, 8 segments) of every user's raw series plus
+    * its length — the ts_sax computation, shared by the MINDIST query.
+    * Output: (user_id, seg, symbol, n). */
+  private def saxSymbolsOf(s: SparkSession, dir: String): DataFrame = {
+    val nSeg = 8
+    val bps = graft.kernels.Sax.breakpoints(4)
+    val wAll = Window.partitionBy("user_id")
+    explodedEvents(s, dir)
+      .withColumn("m", avg("value").over(wAll))
+      .withColumn("sd", stddev_pop("value").over(wAll))
+      .withColumn("z", (col("value") - col("m")) /
+        when(col("sd") === 0, 1.0).otherwise(col("sd")))
+      .withColumn("seg_sz", (col("n") / nSeg).cast("int"))
+      .where((col("t") - 1) < col("seg_sz") * nSeg)
+      .withColumn("seg", ((col("t") - 1) / col("seg_sz")).cast("int"))
+      .groupBy("user_id", "seg")
+      .agg(avg("z").as("paa"), first("n").as("n"))
+      .select(col("user_id"), col("seg"),
+        (when(col("paa") < bps(0), 0)
+          .when(col("paa") < bps(1), 1)
+          .when(col("paa") < bps(2), 2)
+          .otherwise(3)).as("symbol"), col("n"))
+  }
+
   /** Flagship: 1-NN DTW over z-normalized per-user event series
     * (SURVEY §7.2 shape: broadcast cdist self-join + window top-1). */
   def entry(spark: SparkSession): DataFrame = {
@@ -139,25 +186,27 @@ object SparkEntry {
         .agg(round(avg("value"), 6).as("paa"))
     }),
 
-    "ts_sax" -> ((s, dir) => {
-      val nSeg = 8
+    "ts_sax" -> ((s, dir) => saxSymbolsOf(s, dir)
+      .select(col("user_id"), col("seg"), col("symbol"))),
+
+    // SAX MINDIST (cysax.pyx:39-55) between consecutive users' SAX words:
+    // adjacent symbols contribute 0, else (bp[max−1]−bp[min])²; scaled by
+    // √(n_left/8). Previously golden-only; now oracle-backed.
+    "ts_sax_mindist_pairs" -> ((s, dir) => {
       val bps = graft.kernels.Sax.breakpoints(4)
-      val wAll = Window.partitionBy("user_id")
-      explodedEvents(s, dir)
-        .withColumn("m", avg("value").over(wAll))
-        .withColumn("sd", stddev_pop("value").over(wAll))
-        .withColumn("z", (col("value") - col("m")) /
-          when(col("sd") === 0, 1.0).otherwise(col("sd")))
-        .withColumn("seg_sz", (col("n") / nSeg).cast("int"))
-        .where((col("t") - 1) < col("seg_sz") * nSeg)
-        .withColumn("seg", ((col("t") - 1) / col("seg_sz")).cast("int"))
-        .groupBy("user_id", "seg")
-        .agg(avg("z").as("paa"))
-        .select(col("user_id"), col("seg"),
-          (when(col("paa") < bps(0), 0)
-            .when(col("paa") < bps(1), 1)
-            .when(col("paa") < bps(2), 2)
-            .otherwise(3)).as("symbol"))
+      val sym = saxSymbolsOf(s, dir)
+      val a = sym.select(col("user_id"), col("seg"), col("symbol").as("sa"), col("n"))
+      val b = sym.select((col("user_id") - 1).as("user_id"), col("seg"),
+        col("symbol").as("sb"))
+      val bpOf = (i: Column) =>
+        when(i === 0, bps(0)).when(i === 1, bps(1)).otherwise(bps(2))
+      a.join(b, Seq("user_id", "seg"))
+        .withColumn("cell",
+          when(abs(col("sa") - col("sb")) <= 1, 0.0)
+            .otherwise(pow(bpOf(greatest(col("sa"), col("sb")) - 1) -
+              bpOf(least(col("sa"), col("sb"))), 2)))
+        .groupBy("user_id")
+        .agg(round(sqrt(sum("cell") * first("n") / 8.0), 4).as("mindist"))
     }),
 
     "ts_slope" -> ((s, dir) => {
@@ -181,25 +230,39 @@ object SparkEntry {
     }),
 
     // ---------------- resample (linear interpolation) ----------------
-    "ts_resample" -> ((s, dir) => {
-      val target = 16
-      val grid = s.range(0, target).select(col("id").cast("int").as("j"))
-      val src = explodedEvents(s, dir)
-      val keyed = src.select(col("user_id"), col("t"), col("n"), col("value"))
-      // pos = j*(n-1)/(target-1); interpolate between floor and ceil rows
-      val wanted = keyed.select(col("user_id"), col("n")).distinct()
-        .crossJoin(broadcast(grid))
-        .withColumn("pos", col("j") * (col("n") - 1) / (target - 1))
-        .withColumn("i0", floor(col("pos")).cast("int"))
-        .withColumn("i1", least(col("i0") + 1, col("n") - 1).cast("int"))
-        .withColumn("frac", col("pos") - col("i0"))
-      wanted
-        .join(keyed.select(col("user_id"), (col("t") - 1).as("i0"), col("value").as("v0")),
-          Seq("user_id", "i0"))
-        .join(keyed.select(col("user_id"), (col("t") - 1).as("i1"), col("value").as("v1")),
-          Seq("user_id", "i1"))
-        .select(col("user_id"), col("j"),
-          round(col("v0") * (lit(1.0) - col("frac")) + col("v1") * col("frac"), 6).as("v"))
+    "ts_resample" -> ((s, dir) => resampledEvents(s, dir, 16)
+      .select(col("user_id"), col("j"), round(col("v"), 6).as("v"))),
+
+    // ---------------- pairwise bounds/distances over shared preps -----
+    // consecutive-user pairs (u, u+1) over the oracle-proven resampled
+    // view: each gives a previously golden-only metric a full oracle
+    "ts_paa_dist_pairs" -> ((s, dir) => {
+      // PAA distance (piecewise.py:191-236): ‖p1−p2‖·√(sz/nSeg), sz=16, 4 segs
+      val paa = resampledEvents(s, dir, 16)
+        .withColumn("seg", (col("j") / 4).cast("int"))
+        .groupBy("user_id", "seg").agg(avg("v").as("p"))
+      paa.select(col("user_id"), col("seg"), col("p"))
+        .join(paa.select((col("user_id") - 1).as("user_id"), col("seg"), col("p").as("pb")),
+          Seq("user_id", "seg"))
+        .groupBy("user_id")
+        .agg(round(sqrt(sum(pow(col("p") - col("pb"), 2))) * 2.0, 4).as("paa_dist"))
+    }),
+
+    "ts_lbkeogh_pairs" -> ((s, dir) => {
+      // LB_Keogh(query u, candidate u+1) with radius 2 over the resampled
+      // view — the kNN prune bound, oracle-checked end to end
+      val r = resampledEvents(s, dir, 16)
+      val wEnv = Window.partitionBy("user_id").orderBy(col("j").asc).rowsBetween(-2, 2)
+      val env = r.select(col("user_id"), col("j"),
+          min("v").over(wEnv).as("lo"), max("v").over(wEnv).as("up"))
+        .select((col("user_id") - 1).as("user_id"), col("j"), col("lo"), col("up"))
+      r.join(env, Seq("user_id", "j"))
+        .withColumn("ex",
+          when(col("v") > col("up"), pow(col("v") - col("up"), 2))
+            .when(col("v") < col("lo"), pow(col("lo") - col("v"), 2))
+            .otherwise(0.0))
+        .groupBy("user_id")
+        .agg(round(sqrt(sum("ex")), 4).as("lb"))
     }),
 
     // ---------------- event-time windows / sessions (SURVEY §2.8) ----
@@ -593,7 +656,95 @@ object SparkEntry {
       |    AS simhash
       |FROM bits GROUP BY 1""".stripMargin
 
+  /** Shared linear-interp resample CTE chain (appended after evCte):
+    * r(user_id, j, val) with 16 points per user — identical formula to
+    * the Spark-side resampledEvents. */
+  private val resampleCte =
+    """
+      |, grid AS (
+      |  SELECT u.user_id, u.n, g.j,
+      |    g.j * (u.n - 1) / 15.0 AS pos
+      |  FROM (SELECT DISTINCT user_id, n FROM v) u,
+      |       (SELECT unnest(generate_series(0, 15)) AS j) g
+      |), w AS (
+      |  SELECT user_id, j, CAST(floor(pos) AS INT) AS i0,
+      |    LEAST(CAST(floor(pos) AS INT) + 1, n - 1) AS i1,
+      |    pos - floor(pos) AS frac
+      |  FROM grid
+      |), r AS (
+      |  SELECT w.user_id, w.j,
+      |    v0.value * (1.0 - w.frac) + v1.value * w.frac AS val
+      |  FROM w
+      |  JOIN v v0 ON v0.user_id = w.user_id AND v0.t - 1 = w.i0
+      |  JOIN v v1 ON v1.user_id = w.user_id AND v1.t - 1 = w.i1
+      |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "ts_paa_dist_pairs" -> (evCte + resampleCte +
+      """
+        |, paa AS (
+        |  SELECT user_id, j // 4 AS seg, avg(val) AS p FROM r GROUP BY 1, 2
+        |)
+        |SELECT a.user_id,
+        |  round(sqrt(sum((a.p - b.p) * (a.p - b.p))) * 2.0, 4) AS paa_dist
+        |FROM paa a JOIN paa b ON b.user_id = a.user_id + 1 AND b.seg = a.seg
+        |GROUP BY 1""".stripMargin),
+
+    "ts_lbkeogh_pairs" -> (evCte + resampleCte +
+      """
+        |, env0 AS (
+        |  SELECT user_id, j,
+        |    min(val) OVER (PARTITION BY user_id ORDER BY j
+        |      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS lo,
+        |    max(val) OVER (PARTITION BY user_id ORDER BY j
+        |      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS up
+        |  FROM r
+        |), env AS (
+        |  SELECT user_id - 1 AS user_id, j, lo, up FROM env0
+        |)
+        |SELECT r.user_id,
+        |  round(sqrt(sum(CASE WHEN r.val > env.up THEN (r.val - env.up) * (r.val - env.up)
+        |                      WHEN r.val < env.lo THEN (env.lo - r.val) * (env.lo - r.val)
+        |                      ELSE 0.0 END)), 4) AS lb
+        |FROM r JOIN env ON env.user_id = r.user_id AND env.j = r.j
+        |GROUP BY 1""".stripMargin),
+
+    "ts_sax_mindist_pairs" -> (evCte +
+      """
+        |, z AS (
+        |  SELECT user_id, t, n,
+        |    (value - avg(value) OVER (PARTITION BY user_id)) /
+        |      (CASE WHEN stddev_pop(value) OVER (PARTITION BY user_id) = 0 THEN 1
+        |            ELSE stddev_pop(value) OVER (PARTITION BY user_id) END) AS z
+        |  FROM v
+        |), p AS (
+        |  SELECT user_id, CAST((t - 1) // (n // 8) AS INT) AS seg, avg(z) AS paa,
+        |    max(n) AS n
+        |  FROM z WHERE (t - 1) < (n // 8) * 8
+        |  GROUP BY 1, 2
+        |), s AS (
+        |  SELECT user_id, seg, n,
+        |    CASE WHEN paa < -0.6744897501960817 THEN 0
+        |         WHEN paa < 0.0 THEN 1
+        |         WHEN paa < 0.6744897501960817 THEN 2
+        |         ELSE 3 END AS sym
+        |  FROM p
+        |), cells AS (
+        |  SELECT a.user_id, a.n,
+        |    CASE WHEN abs(a.sym - b.sym) <= 1 THEN 0.0
+        |         ELSE pow(
+        |           (CASE greatest(a.sym, b.sym) - 1
+        |              WHEN 0 THEN -0.6744897501960817
+        |              WHEN 1 THEN 0.0 ELSE 0.6744897501960817 END) -
+        |           (CASE least(a.sym, b.sym)
+        |              WHEN 0 THEN -0.6744897501960817
+        |              WHEN 1 THEN 0.0 ELSE 0.6744897501960817 END), 2)
+        |    END AS cell
+        |  FROM s a JOIN s b ON b.user_id = a.user_id + 1 AND b.seg = a.seg
+        |)
+        |SELECT user_id, round(sqrt(sum(cell) * max(n) / 8.0), 4) AS mindist
+        |FROM cells GROUP BY 1""".stripMargin),
+
     "doc_minhash_pairs" -> minhashOracleSql,
     "doc_simhash" -> simhashOracleSql,
 

@@ -51,6 +51,13 @@ object Profile {
       .select(col("series_id"), TsFunctions.resampleUdf(col("values"), lit(32)).as("values"))
       .cache()
     raw.count()
+    for (i <- 1 to 3) {
+      time(s"series build warm #$i")(TSModel.eventsToSeries(spark, sfDir)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(32)).as("values"))
+        .count())
+    }
+    time("knn query total")(graft.SparkEntry.queries("knn_dtw_users")(spark, sfDir).count())
     time("ucr_trace_1nn")(graft.SparkEntry.queries("ucr_trace_1nn")(spark, sfDir).count())
     time("ucr_trace_1nn again")(graft.SparkEntry.queries("ucr_trace_1nn")(spark, sfDir).count())
     locally {

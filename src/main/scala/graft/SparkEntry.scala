@@ -288,6 +288,50 @@ object SparkEntry {
           (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
     }),
 
+    // one exact Lloyd iteration over the resampled view, seeded from the
+    // first 4 users' series: assignment → mean update → reassignment —
+    // the k-means semantics with a full relational oracle (the ts_kmeans
+    // estimator query remains the end-to-end rows-only run)
+    "ts_kmeans_iter" -> ((s, dir) => {
+      val r = resampledEvents(s, dir, 16)
+      val seeds = r.where(col("user_id") < 4)
+        .select(col("user_id").cast("int").as("cell"), col("j"), col("v").as("c"))
+      val a1 = r.join(broadcast(seeds), "j")
+        .groupBy(col("user_id"), col("cell"))
+        .agg(sum(pow(col("v") - col("c"), 2)).as("d2"))
+        .groupBy("user_id")
+        .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
+      val upd = r.join(a1, "user_id").groupBy("cell", "j").agg(avg("v").as("c"))
+      r.join(broadcast(upd), "j")
+        .groupBy(col("user_id"), col("cell"))
+        .agg(sum(pow(col("v") - col("c"), 2)).as("d2"))
+        .groupBy("user_id")
+        .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"),
+          round(min(col("d2")), 4).as("d2"))
+    }),
+
+    // nearest label-centroid classification of length-16 prefixes (the
+    // early classifier's per-t model at one fixed t, with an oracle);
+    // train = even user ids, labels = dominant event_type
+    "ts_prefix_classify" -> ((s, dir) => {
+      val labels = ev(s, dir).groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("user_id")
+        .agg(min_by(col("event_type"), struct((-col("cnt")).as("nc"), col("event_type")))
+          .as("label"))
+      val prefix = explodedEvents(s, dir)
+        .where(col("n") >= 16 && col("t") <= 16)
+        .select(col("user_id"), col("t"), col("value"))
+      val cents = prefix.where(col("user_id") % 2 === 0)
+        .join(labels, "user_id")
+        .groupBy("label", "t").agg(avg("value").as("c"))
+      prefix.join(broadcast(cents), "t")
+        .groupBy(col("user_id"), col("label"))
+        .agg(sum(pow(col("value") - col("c"), 2)).as("d2"))
+        .groupBy("user_id")
+        .agg(min_by(col("label"), struct(col("d2"), col("label"))).as("pred"))
+    }),
+
     // ---------------- matrix profile (SURVEY §2.4/2.6) ---------------
     "ts_matrix_profile" -> ((s, dir) => {
       val m = 8
@@ -744,6 +788,58 @@ object SparkEntry {
         |)
         |SELECT user_id, round(sqrt(sum(cell) * max(n) / 8.0), 4) AS mindist
         |FROM cells GROUP BY 1""".stripMargin),
+
+    "ts_kmeans_iter" -> (evCte + resampleCte +
+      """
+        |, seeds AS (
+        |  SELECT CAST(user_id AS INT) AS cell, j, val AS c FROM r WHERE user_id < 4
+        |), a1 AS (
+        |  SELECT user_id, cell FROM (
+        |    SELECT r.user_id, s.cell,
+        |      sum((r.val - s.c) * (r.val - s.c)) AS d2,
+        |      row_number() OVER (PARTITION BY r.user_id
+        |        ORDER BY sum((r.val - s.c) * (r.val - s.c)), s.cell) AS rn
+        |    FROM r JOIN seeds s ON s.j = r.j
+        |    GROUP BY 1, 2)
+        |  WHERE rn = 1
+        |), upd AS (
+        |  SELECT a1.cell, r.j, avg(r.val) AS c
+        |  FROM r JOIN a1 ON a1.user_id = r.user_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT user_id, cell, round(d2, 4) AS d2 FROM (
+        |  SELECT r.user_id, u.cell,
+        |    sum((r.val - u.c) * (r.val - u.c)) AS d2,
+        |    row_number() OVER (PARTITION BY r.user_id
+        |      ORDER BY sum((r.val - u.c) * (r.val - u.c)), u.cell) AS rn
+        |  FROM r JOIN upd u ON u.j = r.j
+        |  GROUP BY 1, 2)
+        |WHERE rn = 1""".stripMargin),
+
+    "ts_prefix_classify" -> (evCte +
+      """
+        |, labels AS (
+        |  SELECT user_id, label FROM (
+        |    SELECT user_id, event_type AS label,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY count(*) DESC, event_type) AS rn
+        |    FROM events GROUP BY 1, 2)
+        |  WHERE rn = 1
+        |), prefix AS (
+        |  SELECT user_id, t, value FROM v WHERE n >= 16 AND t <= 16
+        |), cents AS (
+        |  SELECT l.label, p.t, avg(p.value) AS c
+        |  FROM prefix p JOIN labels l ON l.user_id = p.user_id
+        |  WHERE p.user_id % 2 = 0
+        |  GROUP BY 1, 2
+        |)
+        |SELECT user_id, pred FROM (
+        |  SELECT p.user_id, c.label AS pred,
+        |    row_number() OVER (PARTITION BY p.user_id
+        |      ORDER BY sum((p.value - c.c) * (p.value - c.c)), c.label) AS rn
+        |  FROM prefix p JOIN cents c ON c.t = p.t
+        |  GROUP BY 1, 2)
+        |WHERE rn = 1""".stripMargin),
 
     "doc_minhash_pairs" -> minhashOracleSql,
     "doc_simhash" -> simhashOracleSql,

@@ -332,6 +332,19 @@ object SparkEntry {
         .agg(min_by(col("label"), struct(col("d2"), col("label"))).as("pred"))
     }),
 
+    // the flat-metric family of the kNN estimator (euclidean /
+    // sqeuclidean / cityblock, neighbors.py metric options) over
+    // consecutive-user pairs — fully oracle-checked
+    "ts_dist_pairs" -> ((s, dir) => {
+      val r = resampledEvents(s, dir, 16)
+      val b = r.select((col("user_id") - 1).as("user_id"), col("j"), col("v").as("vb"))
+      r.join(b, Seq("user_id", "j"))
+        .groupBy("user_id")
+        .agg(round(sqrt(sum(pow(col("v") - col("vb"), 2))), 4).as("euclidean"),
+          round(sum(pow(col("v") - col("vb"), 2)), 4).as("sqeuclidean"),
+          round(sum(abs(col("v") - col("vb"))), 4).as("cityblock"))
+    }),
+
     // ---------------- matrix profile (SURVEY §2.4/2.6) ---------------
     "ts_matrix_profile" -> ((s, dir) => {
       val m = 8
@@ -840,6 +853,15 @@ object SparkEntry {
         |  FROM prefix p JOIN cents c ON c.t = p.t
         |  GROUP BY 1, 2)
         |WHERE rn = 1""".stripMargin),
+
+    "ts_dist_pairs" -> (evCte + resampleCte +
+      """
+        |SELECT a.user_id,
+        |  round(sqrt(sum((a.val - b.val) * (a.val - b.val))), 4) AS euclidean,
+        |  round(sum((a.val - b.val) * (a.val - b.val)), 4) AS sqeuclidean,
+        |  round(sum(abs(a.val - b.val)), 4) AS cityblock
+        |FROM r a JOIN r b ON b.user_id = a.user_id + 1 AND b.j = a.j
+        |GROUP BY 1""".stripMargin),
 
     "doc_minhash_pairs" -> minhashOracleSql,
     "doc_simhash" -> simhashOracleSql,

@@ -136,4 +136,59 @@ class PropertySpec extends AnyFunSuite {
       assert(m <= 1.0 + 1e-9 && m >= 0.999 - 1e-6) // scaled copy correlates ~1
     }
   }
+
+  test("lcss_path score equals score-only lcss; path pairs are in-range and increasing") {
+    forAll(series, series) { (a, b) =>
+      val ua = uni(a.toIndexedSeq: _*); val ub = uni(b.toIndexedSeq: _*)
+      val (path, sim) = Advanced.lcssPath(ua, ub, eps = 1.5)
+      assert(sim == Kernels.lcss(ua, ub, eps = 1.5), "path/score-only disagree")
+      assert(path.length == math.round(sim * math.min(a.length, b.length)).toInt)
+      path.foreach { case (i, j) =>
+        assert(i >= 0 && i < a.length && j >= 0 && j < b.length)
+        assert(math.sqrt(Kernels.localSqDist(ua(i), ub(j))) <= 1.5, "non-matching pair on path")
+      }
+      // strictly increasing in both coordinates (LCSS paths are matchings)
+      path.sliding(2).foreach {
+        case Array((i0, j0), (i1, j1)) => assert(i1 > i0 && j1 > j0)
+        case _ =>
+      }
+    }
+  }
+
+  test("L-DTW path reproduces its score and respects the length cap") {
+    forAll(eqLenPair) { case (a, b) =>
+      val ua = uni(a.toIndexedSeq: _*); val ub = uni(b.toIndexedSeq: _*)
+      val cap = a.length + b.length / 2
+      val (path, score) = Advanced.dtwLimitedWarpingLengthPath(ua, ub, cap)
+      assert(path.length <= cap)
+      val cost = path.map { case (i, j) => Kernels.localSqDist(ua(i), ub(j)) }.sum
+      assert(math.abs(math.sqrt(cost) - score) < 1e-9)
+      assert(math.abs(score - Advanced.dtwLimitedWarpingLength(ua, ub, cap)) < 1e-12)
+    }
+  }
+
+  test("1d-SAX distance: zero on self, symmetric, scales with segment count") {
+    forAll(eqLenPair) { case (a, b) =>
+      val n = (a.length / 4) * 4
+      if (n >= 8) {
+        val ua = uni(a.take(n).toIndexedSeq: _*); val ub = uni(b.take(n).toIndexedSeq: _*)
+        val s1 = Sax.oneDSax(ua, 4, 4, 4, sigmaL = 1.0)
+        val s2 = Sax.oneDSax(ub, 4, 4, 4, sigmaL = 1.0)
+        assert(Sax.dist1dSax(s1, s1, 4, 4, 1.0, n) == 0.0)
+        val d12 = Sax.dist1dSax(s1, s2, 4, 4, 1.0, n)
+        val d21 = Sax.dist1dSax(s2, s1, 4, 4, 1.0, n)
+        assert(math.abs(d12 - d21) < 1e-12 && d12 >= 0)
+      }
+    }
+  }
+
+  test("soft-DTW alignment rows carry positive mass and value matches softDtw") {
+    forAll(eqLenPair) { case (a, b) =>
+      val ua = uni(a.toIndexedSeq: _*); val ub = uni(b.toIndexedSeq: _*)
+      val (e, v) = Kernels.softDtwAlignment(ua, ub, gamma = 1.0)
+      assert(math.abs(v - Kernels.softDtw(ua, ub, 1.0)) < 1e-9)
+      // every query timestep is softly aligned somewhere
+      e.foreach(row => assert(row.sum > 1e-12))
+    }
+  }
 }

@@ -488,6 +488,24 @@ object SparkEntry {
     // portable=true switches the base hash to md5-60bit and band buckets
     // to slice values, so the DuckDB oracle below reproduces the LSH
     // pipeline with IDENTICAL constants (Dedup.minhashCoeffs)
+    // silhouette of the label clustering over the first 200 embeddings —
+    // the silhouette operator (clustering/utils.py:66-197) with a full
+    // relational oracle (pairwise dists → per-cluster means → (b−a)/max)
+    "emb_silhouette" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir).where(col("vec_id") < 200)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"),
+          col("label").cast("string").as("label"))
+      val pairs = e.select(col("vec_id").as("left_id"), col("v").as("lv"))
+        .join(broadcast(e.select(col("vec_id").as("right_id"), col("v").as("rv"))),
+          col("left_id") =!= col("right_id"))
+        .select(col("left_id"), col("right_id"),
+          TsFunctions.euclideanUdf(col("lv"), col("rv")).as("dist"))
+      val assign = e.select(col("vec_id").as("series_id"), col("label").as("cluster"))
+      val score = graft.ml.TimeSeriesKMeans.silhouette(pairs, assign)
+      Seq(math.rint(score * 1e4) / 1e4).toDF("silhouette")
+    }),
+
     "doc_minhash_pairs" -> ((s, dir) => {
       graft.operators.Dedup.minhashLsh(docs(s, dir), threshold = 0.35, portable = true)
         .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
@@ -853,6 +871,26 @@ object SparkEntry {
         |  FROM prefix p JOIN cents c ON c.t = p.t
         |  GROUP BY 1, 2)
         |WHERE rn = 1""".stripMargin),
+
+    "emb_silhouette" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, CAST(label AS VARCHAR) AS label
+        |  FROM embeddings WHERE vec_id < 200
+        |), d AS (
+        |  SELECT a.vec_id AS l, a.label AS lc, b.label AS rc,
+        |    list_distance(a.v, b.v) AS dist
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        |), pc AS (
+        |  SELECT l, lc, rc, avg(dist) AS md FROM d GROUP BY 1, 2, 3
+        |), aa AS (
+        |  SELECT l, md AS a FROM pc WHERE lc = rc
+        |), bb AS (
+        |  SELECT l, min(md) AS b FROM pc WHERE lc <> rc GROUP BY 1
+        |), s AS (
+        |  SELECT (bb.b - aa.a) / greatest(aa.a, bb.b) AS sil
+        |  FROM aa JOIN bb ON aa.l = bb.l
+        |)
+        |SELECT round(avg(sil), 4) AS silhouette FROM s""".stripMargin,
 
     "ts_dist_pairs" -> (evCte + resampleCte +
       """

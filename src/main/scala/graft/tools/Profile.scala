@@ -81,6 +81,13 @@ object Profile {
     }
     time("doc_simhash_pairs")(graft.SparkEntry.queries("doc_simhash_pairs")(spark, sfDir).count())
     time("doc_simhash_pairs again")(graft.SparkEntry.queries("doc_simhash_pairs")(spark, sfDir).count())
+    locally {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      time("cosine dedup broadcast")(
+        graft.operators.Dedup.embeddingCosine(e, threshold = 0.4).count())
+      time("cosine dedup blocked8")(
+        graft.operators.Dedup.embeddingCosineBlocked(e, threshold = 0.4, blocks = 8).count())
+    }
     spark.stop()
   }
 }

@@ -654,7 +654,8 @@ object SparkEntry {
         round(TsFunctions.softDtwUdf(col("lv"), col("rv"), lit(1.0)), 4).as("softdtw"),
         round(TsFunctions.gakUdf(col("lv"), col("rv"), lit(1.0)), 4).as("gak"),
         round(TsFunctions.lcssUdf(col("lv"), col("rv"), lit(0.5)), 4).as("lcss"),
-        round(TsFunctions.sbdUdf(col("lv"), col("rv")), 4).as("sbd"))
+        round(TsFunctions.sbdUdf(col("lv"), col("rv")), 4).as("sbd"),
+        round(TsFunctions.ctwUdf(col("lv"), col("rv")), 4).as("ctw"))
     })
   )
 

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.UserDefinedFunction
-import graft.kernels.{Kernels, Mask, Ncc, Sax}
+import graft.kernels.{Advanced, Kernels, Mask, Ncc, Sax}
 
 /** Spark SQL surface of the kernel library.
   *
@@ -68,6 +68,18 @@ object TsFunctions {
     udf((a: S, b: S) => {
       val (path, dist) = Kernels.dtwPath(uniTs(a), uniTs(b))
       (path.map(p => Array(p._1, p._2)), dist)
+    })
+  val lcssPathUdf: UserDefinedFunction =
+    udf((a: S, b: S, eps: Double) => {
+      val (path, sim) = Advanced.lcssPath(uniTs(a), uniTs(b), eps)
+      (path.map(p => Array(p._1, p._2)), sim)
+    })
+  val ctwUdf: UserDefinedFunction =
+    udf((a: S, b: S) => Advanced.ctw(uniTs(a), uniTs(b)))
+  val softDtwAlignmentValueUdf: UserDefinedFunction =
+    udf((a: S, b: S, gamma: Double) => {
+      val (e, v) = Kernels.softDtwAlignment(uniTs(a), uniTs(b), gamma)
+      (e.map(_.toSeq), v)
     })
   val dtwSubseqUdf: UserDefinedFunction =
     udf((q: S, l: S) => Kernels.dtwSubsequencePath(uniTs(q), uniTs(l))._2)
@@ -145,6 +157,9 @@ object TsFunctions {
     spark.udf.register("ts_euclidean", euclideanUdf)
     spark.udf.register("ts_sqeuclidean", sqEuclideanUdf)
     spark.udf.register("ts_lcss", lcssUdf)
+    spark.udf.register("ts_lcss_path", lcssPathUdf)
+    spark.udf.register("ts_ctw", ctwUdf)
+    spark.udf.register("ts_softdtw_alignment", softDtwAlignmentValueUdf)
     spark.udf.register("ts_gak", gakUdf)
     spark.udf.register("ts_log_gak", logGakUdf)
     spark.udf.register("ts_softdtw", softDtwUdf)

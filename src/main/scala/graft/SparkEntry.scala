@@ -1098,8 +1098,11 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |), s AS (
         |  SELECT user_id, ts_us,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    -- CAST: DuckDB integer sum() yields HUGEINT, which arrow/pandas
+        |    -- renders as float64 ("1.0") and breaks an exact hash compare
+        |    -- against Spark's BIGINT ("1"); the round-2 red row.
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM e
         |)
         |SELECT user_id, session_id, count(*) AS n_events,

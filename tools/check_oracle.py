@@ -56,6 +56,13 @@ def main():
         bad = None
         for c in g.columns:
             gv, ev = g[c].to_numpy(), e[c].to_numpy()
+            # The driver hash-compares exact value renderings: an int64
+            # column on one side vs float64 on the other (e.g. DuckDB
+            # HUGEINT sum() -> pandas float64) hashes "1" vs "1.0" and
+            # fails even when isclose() passes. Treat as a hard error.
+            if np.issubdtype(gv.dtype, np.integer) != np.issubdtype(ev.dtype, np.integer):
+                bad = f"COL {c}: dtype class mismatch spark={gv.dtype} duck={ev.dtype} (driver hash would fail)"
+                break
             if np.issubdtype(gv.dtype, np.floating) or np.issubdtype(ev.dtype, np.floating):
                 gv = gv.astype(float); ev = ev.astype(float)
                 m = ~(np.isclose(gv, ev, rtol=0, atol=0, equal_nan=True))

@@ -19,10 +19,22 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Optional dev-only knobs (the driver passes neither): query-name
+    // args restrict the run; SPARK_GRAFT_REPEAT=N times each query N
+    // times and prints every run, separating one-time plan/codegen cost
+    // from steady-state execution.
+    val wanted = if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
+                 else SparkEntry.queries
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val results = wanted.map { case (name, fn) =>
+      var last = 0.0
+      (1 to repeat).foreach { r =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        last = (System.nanoTime() - t0) / 1e9
+        if (repeat > 1) println(f"[bench] $name run $r: $last%.3f s")
+      }
+      name -> last
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

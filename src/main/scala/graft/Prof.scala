@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only stage profiler (not part of the driver contract). */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[prof] $name: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.count()
+
+    import org.apache.spark.sql.expressions.Window
+
+    def jacV(variant: String) = {
+      val maxDf = 100
+      val d = docs.select(col("doc_id"), split(col("text"), " ").as("words"))
+      val shArr = array_distinct(transform(sequence(lit(0), size(col("words")) - 3),
+        i => array_join(slice(col("words"), i + 1, lit(3)), " ")))
+      variant match {
+        case "orig" =>
+          val shingles = d.select(col("doc_id"),
+            explode(transform(sequence(lit(0), size(col("words")) - 3),
+              i => array_join(slice(col("words"), i + 1, lit(3)), " "))).as("sh"))
+            .distinct()
+            .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+            .where(col("df") <= maxDf)
+            .select(col("doc_id"), col("sh"))
+          val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+          val a = shingles.select(col("doc_id").as("doc_a"), col("sh"))
+          val b = shingles.select(col("doc_id").as("doc_b"), col("sh"))
+          val inter = a.join(b, "sh").where(col("doc_a") < col("doc_b"))
+            .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+          inter
+            .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+            .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+            .withColumn("jac", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+            .where(col("jac") >= 0.5)
+            .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+        case "twowin" =>
+          val shingles = d.select(col("doc_id"), shArr.as("shs"))
+            .select(col("doc_id"), explode(col("shs")).as("sh"))
+            .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+            .where(col("df") <= maxDf)
+            .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+            .select(col("doc_id"), col("sh"), col("sz"))
+          val a = shingles.select(col("doc_id").as("doc_a"), col("sh"), col("sz").as("sz_a"))
+          val b = shingles.select(col("doc_id").as("doc_b"), col("sh"), col("sz").as("sz_b"))
+          a.join(b, "sh").where(col("doc_a") < col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(count(lit(1)).as("inter"), first("sz_a").as("sz_a"), first("sz_b").as("sz_b"))
+            .withColumn("jac", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+            .where(col("jac") >= 0.5)
+            .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+        case "adist" =>
+          val shingles = d.select(col("doc_id"), shArr.as("shs"))
+            .select(col("doc_id"), explode(col("shs")).as("sh"))
+            .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+            .where(col("df") <= maxDf)
+            .select(col("doc_id"), col("sh"))
+          val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+          val a = shingles.select(col("doc_id").as("doc_a"), col("sh"))
+          val b = shingles.select(col("doc_id").as("doc_b"), col("sh"))
+          val inter = a.join(b, "sh").where(col("doc_a") < col("doc_b"))
+            .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+          inter
+            .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+            .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+            .withColumn("jac", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+            .where(col("jac") >= 0.5)
+            .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+      }
+    }
+
+    (1 to 2).foreach { round =>
+      println(s"[prof] === round $round ===")
+      Seq("orig", "twowin", "adist").foreach { v =>
+        time(s"jaccard $v")(jacV(v).count())
+      }
+    }
+    spark.stop()
+  }
+}

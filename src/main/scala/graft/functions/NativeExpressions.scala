@@ -15,6 +15,22 @@ object NativeOps {
   def dtw(a: ArrayData, b: ArrayData, radius: Int): Double =
     Kernels.dtwFlat(a.toDoubleArray(), b.toDoubleArray(), radius)
 
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 60 bits of md5(utf8(s)) as a non-negative long — the value of
+    * `conv(substring(md5(s), 1, 15), 16, 10)` without materializing the
+    * 32-char hex string or re-parsing it base-16: the first 15 hex chars
+    * are the first 8 digest bytes big-endian shifted right 4 bits. */
+  def md5Hash60(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val h = d.digest(s.getBytes)
+    (((h(0) & 0xffL) << 56) | ((h(1) & 0xffL) << 48) | ((h(2) & 0xffL) << 40) |
+      ((h(3) & 0xffL) << 32) | ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
+      ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)) >>> 4
+  }
+
   def lbKeogh(q: ArrayData, lo: ArrayData, hi: ArrayData): Double = {
     val qa = q.toDoubleArray()
     val la = lo.toDoubleArray()
@@ -72,6 +88,22 @@ case class LbKeoghExpression(first: Expression, second: Expression, third: Expre
     copy(first = f, second = s, third = t)
 }
 
+/** Engine-portable 60-bit md5 hash of a string column (see
+  * [[NativeOps.md5Hash60]]); bit-identical to DuckDB's
+  * `CAST(CONCAT('0x', substring(md5(x), 1, 15)) AS BIGINT)`. */
+case class Md5Hash60Expression(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "md5_hash60_native"
+  override protected def nullSafeEval(s: Any): Any =
+    NativeOps.md5Hash60(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.NativeOps.md5Hash60($s);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object NativeExpressions {
   /** DTW as a native expression; radius < 0 = unconstrained. */
   def dtwNative(a: Column, b: Column, radius: Int = -1): Column =
@@ -82,4 +114,8 @@ object NativeExpressions {
     GraftColumnBridge.column(LbKeoghExpression(
       GraftColumnBridge.expression(q), GraftColumnBridge.expression(low),
       GraftColumnBridge.expression(up)))
+
+  /** Portable 60-bit md5 hash of a string column. */
+  def md5Hash60Native(s: Column): Column =
+    GraftColumnBridge.column(Md5Hash60Expression(GraftColumnBridge.expression(s)))
 }

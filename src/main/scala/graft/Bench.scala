@@ -25,21 +25,34 @@ object Bench {
     // from steady-state execution.
     val wanted = if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
                  else SparkEntry.queries
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val repeat = math.max(1,
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt).getOrElse(1))
     val results = wanted.map { case (name, fn) =>
       var last = 0.0
+      var err: Option[String] = None
       (1 to repeat).foreach { r =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count(); err = None }
+        catch { case t: Throwable =>
+          err = Some(t.getClass.getSimpleName)
+          System.err.println(s"[bench] $name FAILED: $t")
+        }
         last = (System.nanoTime() - t0) / 1e9
         if (repeat > 1) println(f"[bench] $name run $r: $last%.3f s")
       }
-      name -> last
+      name -> ((last, err))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // A failed query must be visible in the JSON (err field), not just a
+    // suspiciously fast wall-time.
+    val qs = results.map { case (k, (v, err)) =>
+      err match {
+        case Some(e) => s"\"" + k + "\":{\"sec\":" + v + ",\"err\":\"" + e + "\"}"
+        case None    => s"\"" + k + "\":" + v
+      }
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val nErr = results.values.count(_._2.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

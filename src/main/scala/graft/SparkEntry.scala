@@ -374,22 +374,26 @@ object SparkEntry {
       val maxDf = 100
       val d = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("words"))
       // array_distinct BEFORE the explode dedupes per-doc shingles with
-      // no shuffle (the old per-row .distinct() was a full exchange);
-      // per-doc set size then travels WITH the inverted-index rows so
-      // no sizes aggregate is joined back.
+      // no shuffle (a per-row .distinct() would be a full exchange).
+      // The df cap stays a window (one sort of the shingle stream) but
+      // per-doc sizes are a cheap post-aggregation groupBy joined back on
+      // the (small) surviving-pair set — measured in Prof.scala:
+      // one-window+sizes-join 3.09 s cold / 2.80 s warm vs the two-window
+      // shape's 5.62 / 3.66 at sf0.1.
       val shingles = d.select(col("doc_id"),
         array_distinct(transform(sequence(lit(0), size(col("words")) - 3),
           i => array_join(slice(col("words"), i + 1, lit(3)), " "))).as("shs"))
         .select(col("doc_id"), explode(col("shs")).as("sh"))
         .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
         .where(col("df") <= maxDf)
-        .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
-        .select(col("doc_id"), col("sh"), col("sz"))
-      val a = shingles.select(col("doc_id").as("doc_a"), col("sh"), col("sz").as("sz_a"))
-      val b = shingles.select(col("doc_id").as("doc_b"), col("sh"), col("sz").as("sz_b"))
+        .select(col("doc_id"), col("sh"))
+      val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val a = shingles.select(col("doc_id").as("doc_a"), col("sh"))
+      val b = shingles.select(col("doc_id").as("doc_b"), col("sh"))
       a.join(b, "sh").where(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("inter"), first("sz_a").as("sz_a"), first("sz_b").as("sz_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
         .withColumn("jac", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
         .where(col("jac") >= 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))

@@ -93,6 +93,14 @@ case class LbKeoghExpression(first: Expression, second: Expression, third: Expre
   * `CAST(CONCAT('0x', substring(md5(x), 1, 15)) AS BIGINT)`. */
 case class Md5Hash60Expression(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  // Fail at analysis time on a non-string child (the case class is
+  // public; md5Hash60Native's .cast covers internal callers only).
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"md5_hash60_native requires a STRING child, got ${child.dataType.sql}")
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "md5_hash60_native"
   override protected def nullSafeEval(s: Any): Any =

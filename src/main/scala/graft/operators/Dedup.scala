@@ -24,7 +24,13 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word k-shingles, distinct per doc: (doc_id, sh). */
+  /** Word k-shingles, distinct per doc: (doc_id, sh).
+    *
+    * Precondition: `idCol` is unique per input row. Dedupe is per-ROW
+    * (array_distinct before explode), so duplicate doc_id rows would
+    * yield duplicate (doc_id, sh) pairs and inflate downstream set
+    * sizes (e.g. Jaccard denominators). Callers with possibly-duplicated
+    * ids must `dropDuplicates(idCol)` first. */
   def shingles(df: DataFrame, k: Int = 3, idCol: String = "doc_id",
                textCol: String = "text", dedupe: Boolean = true): DataFrame = {
     // Project words as a real column BEFORE the transform(): a Column

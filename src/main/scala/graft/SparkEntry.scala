@@ -528,14 +528,20 @@ object SparkEntry {
       graft.operators.Dedup.simhashPairs(docs(s, dir), maxHamming = 3, portable = true)
     }),
 
-    // ---------------- clustering / barycenters (rows-only) -----------
+    // ---------------- clustering / barycenters -----------------------
+    // Full 10-iteration Lloyd trace of the estimator, oracle-backed:
+    // init="first" seeds from series 0..k-1 and tol=-1 disables the
+    // early stop, so the DuckDB oracle (an unrolled assign/update CTE
+    // chain, kmeansTraceSql) reproduces the exact fixed-point. Lloyd
+    // no-ops once converged, so running all 10 updates is equivalent to
+    // the tol-gated loop on converged data.
     "ts_kmeans" -> ((s, dir) => {
       TsFunctions.register(s)
       val series = TSModel.eventsToSeries(s, dir)
         .select(col("series_id"),
           TsFunctions.resampleZnormUdf(col("values"), lit(32)).as("values"))
       val model = new graft.ml.TimeSeriesKMeans(k = 4, metric = "euclidean",
-        maxIter = 10, seed = 7).fit(series)
+        maxIter = 10, tol = -1.0, init = "first").fit(series)
       model.predict(series)
         .select(col("series_id"), col("cluster"), round(col("dist"), 4).as("dist"))
     }),
@@ -629,7 +635,10 @@ object SparkEntry {
       model.predict(series)
     }),
 
-    // ---------------- kernel-metric queries (rows-only oracle) -------
+    // ---------------- kernel-metric queries --------------------------
+    // Integer-only output (probe, rank, neighbor) so the DuckDB oracle
+    // (LB-prune mirror + banded DTW DP unrolled as a 32-step CTE chain,
+    // knnDtwOracleSql) compares without float-hash fragility.
     "knn_dtw_users" -> ((s, dir) => {
       TsFunctions.register(s)
       val series = TSModel.eventsToSeries(s, dir)
@@ -638,6 +647,7 @@ object SparkEntry {
         .cache()
       Cdist.knnDtwPruned(series, series, k = 4, radius = 4)
         .where(col("probe_id") =!= col("neighbor_id")).where(col("rank") <= 3)
+        .select(col("probe_id"), col("rank"), col("neighbor_id"))
     }),
 
     "cdist_metrics_sample" -> ((s, dir) => {
@@ -761,7 +771,210 @@ object SparkEntry {
       |  JOIN v v1 ON v1.user_id = w.user_id AND v1.t - 1 = w.i1
       |)""".stripMargin
 
+  /** Resample-to-`target` + per-user z-norm CTE chain (appended after
+    * evCte), yielding `r(user_id, j, val)` — mirrors
+    * `resampleZnormUdf` = scaleMeanVariance(resample(series, target)).
+    * Variance via avg(x²)−avg(x)² to match the kernel's m2/n−mean²
+    * formula (Kernels.scala:489); var<=0 maps to sd=1 as the kernel does. */
+  private def resampleZnormCte(target: Int): String =
+    s"""
+       |, grid AS (
+       |  SELECT u.user_id, u.n, g.j,
+       |    g.j * (u.n - 1) / ${target - 1}.0 AS pos
+       |  FROM (SELECT DISTINCT user_id, n FROM v) u,
+       |       (SELECT unnest(generate_series(0, ${target - 1})) AS j) g
+       |), w AS (
+       |  SELECT user_id, j, CAST(floor(pos) AS INT) AS i0,
+       |    LEAST(CAST(floor(pos) AS INT) + 1, n - 1) AS i1,
+       |    pos - floor(pos) AS frac
+       |  FROM grid
+       |), r0 AS (
+       |  SELECT w.user_id, w.j,
+       |    v0.value * (1.0 - w.frac) + v1.value * w.frac AS val
+       |  FROM w
+       |  JOIN v v0 ON v0.user_id = w.user_id AND v0.t - 1 = w.i0
+       |  JOIN v v1 ON v1.user_id = w.user_id AND v1.t - 1 = w.i1
+       |), st AS (
+       |  SELECT user_id, avg(val) AS mu,
+       |    avg(val * val) - avg(val) * avg(val) AS var
+       |  FROM r0 GROUP BY 1
+       |), r AS (
+       |  SELECT r0.user_id, r0.j,
+       |    (r0.val - st.mu) /
+       |      (CASE WHEN st.var <= 0 THEN 1.0 ELSE sqrt(st.var) END) AS val
+       |  FROM r0 JOIN st USING (user_id)
+       |)""".stripMargin
+
+  /** DuckDB oracle for ts_kmeans: the full Lloyd trace unrolled as
+    * `iters` assign/update CTE pairs — exactly the estimator's loop with
+    * init="first" (seeds = series 0..3) and no early stop. Assignment
+    * tie-break (d2, cell) matches assignDs's strict `<` (lowest cell
+    * wins). */
+  private def kmeansTraceSql(iters: Int): String = {
+    val sb = new StringBuilder(evCte + resampleZnormCte(32))
+    sb ++= "\n, c0 AS (\n  SELECT CAST(user_id AS INT) AS cell, j, val AS c FROM r WHERE user_id < 4\n)"
+    for (i <- 1 to iters) {
+      sb ++=
+        s"""
+           |, a$i AS (
+           |  SELECT user_id, cell FROM (
+           |    SELECT r.user_id, s.cell,
+           |      sum((r.val - s.c) * (r.val - s.c)) AS d2,
+           |      row_number() OVER (PARTITION BY r.user_id
+           |        ORDER BY sum((r.val - s.c) * (r.val - s.c)), s.cell) AS rn
+           |    FROM r JOIN c${i - 1} s ON s.j = r.j
+           |    GROUP BY 1, 2)
+           |  WHERE rn = 1
+           |), c$i AS (
+           |  SELECT a.cell, r.j, avg(r.val) AS c
+           |  FROM r JOIN a$i a ON a.user_id = r.user_id
+           |  GROUP BY 1, 2
+           |)""".stripMargin
+    }
+    sb ++=
+      s"""
+         |SELECT user_id AS series_id, cell AS cluster,
+         |  round(sqrt(d2), 4) AS dist FROM (
+         |  SELECT r.user_id, u.cell,
+         |    sum((r.val - u.c) * (r.val - u.c)) AS d2,
+         |    row_number() OVER (PARTITION BY r.user_id
+         |      ORDER BY sum((r.val - u.c) * (r.val - u.c)), u.cell) AS rn
+         |  FROM r JOIN c$iters u ON u.j = r.j
+         |  GROUP BY 1, 2)
+         |WHERE rn = 1""".stripMargin
+    sb.toString
+  }
+
+  /** DuckDB oracle for ts_early_classify — the per-t nearest-centroid
+    * fit is pure relational: per-(t, label, j) centroids, per-(user, t)
+    * argmin predictions, per-t training accuracy, the expected-cost
+    * stopping rule (first t whose cost ≤ every later cost), and the
+    * prediction at that t. */
+  private def earlyClassifyOracleSql: String =
+    evCte + resampleZnormCte(32) +
+      """
+        |, labels AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 5
+        |      AS VARCHAR) AS label
+        |  FROM events GROUP BY 1
+        |), tg AS (
+        |  SELECT unnest([8, 16, 32]) AS t
+        |), cents AS (
+        |  SELECT tg.t, l.label, r.j, avg(r.val) AS c
+        |  FROM r JOIN labels l USING (user_id) CROSS JOIN tg
+        |  WHERE r.j < tg.t
+        |  GROUP BY 1, 2, 3
+        |), scored AS (
+        |  SELECT r.user_id, c.t, c.label,
+        |    sum((r.val - c.c) * (r.val - c.c)) AS d2
+        |  FROM r JOIN cents c ON c.j = r.j
+        |  GROUP BY 1, 2, 3
+        |), pred AS (
+        |  SELECT user_id, t, label AS pred FROM (
+        |    SELECT user_id, t, label,
+        |      row_number() OVER (PARTITION BY user_id, t ORDER BY d2, label) AS rn
+        |    FROM scored)
+        |  WHERE rn = 1
+        |), acc AS (
+        |  SELECT p.t,
+        |    avg(CASE WHEN p.pred = l.label THEN 1.0 ELSE 0.0 END) AS acc
+        |  FROM pred p JOIN labels l USING (user_id)
+        |  GROUP BY 1
+        |), cost AS (
+        |  SELECT t, (1.0 - acc) + 0.005 * t AS cost FROM acc
+        |), tstar AS (
+        |  SELECT min(t) AS t FROM cost c1
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM cost c2 WHERE c2.t > c1.t AND c2.cost < c1.cost)
+        |)
+        |SELECT p.user_id AS series_id, tstar.t AS decided_at, p.pred AS label
+        |FROM pred p, tstar WHERE p.t = tstar.t""".stripMargin
+
+  /** DuckDB oracle for knn_dtw_users — mirrors knnDtwPruned exactly:
+    * LB_Keogh (radius 4) against each candidate's envelope, keep the
+    * k·factor=16 nearest by (lb, cand_id), run the Sakoe-Chiba-banded
+    * DTW on the survivors, rank by (dtw, cand_id). The 32-row DP runs as
+    * an unrolled CTE chain using the prefix-min identity
+    * new[j] = cum[j] + min_{k<=j}(min(prev[k], prev[k-1]) − cum[k-1]),
+    * which DuckDB evaluates with two running windows per step. */
+  private def knnDtwOracleSql(sz: Int, radius: Int, kf: Int, keep: Int): String = {
+    val sb = new StringBuilder(evCte + resampleZnormCte(sz))
+    sb ++=
+      s"""
+         |, env AS (
+         |  SELECT user_id, j,
+         |    min(val) OVER (PARTITION BY user_id ORDER BY j
+         |      ROWS BETWEEN $radius PRECEDING AND $radius FOLLOWING) AS lo,
+         |    max(val) OVER (PARTITION BY user_id ORDER BY j
+         |      ROWS BETWEEN $radius PRECEDING AND $radius FOLLOWING) AS up
+         |  FROM r
+         |), lb AS (
+         |  SELECT q.user_id AS pr, e.user_id AS cd,
+         |    sum(CASE WHEN q.val > e.up THEN (q.val - e.up) * (q.val - e.up)
+         |             WHEN q.val < e.lo THEN (e.lo - q.val) * (e.lo - q.val)
+         |             ELSE 0.0 END) AS lb2
+         |  FROM r q JOIN env e ON e.j = q.j
+         |  GROUP BY 1, 2
+         |), cand AS (
+         |  SELECT pr, cd FROM (
+         |    SELECT pr, cd,
+         |      row_number() OVER (PARTITION BY pr ORDER BY lb2, cd) AS rn
+         |    FROM lb)
+         |  WHERE rn <= $kf
+         |), loc AS (
+         |  SELECT c.pr, c.cd, rp.j AS i, rc.j AS j,
+         |    (rp.val - rc.val) * (rp.val - rc.val) AS d
+         |  FROM cand c
+         |  JOIN r rp ON rp.user_id = c.pr
+         |  JOIN r rc ON rc.user_id = c.cd
+         |    AND rc.j BETWEEN rp.j - $radius AND rp.j + $radius
+         |), t0 AS (
+         |  SELECT pr, cd, j,
+         |    sum(d) OVER (PARTITION BY pr, cd ORDER BY j) AS cost
+         |  FROM loc WHERE i = 0
+         |)""".stripMargin
+    for (i <- 1 until sz) {
+      sb ++=
+        s"""
+           |, t$i AS (
+           |  SELECT pr, cd, j, cs + mn AS cost FROM (
+           |    SELECT pr, cd, j, cs,
+           |      min(mk - csk) OVER (PARTITION BY pr, cd ORDER BY j) AS mn
+           |    FROM (
+           |      SELECT l.pr, l.cd, l.j,
+           |        sum(l.d) OVER (PARTITION BY l.pr, l.cd ORDER BY l.j) AS cs,
+           |        sum(l.d) OVER (PARTITION BY l.pr, l.cd ORDER BY l.j) - l.d AS csk,
+           |        least(coalesce(pk.cost, 1e308), coalesce(pk1.cost, 1e308)) AS mk
+           |      FROM loc l
+           |      LEFT JOIN t${i - 1} pk
+           |        ON pk.pr = l.pr AND pk.cd = l.cd AND pk.j = l.j
+           |      LEFT JOIN t${i - 1} pk1
+           |        ON pk1.pr = l.pr AND pk1.cd = l.cd AND pk1.j = l.j - 1
+           |      WHERE l.i = $i))
+           |)""".stripMargin
+    }
+    sb ++=
+      s"""
+         |, dtw AS (
+         |  SELECT pr, cd, sqrt(cost) AS dist FROM t${sz - 1} WHERE j = ${sz - 1}
+         |)
+         |SELECT pr AS probe_id, rn AS rank, cd AS neighbor_id FROM (
+         |  SELECT pr, cd,
+         |    row_number() OVER (PARTITION BY pr ORDER BY dist, cd) AS rn
+         |  FROM dtw)
+         |WHERE pr <> cd AND rn <= $keep""".stripMargin
+    // MATERIALIZED on every CTE: DuckDB inlines CTEs by default, and each
+    // DP step references its predecessor twice — inlining would expand
+    // the 32-step chain into an exponential tree of events.parquet scans
+    // ("Too many open files" long before any result).
+    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "ts_kmeans" -> kmeansTraceSql(10),
+    "ts_early_classify" -> earlyClassifyOracleSql,
+    "knn_dtw_users" -> knnDtwOracleSql(32, 4, 16, 3),
     "ts_paa_dist_pairs" -> (evCte + resampleCte +
       """
         |, paa AS (

@@ -31,9 +31,11 @@ class TimeSeriesKMeans(
     val nInit: Int = 1,
     val seed: Long = 0L,
     val gamma: Double = 1.0,
-    val barycenterMaxIter: Int = 10) extends Serializable {
+    val barycenterMaxIter: Int = 10,
+    val init: String = "k-means++") extends Serializable {
 
   require(Seq("euclidean", "dtw", "softdtw").contains(metric), s"bad metric $metric")
+  require(Seq("k-means++", "first").contains(init), s"bad init $init")
 
   case class Model(centroids: Array[Array[Double]], inertia: Double) {
     /** Assign each series to its nearest centroid: single broadcast pass. */
@@ -79,10 +81,18 @@ class TimeSeriesKMeans(
       else data.sample(withReplacement = false, sampleCap.toDouble / n, seed).map(_._2))
       .collect()
 
+    // init="first": the k smallest-series_id series, in id order — fully
+    // deterministic and data-independent, so an external SQL oracle can
+    // reproduce the whole Lloyd trace (seeds = series 0..k-1).
+    val firstK: Array[Array[Double]] =
+      if (init == "first")
+        data0.orderBy("series_id").limit(k).collect().map(_._2)
+      else null
+
     var best: Model = null
     for (attempt <- 0 until nInit) {
       val rng = new scala.util.Random(seed + attempt)
-      var centroids = kmeansPlusPlus(sample, rng)
+      var centroids = if (init == "first") firstK else kmeansPlusPlus(sample, rng)
       var prevInertia = Double.PositiveInfinity
       var inertia = Double.PositiveInfinity
       var iter = 0

@@ -134,9 +134,27 @@ object Cdist {
     * the bound) — the reference's lower-bound optimization
     * (`dtw_variants.py:1224-1296`) as a pre-join filter: the cheap O(n)
     * bound prunes candidates before the O(n²) DTW runs. `factor` keeps
-    * k·factor candidates per probe by LB before the exact metric. */
+    * k·factor candidates per probe by LB before the exact metric.
+    *
+    * Guarded dispatch: up to `maxIndexRows` train rows the whole
+    * (id, series, envelope) index is broadcast and the plan is
+    * exchange-free (PlanAuditSpec-locked). Beyond that — the driver-memory
+    * ceiling the broadcast index would otherwise OOM on at a 100× train
+    * scale-up — it degrades to [[knnDtwBlocked]], which shuffles the train
+    * side into block-local indexes and produces IDENTICAL output. */
   def knnDtwPruned(probes: DataFrame, train: DataFrame, k: Int, radius: Int,
-                   factor: Int = 4, seriesCol: String = "values"): DataFrame = {
+                   factor: Int = 4, seriesCol: String = "values",
+                   maxIndexRows: Long = 100000, blocks: Int = 16): DataFrame = {
+    // limit+count short-circuits: answers "more than maxIndexRows?" without
+    // scanning the full relation
+    val over = train.select(col("series_id"))
+      .limit((maxIndexRows + 1).min(Int.MaxValue).toInt).count() > maxIndexRows
+    if (over) knnDtwBlocked(probes, train, k, radius, factor, blocks, seriesCol)
+    else knnDtwBroadcastIndex(probes, train, k, radius, factor, seriesCol)
+  }
+
+  private def knnDtwBroadcastIndex(probes: DataFrame, train: DataFrame, k: Int, radius: Int,
+                                   factor: Int, seriesCol: String): DataFrame = {
     // The train side was ALWAYS the broadcast side of this join — so skip
     // the pair-row materialization entirely: broadcast the (id, series,
     // envelope) index once and run the whole LB-prune → DTW → top-k per
@@ -177,5 +195,62 @@ object Cdist {
         posexplode(knnUdf(col(seriesCol))).as(Seq("rank0", "hit")))
       .select(col("probe_id"), (col("rank0") + 1).as("rank"),
         col("hit._1").as("neighbor_id"), col("hit._2").as("dist"))
+  }
+
+  /** Partitioned-index DTW k-NN for train sides too large to broadcast.
+    *
+    * The train side is hashed into `blocks` block-local indexes (one
+    * grouped row each: array of (id, series, envelope), envelopes computed
+    * once in the grouping pass, peak task state |train|/blocks series);
+    * probes replicate `blocks`× and equi-join — shuffle volume is
+    * blocks·|probes| + |train| rows, never a pair-space stream and never a
+    * full-relation broadcast. Each joined row emits its block's k·factor
+    * LB-candidates WITH their exact banded DTW; the global merge re-slices
+    * to the k·factor best by (lb, id) — a subset of the union of per-block
+    * winners, so the candidate set is bit-identical to the broadcast
+    * path's — then ranks by (dist, id). Extra work vs broadcast: DTW runs
+    * on blocks·k·factor candidates per probe instead of k·factor. */
+  private[graft] def knnDtwBlocked(probes: DataFrame, train: DataFrame, k: Int, radius: Int,
+                                   factor: Int = 4, blocks: Int = 16,
+                                   seriesCol: String = "values"): DataFrame = {
+    require(blocks >= 1, "blocks must be >= 1")
+    val kf = k * factor
+    val tIdx = train
+      .select(col("series_id").cast("long").as("id"),
+        col(seriesCol).cast("array<double>").as("tv"),
+        TsFunctions.envelopeUdf(col(seriesCol), lit(radius)).as("env"))
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
+      .groupBy("blk")
+      .agg(collect_list(struct(col("id").as("_1"), col("tv").as("_2"),
+        col("env._1").as("_3"), col("env._2").as("_4"))).as("idx"))
+    val prep = probes
+      .select(col("series_id").cast("long").as("probe_id"),
+        col(seriesCol).cast("array<double>").as("q"))
+      .withColumn("blk", explode(sequence(lit(0), lit(blocks - 1))))
+    // per-block survivors as (lb, id, dist) — struct field ORDER is the
+    // merge key: array_sort on (_1=lb, _2=id) reproduces the broadcast
+    // path's global candidate selection
+    val localUdf = udf((q: scala.collection.Seq[Double],
+                        idx: scala.collection.Seq[(Long, scala.collection.Seq[Double],
+                          scala.collection.Seq[Double], scala.collection.Seq[Double])]) => {
+      val qa = q.toArray
+      val lbs = idx.map { r =>
+        graft.kernels.Kernels.lbKeoghEnv(qa, r._3.toArray, r._4.toArray)
+      }
+      idx.indices.sortBy(i => (lbs(i), idx(i)._1)).take(kf).map { i =>
+        val r = idx(i)
+        (lbs(i), r._1, graft.kernels.Kernels.dtwFlat(qa, r._2.toArray, radius))
+      }.toArray
+    })
+    // shuffle-hash: this path exists because train exceeds broadcast size
+    val local = prep.join(tIdx.hint("shuffle_hash"), "blk")
+      .select(col("probe_id"), localUdf(col("q"), col("idx")).as("hits"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cand._3").asc, col("cand._2").asc)
+    local.groupBy("probe_id")
+      .agg(flatten(collect_list(col("hits"))).as("all"))
+      .select(col("probe_id"), explode(slice(array_sort(col("all")), 1, kf)).as("cand"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"),
+        col("cand._2").as("neighbor_id"), col("cand._3").as("dist"))
   }
 }

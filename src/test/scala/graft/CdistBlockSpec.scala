@@ -59,4 +59,38 @@ class CdistBlockSpec extends AnyFunSuite {
       .as[(Long, Int, Long)].collect().toSet
     assert(pruned == exact)
   }
+
+  test("knnDtwBlocked matches the broadcast-index path exactly") {
+    val train = mkSeries(61, 16).cache()
+    val probes = mkSeries(9, 16)
+    // tight factor so LB pruning actually bites (candidate set < train)
+    for (blocks <- Seq(1, 4, 7)) {
+      val base = Cdist.knnDtwPruned(probes, train, k = 3, radius = 4, factor = 2)
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      val blocked = Cdist.knnDtwBlocked(probes, train, k = 3, radius = 4,
+          factor = 2, blocks = blocks)
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      assert(blocked.length == base.length, s"blocks=$blocks row count")
+      base.zip(blocked).foreach { case (e, g) =>
+        assert(e._1 == g._1 && e._2 == g._2 && e._3 == g._3, s"hit mismatch $e vs $g")
+        assert(math.abs(e._4 - g._4) < 1e-12, s"dist mismatch $e vs $g")
+      }
+    }
+  }
+
+  test("knnDtwPruned guard dispatches to the blocked path past maxIndexRows") {
+    val train = mkSeries(40, 12).cache()
+    val probes = mkSeries(6, 12)
+    val guarded = Cdist.knnDtwPruned(probes, train, k = 2, radius = 3,
+      factor = 2, maxIndexRows = 10, blocks = 4)
+    // past the ceiling the plan must not broadcast the train relation
+    val plan = guarded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"), s"unexpected broadcast in:\n$plan")
+    val base = Cdist.knnDtwPruned(probes, train, k = 2, radius = 3, factor = 2)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val got = guarded.as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(base.sameElements(got) || base.zip(got).forall { case (e, g) =>
+      e._1 == g._1 && e._2 == g._2 && e._3 == g._3 && math.abs(e._4 - g._4) < 1e-12
+    })
+  }
 }

@@ -11,29 +11,89 @@ import org.apache.spark.sql.types._
   * `mapPartitions` batch transforms so one task amortizes codec setup over
   * its whole partition (the Scala analogue of `mapInPandas` batching).
   *
-  * Decoding: uncompressed raster formats (binary PPM/PGM, uncompressed
-  * 24-bit BMP) are decoded FOR REAL in [[decode]] — pure byte parsing, no
-  * external codec. Compressed codecs (JPEG/PNG/…) are not in this
-  * container, so [[decodeStub]] remains the clearly-marked deterministic
-  * fallback; [[decode]] dispatches on magic bytes and only falls back for
-  * formats it cannot parse. Resize ([[resizeNearest]]) and grayscale
-  * feature extraction operate on the decoded pixels either way.
+  * Decoding is REAL for every format the JDK can read without external
+  * dependencies: binary PPM/PGM and uncompressed 24-bit BMP by pure byte
+  * parsing, compressed images (PNG/JPEG/GIF/TIFF and other BMP variants)
+  * through `javax.imageio`, and PCM audio containers (WAV/AIFF/AU)
+  * through `javax.sound.sampled` — all JDK-public APIs, zero new
+  * libraryDependencies. [[decodeStub]] remains only for payloads with no
+  * JDK reader (compressed audio, video codecs). Resize
+  * ([[resizeNearest]]) and grayscale feature extraction operate on the
+  * decoded samples either way.
   */
 object Multimodal {
 
   /** Grayscale pixels in [0,1] + (width, height). */
   final case class Raster(px: Array[Float], width: Int, height: Int)
 
-  /** REAL decoder for binary PPM (P6) / PGM (P5) and uncompressed 24-bit
-    * BMP payloads — plain byte parsing, no codec library. Returns None
-    * for formats it cannot parse (callers fall back to [[decodeStub]]). */
+  /** REAL decoder: binary PPM (P6) / PGM (P5) and uncompressed 24-bit BMP
+    * by plain byte parsing; PNG/JPEG/GIF/TIFF (and BMP variants the fast
+    * parser rejects) via `javax.imageio`; WAV/AIFF/AU PCM audio via
+    * `javax.sound.sampled` (samples as a 1×n raster). Returns None only
+    * for payloads with no JDK reader (callers fall back to
+    * [[decodeStub]]). */
   def decode(payload: Array[Byte]): Option[Raster] = {
     if (payload.length >= 2 && payload(0) == 'P' && (payload(1) == '5' || payload(1) == '6'))
       decodePnm(payload)
     else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M')
-      decodeBmp24(payload)
-    else None
+      decodeBmp24(payload).orElse(decodeImageIO(payload))
+    else decodeImageIO(payload).orElse(decodeAudio(payload))
   }
+
+  /** Compressed-image decode through the JDK's ImageIO registry (PNG,
+    * JPEG, GIF, TIFF, BMP in a stock JRE). Luminance in [0,1], one
+    * bulk getRGB per image. None when no registered reader matches. */
+  private def decodeImageIO(b: Array[Byte]): Option[Raster] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+        val px = new Array[Float](w * h)
+        var i = 0
+        while (i < px.length) {
+          val v = rgb(i)
+          px(i) = (0.299f * ((v >> 16) & 0xFF) + 0.587f * ((v >> 8) & 0xFF) +
+            0.114f * (v & 0xFF)) / 255.0f
+          i += 1
+        }
+        Some(Raster(px, w, h))
+      }
+    } catch { case _: Exception => None }
+
+  /** PCM audio decode (WAV/AIFF/AU) through `javax.sound.sampled`:
+    * samples normalized to [0,1] (0.5 = silence) as a height-1 raster, so
+    * the same feature extraction (mean/std/edge-energy) applies to audio
+    * rows. First channel only; 8/16-bit PCM. */
+  private def decodeAudio(b: Array[Byte]): Option[Raster] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(b)))
+      val fmt = in.getFormat
+      val bytesPerSample = fmt.getSampleSizeInBits / 8
+      if (bytesPerSample < 1 || bytesPerSample > 2) return None
+      val raw = in.readAllBytes()
+      val frameBytes = bytesPerSample * fmt.getChannels
+      val n = raw.length / frameBytes
+      if (n <= 0) return None
+      val px = new Array[Float](n)
+      var i = 0
+      while (i < n) {
+        val o = i * frameBytes
+        val s =
+          if (bytesPerSample == 1) ((raw(o) & 0xFF) - 128) / 128.0f
+          else {
+            val lo = raw(if (fmt.isBigEndian) o + 1 else o) & 0xFF
+            val hi = raw(if (fmt.isBigEndian) o else o + 1)
+            ((hi << 8) | lo) / 32768.0f
+          }
+        px(i) = (s + 1.0f) / 2.0f
+        i += 1
+      }
+      Some(Raster(px, n, 1))
+    } catch { case _: Exception => None }
 
   private def decodePnm(b: Array[Byte]): Option[Raster] = {
     // header: magic, whitespace-separated width height maxval (with
@@ -133,12 +193,13 @@ object Multimodal {
       StructField("sample_rate", IntegerType, nullable = true),
       StructField("n_frames", IntegerType, nullable = true))), nullable = false)))
 
-  /** STUB fallback for COMPRESSED codecs (JPEG/PNG/audio/video) that are
-    * not in this container. Deterministic in (payload bytes, meta) so
-    * tests and downstream feature logic are exercised honestly; parseable
-    * raster payloads never reach it (see [[decode]]). */
+  /** STUB fallback for payloads with NO JDK reader (compressed audio,
+    * video codecs — ffmpeg-class dependencies this container doesn't
+    * ship). Deterministic in (payload bytes, meta) so tests and
+    * downstream feature logic are exercised honestly; every image format
+    * and PCM audio container decodes for real and never reaches it (see
+    * [[decode]]). */
   def decodeStub(payload: Array[Byte], width: Int, height: Int): Array[Float] = {
-    // ??? <- real compressed-codec call goes here; deterministic fake below
     val out = new Array[Float](math.max(1, width * height))
     var i = 0
     while (i < out.length) {

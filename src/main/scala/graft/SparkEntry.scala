@@ -650,6 +650,29 @@ object SparkEntry {
         .select(col("probe_id"), col("rank"), col("neighbor_id"))
     }),
 
+    // ---------------- multivariate (d=2) kernel path -----------------
+    // PenDigits-shaped: each user's events become a 2-channel series
+    // (value, Δt µs), each channel resampled to 16 and z-normed, then
+    // full multivariate DTW between adjacent users — proves the d>1
+    // kernel path (Kernels.TS with d=2) end-to-end against a DuckDB
+    // oracle (mvDtwOracleSql: the same DP unrolled as a 16-step CTE
+    // chain with local cost summed over both dims).
+    "ts_dtw_mv_pairs" -> ((s, dir) => {
+      val sorted = ev(s, dir).groupBy("user_id").agg(
+        array_sort(collect_list(struct(col("ts_us"), col("event_id"), col("value")))).as("sv"))
+      val series = sorted.select(col("user_id"),
+          TsFunctions.resampleZnormUdf(expr("transform(sv, e -> e.value)"), lit(16)).as("x"),
+          TsFunctions.resampleZnormUdf(
+            expr("transform(sv, (e, i) -> CASE WHEN i = 0 THEN CAST(0 AS DOUBLE) " +
+              "ELSE CAST(e.ts_us - sv[i-1].ts_us AS DOUBLE) END)"),
+            lit(16)).as("y"))
+        .select(col("user_id"), zip_with(col("x"), col("y"), (a, b) => array(a, b)).as("mv"))
+      series.alias("a")
+        .join(series.alias("b"), col("b.user_id") === col("a.user_id") + 1)
+        .select(col("a.user_id").as("user_id"),
+          round(TsFunctions.dtwMvUdf(col("a.mv"), col("b.mv")), 4).as("dtw_mv"))
+    }),
+
     "cdist_metrics_sample" -> ((s, dir) => {
       TsFunctions.register(s)
       val series = TSModel.eventsToSeries(s, dir)
@@ -971,7 +994,92 @@ object SparkEntry {
     sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
   }
 
+  /** DuckDB oracle for ts_dtw_mv_pairs: build the d=2 (value, Δt)
+    * channels, resample + z-norm each channel exactly as the Spark side
+    * (resampleZnormUdf per channel), then full (unbanded) multivariate
+    * DTW between adjacent users unrolled as a `sz`-step DP CTE chain —
+    * the same row-by-row recurrence as knnDtwOracleSql with the local
+    * cost summed over both dims. */
+  private def mvDtwOracleSql(sz: Int): String = {
+    val last = sz - 1
+    val sb = new StringBuilder(
+      s"""WITH v AS (
+         |  SELECT user_id, value, epoch_ns(ts) // 1000 AS ts_us,
+         |         row_number() OVER (PARTITION BY user_id
+         |           ORDER BY epoch_ns(ts) // 1000, event_id) AS t,
+         |         count(*) OVER (PARTITION BY user_id) AS n
+         |  FROM events
+         |), v2 AS (
+         |  SELECT user_id, t, n, value,
+         |    CAST(coalesce(ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY t), 0)
+         |      AS DOUBLE) AS dt
+         |  FROM v
+         |), grid AS (
+         |  SELECT u.user_id, u.n, g.j, g.j * (u.n - 1) / $last.0 AS pos
+         |  FROM (SELECT DISTINCT user_id, n FROM v2) u,
+         |       (SELECT unnest(generate_series(0, $last)) AS j) g
+         |), w AS (
+         |  SELECT user_id, j, CAST(floor(pos) AS INT) AS i0,
+         |    LEAST(CAST(floor(pos) AS INT) + 1, n - 1) AS i1,
+         |    pos - floor(pos) AS frac
+         |  FROM grid
+         |), r0 AS (
+         |  SELECT w.user_id, w.j,
+         |    a.value * (1.0 - w.frac) + b.value * w.frac AS xv,
+         |    a.dt * (1.0 - w.frac) + b.dt * w.frac AS yv
+         |  FROM w
+         |  JOIN v2 a ON a.user_id = w.user_id AND a.t - 1 = w.i0
+         |  JOIN v2 b ON b.user_id = w.user_id AND b.t - 1 = w.i1
+         |), st AS (
+         |  SELECT user_id,
+         |    avg(xv) AS mx, avg(xv * xv) - avg(xv) * avg(xv) AS vx,
+         |    avg(yv) AS my, avg(yv * yv) - avg(yv) * avg(yv) AS vy
+         |  FROM r0 GROUP BY 1
+         |), r AS (
+         |  SELECT r0.user_id, r0.j,
+         |    (xv - mx) / (CASE WHEN vx <= 0 THEN 1.0 ELSE sqrt(vx) END) AS x,
+         |    (yv - my) / (CASE WHEN vy <= 0 THEN 1.0 ELSE sqrt(vy) END) AS y
+         |  FROM r0 JOIN st USING (user_id)
+         |), loc AS (
+         |  SELECT a.user_id AS pr, b.user_id AS cd, a.j AS i, b.j AS j,
+         |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d
+         |  FROM r a JOIN r b ON b.user_id = a.user_id + 1
+         |), t0 AS (
+         |  SELECT pr, cd, j,
+         |    sum(d) OVER (PARTITION BY pr, cd ORDER BY j) AS cost
+         |  FROM loc WHERE i = 0
+         |)""".stripMargin)
+    for (i <- 1 until sz) {
+      sb ++=
+        s"""
+           |, t$i AS (
+           |  SELECT pr, cd, j, cs + mn AS cost FROM (
+           |    SELECT pr, cd, j, cs,
+           |      min(mk - csk) OVER (PARTITION BY pr, cd ORDER BY j) AS mn
+           |    FROM (
+           |      SELECT l.pr, l.cd, l.j,
+           |        sum(l.d) OVER (PARTITION BY l.pr, l.cd ORDER BY l.j) AS cs,
+           |        sum(l.d) OVER (PARTITION BY l.pr, l.cd ORDER BY l.j) - l.d AS csk,
+           |        least(coalesce(pk.cost, 1e308), coalesce(pk1.cost, 1e308)) AS mk
+           |      FROM loc l
+           |      LEFT JOIN t${i - 1} pk
+           |        ON pk.pr = l.pr AND pk.cd = l.cd AND pk.j = l.j
+           |      LEFT JOIN t${i - 1} pk1
+           |        ON pk1.pr = l.pr AND pk1.cd = l.cd AND pk1.j = l.j - 1
+           |      WHERE l.i = $i))
+           |)""".stripMargin
+    }
+    sb ++=
+      s"""
+         |SELECT pr AS user_id, round(sqrt(cost), 4) AS dtw_mv
+         |FROM t$last WHERE j = $last""".stripMargin
+    // MATERIALIZED for the same reason as knnDtwOracleSql: each DP step
+    // references its predecessor twice.
+    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "ts_dtw_mv_pairs" -> mvDtwOracleSql(16),
     "ts_kmeans" -> kmeansTraceSql(10),
     "ts_early_classify" -> earlyClassifyOracleSql,
     "knn_dtw_users" -> knnDtwOracleSql(32, 4, 16, 3),

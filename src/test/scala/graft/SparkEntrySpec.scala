@@ -33,6 +33,12 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracle without query: $extra")
   }
 
+  test("ts_dtw_mv_pairs emits one d=2 DTW per adjacent user pair") {
+    val rows = SparkEntry.queries("ts_dtw_mv_pairs")(spark, sf).collect()
+    assert(rows.length == 14) // 15 users at sf0.001 -> 14 adjacent pairs
+    assert(rows.forall(_.getDouble(1) >= 0.0))
+  }
+
   test("knn returns k ordered neighbors") {
     import graft.operators.Cdist
     import graft.functions.TsFunctions

@@ -673,6 +673,54 @@ object SparkEntry {
           round(TsFunctions.dtwMvUdf(col("a.mv"), col("b.mv")), 4).as("dtw_mv"))
     }),
 
+    // ---------------- kernel-DP metrics with full SQL oracles --------
+    // LCSS / SBD / GAK / soft-DTW between adjacent users. Each of these
+    // was previously golden-tested only; the DuckDB oracles make the
+    // kernel DPs driver-verified: LCSS as a running-max DP chain
+    // (lcssOracleSql), SBD as direct O(sz²) cross-correlation
+    // (sbdOracleSql), GAK and soft-DTW through one shared sum-product
+    // chain (sumProdChainSql) — soft-DTW's exp(-cost/γ) substitution
+    // turns its soft-min recurrence into GAK's sum-product shape.
+    "ts_lcss_pairs" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(32)).as("values"))
+      series.alias("a").join(series.alias("b"), col("b.series_id") === col("a.series_id") + 1)
+        .select(col("a.series_id").as("user_id"),
+          // lcss() returns len/min(l1,l2); both sides are sz=32 so the
+          // raw integer DP length is exactly recoverable (dyadic ratio)
+          round(TsFunctions.lcssUdf(col("a.values"), col("b.values"), lit(0.5)) * 32)
+            .cast("int").as("lcss_len"))
+    }),
+
+    "ts_sbd_pairs" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(32)).as("values"))
+      series.alias("a").join(series.alias("b"), col("b.series_id") === col("a.series_id") + 1)
+        .select(col("a.series_id").as("user_id"),
+          round(TsFunctions.sbdUdf(col("a.values"), col("b.values")), 4).as("sbd"))
+    }),
+
+    "ts_gak_pairs" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(16)).as("values"))
+      series.alias("a").join(series.alias("b"), col("b.series_id") === col("a.series_id") + 1)
+        .select(col("a.series_id").as("user_id"),
+          round(TsFunctions.gakUdf(col("a.values"), col("b.values"), lit(1.0)), 4).as("gak"))
+    }),
+
+    "ts_softdtw_pairs" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(16)).as("values"))
+      series.alias("a").join(series.alias("b"), col("b.series_id") === col("a.series_id") + 1)
+        .select(col("a.series_id").as("user_id"),
+          round(TsFunctions.softDtwUdf(col("a.values"), col("b.values"), lit(1.0)), 4)
+            .as("softdtw"))
+    }),
+
     "cdist_metrics_sample" -> ((s, dir) => {
       TsFunctions.register(s)
       val series = TSModel.eventsToSeries(s, dir)
@@ -1078,7 +1126,171 @@ object SparkEntry {
     sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
   }
 
+  /** DuckDB oracle for ts_lcss_pairs: the ε-LCSS DP unrolled as a
+    * running-max CTE chain. The within-row dependency
+    * cur(j)=max(cur(j-1), …) collapses to a running max over candidate
+    * values c(j') = prev(j'-1)+1 on an ε-match else prev(j') — the
+    * standard LCS monotonicity L(i,j) ≤ L(i,j-1)+1 makes the match case
+    * dominate cur(j-1), so one window per row suffices. Integer output:
+    * no float-hash fragility. */
+  private def lcssOracleSql(sz: Int, eps: Double): String = {
+    val sb = new StringBuilder(evCte + resampleZnormCte(sz))
+    sb ++=
+      s"""
+         |, loc AS (
+         |  SELECT a.user_id AS pr, b.user_id AS cd, a.j AS i, b.j AS j,
+         |    CASE WHEN abs(a.val - b.val) <= $eps THEN 1 ELSE 0 END AS m
+         |  FROM r a JOIN r b ON b.user_id = a.user_id + 1
+         |), t0 AS (
+         |  SELECT pr, cd, j,
+         |    max(m) OVER (PARTITION BY pr, cd ORDER BY j) AS len
+         |  FROM loc WHERE i = 0
+         |)""".stripMargin
+    for (i <- 1 until sz) {
+      sb ++=
+        s"""
+           |, t$i AS (
+           |  SELECT pr, cd, j,
+           |    max(c) OVER (PARTITION BY pr, cd ORDER BY j) AS len
+           |  FROM (
+           |    SELECT l.pr, l.cd, l.j,
+           |      CASE WHEN l.m = 1 THEN coalesce(pk1.len, 0) + 1
+           |           ELSE coalesce(pk.len, 0) END AS c
+           |    FROM loc l
+           |    LEFT JOIN t${i - 1} pk
+           |      ON pk.pr = l.pr AND pk.cd = l.cd AND pk.j = l.j
+           |    LEFT JOIN t${i - 1} pk1
+           |      ON pk1.pr = l.pr AND pk1.cd = l.cd AND pk1.j = l.j - 1
+           |    WHERE l.i = $i)
+           |)""".stripMargin
+    }
+    sb ++=
+      s"""
+         |SELECT pr AS user_id, CAST(len AS INT) AS lcss_len
+         |FROM t${sz - 1} WHERE j = ${sz - 1}""".stripMargin
+    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+  }
+
+  /** DuckDB oracle for ts_sbd_pairs: SBD = 1 − max-shift NCC, computed
+    * as the direct O(sz²) cross-correlation sum (the FFT in Ncc.scala is
+    * an implementation detail; the value is the plain correlation at
+    * every shift, normalized by the Frobenius norms). */
+  private def sbdOracleSql(sz: Int): String =
+    (evCte + resampleZnormCte(sz) +
+      """
+        |, norms AS (
+        |  SELECT user_id, sqrt(sum(val * val)) AS nrm FROM r GROUP BY 1
+        |), cc AS (
+        |  SELECT a.user_id AS pr, b.user_id AS cd, a.j - b.j AS s,
+        |    sum(a.val * b.val) AS corr
+        |  FROM r a JOIN r b ON b.user_id = a.user_id + 1
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT cc.pr AS user_id,
+        |  round(1.0 - max(cc.corr /
+        |    (CASE WHEN na.nrm * nb.nrm = 0 THEN 1.0 ELSE na.nrm * nb.nrm END)), 4) AS sbd
+        |FROM cc
+        |JOIN norms na ON na.user_id = cc.pr
+        |JOIN norms nb ON nb.user_id = cc.cd
+        |GROUP BY 1""".stripMargin)
+
+  /** Shared sum-product DP chain for the GAK and soft-DTW oracles. Both
+    * kernels satisfy W(i,j) = k(i,j)·(W(i-1,j) + W(i-1,j-1) + W(i,j-1)):
+    * GAK directly in its Gram terms (Kernels.logUnnormalizedGak), and
+    * soft-DTW after substituting W = exp(-cost/γ) into the soft-min
+    * recurrence (Kernels.softDtw). Each row solves in closed form as
+    * W(i,j) = K(j)·Σ_{j'≤j} P(j')/K(j'-1) with K the prefix product of
+    * k over the row and P(j') = W(i-1,j') + W(i-1,j'-1); the chain runs
+    * in log space with a per-row max shift so the running exp-sum never
+    * overflows. `lgSql` is log k(i,j) in terms of a.val/b.val;
+    * `selfPairs` adds (u,u) pairs (needed for GAK normalization). */
+  private def sumProdChainSql(sz: Int, lgSql: String, selfPairs: Boolean,
+                              finalSql: String): String = {
+    val neg = "-1.0e300"
+    val self =
+      if (selfPairs)
+        """
+          |  SELECT user_id AS pr, user_id AS cd FROM (SELECT DISTINCT user_id FROM r)
+          |  UNION ALL""".stripMargin
+      else ""
+    val sb = new StringBuilder(evCte + resampleZnormCte(sz))
+    sb ++=
+      s"""
+         |, pairs AS ($self
+         |  SELECT a.user_id AS pr, b.user_id AS cd
+         |  FROM (SELECT DISTINCT user_id FROM r) a
+         |  JOIN (SELECT DISTINCT user_id FROM r) b ON b.user_id = a.user_id + 1
+         |), loc AS (
+         |  SELECT p.pr, p.cd, a.j AS i, b.j AS j, $lgSql AS lg
+         |  FROM pairs p
+         |  JOIN r a ON a.user_id = p.pr
+         |  JOIN r b ON b.user_id = p.cd
+         |), t0 AS (
+         |  SELECT pr, cd, j,
+         |    sum(lg) OVER (PARTITION BY pr, cd ORDER BY j) AS lw
+         |  FROM loc WHERE i = 0
+         |)""".stripMargin
+    for (i <- 1 until sz) {
+      sb ++=
+        s"""
+           |, t$i AS (
+           |  SELECT pr, cd, j, lk + mx + ln(se) AS lw FROM (
+           |    SELECT pr, cd, j, lk, mx,
+           |      sum(exp(lpk - mx)) OVER (PARTITION BY pr, cd ORDER BY j) AS se
+           |    FROM (
+           |      SELECT pr, cd, j, lk, lpk,
+           |        max(lpk) OVER (PARTITION BY pr, cd) AS mx
+           |      FROM (
+           |        SELECT l.pr, l.cd, l.j,
+           |          sum(l.lg) OVER (PARTITION BY l.pr, l.cd ORDER BY l.j) AS lk,
+           |          greatest(coalesce(pk.lw, $neg), coalesce(pk1.lw, $neg))
+           |            + ln(1.0 + exp(least(coalesce(pk.lw, $neg), coalesce(pk1.lw, $neg))
+           |                - greatest(coalesce(pk.lw, $neg), coalesce(pk1.lw, $neg))))
+           |            - (sum(l.lg) OVER (PARTITION BY l.pr, l.cd ORDER BY l.j) - l.lg) AS lpk
+           |        FROM loc l
+           |        LEFT JOIN t${i - 1} pk
+           |          ON pk.pr = l.pr AND pk.cd = l.cd AND pk.j = l.j
+           |        LEFT JOIN t${i - 1} pk1
+           |          ON pk1.pr = l.pr AND pk1.cd = l.cd AND pk1.j = l.j - 1
+           |        WHERE l.i = $i)))
+           |)""".stripMargin
+    }
+    sb ++=
+      s"""
+         |, fin AS (
+         |  SELECT pr, cd, lw FROM t${sz - 1} WHERE j = ${sz - 1}
+         |)
+         |$finalSql""".stripMargin
+    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+  }
+
+  /** GAK with σ=1, normalized so k(x,x)=1 (Kernels.gak). */
+  private def gakOracleSql(sz: Int): String = sumProdChainSql(
+    sz,
+    lgSql = "-(a.val - b.val) * (a.val - b.val) / 2.0" +
+      " - ln(2.0 - exp(-(a.val - b.val) * (a.val - b.val) / 2.0))",
+    selfPairs = true,
+    finalSql =
+      """SELECT ab.pr AS user_id,
+        |  round(exp(ab.lw - 0.5 * (aa.lw + bb.lw)), 4) AS gak
+        |FROM fin ab
+        |JOIN fin aa ON aa.pr = ab.pr AND aa.cd = ab.pr
+        |JOIN fin bb ON bb.pr = ab.cd AND bb.cd = ab.cd
+        |WHERE ab.pr <> ab.cd""".stripMargin)
+
+  /** soft-DTW with γ=1: value = −γ·ln W(sz,sz). */
+  private def softDtwOracleSql(sz: Int): String = sumProdChainSql(
+    sz,
+    lgSql = "-(a.val - b.val) * (a.val - b.val)",
+    selfPairs = false,
+    finalSql =
+      """SELECT pr AS user_id, round(-1.0 * lw, 4) AS softdtw FROM fin""".stripMargin)
+
   def oracleSql: Map[String, String] = Map(
+    "ts_lcss_pairs" -> lcssOracleSql(32, 0.5),
+    "ts_sbd_pairs" -> sbdOracleSql(32),
+    "ts_gak_pairs" -> gakOracleSql(16),
+    "ts_softdtw_pairs" -> softDtwOracleSql(16),
     "ts_dtw_mv_pairs" -> mvDtwOracleSql(16),
     "ts_kmeans" -> kmeansTraceSql(10),
     "ts_early_classify" -> earlyClassifyOracleSql,

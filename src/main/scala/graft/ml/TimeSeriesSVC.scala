@@ -151,6 +151,132 @@ object TimeSeriesSVC {
     Model(classes, binaries, sig, labeled.map(_._1))
   }
 
+  // ------------------------------------------------------- Nyström path
+
+  /** Nyström low-rank GAK model: m landmark series plus the m×m
+    * whitening map W^{-1/2} (W = K(L,L), eigendecomposed with small
+    * eigenvalues truncated), and one MLlib linear SVM per class
+    * (one-vs-rest). φ(x) = W^{-1/2}·k(x, L) gives K ≈ ΦΦᵀ, so a linear
+    * SVM on φ approximates the kernel SVM without ever materializing an
+    * n×n gram or collecting it to the driver. */
+  case class NystromModel(landmarks: Array[Array[Double]], mapping: Array[Array[Double]],
+                          landmarkSelf: Array[Double], sigma: Double,
+                          classes: Array[String],
+                          ovr: Array[org.apache.spark.ml.classification.LinearSVCModel])
+
+  private def nystromFeatUdf(bLm: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+                             bMap: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+                             bSelf: org.apache.spark.broadcast.Broadcast[Array[Double]],
+                             sig: Double) =
+    udf((values: Seq[Double]) => {
+      val x = values.toArray.map(Array(_))
+      val lgxx = graft.kernels.Kernels.logUnnormalizedGak(x, x, sig)
+      val lms = bLm.value; val w = bMap.value; val lself = bSelf.value
+      val m = lms.length
+      val kv = new Array[Double](m)
+      var i = 0
+      while (i < m) {
+        val lgxl = graft.kernels.Kernels.logUnnormalizedGak(x, lms(i).map(Array(_)), sig)
+        kv(i) = math.exp(lgxl - 0.5 * (lgxx + lself(i)))
+        i += 1
+      }
+      val f = new Array[Double](m)
+      i = 0
+      while (i < m) {
+        var s = 0.0; var j = 0
+        while (j < m) { s += w(i)(j) * kv(j); j += 1 }
+        f(i) = s
+        i += 1
+      }
+      org.apache.spark.ml.linalg.Vectors.dense(f)
+    })
+
+  /** Fit with the Nyström approximation: `m` seeded landmark series give
+    * an m-dim feature space; training is MLlib LinearSVC (distributed,
+    * one-vs-rest for multiclass) — no driver gram collect or SMO, which
+    * lifts SURVEY §7.3's documented n ≲ 10⁴ ceiling. The gram work drops
+    * from O(n²) GAK evals to O(n·m), and every stage (feature map, SVC
+    * iterations) is a map or a tree-aggregate — the same job shape at
+    * 10³ or 10⁹ rows. */
+  def fitNystrom(df: DataFrame, m: Int = 32, c: Double = 1.0, sigma: Double = -1.0,
+                 seed: Long = 0L, maxIter: Int = 50): NystromModel = {
+    import breeze.linalg.{eigSym, DenseMatrix}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sig = if (sigma > 0) sigma else sigmaGak(df)
+    // deterministic seeded landmark choice with one small collect (m rows)
+    val lms = df.select(col("series_id"), col("values"))
+      .orderBy(xxhash64(col("series_id"), lit(seed)), col("series_id"))
+      .limit(m).select(col("values")).as[Array[Double]].collect()
+    val mm = lms.length
+    val lmTs = lms.map(_.map(Array(_)))
+    val lgSelf = lmTs.map(t => graft.kernels.Kernels.logUnnormalizedGak(t, t, sig))
+    val w = DenseMatrix.tabulate(mm, mm) { (i, j) =>
+      math.exp(graft.kernels.Kernels.logUnnormalizedGak(lmTs(i), lmTs(j), sig)
+        - 0.5 * (lgSelf(i) + lgSelf(j)))
+    }
+    val es = eigSym(w)
+    val cutoff = math.max(es.eigenvalues.data.max, 0.0) * 1e-10
+    // W^{-1/2} = U diag(λ^{-1/2}) Uᵀ, rank-truncated at the cutoff
+    val mapping = Array.tabulate(mm, mm) { (i, j) =>
+      var s = 0.0; var k = 0
+      while (k < mm) {
+        val lam = es.eigenvalues(k)
+        if (lam > cutoff)
+          s += es.eigenvectors(i, k) * es.eigenvectors(j, k) / math.sqrt(lam)
+        k += 1
+      }
+      s
+    }
+    val sc = spark.sparkContext
+    val featUdf = nystromFeatUdf(sc.broadcast(lms), sc.broadcast(mapping),
+      sc.broadcast(lgSelf), sig)
+    val classes = df.select(col("label").cast("string")).distinct()
+      .as[String].collect().sorted
+    val feats = df.select(col("series_id"), col("label").cast("string").as("label"),
+      featUdf(col("values")).as("features")).cache()
+    // one-vs-rest binary LinearSVCs; regParam follows the standard
+    // C ↔ 1/(nC) correspondence
+    val n = feats.count()
+    val ovr = classes.map { cls =>
+      val bin = feats.withColumn("y", when(col("label") === cls, 1.0).otherwise(0.0))
+      new org.apache.spark.ml.classification.LinearSVC()
+        .setLabelCol("y").setFeaturesCol("features")
+        .setRegParam(1.0 / (c * n)).setMaxIter(maxIter)
+        .fit(bin)
+    }
+    feats.unpersist()
+    NystromModel(lms, mapping, lgSelf, sig, classes, ovr)
+  }
+
+  /** Predict with a Nyström model: feature-map each probe (O(m) GAK
+    * evals per row, all distributed), score every one-vs-rest margin,
+    * argmax. */
+  def predictNystrom(model: NystromModel, probes: DataFrame): DataFrame = {
+    val spark = probes.sparkSession
+    val sc = spark.sparkContext
+    val featUdf = nystromFeatUdf(sc.broadcast(model.landmarks),
+      sc.broadcast(model.mapping), sc.broadcast(model.landmarkSelf), model.sigma)
+    val feats = probes.select(col("series_id"), featUdf(col("values")).as("features"))
+    // margins via rawPrediction of each binary model; keep only the
+    // positive-class margin, take the argmax class
+    val scored = model.ovr.zipWithIndex.foldLeft(feats) { case (acc, (svc, i)) =>
+      val rawCol = s"raw_$i"
+      svc.setRawPredictionCol(rawCol).setPredictionCol(s"pred_$i")
+        .transform(acc)
+        .withColumn(s"m_$i",
+          element_at(org.apache.spark.ml.functions.vector_to_array(col(rawCol)), 2))
+        .drop(rawCol, s"pred_$i")
+    }
+    // argmax margin via max(struct): ties break to the lowest class index
+    val structArr = array(model.classes.indices.map(i =>
+      struct(col(s"m_$i").as("m"), lit(-i).as("negIdx"))): _*)
+    val classArr = array(model.classes.map(lit(_)): _*)
+    scored
+      .withColumn("bestIdx", -array_max(structArr).getField("negIdx"))
+      .select(col("series_id"), element_at(classArr, col("bestIdx") + 1).as("label"))
+  }
+
   /** Predict: distributed probe×train gram, then driver vote. */
   def predict(model: Model, probes: DataFrame, train: DataFrame): DataFrame = {
     val spark = probes.sparkSession

@@ -40,6 +40,28 @@ class SvcMultimodalSpec extends AnyFunSuite {
     assert(acc >= 0.9, s"SVC accuracy $acc")
   }
 
+  test("Nystrom GAK SVC matches full-gram accuracy with landmarks << n") {
+    val rng = new scala.util.Random(7)
+    val n = 60
+    val rows = (0 until n).map { i =>
+      val blob = i % 3
+      val base = blob match {
+        case 0 => (t: Int) => math.sin(t / 2.0)
+        case 1 => (t: Int) => 3.0 + math.cos(t / 3.0)
+        case _ => (t: Int) => -2.0 + 0.2 * t
+      }
+      (i.toLong, Array.tabulate(16)(t => base(t) + rng.nextGaussian() * 0.05), blob.toString)
+    }
+    val df = rows.toDF("series_id", "values", "label").cache()
+    val model = TimeSeriesSVC.fitNystrom(df, m = 8, c = 1.0, seed = 3)
+    assert(model.landmarks.length == 8) // m << n = 60
+    val pred = TimeSeriesSVC.predictNystrom(model, df.select("series_id", "values"))
+      .join(df.select(col("series_id"), col("label").as("truth")), "series_id")
+    val acc = pred.where(col("label") === col("truth")).count().toDouble / n
+    // parity bar: the full-gram SVC test above passes at >= 0.9
+    assert(acc >= 0.9, s"Nystrom SVC accuracy $acc")
+  }
+
   test("sigma_gak heuristic returns a positive bandwidth") {
     val df = (0 until 10).map(i =>
       (i.toLong, Array.tabulate(12)(t => math.sin(t + i).toDouble)))

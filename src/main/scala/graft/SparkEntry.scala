@@ -569,6 +569,38 @@ object SparkEntry {
         .select(col("series_id"), col("cluster"), round(col("dist"), 4).as("dist"))
     }),
 
+    // One KShape assignment pass against fixed centroids (the znormed
+    // first-4 series) through the real KShape.Model.predict path —
+    // oracle-able now that SBD is (sbdOracleSql's direct correlation);
+    // mirrors how ts_kmeans_iter oracles one Lloyd step.
+    "ts_kshape_assign" -> ((s, dir) => {
+      val raw = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"), TsFunctions.resampleUdf(col("values"), lit(32)).as("values"))
+      val cents = raw.where(col("series_id") < 4)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(32)).as("values"))
+        .orderBy("series_id").collect().map(_.getSeq[Double](1).toArray)
+      val ks = new graft.ml.KShape(k = 4)
+      ks.Model(cents, 0.0).predict(raw)
+        .select(col("series_id"), col("cluster"), round(col("dist"), 4).as("dist"))
+    }),
+
+    // One DBA (MM) update from the deterministic euclidean-mean init —
+    // the DbaStepAgg path driver-verified (the full 10-iteration ts_dba
+    // stays rows-only; the DuckDB mirror backtracks the DTW path with a
+    // recursive CTE using the kernel's diag-first tie-break).
+    "ts_dba_step" -> ((s, dir) => {
+      import s.implicits._
+      val series = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(32)).as("values"))
+        .as[(Long, Array[Double])]
+      val b = graft.ml.DistributedBary.dba(series.map(_._2), maxIter = 1)
+      b.toSeq.zipWithIndex.map { case (v, t) => (t, v) }
+        .toDF("t", "v")
+        .select(col("t"), round(col("v"), 4).as("v"))
+    }),
+
     "emb_ann_ivf" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -1286,7 +1318,114 @@ object SparkEntry {
     finalSql =
       """SELECT pr AS user_id, round(-1.0 * lw, 4) AS softdtw FROM fin""".stripMargin)
 
+  /** DuckDB oracle for ts_kshape_assign: SBD of every series to the four
+    * fixed centroids via the direct O(sz²) correlation (as sbdOracleSql),
+    * argmin with the kernel's strict-< tie-break (lowest cluster wins). */
+  private def kshapeAssignOracleSql(sz: Int, k: Int): String =
+    (evCte + resampleZnormCte(sz) +
+      s"""
+         |, cents AS (
+         |  SELECT user_id AS cluster, j, val AS cv FROM r WHERE user_id < $k
+         |), norms AS (
+         |  SELECT user_id, sqrt(sum(val * val)) AS nrm FROM r GROUP BY 1
+         |), cnorms AS (
+         |  SELECT cluster, sqrt(sum(cv * cv)) AS nrm FROM cents GROUP BY 1
+         |), cc AS (
+         |  SELECT a.user_id, c.cluster, a.j - c.j AS s, sum(a.val * c.cv) AS corr
+         |  FROM r a JOIN cents c ON TRUE
+         |  GROUP BY 1, 2, 3
+         |), sbd AS (
+         |  SELECT cc.user_id, cc.cluster,
+         |    1.0 - max(cc.corr /
+         |      (CASE WHEN na.nrm * nc.nrm = 0 THEN 1.0 ELSE na.nrm * nc.nrm END)) AS d
+         |  FROM cc
+         |  JOIN norms na ON na.user_id = cc.user_id
+         |  JOIN cnorms nc ON nc.cluster = cc.cluster
+         |  GROUP BY 1, 2
+         |)
+         |SELECT user_id AS series_id, CAST(cluster AS INT) AS cluster,
+         |  round(d, 4) AS dist
+         |FROM (
+         |  SELECT user_id, cluster, d,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY d, cluster) AS rn
+         |  FROM sbd)
+         |WHERE rn = 1""".stripMargin)
+
+  /** DuckDB oracle for ts_dba_step: the mean-init barycenter, a full DTW
+    * cost matrix per series (the knnDtw chain keeping every row), a
+    * recursive-CTE backtrack with the kernel's tie-break (diag preferred,
+    * then up — Kernels.returnPath), and the per-timestep aligned mean. */
+  private def dbaStepOracleSql(sz: Int): String = {
+    val last = sz - 1
+    val sb = new StringBuilder(
+      evCte.replaceFirst("WITH ", "WITH RECURSIVE ") + resampleZnormCte(sz))
+    sb ++=
+      s"""
+         |, bar AS (
+         |  SELECT j AS i, avg(val) AS bv FROM r GROUP BY 1
+         |), loc AS (
+         |  SELECT r.user_id, bar.i, r.j,
+         |    (bar.bv - r.val) * (bar.bv - r.val) AS d
+         |  FROM r JOIN bar ON TRUE
+         |), t0 AS (
+         |  SELECT user_id, j,
+         |    sum(d) OVER (PARTITION BY user_id ORDER BY j) AS cost
+         |  FROM loc WHERE i = 0
+         |)""".stripMargin
+    for (i <- 1 until sz) {
+      sb ++=
+        s"""
+           |, t$i AS (
+           |  SELECT user_id, j, cs + mn AS cost FROM (
+           |    SELECT user_id, j, cs,
+           |      min(mk - csk) OVER (PARTITION BY user_id ORDER BY j) AS mn
+           |    FROM (
+           |      SELECT l.user_id, l.j,
+           |        sum(l.d) OVER (PARTITION BY l.user_id ORDER BY l.j) AS cs,
+           |        sum(l.d) OVER (PARTITION BY l.user_id ORDER BY l.j) - l.d AS csk,
+           |        least(coalesce(pk.cost, 1e308), coalesce(pk1.cost, 1e308)) AS mk
+           |      FROM loc l
+           |      LEFT JOIN t${i - 1} pk ON pk.user_id = l.user_id AND pk.j = l.j
+           |      LEFT JOIN t${i - 1} pk1 ON pk1.user_id = l.user_id AND pk1.j = l.j - 1
+           |      WHERE l.i = $i))
+           |)""".stripMargin
+    }
+    sb ++= "\n, cum AS (\n" +
+      (0 until sz).map(i => s"  SELECT user_id, $i AS i, j, cost FROM t$i")
+        .mkString("", "\n  UNION ALL\n", "\n)")
+    sb ++=
+      s"""
+         |, path AS (
+         |  SELECT user_id, $last AS i, $last AS j FROM (SELECT DISTINCT user_id FROM r)
+         |  UNION ALL
+         |  SELECT p.user_id,
+         |    CASE WHEN p.i = 0 THEN 0
+         |         WHEN p.j = 0 THEN p.i - 1
+         |         WHEN cd.cost <= cu.cost AND cd.cost <= cl.cost THEN p.i - 1
+         |         WHEN cu.cost <= cl.cost THEN p.i - 1
+         |         ELSE p.i END AS i,
+         |    CASE WHEN p.i = 0 THEN p.j - 1
+         |         WHEN p.j = 0 THEN p.j
+         |         WHEN cd.cost <= cu.cost AND cd.cost <= cl.cost THEN p.j - 1
+         |         WHEN cu.cost <= cl.cost THEN p.j
+         |         ELSE p.j - 1 END AS j
+         |  FROM path p
+         |  LEFT JOIN cum cd ON cd.user_id = p.user_id AND cd.i = p.i - 1 AND cd.j = p.j - 1
+         |  LEFT JOIN cum cu ON cu.user_id = p.user_id AND cu.i = p.i - 1 AND cu.j = p.j
+         |  LEFT JOIN cum cl ON cl.user_id = p.user_id AND cl.i = p.i AND cl.j = p.j - 1
+         |  WHERE p.i > 0 OR p.j > 0
+         |)
+         |SELECT CAST(pa.i AS INT) AS t, round(sum(r.val) / count(*), 4) AS v
+         |FROM path pa JOIN r ON r.user_id = pa.user_id AND r.j = pa.j
+         |GROUP BY 1""".stripMargin
+    // materialize the DP chain, but never the recursive CTE itself
+    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+      .replace(", path AS MATERIALIZED (", ", path AS (")
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "ts_kshape_assign" -> kshapeAssignOracleSql(32, 4),
+    "ts_dba_step" -> dbaStepOracleSql(32),
     "ts_lcss_pairs" -> lcssOracleSql(32, 0.5),
     "ts_sbd_pairs" -> sbdOracleSql(32),
     "ts_gak_pairs" -> gakOracleSql(16),

@@ -945,7 +945,10 @@ object SparkEntry {
          |  FROM r JOIN c$iters u ON u.j = r.j
          |  GROUP BY 1, 2)
          |WHERE rn = 1""".stripMargin
-    sb.toString
+    // MATERIALIZED: DuckDB inlines single-reference CTEs, and the
+    // a/c chain would re-inline the whole resample pipeline into every
+    // iteration layer (measured 560 s vs ~1 s for the 10-step trace).
+    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
   }
 
   /** DuckDB oracle for ts_early_classify — the per-t nearest-centroid

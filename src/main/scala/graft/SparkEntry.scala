@@ -637,6 +637,24 @@ object SparkEntry {
           .getField("pred").as("pred"))
     }),
 
+    // Shapelet-transform with fixed deterministic shapelets (three
+    // length-8 subsequences of series 0) — the sliding-min-distance
+    // operator (Shapelets.minDist / transform) driver-verified; only
+    // the LR head of ts_shapelet_classify stays rows-only.
+    "ts_shapelet_transform" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(32)).as("values"))
+      val s0 = series.where(col("series_id") === 0)
+        .select("values").collect()(0).getSeq[Double](0).toArray
+      val shapelets = Array(s0.slice(0, 8), s0.slice(8, 16), s0.slice(16, 24))
+      graft.ml.Shapelets.transform(series, shapelets)
+        .select(col("series_id"),
+          round(element_at(col("shapelet_features"), 1), 4).as("f0"),
+          round(element_at(col("shapelet_features"), 2), 4).as("f1"),
+          round(element_at(col("shapelet_features"), 3), 4).as("f2"))
+    }),
+
     // ---------------- composite estimators (rows-only) ---------------
     "ts_shapelet_classify" -> ((s, dir) => {
       // labels: dominant event_type per user; train on half, predict all
@@ -1426,7 +1444,35 @@ object SparkEntry {
       .replace(", path AS MATERIALIZED (", ", path AS (")
   }
 
+  /** DuckDB oracle for ts_shapelet_transform: the sliding min distance
+    * min_pos Σᵢ (x(pos+i) − shp(i))² / m for the three fixed length-8
+    * shapelets cut from series 0 — one grouped sum per (user, shapelet,
+    * position), then a min and a pivot. */
+  private def shapeletTransformOracleSql(sz: Int, m: Int): String = {
+    val maxPos = sz - m
+    evCte + resampleZnormCte(sz) +
+      s"""
+         |, shp AS (
+         |  SELECT k.k, r.j - k.o AS i, r.val AS sv
+         |  FROM r JOIN (SELECT unnest([0, 1, 2]) AS k, unnest([0, $m, ${2 * m}]) AS o) k ON TRUE
+         |  WHERE r.user_id = 0 AND r.j >= k.o AND r.j < k.o + $m
+         |), dists AS (
+         |  SELECT a.user_id, s.k, a.j - s.i AS pos,
+         |    sum((a.val - s.sv) * (a.val - s.sv)) AS d2
+         |  FROM r a JOIN shp s ON a.j - s.i BETWEEN 0 AND $maxPos
+         |  GROUP BY 1, 2, 3
+         |), mins AS (
+         |  SELECT user_id, k, min(d2) / $m.0 AS f FROM dists GROUP BY 1, 2
+         |)
+         |SELECT user_id AS series_id,
+         |  round(max(CASE WHEN k = 0 THEN f END), 4) AS f0,
+         |  round(max(CASE WHEN k = 1 THEN f END), 4) AS f1,
+         |  round(max(CASE WHEN k = 2 THEN f END), 4) AS f2
+         |FROM mins GROUP BY 1""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "ts_shapelet_transform" -> shapeletTransformOracleSql(32, 8),
     "ts_kshape_assign" -> kshapeAssignOracleSql(32, 4),
     "ts_dba_step" -> dbaStepOracleSql(32),
     "ts_lcss_pairs" -> lcssOracleSql(32, 0.5),

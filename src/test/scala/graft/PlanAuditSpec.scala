@@ -72,4 +72,28 @@ class PlanAuditSpec extends AnyFunSuite {
       !l.contains("ReusedExchange"))
     assert(exchanges == 1, s"hourly agg should shuffle exactly once:\n$p")
   }
+
+  test("shapelet transform is broadcast + map: no shuffle exchange") {
+    import spark.implicits._
+    val df = (0 until 8).map(i =>
+      (i.toLong, Array.tabulate(16)(t => math.sin(t + i).toDouble)))
+      .toDF("series_id", "values")
+    val p = graft.ml.Shapelets.transform(df, Array(Array(0.1, 0.2, 0.3)))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"exchange leaked into shapelet transform:\n$p")
+  }
+
+  test("Nystrom SVC predict is a pure map: no shuffle exchange") {
+    import spark.implicits._
+    val df = (0 until 12).map { i =>
+      (i.toLong, Array.tabulate(12)(t =>
+        (i % 2) * 3.0 + math.sin(t / 2.0 + i * 0.01)), (i % 2).toString)
+    }.toDF("series_id", "values", "label")
+    val model = graft.ml.TimeSeriesSVC.fitNystrom(df, m = 4, seed = 1, maxIter = 5)
+    val p = graft.ml.TimeSeriesSVC.predictNystrom(model, df.select("series_id", "values"))
+      .queryExecution.executedPlan.toString
+    // the O(n·m) feature map and the per-class margins are row-local;
+    // scoring 10⁹ probes must not shuffle anything
+    assert(!p.contains("Exchange"), s"exchange leaked into Nystrom predict:\n$p")
+  }
 }

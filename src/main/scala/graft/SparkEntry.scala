@@ -517,6 +517,17 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
     }),
 
+    // Near-dup clusters: minhash pairs → connected components (min-label
+    // propagation), singletons mapping to themselves — the step that
+    // turns a pair list into "keep one doc per cluster".
+    "doc_dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = graft.operators.Dedup.minhashLsh(d, threshold = 0.35, portable = true)
+      val comps = graft.operators.Dedup.connectedComponents(pairs)
+      d.select(col("doc_id")).join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+    }),
+
     "doc_simhash" -> ((s, dir) => {
       graft.operators.Dedup.simhash(docs(s, dir), portable = true)
     }),
@@ -847,6 +858,29 @@ object SparkEntry {
        |)
        |SELECT doc_a, doc_b, round(m / 64.0, 4) AS est_jaccard
        |FROM cand WHERE m / 64.0 >= 0.35""".stripMargin
+  }
+
+  /** DuckDB oracle for doc_dedup_clusters: the SAME thresholded minhash
+    * pair list as minhashOracleSql, then the transitive closure as a
+    * recursive CTE; every doc's cluster is the min reachable id
+    * (singletons map to themselves via the documents left side). */
+  private def dedupClustersOracleSql: String = {
+    val pairsSql = minhashOracleSql
+    // reuse everything up to cand; replace the final SELECT with the
+    // closure (the prefix ends at the line before "SELECT doc_a")
+    val prefix = pairsSql.substring(0, pairsSql.lastIndexOf("SELECT doc_a"))
+    prefix.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      """, e AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM cand WHERE m / 64.0 >= 0.35
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM cand WHERE m / 64.0 >= 0.35
+        |), reach AS (
+        |  SELECT doc_id AS doc, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT reach.doc, e.b AS r
+        |  FROM reach JOIN e ON e.a = reach.r
+        |)
+        |SELECT doc AS doc_id, min(r) AS cluster FROM reach GROUP BY 1""".stripMargin
   }
 
   /** DuckDB oracle for doc_simhash: same 60-bit md5 word hash, same
@@ -1630,6 +1664,7 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin),
 
     "doc_minhash_pairs" -> minhashOracleSql,
+    "doc_dedup_clusters" -> dedupClustersOracleSql,
     "doc_simhash" -> simhashOracleSql,
 
     // the 4×15-bit band pigeonhole is lossless for hamming ≤ 3, so the

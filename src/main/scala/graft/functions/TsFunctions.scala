@@ -42,6 +42,18 @@ object TsFunctions {
     udf((a: S, b: S) => Kernels.dtw(uniTs(a), uniTs(b)))
   val dtwMvUdf: UserDefinedFunction =
     udf((a: SS, b: SS) => Kernels.dtw(toTs(a), toTs(b)))
+  // full multivariate metric surface — every kernel DP is (sz, d)-native,
+  // so the _mv variants are just the ARRAY<ARRAY<DOUBLE>> bindings
+  val euclideanMvUdf: UserDefinedFunction =
+    udf((a: SS, b: SS) => Kernels.euclidean(toTs(a), toTs(b)))
+  val lcssMvUdf: UserDefinedFunction =
+    udf((a: SS, b: SS, eps: Double) => Kernels.lcss(toTs(a), toTs(b), eps))
+  val gakMvUdf: UserDefinedFunction =
+    udf((a: SS, b: SS, sigma: Double) => Kernels.gak(toTs(a), toTs(b), sigma))
+  val softDtwMvUdf: UserDefinedFunction =
+    udf((a: SS, b: SS, gamma: Double) => Kernels.softDtw(toTs(a), toTs(b), gamma))
+  val sbdMvUdf: UserDefinedFunction =
+    udf((a: SS, b: SS) => Ncc.sbd(toTs(a), toTs(b)))
   val dtwSakoeUdf: UserDefinedFunction =
     udf((a: S, b: S, r: Int) =>
       Kernels.dtw(uniTs(a), uniTs(b), Mask.sakoeChiba(a.length, b.length, r)))
@@ -152,6 +164,11 @@ object TsFunctions {
   def register(spark: SparkSession): Unit = {
     spark.udf.register("ts_dtw", dtwUdf)
     spark.udf.register("ts_dtw_mv", dtwMvUdf)
+    spark.udf.register("ts_euclidean_mv", euclideanMvUdf)
+    spark.udf.register("ts_lcss_mv", lcssMvUdf)
+    spark.udf.register("ts_gak_mv", gakMvUdf)
+    spark.udf.register("ts_softdtw_mv", softDtwMvUdf)
+    spark.udf.register("ts_sbd_mv", sbdMvUdf)
     spark.udf.register("ts_dtw_sakoe", dtwSakoeUdf)
     spark.udf.register("ts_dtw_itakura", dtwItakuraUdf)
     spark.udf.register("ts_euclidean", euclideanUdf)

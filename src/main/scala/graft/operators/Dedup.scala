@@ -49,6 +49,40 @@ object Dedup {
       explode(if (dedupe) array_distinct(arr) else arr).as("sh"))
   }
 
+  /** Connected components over a near-duplicate pair list — the
+    * canonical clusters step after any pair generator (minhash / simhash
+    * / embedding-cosine): every doc in a pair gets its component's min
+    * id as cluster representative, so a dedup pipeline can keep one row
+    * per cluster. Iterative min-label propagation: each round is one
+    * shuffle join (edges × labels) plus one map-side-combined min
+    * aggregation, with the corpus never shuffled — only the edge
+    * endpoints (pairs ≪ docs after LSH banding). Rounds = component
+    * diameter; near-dup components are cliques or short chains, so 2–3
+    * rounds converge. Returns (doc_id, cluster). */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val und = edges.union(edges.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    var labels = und.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id")).cache()
+    var it = 0
+    var changed = 1L
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = und.join(labels, und("src") === labels("doc_id"))
+        .groupBy(und("dst").as("doc_id")).agg(min(col("cluster")).as("nbr"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster").as("old"),
+          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+        .cache()
+      changed = next.where(col("cluster") =!= col("old")).count()
+      labels.unpersist()
+      labels = next.select("doc_id", "cluster")
+      it += 1
+    }
+    und.unpersist()
+    labels
+  }
+
   /** The MinHash modulus: 2^31−1 keeps a·x+b < 2^62 (no ANSI overflow). */
   val MinhashP: Long = 2147483647L
 

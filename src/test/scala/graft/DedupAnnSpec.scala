@@ -60,6 +60,14 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(d == Set((0L, 2L), (2L, 1L)))
   }
 
+  test("connected components: min-label propagation finds dedup clusters") {
+    // chain 1-2-3 (diameter 2, needs >1 round), pair 5-6, singleton-free
+    val pairs = Seq((2L, 1L), (2L, 3L), (6L, 5L)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(comps == Set((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)))
+  }
+
   test("IVF ANN achieves >=80% recall@5 vs brute force") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))

@@ -33,6 +33,30 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracle without query: $extra")
   }
 
+  test("mv metric UDFs agree with univariate variants on d=1 input") {
+    import graft.functions.TsFunctions
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0, 2.0), Seq(2.0, 3.0, 1.0, 0.0))
+    ).toDF("a", "b")
+      .withColumn("am", expr("transform(a, x -> array(x))"))
+      .withColumn("bm", expr("transform(b, x -> array(x))"))
+    val r = df.select(
+      TsFunctions.dtwUdf(col("a"), col("b")) === TsFunctions.dtwMvUdf(col("am"), col("bm")),
+      TsFunctions.euclideanUdf(col("a"), col("b")) ===
+        TsFunctions.euclideanMvUdf(col("am"), col("bm")),
+      TsFunctions.lcssUdf(col("a"), col("b"), lit(0.5)) ===
+        TsFunctions.lcssMvUdf(col("am"), col("bm"), lit(0.5)),
+      TsFunctions.gakUdf(col("a"), col("b"), lit(1.0)) ===
+        TsFunctions.gakMvUdf(col("am"), col("bm"), lit(1.0)),
+      TsFunctions.softDtwUdf(col("a"), col("b"), lit(1.0)) ===
+        TsFunctions.softDtwMvUdf(col("am"), col("bm"), lit(1.0)),
+      TsFunctions.sbdUdf(col("a"), col("b")) === TsFunctions.sbdMvUdf(col("am"), col("bm"))
+    ).collect()(0)
+    (0 until 6).foreach(i => assert(r.getBoolean(i), s"mv variant $i diverged"))
+  }
+
   test("ts_dtw_mv_pairs emits one d=2 DTW per adjacent user pair") {
     val rows = SparkEntry.queries("ts_dtw_mv_pairs")(spark, sf).collect()
     assert(rows.length == 14) // 15 users at sf0.001 -> 14 adjacent pairs

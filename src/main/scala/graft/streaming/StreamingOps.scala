@@ -37,6 +37,18 @@ object StreamingOps {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("duration_ms"))
 
+  /** Streaming exact dedup for an ingest pipeline: keep the first doc
+    * per content hash, dropping re-deliveries and content duplicates
+    * inside the watermark horizon. State is one row per distinct hash
+    * and is evicted once the watermark passes — the streaming analogue
+    * of Dedup.exact, with the same content_hash key. */
+  def dedupExact(docs: DataFrame, watermark: String = "1 hour",
+                 tsCol: String = "ts", textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol).cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("content_hash")
+
   case class MpPoint(user_id: Long, seq: Long, value: Double)
   case class MpValue(user_id: Long, i: Long, mp: Double)
 

@@ -51,6 +51,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("streaming exact dedup keeps first doc per content hash") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingOps.dedupExact(
+        input.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    input.addData(
+      (0L, ts(0), "the quick brown fox"),
+      (1L, ts(1), "the quick brown fox"), // dup content, later arrival
+      (2L, ts(2), "something else"))
+    q.processAllAvailable()
+    input.addData((3L, ts(3), "the quick brown fox")) // dup across batches
+    q.processAllAvailable()
+    val rows = spark.table("dedup").collect()
+    q.stop()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L))
+  }
+
   test("streaming early classification emits one decision per key") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

@@ -50,6 +50,7 @@ object GraftML {
       case "KNeighborsTimeSeriesClassifier" => KnnEst(params)
       case "KNeighborsTimeSeriesRegressor" => KnnRegEst(params)
       case "TimeSeriesSVC" => SvcEst(params)
+      case "TimeSeriesSVCNystrom" => NystromSvcEst(params)
       case "TimeSeriesSVR" => SvrEst(params)
       case "TimeSeriesMLPRegressor" => MlpRegEst(params)
       case "LearningShapelets" => ShapeletEst(params)
@@ -60,7 +61,7 @@ object GraftML {
   def estimatorNames: Seq[String] = Seq(
     "TimeSeriesKMeans", "KernelKMeans", "KShape",
     "KNeighborsTimeSeriesClassifier", "KNeighborsTimeSeriesRegressor",
-    "TimeSeriesSVC", "TimeSeriesSVR", "TimeSeriesMLPRegressor",
+    "TimeSeriesSVC", "TimeSeriesSVCNystrom", "TimeSeriesSVR", "TimeSeriesMLPRegressor",
     "LearningShapelets", "NonMyopicEarlyClassifier")
 
   private def pget(m: Map[String, String], k: String, d: String): String = m.getOrElse(k, d)
@@ -263,6 +264,38 @@ object GraftML {
         .toDF("series_id", "values")
       TimeSeriesSVC.predict(inner, df, trainDf)
     }
+  }
+
+  // --------------------------------------------------------- svc (Nyström)
+
+  case class NystromSvcEst(params: Map[String, String]) extends Estimator {
+    def name = "TimeSeriesSVCNystrom"
+    def fit(df: DataFrame): Model = {
+      val m = TimeSeriesSVC.fitNystrom(df,
+        m = pget(params, "m", "32").toInt,
+        c = pget(params, "C", "1.0").toDouble,
+        sigma = pget(params, "sigma", "-1.0").toDouble,
+        seed = pget(params, "seed", "0").toLong,
+        maxIter = pget(params, "maxIter", "50").toInt)
+      NystromSvcModel(params, m)
+    }
+  }
+
+  case class NystromSvcModel(hyper: Map[String, String],
+                             inner: TimeSeriesSVC.NystromModel) extends Model {
+    def estimator = "TimeSeriesSVCNystrom"
+    def scalars: Map[String, String] =
+      Map("sigma" -> inner.sigma.toString) ++
+        inner.classes.zipWithIndex.map { case (c, i) => s"class_$i" -> c }
+    def arrays: Seq[(String, String, Array[Double])] =
+      inner.landmarks.zipWithIndex.map { case (l, i) =>
+        ("landmark", i.toString, l) }.toSeq ++
+        inner.mapping.zipWithIndex.map { case (row, i) => ("mapping", i.toString, row) } :+
+        (("landmark_self", "0", inner.landmarkSelf))
+    def transform(df: DataFrame): DataFrame = TimeSeriesSVC.predictNystrom(inner, df)
+    override def saveNested(path: String): Unit =
+      inner.ovr.zipWithIndex.foreach { case (svc, i) =>
+        svc.write.overwrite().save(s"$path/nested/ovr_$i") }
   }
 
   // ------------------------------------------------------------------ svr
@@ -483,6 +516,15 @@ object GraftML {
           TimeSeriesSVC.Model(classes, binaries, scalars("sigma").toDouble,
             sv.keys.toArray.sorted),
           sv)
+      case "TimeSeriesSVCNystrom" =>
+        val classes = scalars.keys.filter(_.startsWith("class_")).toSeq
+          .sortBy(_.stripPrefix("class_").toInt).map(scalars).toArray
+        val ovr = classes.indices.map(i =>
+          org.apache.spark.ml.classification.LinearSVCModel
+            .load(s"$path/nested/ovr_$i")).toArray
+        NystromSvcModel(hyper, TimeSeriesSVC.NystromModel(
+          famSorted("landmark"), famSorted("mapping"),
+          fam("landmark_self").head._2, scalars("sigma").toDouble, classes, ovr))
       case "TimeSeriesSVR" =>
         val sv = fam("sv_series").map { case (k, v) => k.toLong -> v }.toMap
         SvrModel(hyper,

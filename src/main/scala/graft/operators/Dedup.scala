@@ -61,8 +61,12 @@ object Dedup {
     * rounds converge. Returns (doc_id, cluster). */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
+    // cache the directed list BEFORE the union: both union branches
+    // derive from it, and the pair generator upstream (minhash/LSH) is
+    // the expensive part — uncached it would evaluate twice
     val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-    val und = edges.union(edges.select(col("dst").as("src"), col("src").as("dst"))).cache()
+      .cache()
+    val und = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
     var labels = und.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id")).cache()
     var it = 0
@@ -79,7 +83,7 @@ object Dedup {
       labels = next.select("doc_id", "cluster")
       it += 1
     }
-    und.unpersist()
+    edges.unpersist()
     labels
   }
 

@@ -56,6 +56,9 @@ class GraftMLSpec extends AnyFunSuite {
       () => regression.withColumnRenamed("target", "y")),
     Fixture("TimeSeriesSVC", Map("C" -> "1.0", "sigma" -> "2.0"),
       () => classified),
+    Fixture("TimeSeriesSVCNystrom",
+      Map("m" -> "6", "C" -> "1.0", "sigma" -> "2.0", "seed" -> "1", "maxIter" -> "20"),
+      () => classified),
     Fixture("TimeSeriesSVR", Map("C" -> "5.0", "epsilon" -> "0.1", "sigma" -> "2.0"),
       () => regression),
     Fixture("TimeSeriesMLPRegressor",

@@ -517,6 +517,15 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
     }),
 
+    // Benchmark decontamination: corpus docs sharing any word 3-gram
+    // with the (broadcast) eval slice, plus the shared count — the
+    // "drop eval leaks before training" pipeline step.
+    "doc_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.TextAnalysis.contamination(
+        d.where(col("doc_id") >= 10), d.where(col("doc_id") < 10), k = 3)
+    }),
+
     // Near-dup clusters: minhash pairs → connected components (min-label
     // propagation), singletons mapping to themselves — the step that
     // turns a pair list into "keep one doc per cluster".
@@ -1665,6 +1674,20 @@ object SparkEntry {
 
     "doc_minhash_pairs" -> minhashOracleSql,
     "doc_dedup_clusters" -> dedupClustersOracleSql,
+    "doc_contamination" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[j:j+2], ' ') AS sh
+        |  FROM words, (SELECT unnest(generate_series(1, 1000)) AS j) g
+        |  WHERE j <= len(w) - 2
+        |), ev AS (
+        |  SELECT DISTINCT sh FROM sh WHERE doc_id < 10
+        |)
+        |SELECT s.doc_id, count(*) AS n_shared
+        |FROM sh s JOIN ev USING (sh)
+        |WHERE s.doc_id >= 10
+        |GROUP BY 1""".stripMargin,
     "doc_simhash" -> simhashOracleSql,
 
     // the 4×15-bit band pigeonhole is lossless for hamming ≤ 3, so the

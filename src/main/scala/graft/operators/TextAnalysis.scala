@@ -67,4 +67,21 @@ object TextAnalysis {
     * word set (catches word-reorder near-dups). */
   def bagOfWordsFingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(split(lower(text), " "))), " ").cast("binary"))
+
+  /** Benchmark decontamination: training docs that share at least
+    * `minShared` distinct word k-grams with any doc of the (small) eval
+    * set, with the shared count — the pipeline step that drops eval-set
+    * leaks before training. The eval side's distinct shingles are the
+    * broadcast build side of one equi-join on the shingle string; the
+    * corpus is scanned once, never shuffled by content (per-doc counts
+    * aggregate map-side on doc_id). Returns (doc_id, n_shared). */
+  def contamination(corpus: org.apache.spark.sql.DataFrame,
+                    eval: org.apache.spark.sql.DataFrame, k: Int = 3,
+                    minShared: Int = 1): org.apache.spark.sql.DataFrame = {
+    val corpusSh = Dedup.shingles(corpus, k)
+    val evalSh = Dedup.shingles(eval, k).select(col("sh")).distinct()
+    corpusSh.join(broadcast(evalSh), "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
 }

@@ -68,6 +68,16 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(comps == Set((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)))
   }
 
+  test("contamination flags corpus docs sharing eval 3-grams") {
+    val evalSet = Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "alpha beta gamma epsilon"), // shares "alpha beta gamma"
+      (11L, "unrelated words entirely here")).toDF("doc_id", "text")
+    val hits = graft.operators.TextAnalysis.contamination(corpus, evalSet)
+      .as[(Long, Long)].collect().toSet
+    assert(hits == Set((10L, 1L)))
+  }
+
   test("IVF ANN achieves >=80% recall@5 vs brute force") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))

@@ -73,6 +73,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges == 1, s"hourly agg should shuffle exactly once:\n$p")
   }
 
+  test("contamination joins the eval shingles broadcast, never sort-merge") {
+    val p = plan("doc_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"eval side lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shingles must not be shuffled for the join:\n$p")
+  }
+
   test("shapelet transform is broadcast + map: no shuffle exchange") {
     import spark.implicits._
     val df = (0 until 8).map(i =>

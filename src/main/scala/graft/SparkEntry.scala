@@ -791,6 +791,21 @@ object SparkEntry {
             .as("softdtw"))
     }),
 
+    // The triangle self-join itself (Cdist.selfCross) driver-verified:
+    // all C(16,2)=120 DTW pairs over a 16-user slice at sz=24, against
+    // the same unbanded DP chain oracle as ts_dtw_mv_pairs (univariate
+    // local cost, all-pairs join).
+    "cdist_dtw_pairs" -> ((s, dir) => {
+      TsFunctions.register(s)
+      val series = TSModel.eventsToSeries(s, dir)
+        .where(col("series_id") < 16)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(24)).as("values"))
+      Cdist.selfCross(series, (a, b) => TsFunctions.dtwUdf(a, b), computeDiagonal = false)
+        .where(col("left_id") < col("right_id"))
+        .select(col("left_id"), col("right_id"), round(col("dist"), 4).as("dtw"))
+    }),
+
     "cdist_metrics_sample" -> ((s, dir) => {
       TsFunctions.register(s)
       val series = TSModel.eventsToSeries(s, dir)
@@ -1360,6 +1375,53 @@ object SparkEntry {
     sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
   }
 
+  /** DuckDB oracle for cdist_dtw_pairs: unbanded univariate DTW between
+    * ALL pairs (left < right) of the first `maxId` users at sz points —
+    * the same row-chain DP as mvDtwOracleSql with a d=1 local cost and
+    * an all-pairs join, verifying the triangle self-join output. */
+  private def cdistDtwOracleSql(sz: Int, maxId: Int): String = {
+    val last = sz - 1
+    val sb = new StringBuilder(evCte + resampleZnormCte(sz))
+    sb ++=
+      s"""
+         |, rs AS (
+         |  SELECT user_id, j, val FROM r WHERE user_id < $maxId
+         |), loc AS (
+         |  SELECT a.user_id AS pr, b.user_id AS cd, a.j AS i, b.j AS j,
+         |    (a.val - b.val) * (a.val - b.val) AS d
+         |  FROM rs a JOIN rs b ON b.user_id > a.user_id
+         |), t0 AS (
+         |  SELECT pr, cd, j,
+         |    sum(d) OVER (PARTITION BY pr, cd ORDER BY j) AS cost
+         |  FROM loc WHERE i = 0
+         |)""".stripMargin
+    for (i <- 1 until sz) {
+      sb ++=
+        s"""
+           |, t$i AS (
+           |  SELECT pr, cd, j, cs + mn AS cost FROM (
+           |    SELECT pr, cd, j, cs,
+           |      min(mk - csk) OVER (PARTITION BY pr, cd ORDER BY j) AS mn
+           |    FROM (
+           |      SELECT l.pr, l.cd, l.j,
+           |        sum(l.d) OVER (PARTITION BY l.pr, l.cd ORDER BY l.j) AS cs,
+           |        sum(l.d) OVER (PARTITION BY l.pr, l.cd ORDER BY l.j) - l.d AS csk,
+           |        least(coalesce(pk.cost, 1e308), coalesce(pk1.cost, 1e308)) AS mk
+           |      FROM loc l
+           |      LEFT JOIN t${i - 1} pk
+           |        ON pk.pr = l.pr AND pk.cd = l.cd AND pk.j = l.j
+           |      LEFT JOIN t${i - 1} pk1
+           |        ON pk1.pr = l.pr AND pk1.cd = l.cd AND pk1.j = l.j - 1
+           |      WHERE l.i = $i))
+           |)""".stripMargin
+    }
+    sb ++=
+      s"""
+         |SELECT pr AS left_id, cd AS right_id, round(sqrt(cost), 4) AS dtw
+         |FROM t$last WHERE j = $last""".stripMargin
+    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+  }
+
   /** GAK with σ=1, normalized so k(x,x)=1 (Kernels.gak). */
   private def gakOracleSql(sz: Int): String = sumProdChainSql(
     sz,
@@ -1523,6 +1585,7 @@ object SparkEntry {
     "ts_gak_pairs" -> gakOracleSql(16),
     "ts_softdtw_pairs" -> softDtwOracleSql(16),
     "ts_dtw_mv_pairs" -> mvDtwOracleSql(16),
+    "cdist_dtw_pairs" -> cdistDtwOracleSql(24, 16),
     "ts_kmeans" -> kmeansTraceSql(10),
     "ts_early_classify" -> earlyClassifyOracleSql,
     "knn_dtw_users" -> knnDtwOracleSql(32, 4, 16, 3),

@@ -517,6 +517,24 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
     }),
 
+    // Corpus-level top-k n-grams by document frequency — the
+    // vocabulary-induction / contamination-analysis aggregate. One
+    // map-side-combined count per distinct (doc, shingle), then a
+    // global top-k (tie-break: ngram ascending, rank included so the
+    // output is deterministic).
+    "doc_ngram_topk" -> ((s, dir) => {
+      // orderBy+limit = TakeOrderedAndProject (per-partition heaps, no
+      // global sort); the rank window then runs on 20 rows only
+      val top = graft.operators.Dedup.shingles(docs(s, dir), k = 3)
+        .groupBy(col("sh").as("ngram"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("ngram").asc)
+        .limit(20)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy(col("df").desc, col("ngram").asc)))
+        .select(col("rank"), col("ngram"), col("df"))
+    }),
+
     // Benchmark decontamination: corpus docs sharing any word 3-gram
     // with the (broadcast) eval slice, plus the shared count — the
     // "drop eval leaks before training" pipeline step.
@@ -1737,6 +1755,19 @@ object SparkEntry {
 
     "doc_minhash_pairs" -> minhashOracleSql,
     "doc_dedup_clusters" -> dedupClustersOracleSql,
+    "doc_ngram_topk" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[j:j+2], ' ') AS sh
+        |  FROM words, (SELECT unnest(generate_series(1, 1000)) AS j) g
+        |  WHERE j <= len(w) - 2
+        |), df AS (
+        |  SELECT sh AS ngram, count(*) AS df FROM sh GROUP BY 1
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY df DESC, ngram) AS INT) AS rank,
+        |  ngram, df
+        |FROM df ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
     "doc_contamination" ->
       """WITH words AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents

@@ -619,8 +619,12 @@ object SparkEntry {
           TsFunctions.resampleZnormUdf(col("values"), lit(32)).as("values"))
         .orderBy("series_id").collect().map(_.getSeq[Double](1).toArray)
       val ks = new graft.ml.KShape(k = 4)
+      // + 0.0 normalizes IEEE -0.0 to +0.0 (a self-matching series rounds
+      // to ±0.0 depending on the correlation epsilon's sign; the driver
+      // hashes float bits, so -0.0 vs 0.0 is a red row)
       ks.Model(cents, 0.0).predict(raw)
-        .select(col("series_id"), col("cluster"), round(col("dist"), 4).as("dist"))
+        .select(col("series_id"), col("cluster"),
+          (round(col("dist"), 4) + lit(0.0)).as("dist"))
     }),
 
     // One DBA (MM) update from the deterministic euclidean-mean init —
@@ -1488,7 +1492,7 @@ object SparkEntry {
          |  GROUP BY 1, 2
          |)
          |SELECT user_id AS series_id, CAST(cluster AS INT) AS cluster,
-         |  round(d, 4) AS dist
+         |  round(d, 4) + 0.0 AS dist
          |FROM (
          |  SELECT user_id, cluster, d,
          |    row_number() OVER (PARTITION BY user_id ORDER BY d, cluster) AS rn

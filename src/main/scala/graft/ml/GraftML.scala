@@ -54,7 +54,10 @@ object GraftML {
       case "TimeSeriesSVR" => SvrEst(params)
       case "TimeSeriesMLPRegressor" => MlpRegEst(params)
       case "LearningShapelets" => ShapeletEst(params)
-      case "NonMyopicEarlyClassifier" => EarlyEst(params)
+      // full-fidelity reference algorithm (confusion tensors + expected
+      // cost); the simplified per-t-accuracy fast path keeps its own name
+      case "NonMyopicEarlyClassifier" => NonMyopicEst(params)
+      case "EarlyClassifier" => EarlyEst(params)
       case other => throw new IllegalArgumentException(s"unknown estimator '$other'")
     }
 
@@ -62,7 +65,7 @@ object GraftML {
     "TimeSeriesKMeans", "KernelKMeans", "KShape",
     "KNeighborsTimeSeriesClassifier", "KNeighborsTimeSeriesRegressor",
     "TimeSeriesSVC", "TimeSeriesSVCNystrom", "TimeSeriesSVR", "TimeSeriesMLPRegressor",
-    "LearningShapelets", "NonMyopicEarlyClassifier")
+    "LearningShapelets", "NonMyopicEarlyClassifier", "EarlyClassifier")
 
   private def pget(m: Map[String, String], k: String, d: String): String = m.getOrElse(k, d)
 
@@ -407,8 +410,42 @@ object GraftML {
 
   // ---------------------------------------------------------------- early
 
-  case class EarlyEst(params: Map[String, String]) extends Estimator {
+  case class NonMyopicEst(params: Map[String, String]) extends Estimator {
     def name = "NonMyopicEarlyClassifier"
+    def fit(df: DataFrame): Model = {
+      val est = new NonMyopicEarlyClassifier(
+        nClusters = pget(params, "nClusters", "2").toInt,
+        minT = pget(params, "minT", "1").toInt,
+        lamb = pget(params, "lamb", "1.0").toDouble,
+        costTimeParameter = pget(params, "costTimeParameter", "1.0").toDouble,
+        seed = pget(params, "seed", "0").toLong)
+      NonMyopicModel(params, est.fit(df))
+    }
+  }
+
+  case class NonMyopicModel(hyper: Map[String, String],
+                            inner: NonMyopicEarlyClassifier#Model) extends Model {
+    def estimator = "NonMyopicEarlyClassifier"
+    def scalars: Map[String, String] =
+      Map("minT" -> inner.minT.toString, "sz" -> inner.sz.toString,
+        "lamb" -> inner.lamb.toString,
+        "costTimeParameter" -> inner.costTimeParameter.toString) ++
+        inner.labels.zipWithIndex.map { case (l, i) => s"label_$i" -> l }
+    def arrays: Seq[(String, String, Array[Double])] =
+      inner.centers.zipWithIndex.map { case (c, i) => ("centers", i.toString, c) }.toSeq ++
+        inner.trainValues.zipWithIndex.map { case (v, j) => ("train", j.toString, v) } ++
+        Seq(("train_label_idx", "0", inner.trainLabelIdx.map(_.toDouble))) ++
+        inner.pyck.zipWithIndex.map { case (row, y) => ("pyck", y.toString, row) } ++
+        inner.pyhatyck.toSeq.zipWithIndex.flatMap { case (byK, ti) =>
+          byK.toSeq.zipWithIndex.flatMap { case (byY, k) =>
+            byY.toSeq.zipWithIndex.map { case (row, y) => ("pyhatyck", s"${ti}_${k}_$y", row) }
+          }
+        }
+    def transform(df: DataFrame): DataFrame = inner.predict(df)
+  }
+
+  case class EarlyEst(params: Map[String, String]) extends Estimator {
+    def name = "EarlyClassifier"
     def fit(df: DataFrame): Model = {
       val tGrid = pget(params, "tGrid", "8,16,32").split(",").map(_.trim.toInt).toSeq
       val lambdaCost = pget(params, "lambdaCost", "0.01").toDouble
@@ -419,7 +456,7 @@ object GraftML {
 
   case class EarlyModel(hyper: Map[String, String],
                         inner: EarlyClassifier#Model) extends Model {
-    def estimator = "NonMyopicEarlyClassifier"
+    def estimator = "EarlyClassifier"
     def scalars: Map[String, String] =
       Map("lambdaCost" -> inner.lambdaCost.toString) ++
         inner.accuracy.map { case (t, a) => s"acc_$t" -> a.toString }
@@ -548,6 +585,25 @@ object GraftML {
           ShapeletModel(hyper, Shapelets.Model(famSorted("shapelets"), lr, labels))
         }
       case "NonMyopicEarlyClassifier" =>
+        val labels = scalars.keys.filter(_.startsWith("label_")).toSeq
+          .sortBy(_.stripPrefix("label_").toInt).map(scalars).toArray
+        val centers = famSorted("centers")
+        val train = famSorted("train")
+        val tIdx = fam("train_label_idx").head._2.map(_.toInt)
+        val minT = scalars("minT").toInt
+        val sz = scalars("sz").toInt
+        val pyck = famSorted("pyck")
+        val ph = fam("pyhatyck").toMap
+        val pyhatyck = Array.tabulate(sz - minT + 1, centers.length, labels.length)(
+          (ti, k, y) => ph(s"${ti}_${k}_$y"))
+        val lamb = scalars("lamb").toDouble
+        val ctp = scalars("costTimeParameter").toDouble
+        val est = new NonMyopicEarlyClassifier(
+          nClusters = centers.length, minT = minT, lamb = lamb,
+          costTimeParameter = ctp)
+        NonMyopicModel(hyper, est.Model(labels, centers, train, tIdx, pyck,
+          pyhatyck, minT, sz, lamb, ctp))
+      case "EarlyClassifier" =>
         val centroids = arrays.filter(_._1.startsWith("centroids_"))
           .groupBy(_._1.stripPrefix("centroids_").toInt)
           .map { case (t, rows) => t -> rows.map(r => r._2 -> r._3).toMap }

@@ -56,9 +56,13 @@ object Dedup {
     * per cluster. Iterative min-label propagation: each round is one
     * shuffle join (edges × labels) plus one map-side-combined min
     * aggregation, with the corpus never shuffled — only the edge
-    * endpoints (pairs ≪ docs after LSH banding). Rounds = component
-    * diameter; near-dup components are cliques or short chains, so 2–3
-    * rounds converge. Returns (doc_id, cluster). */
+    * endpoints (pairs ≪ docs after LSH banding). Each round also
+    * shortcuts every label to its label's label (pointer doubling), so
+    * the label distance to the component minimum halves per round and
+    * rounds scale with log(diameter), not diameter — maxIter=20 covers
+    * any component a real corpus can produce (diameter ≲ 2^20).
+    * Throws if the cap is still hit (a silently split cluster is a
+    * wrong dedup answer, never acceptable). Returns (doc_id, cluster). */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
     // cache the directed list BEFORE the union: both union branches
@@ -74,9 +78,17 @@ object Dedup {
     while (changed > 0 && it < maxIter) {
       val nbrMin = und.join(labels, und("src") === labels("doc_id"))
         .groupBy(und("dst").as("doc_id")).agg(min(col("cluster")).as("nbr"))
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+      val hop = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+      // pointer doubling: labels only ever hold ids of nodes in the same
+      // component, so jumping to the label's own label is sound and
+      // keeps the min-label monotone
+      val next = hop.alias("x")
+        .join(hop.select(col("doc_id").as("pid"), col("cluster").as("pc")).alias("p"),
+          col("x.cluster") === col("pid"), "left")
+        .select(col("x.doc_id").as("doc_id"), col("x.old").as("old"),
+          least(col("x.cluster"), coalesce(col("pc"), col("x.cluster"))).as("cluster"))
         .cache()
       changed = next.where(col("cluster") =!= col("old")).count()
       labels.unpersist()
@@ -84,6 +96,9 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds ($changed labels still moving)")
     labels
   }
 

@@ -72,8 +72,19 @@ object Multimodal {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(b)))
       val fmt = in.getFormat
+      // Gate on the actual encoding: μ-law/a-law AU payloads (and any
+      // other non-linear encoding javax.sound can frame but this code
+      // does not convert) must fall through to the stub rather than be
+      // read as if linear PCM. 8-bit is decoded per its declared
+      // signedness (WAV convention unsigned, AIFF signed); 16-bit is
+      // only defined here for signed PCM.
+      val enc = fmt.getEncoding
+      import javax.sound.sampled.AudioFormat.Encoding
       val bytesPerSample = fmt.getSampleSizeInBits / 8
       if (bytesPerSample < 1 || bytesPerSample > 2) return None
+      val signed = enc == Encoding.PCM_SIGNED
+      if (!signed && enc != Encoding.PCM_UNSIGNED) return None
+      if (bytesPerSample == 2 && !signed) return None
       val raw = in.readAllBytes()
       val frameBytes = bytesPerSample * fmt.getChannels
       val n = raw.length / frameBytes
@@ -83,7 +94,8 @@ object Multimodal {
       while (i < n) {
         val o = i * frameBytes
         val s =
-          if (bytesPerSample == 1) ((raw(o) & 0xFF) - 128) / 128.0f
+          if (bytesPerSample == 1)
+            (if (signed) raw(o).toInt else (raw(o) & 0xFF) - 128) / 128.0f
           else {
             val lo = raw(if (fmt.isBigEndian) o + 1 else o) & 0xFF
             val hi = raw(if (fmt.isBigEndian) o else o + 1)

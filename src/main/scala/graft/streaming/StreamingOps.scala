@@ -40,14 +40,21 @@ object StreamingOps {
   /** Streaming exact dedup for an ingest pipeline: keep the first doc
     * per content hash, dropping re-deliveries and content duplicates
     * inside the watermark horizon. State is one row per distinct hash
-    * and is evicted once the watermark passes — the streaming analogue
-    * of Dedup.exact, with the same content_hash key. */
+    * and IS evicted once the watermark passes: this must be
+    * dropDuplicatesWithinWatermark (not dropDuplicates) — a plain
+    * dropDuplicates on a non-event-time subset never builds a key
+    * eviction predicate, so its state grows with every distinct hash
+    * forever; the watermark there only drops late input rows. The
+    * within-watermark variant guarantees dedup for duplicates arriving
+    * inside the horizon and bounds state to the horizon — the right
+    * contract for an unbounded ingest stream (the streaming analogue of
+    * Dedup.exact, with the same content_hash key). */
   def dedupExact(docs: DataFrame, watermark: String = "1 hour",
                  tsCol: String = "ts", textCol: String = "text"): DataFrame =
     docs
       .withColumn("content_hash", md5(col(textCol).cast("binary")))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("content_hash")
+      .dropDuplicatesWithinWatermark("content_hash")
 
   case class MpPoint(user_id: Long, seq: Long, value: Double)
   case class MpValue(user_id: Long, i: Long, mp: Double)

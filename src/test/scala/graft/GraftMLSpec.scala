@@ -69,8 +69,13 @@ class GraftMLSpec extends AnyFunSuite {
     Fixture("LearningShapelets",
       Map("perSize" -> "2", "seed" -> "1", "refineIters" -> "10"),
       () => classified),
-    Fixture("NonMyopicEarlyClassifier",
+    Fixture("EarlyClassifier",
       Map("tGrid" -> "4,8,12", "lambdaCost" -> "0.01"),
+      () => classified),
+    // full-fidelity confusion-tensor algorithm behind the reference name
+    Fixture("NonMyopicEarlyClassifier",
+      Map("nClusters" -> "2", "minT" -> "4", "costTimeParameter" -> "0.01",
+        "seed" -> "1"),
       () => classified)
   )
 

@@ -127,10 +127,43 @@ object Prof {
       }
     }
 
-    (1 to 2).foreach { round =>
-      println(s"[prof] === round $round ===")
-      Seq("adist", "cache").foreach { v =>
-        time(s"jaccard $v")(jacV(v).count())
+    if (args.contains("cc")) {
+      // stage-by-stage profile of the doc_dedup_clusters pipeline
+      (1 to 2).foreach { round =>
+        println(s"[prof] === cc round $round ===")
+        val pairs = graft.operators.Dedup.minhashLsh(
+          docs.select(col("doc_id"), col("text")), threshold = 0.35, portable = true)
+        time("minhash pairs count")(pairs.count())
+        val comps = time("connected components")(
+          graft.operators.Dedup.connectedComponents(pairs))
+        time("final left join")(
+          docs.select(col("doc_id")).join(comps, Seq("doc_id"), "left").count())
+      }
+    } else if (args.contains("cos")) {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      emb.count()
+      (1 to 2).foreach { round =>
+        println(s"[prof] === cos round $round ===")
+        import graft.functions.TsFunctions
+        val e = emb.select(col("vec_id"),
+          TsFunctions.l2NormalizeUdf(transform(col("embedding"), x => x.cast("double"))).as("v"))
+          .localCheckpoint(eager = false)
+        time("normalize+checkpoint")(e.count())
+        val parallelism = spark.sparkContext.defaultParallelism
+        val out = e.repartition(parallelism).alias("a")
+          .join(broadcast(e.select(col("vec_id").as("vec_b"), col("v").as("vb"))).alias("b"),
+            col("vec_id") < col("vec_b"))
+          .select(col("vec_id").as("vec_a"), col("vec_b"),
+            graft.functions.NativeExpressions.dotNative(col("v"), col("vb")).as("cos"))
+          .where(col("cos") >= 0.85)
+        time("pair join")(out.count())
+      }
+    } else {
+      (1 to 2).foreach { round =>
+        println(s"[prof] === round $round ===")
+        Seq("adist", "cache").foreach { v =>
+          time(s"jaccard $v")(jacV(v).count())
+        }
       }
     }
     spark.stop()

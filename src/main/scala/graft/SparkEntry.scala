@@ -575,9 +575,12 @@ object SparkEntry {
     // the tol-gated loop on converged data.
     "ts_kmeans" -> ((s, dir) => {
       TsFunctions.register(s)
+      // localCheckpoint: fit and predict both consume the prepared
+      // series; without it the events→series→resample pipeline runs twice
       val series = TSModel.eventsToSeries(s, dir)
         .select(col("series_id"),
           TsFunctions.resampleZnormUdf(col("values"), lit(32)).as("values"))
+        .localCheckpoint()
       val model = new graft.ml.TimeSeriesKMeans(k = 4, metric = "euclidean",
         maxIter = 10, tol = -1.0, init = "first").fit(series)
       model.predict(series)
@@ -591,8 +594,11 @@ object SparkEntry {
           TsFunctions.resampleZnormUdf(col("values"), lit(32)).as("values"))
         .as[(Long, Array[Double])]
       // distributed DBA: one ΣV/ΣWx aggregation job per MM iteration
-      // against the re-broadcast center — no single-task funnel
-      val b = graft.ml.DistributedBary.dba(series.map(_._2), maxIter = 10)
+      // against the re-broadcast center — no single-task funnel.
+      // tol = -1 disables the early stop so EXACTLY 10 MM updates run —
+      // the dbaTraceSql oracle unrolls the same 10 (MM is monotone, so
+      // post-fixed-point updates are no-ops and the trace is stable).
+      val b = graft.ml.DistributedBary.dba(series.map(_._2), maxIter = 10, tol = -1.0)
       b.toSeq.zipWithIndex.map { case (v, t) => (t, v) }
         .toDF("t", "v")
         .select(col("t"), round(col("v"), 4).as("v"))
@@ -602,6 +608,7 @@ object SparkEntry {
       val series = TSModel.eventsToSeries(s, dir)
         .select(col("series_id"),
           TsFunctions.resampleUdf(col("values"), lit(32)).as("values"))
+        .localCheckpoint()
       val model = new graft.ml.KShape(k = 4, maxIter = 8, seed = 5).fit(series)
       model.predict(series)
         .select(col("series_id"), col("cluster"), round(col("dist"), 4).as("dist"))
@@ -614,6 +621,7 @@ object SparkEntry {
     "ts_kshape_assign" -> ((s, dir) => {
       val raw = TSModel.eventsToSeries(s, dir)
         .select(col("series_id"), TsFunctions.resampleUdf(col("values"), lit(32)).as("values"))
+        .localCheckpoint()
       val cents = raw.where(col("series_id") < 4)
         .select(col("series_id"),
           TsFunctions.resampleZnormUdf(col("values"), lit(32)).as("values"))
@@ -1499,6 +1507,87 @@ object SparkEntry {
          |  FROM sbd)
          |WHERE rn = 1""".stripMargin)
 
+  /** DuckDB oracle for ts_dba: the FULL `iters`-iteration MM trace —
+    * dbaStepOracleSql's one-step machinery (per-series DTW cost matrix,
+    * recursive-CTE backtrack with the kernel's diag-first tie-break,
+    * aligned mean) chained: bar0 = per-timestep mean init, then for each
+    * MM iteration k the loc{k}, t{k}xI, cum{k}, path{k} layers recompute
+    * every DTW path against bar{k} and bar{k+1} is the aligned mean. Mirrors
+    * `barycenters/dba.py:394-604` with tol disabled (engine runs exactly
+    * `iters` updates; MM cost is non-increasing so extra iterations at a
+    * fixed point are no-ops). Every non-recursive CTE is MATERIALIZED —
+    * DuckDB would otherwise re-inline the whole chain per layer. */
+  private def dbaTraceSql(iters: Int, sz: Int): String = {
+    val last = sz - 1
+    val sb = new StringBuilder(
+      evCte.replaceFirst("WITH ", "WITH RECURSIVE ") + resampleZnormCte(sz))
+    sb ++= "\n, bar0 AS (\n  SELECT j AS i, avg(val) AS bv FROM r GROUP BY 1\n)"
+    for (k <- 0 until iters) {
+      sb ++=
+        s"""
+           |, loc$k AS (
+           |  SELECT r.user_id, b.i, r.j,
+           |    (b.bv - r.val) * (b.bv - r.val) AS d
+           |  FROM r JOIN bar$k b ON TRUE
+           |), t${k}x0 AS (
+           |  SELECT user_id, j,
+           |    sum(d) OVER (PARTITION BY user_id ORDER BY j) AS cost
+           |  FROM loc$k WHERE i = 0
+           |)""".stripMargin
+      for (i <- 1 until sz) {
+        sb ++=
+          s"""
+             |, t${k}x$i AS (
+             |  SELECT user_id, j, cs + mn AS cost FROM (
+             |    SELECT user_id, j, cs,
+             |      min(mk - csk) OVER (PARTITION BY user_id ORDER BY j) AS mn
+             |    FROM (
+             |      SELECT l.user_id, l.j,
+             |        sum(l.d) OVER (PARTITION BY l.user_id ORDER BY l.j) AS cs,
+             |        sum(l.d) OVER (PARTITION BY l.user_id ORDER BY l.j) - l.d AS csk,
+             |        least(coalesce(pk.cost, 1e308), coalesce(pk1.cost, 1e308)) AS mk
+             |      FROM loc$k l
+             |      LEFT JOIN t${k}x${i - 1} pk ON pk.user_id = l.user_id AND pk.j = l.j
+             |      LEFT JOIN t${k}x${i - 1} pk1 ON pk1.user_id = l.user_id AND pk1.j = l.j - 1
+             |      WHERE l.i = $i))
+             |)""".stripMargin
+      }
+      sb ++= s"\n, cum$k AS (\n" +
+        (0 until sz).map(i => s"  SELECT user_id, $i AS i, j, cost FROM t${k}x$i")
+          .mkString("", "\n  UNION ALL\n", "\n)")
+      sb ++=
+        s"""
+           |, path$k AS (
+           |  SELECT user_id, $last AS i, $last AS j FROM (SELECT DISTINCT user_id FROM r)
+           |  UNION ALL
+           |  SELECT p.user_id,
+           |    CASE WHEN p.i = 0 THEN 0
+           |         WHEN p.j = 0 THEN p.i - 1
+           |         WHEN cd.cost <= cu.cost AND cd.cost <= cl.cost THEN p.i - 1
+           |         WHEN cu.cost <= cl.cost THEN p.i - 1
+           |         ELSE p.i END AS i,
+           |    CASE WHEN p.i = 0 THEN p.j - 1
+           |         WHEN p.j = 0 THEN p.j
+           |         WHEN cd.cost <= cu.cost AND cd.cost <= cl.cost THEN p.j - 1
+           |         WHEN cu.cost <= cl.cost THEN p.j
+           |         ELSE p.j - 1 END AS j
+           |  FROM path$k p
+           |  LEFT JOIN cum$k cd ON cd.user_id = p.user_id AND cd.i = p.i - 1 AND cd.j = p.j - 1
+           |  LEFT JOIN cum$k cu ON cu.user_id = p.user_id AND cu.i = p.i - 1 AND cu.j = p.j
+           |  LEFT JOIN cum$k cl ON cl.user_id = p.user_id AND cl.i = p.i AND cl.j = p.j - 1
+           |  WHERE p.i > 0 OR p.j > 0
+           |), bar${k + 1} AS (
+           |  SELECT pa.i, sum(r.val) / count(*) AS bv
+           |  FROM path$k pa JOIN r ON r.user_id = pa.user_id AND r.j = pa.j
+           |  GROUP BY 1
+           |)""".stripMargin
+    }
+    sb ++= s"\nSELECT CAST(i AS INT) AS t, round(bv, 4) AS v FROM bar$iters"
+    // materialize every DP-chain CTE, but never the recursive paths
+    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+      .replaceAll(", (path\\d+) AS MATERIALIZED \\(", ", $1 AS (")
+  }
+
   /** DuckDB oracle for ts_dba_step: the mean-init barycenter, a full DTW
     * cost matrix per series (the knnDtw chain keeping every row), a
     * recursive-CTE backtrack with the kernel's tie-break (diag preferred,
@@ -1602,6 +1691,7 @@ object SparkEntry {
     "ts_shapelet_transform" -> shapeletTransformOracleSql(32, 8),
     "ts_kshape_assign" -> kshapeAssignOracleSql(32, 4),
     "ts_dba_step" -> dbaStepOracleSql(32),
+    "ts_dba" -> dbaTraceSql(10, 32),
     "ts_lcss_pairs" -> lcssOracleSql(32, 0.5),
     "ts_sbd_pairs" -> sbdOracleSql(32),
     "ts_gak_pairs" -> gakOracleSql(16),

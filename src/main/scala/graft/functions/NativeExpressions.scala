@@ -31,6 +31,40 @@ object NativeOps {
       ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)) >>> 4
   }
 
+  /** Primitive dot product — the UDF version converts both arrays into
+    * boxed Seq[Double] per pair (an allocation storm at 10⁷ pairs per
+    * cosine self-join: ~130 boxed doubles per call); this reads the
+    * Tungsten buffers directly. Element order matches
+    * aggregate(zip_with(...)) left-fold, so results are bit-identical to
+    * the former HOF/UDF forms (oracle hashes unchanged). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val aa = a.toDoubleArray()
+    val ba = b.toDoubleArray()
+    var s = 0.0
+    var i = 0
+    val n = math.min(aa.length, ba.length)
+    while (i < n) { s += aa(i) * ba(i); i += 1 }
+    s
+  }
+
+  /** Cosine similarity in one pass over the two buffers; same fold order
+    * as vecDot/vecNorm (dot / (sqrt(na)·sqrt(nb))). */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val aa = a.toDoubleArray()
+    val ba = b.toDoubleArray()
+    var s = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    val n = math.min(aa.length, ba.length)
+    while (i < n) { s += aa(i) * ba(i); i += 1 }
+    i = 0
+    while (i < aa.length) { na += aa(i) * aa(i); i += 1 }
+    i = 0
+    while (i < ba.length) { nb += ba(i) * ba(i); i += 1 }
+    s / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   def lbKeogh(q: ArrayData, lo: ArrayData, hi: ArrayData): Double = {
     val qa = q.toDoubleArray()
     val la = lo.toDoubleArray()
@@ -88,6 +122,35 @@ case class LbKeoghExpression(first: Expression, second: Expression, third: Expre
     copy(first = f, second = s, third = t)
 }
 
+/** Dot product of two ARRAY<DOUBLE> columns on the primitive buffers —
+  * the hot inner expression of every embedding pair join. */
+case class DotExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot_native"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.NativeOps.dot($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Cosine similarity of two ARRAY<DOUBLE> columns (unnormalized inputs). */
+case class CosineExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_cosine_native"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.NativeOps.cosine($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Engine-portable 60-bit md5 hash of a string column (see
   * [[NativeOps.md5Hash60]]); bit-identical to DuckDB's
   * `CAST(CONCAT('0x', substring(md5(x), 1, 15)) AS BIGINT)`. */
@@ -126,4 +189,14 @@ object NativeExpressions {
   /** Portable 60-bit md5 hash of a string column. */
   def md5Hash60Native(s: Column): Column =
     GraftColumnBridge.column(Md5Hash60Expression(GraftColumnBridge.expression(s)))
+
+  /** Dot product of two ARRAY<DOUBLE> columns (no UDF boxing). */
+  def dotNative(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotExpression(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Cosine similarity of two ARRAY<DOUBLE> columns (no UDF boxing). */
+  def cosineNative(a: Column, b: Column): Column =
+    GraftColumnBridge.column(CosineExpression(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

@@ -288,7 +288,10 @@ object DistributedBary {
           maxIter: Int = 30, tol: Double = 1e-5): Array[Double] = {
     val spark = series.sparkSession
     import spark.implicits._
-    val keyed = series.map(x => (0, x))
+    // localCheckpoint: the mean pass + every MM iteration re-reads these
+    // rows; without it the caller's (often expensive) upstream pipeline
+    // re-evaluates once per iteration
+    val keyed = series.map(x => (0, x)).localCheckpoint()
     val mean = meanByCluster(keyed)(0)
     val size = if (barycenterSize > 0) barycenterSize else mean.length
     val init = Kernels.resample(Kernels.uni(mean), size).map(_(0))

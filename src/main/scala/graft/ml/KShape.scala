@@ -43,6 +43,9 @@ class KShape(val k: Int, val maxIter: Int = 20, val tol: Double = 1e-6,
       .map { case (id, vs) =>
         (id, Kernels.scaleMeanVariance(Kernels.uni(vs.toIndexedSeq: _*)).map(_(0)))
       }
+      // localCheckpoint: count + repartition-cache fill + takeSample each
+      // re-read these rows; truncate so the upstream runs once
+      .localCheckpoint()
     val n = data0.count()
     require(n >= k, s"need at least k=$k series")
     // size partitions to the data (~10k series each): per-iteration jobs

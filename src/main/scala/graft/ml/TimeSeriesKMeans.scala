@@ -67,8 +67,14 @@ class TimeSeriesKMeans(
   def fit(df: DataFrame): Model = {
     val spark = df.sparkSession
     import spark.implicits._
+    // localCheckpoint first: count / sample / init-seed / every Lloyd
+    // iteration all read the materialized rows — without it the (often
+    // expensive) upstream pipeline re-evaluates once per driver action
+    // before the iteration cache even forms (measured 3 extra full
+    // upstream scans per fit).
     val data0 = df.select(col("series_id").cast("long"), col("values").cast("array<double>"))
       .as[(Long, Array[Double])]
+      .localCheckpoint()
     val n = data0.count()
     require(n >= k, s"need at least k=$k series, got $n")
     // iterative passes: size partitions to the data (~10k series each) so
@@ -128,6 +134,7 @@ class TimeSeriesKMeans(
       if (best == null || inertia < best.inertia) best = Model(centroids, inertia)
     }
     data.unpersist()
+    data0.unpersist()
     best
   }
 }

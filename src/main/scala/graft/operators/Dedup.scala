@@ -65,11 +65,13 @@ object Dedup {
     * wrong dedup answer, never acceptable). Returns (doc_id, cluster). */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
-    // cache the directed list BEFORE the union: both union branches
-    // derive from it, and the pair generator upstream (minhash/LSH) is
-    // the expensive part — uncached it would evaluate twice
+    // localCheckpoint the directed list BEFORE the union: both union
+    // branches derive from it, the pair generator upstream (minhash/LSH)
+    // is the expensive part — uncached it would evaluate twice — and
+    // truncating its lineage keeps every round's plan flat (no re-analysis
+    // of the whole LSH tree per iteration)
     val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .cache()
+      .localCheckpoint()
     val und = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
     var labels = und.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id")).cache()
@@ -84,12 +86,17 @@ object Dedup {
       // pointer doubling: labels only ever hold ids of nodes in the same
       // component, so jumping to the label's own label is sound and
       // keeps the min-label monotone
+      // localCheckpoint (not cache): truncates the lineage so round i's
+      // plan does not embed rounds 0..i-1 — with plain cache every round
+      // re-analyzes (and AQE re-plans) a linearly deeper tree, which
+      // measurably dominates once the per-round data is small. On a real
+      // cluster swap for reliable checkpoint() if executor loss matters.
       val next = hop.alias("x")
         .join(hop.select(col("doc_id").as("pid"), col("cluster").as("pc")).alias("p"),
           col("x.cluster") === col("pid"), "left")
         .select(col("x.doc_id").as("doc_id"), col("x.old").as("old"),
           least(col("x.cluster"), coalesce(col("pc"), col("x.cluster"))).as("cluster"))
-        .cache()
+        .localCheckpoint()
       changed = next.where(col("cluster") =!= col("old")).count()
       labels.unpersist()
       labels = next.select("doc_id", "cluster")
@@ -307,7 +314,7 @@ object Dedup {
       .join(broadcast(e.select(col("vec_id").as("vec_b"), col("v").as("vb"))).alias("b"),
         col("vec_id") < col("vec_b"))
       .select(col("vec_id").as("vec_a"), col("vec_b"),
-        TsFunctions.dotUdf(col("v"), col("vb")).as("cos"))
+        graft.functions.NativeExpressions.dotNative(col("v"), col("vb")).as("cos"))
       .where(col("cos") >= threshold)
   }
 
@@ -322,7 +329,7 @@ object Dedup {
     val e = df.select(col(idCol).as("series_id"),
       TsFunctions.l2NormalizeUdf(transform(col(vecCol), x => x.cast("double"))).as("values"))
       .localCheckpoint(eager = false)
-    Cdist.selfBlockedUpper(e, (a, b) => TsFunctions.dotUdf(a, b), blocks)
+    Cdist.selfBlockedUpper(e, (a, b) => graft.functions.NativeExpressions.dotNative(a, b), blocks)
       .select(col("left_id").as("vec_a"), col("right_id").as("vec_b"), col("dist").as("cos"))
       .where(col("cos") >= threshold)
   }
@@ -358,7 +365,7 @@ object Dedup {
       .join(assigned.select(col("cell"), col("vec_id").as("vec_b"), col("v").as("vb"))
         .hint("shuffle_hash"), Seq("cell"))
       .where(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), TsFunctions.dotUdf(col("va"), col("vb")).as("cos"))
+      .select(col("vec_a"), col("vec_b"), graft.functions.NativeExpressions.dotNative(col("va"), col("vb")).as("cos"))
       .where(col("cos") >= threshold)
     cands.distinct()
   }

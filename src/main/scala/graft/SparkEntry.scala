@@ -451,6 +451,16 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"), langId(col("text")).as("lang_pred"))
     }),
 
+    // Deterministic stratified downsampling by language quota — the
+    // training-mix rebalance step, hash-bucketed (portable md5) so the
+    // kept set is stable across runs/cluster sizes and reproducible by
+    // the DuckDB oracle. Pure scan + filter: no shuffle at any scale.
+    "doc_sample_stratified" -> ((s, dir) => {
+      graft.operators.TextAnalysis.stratifiedSample(docs(s, dir),
+        Map("en" -> 20, "de" -> 60, "es" -> 60, "fr" -> 60), defaultQuota = 100)
+        .select(col("doc_id"), col("lang"), col("bucket"))
+    }),
+
     "doc_fingerprint" -> ((s, dir) => {
       import graft.operators.TextAnalysis._
       docs(s, dir)
@@ -2207,6 +2217,17 @@ object SparkEntry {
         |FROM documents
         |GROUP BY md5(array_to_string(list_sort(list_distinct(
         |  string_split(lower(text), ' '))), ' '))""".stripMargin,
+
+    "doc_sample_stratified" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 100 AS bucket
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, bucket FROM b
+        |WHERE bucket < CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 60
+        |  WHEN 'es' THEN 60 WHEN 'fr' THEN 60 ELSE 100 END""".stripMargin,
 
     "doc_tokens_bpe" ->
       """SELECT doc_id,

@@ -63,6 +63,25 @@ object TextAnalysis {
     when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
   }
 
+  /** Deterministic stratified downsampling — the training-mix rebalance
+    * step: each row lands in a stable bucket 0..99 via the portable
+    * 60-bit md5 of its id, and survives iff bucket < quota(stratum).
+    * Hash-based (not `sample`) so the kept set is (a) reproducible
+    * across runs, executors and cluster sizes, (b) consistent between
+    * incremental pipeline runs (a doc's fate never changes), and (c)
+    * bit-reproducible by an external SQL engine. Pure scan + filter —
+    * no shuffle, the 100 TB path is the parquet scan itself. Rows whose
+    * stratum is absent from `quotas` get `defaultQuota`. */
+  def stratifiedSample(df: DataFrame, quotas: Map[String, Int],
+                       defaultQuota: Int = 100, idCol: String = "doc_id",
+                       stratumCol: String = "lang"): DataFrame = {
+    val bucket = pmod(Dedup.md5Hash60(col(idCol).cast("string")), lit(100))
+    val quota = quotas.foldLeft(lit(defaultQuota)) { case (acc, (k, q)) =>
+      when(col(stratumCol) === k, q).otherwise(acc)
+    }
+    df.withColumn("bucket", bucket).where(col("bucket") < quota)
+  }
+
   /** Order-insensitive content fingerprint: md5 of the sorted distinct
     * word set (catches word-reorder near-dups). */
   def bagOfWordsFingerprint(text: Column): Column =

@@ -113,6 +113,26 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF cosine dedup recall $recall over ${brute.size} pairs")
   }
 
+  test("stratified sample: quota semantics, determinism, default stratum") {
+    import graft.operators.TextAnalysis
+    val docs = (0L until 400L).map(i =>
+      (i, s"text $i", Seq("en", "de", "xx")(i.toInt % 3))).toDF("doc_id", "text", "lang")
+    val quotas = Map("en" -> 10, "de" -> 50)
+    val kept = TextAnalysis.stratifiedSample(docs, quotas, defaultQuota = 100)
+      .select("doc_id", "lang", "bucket").as[(Long, String, Long)].collect()
+    // every survivor honors its stratum quota; unknown stratum -> default
+    kept.foreach { case (_, lang, b) =>
+      assert(b < quotas.getOrElse(lang, 100), s"$lang bucket $b") }
+    // default quota 100 keeps the whole unknown stratum
+    assert(kept.count(_._2 == "xx") == docs.where(col("lang") === "xx").count())
+    // en is sampled strictly below de (10% vs 50% quota)
+    assert(kept.count(_._2 == "en") < kept.count(_._2 == "de"))
+    // hash-deterministic: a second run keeps the identical set
+    val again = TextAnalysis.stratifiedSample(docs, quotas, defaultQuota = 100)
+      .select("doc_id", "lang", "bucket").as[(Long, String, Long)].collect()
+    assert(kept.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("text analysis helpers: lang id, quality, bpe-ish tokens") {
     import graft.operators.TextAnalysis
     val docs = Seq(

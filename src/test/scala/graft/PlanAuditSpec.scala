@@ -66,6 +66,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"codegen span missing:\n$p")
   }
 
+  test("embedding pair joins use the native cosine/dot, not a boxing UDF") {
+    // the hot expression of every emb_* pair join must be the native
+    // codegen'd vec_cosine_native / vec_dot_native — a ScalaUDF here
+    // re-introduces per-pair boxed Seq conversion (the measured GC bomb)
+    Seq("emb_knn_cosine", "emb_dedup_cosine").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("vec_cosine_native") || p.contains("vec_dot_native"),
+        s"$q lost the native expression:\n$p")
+      assert(!p.contains("ScalaUDF"), // l2-normalize runs pre-join, but it
+        // must be materialized by the checkpoint, never inside the pair loop
+        s"$q evaluates a Scala UDF inside the join plan:\n$p")
+    }
+  }
+
+  test("stratified sample pushes the lang scan down and adds no shuffle") {
+    val p = plan("doc_sample_stratified")
+    assert(!p.contains("Exchange"), s"sample plan must be scan+filter:\n$p")
+    assert(p.contains("md5_hash60_native"), s"portable hash missing:\n$p")
+  }
+
   test("ts_hourly: single shuffle for the event-time aggregation") {
     val p = plan("ts_hourly")
     val exchanges = p.linesIterator.count(l => l.contains("Exchange") &&

@@ -777,6 +777,10 @@ object SparkEntry {
               "ELSE CAST(e.ts_us - sv[i-1].ts_us AS DOUBLE) END)"),
             lit(16)).as("y"))
         .select(col("user_id"), zip_with(col("x"), col("y"), (a, b) => array(a, b)).as("mv"))
+        // localCheckpoint: both sides of the adjacent-pair self-join read
+        // the same derived series; uncheckpointed, the whole groupBy +
+        // two resample UDFs evaluate twice
+        .localCheckpoint()
       series.alias("a")
         .join(series.alias("b"), col("b.user_id") === col("a.user_id") + 1)
         .select(col("a.user_id").as("user_id"),
@@ -795,6 +799,7 @@ object SparkEntry {
       val series = TSModel.eventsToSeries(s, dir)
         .select(col("series_id"),
           TsFunctions.resampleZnormUdf(col("values"), lit(32)).as("values"))
+        .localCheckpoint()
       series.alias("a").join(series.alias("b"), col("b.series_id") === col("a.series_id") + 1)
         .select(col("a.series_id").as("user_id"),
           // lcss() returns len/min(l1,l2); both sides are sz=32 so the
@@ -807,6 +812,7 @@ object SparkEntry {
       val series = TSModel.eventsToSeries(s, dir)
         .select(col("series_id"),
           TsFunctions.resampleZnormUdf(col("values"), lit(32)).as("values"))
+        .localCheckpoint()
       series.alias("a").join(series.alias("b"), col("b.series_id") === col("a.series_id") + 1)
         .select(col("a.series_id").as("user_id"),
           round(TsFunctions.sbdUdf(col("a.values"), col("b.values")), 4).as("sbd"))
@@ -816,6 +822,7 @@ object SparkEntry {
       val series = TSModel.eventsToSeries(s, dir)
         .select(col("series_id"),
           TsFunctions.resampleZnormUdf(col("values"), lit(16)).as("values"))
+        .localCheckpoint()
       series.alias("a").join(series.alias("b"), col("b.series_id") === col("a.series_id") + 1)
         .select(col("a.series_id").as("user_id"),
           round(TsFunctions.gakUdf(col("a.values"), col("b.values"), lit(1.0)), 4).as("gak"))
@@ -825,6 +832,7 @@ object SparkEntry {
       val series = TSModel.eventsToSeries(s, dir)
         .select(col("series_id"),
           TsFunctions.resampleZnormUdf(col("values"), lit(16)).as("values"))
+        .localCheckpoint()
       series.alias("a").join(series.alias("b"), col("b.series_id") === col("a.series_id") + 1)
         .select(col("a.series_id").as("user_id"),
           round(TsFunctions.softDtwUdf(col("a.values"), col("b.values"), lit(1.0)), 4)

@@ -516,7 +516,7 @@ object SparkEntry {
         .join(broadcast(e.select(col("vec_id").as("right_id"), col("v").as("rv"))),
           col("left_id") =!= col("right_id"))
         .select(col("left_id"), col("right_id"),
-          TsFunctions.euclideanUdf(col("lv"), col("rv")).as("dist"))
+          graft.functions.NativeExpressions.euclideanNative(col("lv"), col("rv")).as("dist"))
       val assign = e.select(col("vec_id").as("series_id"), col("label").as("cluster"))
       val score = graft.ml.TimeSeriesKMeans.silhouette(pairs, assign)
       Seq(math.rint(score * 1e4) / 1e4).toDF("silhouette")
@@ -688,7 +688,7 @@ object SparkEntry {
         .crossJoin(broadcast(train.select(col("series_id").as("train_id"),
           col("label").as("pred"), col("values").as("tv"))))
         .select(col("series_id"), col("train_id"), col("pred"),
-          TsFunctions.euclideanUdf(col("qv"), col("tv")).as("d"))
+          graft.functions.NativeExpressions.euclideanNative(col("qv"), col("tv")).as("d"))
       // argmin by (d, train_id) via min(struct(...)) — partial-agg, no
       // window exchange, and the UDF distance is never a sort key
       // (Catalyst re-evaluates UDF sort keys; measured 12x slower)

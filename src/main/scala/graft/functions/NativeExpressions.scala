@@ -65,6 +65,17 @@ object NativeOps {
     s / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Euclidean distance, same ascending fold as Kernels.euclidean. */
+  def euclidean(a: ArrayData, b: ArrayData): Double = {
+    val aa = a.toDoubleArray()
+    val ba = b.toDoubleArray()
+    var s = 0.0
+    var i = 0
+    val n = math.min(aa.length, ba.length)
+    while (i < n) { val d = aa(i) - ba(i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
   def lbKeogh(q: ArrayData, lo: ArrayData, hi: ArrayData): Double = {
     val qa = q.toDoubleArray()
     val la = lo.toDoubleArray()
@@ -151,6 +162,20 @@ case class CosineExpression(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Euclidean distance of two ARRAY<DOUBLE> columns. */
+case class EuclideanExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_euclidean_native"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeOps.euclidean(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.NativeOps.euclidean($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Engine-portable 60-bit md5 hash of a string column (see
   * [[NativeOps.md5Hash60]]); bit-identical to DuckDB's
   * `CAST(CONCAT('0x', substring(md5(x), 1, 15)) AS BIGINT)`. */
@@ -198,5 +223,10 @@ object NativeExpressions {
   /** Cosine similarity of two ARRAY<DOUBLE> columns (no UDF boxing). */
   def cosineNative(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineExpression(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Euclidean distance of two ARRAY<DOUBLE> columns (no UDF boxing). */
+  def euclideanNative(a: Column, b: Column): Column =
+    GraftColumnBridge.column(EuclideanExpression(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

@@ -72,7 +72,7 @@ object GraftML {
   private def metricFn(name: String): (Column, Column) => Column = name match {
     case "dtw" => (a, b) => TsFunctions.dtwUdf(a, b)
     case "cosine" => (a, b) => -TsFunctions.cosineSim(a, b)
-    case _ => (a, b) => TsFunctions.euclideanUdf(a, b)
+    case _ => (a, b) => graft.functions.NativeExpressions.euclideanNative(a, b)
   }
 
   // ---------------------------------------------------------------- kmeans

@@ -377,9 +377,10 @@ object SparkEntry {
       // no shuffle (a per-row .distinct() would be a full exchange).
       // The df cap stays a window (one sort of the shingle stream) but
       // per-doc sizes are a cheap post-aggregation groupBy joined back on
-      // the (small) surviving-pair set — measured in Prof.scala:
-      // one-window+sizes-join 3.09 s cold / 2.80 s warm vs the two-window
-      // shape's 5.62 / 3.66 at sf0.1.
+      // the (small) surviving-pair set. persist(): the capped stream is
+      // consumed THREE times (both self-join sides + sizes) — measured in
+      // Prof.scala: persisted 4.65 s cold / 1.49 s warm vs unpersisted
+      // 7.33 / 2.62 at sf0.1 (and both beat the two-window shape).
       val shingles = d.select(col("doc_id"),
         array_distinct(transform(sequence(lit(0), size(col("words")) - 3),
           i => array_join(slice(col("words"), i + 1, lit(3)), " "))).as("shs"))
@@ -387,6 +388,7 @@ object SparkEntry {
         .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
         .where(col("df") <= maxDf)
         .select(col("doc_id"), col("sh"))
+        .persist()
       val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val a = shingles.select(col("doc_id").as("doc_a"), col("sh"))
       val b = shingles.select(col("doc_id").as("doc_b"), col("sh"))

@@ -52,7 +52,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val nErr = results.values.count(_._2.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir"}""")
+    // 1-min load average at END of run: this host shows intermittent
+    // external load spikes (loadavg > ncpu with zero local processes)
+    // that inflate individual query walls 5-20x — record it so a spiked
+    // run is distinguishable from a regression.
+    val load = scala.util.Try(java.nio.file.Files
+      .readString(java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble)
+      .getOrElse(-1.0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"loadavg":$load,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -103,12 +103,18 @@ class TimeSeriesKMeans(
       var inertia = Double.PositiveInfinity
       var iter = 0
       var done = false
+      // the per-iteration inertia job only matters when it gates the loop
+      // (tol early stop) or ranks restarts; with tol<0 and a single init
+      // it is one dead distributed pass per iteration — compute inertia
+      // once after the loop instead
+      val needInertia = tol >= 0 || nInit > 1
       while (iter < maxIter && !done) {
         // (cluster, dist, values) for this iteration's centroids; cached
         // because the update pass below may run several jobs over it
         val assigned = TimeSeriesKMeans.assignDs(data, centroids, metric, gamma)
           .map(t => (t._2, t._3, t._4)).cache()
-        inertia = assigned.map(r => r._2 * r._2).reduce(_ + _) / n
+        if (needInertia)
+          inertia = assigned.map(r => r._2 * r._2).reduce(_ + _) / n
         // update: distributed fixed-size-buffer aggregations — no task
         // ever holds a whole cluster (DistributedBary scaladoc)
         val rows = assigned.map(t => (t._1, t._3))
@@ -127,10 +133,13 @@ class TimeSeriesKMeans(
         // the deterministic-seed equivalent, `clustering/utils.py:13-33`)
         centroids = Array.tabulate(k)(c =>
           updated.getOrElse(c, sample(rng.nextInt(sample.length))))
-        if (prevInertia - inertia < tol) done = true
+        if (needInertia && prevInertia - inertia < tol) done = true
         prevInertia = inertia
         iter += 1
       }
+      if (!needInertia)
+        inertia = TimeSeriesKMeans.assignDs(data, centroids, metric, gamma)
+          .map(t => t._3 * t._3).reduce(_ + _) / n
       if (best == null || inertia < best.inertia) best = Model(centroids, inertia)
     }
     data.unpersist()

@@ -79,6 +79,19 @@ object TSModel {
   def asMultivariate(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     transform(c, v => array(v))
 
+  /** sklearn-style flat matrix view of a multivariate series column:
+    * (sz, d) → one ARRAY<DOUBLE> of length sz·d, time-major —
+    * `to_sklearn_dataset` (`/root/reference/tslearn/utils/cast.py:15-56`).
+    * Univariate ARRAY<DOUBLE> columns are already flat (identity). */
+  def toSklearnFlat(mv: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    flatten(mv)
+
+  /** Inverse of [[toSklearnFlat]] for a known channel count d: sz·d flat
+    * values back to (sz, d) nested rows. */
+  def fromSklearnFlat(flat: org.apache.spark.sql.Column, d: Int): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), (size(flat) / d).cast("int") - 1),
+      t => slice(flat, t * d + 1, lit(d)))
+
   /** Exploded long form: (series_id, t, value) from a nested univariate
     * series column. */
   def explodeSeries(df: DataFrame, seriesCol: String = "values"): DataFrame =

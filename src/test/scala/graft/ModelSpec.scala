@@ -31,6 +31,24 @@ class ModelSpec extends AnyFunSuite {
     assert(collectTs(TSModel.loadTimeSeriesTxt(spark, s"$dir/out")) == collectTs(df))
   }
 
+  test("sklearn flat cast round-trips a multivariate series (cast.py:15-56)") {
+    val df = Seq(
+      (0L, Array(Array(1.0, 10.0), Array(2.0, 20.0), Array(3.0, 30.0))),
+      (1L, Array(Array(4.5, 45.0), Array(5.5, 55.0)))
+    ).toDF("series_id", "mv")
+    val flat = df.select(col("series_id"), TSModel.toSklearnFlat(col("mv")).as("f"))
+    // time-major layout: (sz, d) -> [t0d0, t0d1, t1d0, ...]
+    val f0 = flat.where(col("series_id") === 0).select("f")
+      .head().getSeq[Double](0)
+    assert(f0 == Seq(1.0, 10.0, 2.0, 20.0, 3.0, 30.0))
+    val back = flat.select(col("series_id"), TSModel.fromSklearnFlat(col("f"), 2).as("mv"))
+    def collectMv(d: org.apache.spark.sql.DataFrame): Map[Long, Seq[Seq[Double]]] =
+      d.select("series_id", "mv").collect()
+        .map(r => r.getLong(0) -> r.getSeq[scala.collection.Seq[Double]](1).map(_.toSeq).toSeq)
+        .toMap
+    assert(collectMv(back) == collectMv(df))
+  }
+
   test("random walks are seed-stable and have expected shape") {
     val a = TSModel.randomWalks(spark, 5, 16, 2, seed = 9).collect()
     val b = TSModel.randomWalks(spark, 5, 16, 2, seed = 9).collect()

@@ -26,6 +26,22 @@ class BucketedJoinSpec extends AnyFunSuite {
   test("bucketed-by-key tables join and aggregate with zero exchange") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
+    // when the suite shares an existing SparkSession the warehouse config
+    // is fixed at first creation: drop both tables AND their physical
+    // locations (a stale dir without a catalog entry — e.g. from a prior
+    // in-memory-catalog JVM — still fails CTAS with LOCATION_ALREADY_EXISTS)
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("ev_bucketed", "users_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .select(col("user_id"), col("value"))
     val users = ev.groupBy("user_id").agg(count(lit(1)).as("n"))

@@ -56,6 +56,45 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming benchmark decontamination at ingest — the stream-side
+    * twin of TextAnalysis.contamination: each incoming doc is checked
+    * against the eval set's distinct word-k-gram vocabulary and emitted
+    * with its shared-shingle count when ≥ minShared. STATELESS by
+    * design (per-row membership against a broadcast set): append mode,
+    * no state store, no watermark — the right shape at ingest, where the
+    * eval sets are small and fixed and the stream is unbounded. Shingle
+    * construction matches Dedup.shingles exactly (lowercase, space
+    * split, per-doc distinct, short docs yield one truncated shingle),
+    * so flagged docs equal the batch operator's output. */
+  def contamination(docs: DataFrame, evalDocs: DataFrame, k: Int = 3,
+                    minShared: Int = 1, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    // eval side is batch and tiny (a benchmark); its distinct shingles
+    // are collected once and broadcast
+    val evalSh = graft.operators.Dedup.shingles(evalDocs, k)
+      .select("sh").distinct()
+      .collect().map(_.getString(0)).toSet
+    val bc = spark.sparkContext.broadcast(evalSh)
+    val kk = k
+    val sharedUdf = udf((text: String) => {
+      val set = bc.value
+      val w = text.toLowerCase.split(" ", -1)
+      val upper = math.max(w.length - kk, 0)
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      var c = 0
+      var i = 0
+      while (i <= upper) {
+        val sh = w.slice(i, math.min(i + kk, w.length)).mkString(" ")
+        if (set.contains(sh) && seen.add(sh)) c += 1
+        i += 1
+      }
+      c.toLong
+    })
+    docs.withColumn("n_shared", sharedUdf(col(textCol)))
+      .where(col("n_shared") >= minShared)
+      .select(col("doc_id"), col("n_shared"))
+  }
+
   case class MpPoint(user_id: Long, seq: Long, value: Double)
   case class MpValue(user_id: Long, i: Long, mp: Double)
 

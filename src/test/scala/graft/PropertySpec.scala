@@ -191,4 +191,22 @@ class PropertySpec extends AnyFunSuite {
       e.foreach(row => assert(row.sum > 1e-12))
     }
   }
+
+  test("native dot/cosine/euclidean are BIT-identical to their reference folds") {
+    // the oracle hashes depend on this: the native expressions replaced
+    // UDF/HOF forms under the claim of identical left-fold order, so the
+    // equality here must be ==, not isclose
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import graft.functions.NativeOps
+    forAll(eqLenPair) { case (a, b) =>
+      val (ad, bd) = (ArrayData.toArrayData(a), ArrayData.toArrayData(b))
+      val dotRef = a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+      assert(NativeOps.dot(ad, bd) == dotRef)
+      val na = a.foldLeft(0.0)((acc, x) => acc + x * x)
+      val nb = b.foldLeft(0.0)((acc, x) => acc + x * x)
+      assert(NativeOps.cosine(ad, bd) == dotRef / (math.sqrt(na) * math.sqrt(nb)))
+      assert(NativeOps.euclidean(ad, bd) ==
+        Kernels.euclidean(uni(a.toIndexedSeq: _*), uni(b.toIndexedSeq: _*)))
+    }
+  }
 }

@@ -51,6 +51,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("streaming decontamination flags the same docs as the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val evalDocs = Seq(
+      (100L, "the quick brown fox jumps high"),
+      (101L, "lorem ipsum dolor sit amet")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "a sentence with the quick brown fox inside it"), // 1 shared 3-gram+
+      (1L, "nothing in common here at all"),
+      (2L, "lorem ipsum dolor sit amet copied verbatim"),    // many shared
+      (3L, "short one"))
+      .toDF("doc_id", "text")
+    val batch = graft.operators.TextAnalysis.contamination(corpus, evalDocs, k = 3)
+      .as[(Long, Long)].collect().sorted.toSeq
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.contamination(
+        input.toDF().toDF("doc_id", "text"), evalDocs, k = 3)
+      .writeStream.format("memory").queryName("contam").outputMode("append").start()
+    input.addData((0L, "a sentence with the quick brown fox inside it"),
+      (1L, "nothing in common here at all"))
+    q.processAllAvailable()
+    input.addData((2L, "lorem ipsum dolor sit amet copied verbatim"),
+      (3L, "short one"))
+    q.processAllAvailable()
+    val streamed = spark.table("contam").as[(Long, Long)].collect().sorted.toSeq
+    q.stop()
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed.nonEmpty && !streamed.map(_._1).contains(1L))
+  }
+
   test("streaming exact dedup keeps first doc per content hash") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp, String)]

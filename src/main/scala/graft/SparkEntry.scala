@@ -647,6 +647,37 @@ object SparkEntry {
           (round(col("dist"), 4) + lit(0.0)).as("dist"))
     }),
 
+    // One KShape UPDATE step, fully driver-verified: SBD-assign every
+    // series to the fixed znormed-first-4 centroids, then shape
+    // extraction per cluster — SBD alignment shift, re-znorm, gram
+    // S = Σzzᵀ, centering M = QᵀSQ, and the dominant eigenvector as
+    // EXACTLY 60 deterministic power-method updates from 1/√sz (the
+    // oracle replays the identical matvec/normalize sequence; eigSym
+    // stays the production path in KShape.fit — spec-checked equal).
+    // This makes the one genuinely non-relational KShape ingredient
+    // (the eigendecomposition) externally checkable.
+    "ts_kshape_step" -> ((s, dir) => {
+      import s.implicits._
+      val z = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(32)).as("values"))
+        .localCheckpoint()
+      val cents = z.where(col("series_id") < 4)
+        .orderBy("series_id").collect().map(_.getSeq[Double](1).toArray)
+      val ks = new graft.ml.KShape(k = 4)
+      val assigned = ks.Model(cents, 0.0).predict(z)
+        .select(col("series_id"), col("cluster"))
+      val rows = z.join(assigned, "series_id")
+        .select(col("cluster"), col("values").cast("array<double>"))
+        .as[(Int, Array[Double])]
+      val shapes = graft.ml.DistributedBary.shapeByClusterPower(rows, cents, steps = 60)
+      shapes.toSeq.sortBy(_._1).flatMap { case (cid, vec) =>
+        vec.zipWithIndex.map { case (x, t) => (cid, t, x) }
+      }.toDF("cluster", "t", "v")
+        // same round + IEEE −0.0 normalization discipline as ts_kshape_assign
+        .select(col("cluster"), col("t"), (round(col("v"), 4) + lit(0.0)).as("v"))
+    }),
+
     // One DBA (MM) update from the deterministic euclidean-mean init —
     // the DbaStepAgg path driver-verified (the full 10-iteration ts_dba
     // stays rows-only; the DuckDB mirror backtracks the DTW path with a
@@ -1527,6 +1558,137 @@ object SparkEntry {
          |  FROM sbd)
          |WHERE rn = 1""".stripMargin)
 
+  /** DuckDB oracle for ts_kshape_step — the full shape-extraction update
+    * (`kshape.py:118-137`) replayed relationally:
+    *   1. assignment: SBD argmin to the znormed-first-k centroids
+    *      (kshapeAssignOracleSql's direct-correlation logic);
+    *   2. alignment: per member, the argmax-correlation shift against its
+    *      centroid (earliest shift wins ties, matching the kernel's
+    *      strict-> scan), zero-padded reconstruction;
+    *   3. re-znorm (avg(x²)−avg² variance, var≤0 → sd 1 — the kernel's
+    *      formula), gram S = Σ z·zᵀ and Σz per cluster;
+    *   4. centering M = QᵀSQ = S − rowMean_i − rowMean_j + grandMean;
+    *   5. EXACTLY `steps` power-method updates from v0 = 1/√sz (matvec →
+    *      ℓ2 normalize) — the engine's shapeByClusterPower replays the
+    *      same sequence, so both sides agree to fp noise ≪ round(4);
+    *   6. sign fix by (Σz)·v, final z-norm. */
+  private def kshapeStepOracleSql(sz: Int, k: Int, steps: Int): String = {
+    val sb = new StringBuilder(evCte + resampleZnormCte(sz))
+    sb ++=
+      s"""
+         |, cents AS (
+         |  SELECT user_id AS cluster, j, val AS cv FROM r WHERE user_id < $k
+         |), norms AS (
+         |  SELECT user_id, sqrt(sum(val * val)) AS nrm FROM r GROUP BY 1
+         |), cnorms AS (
+         |  SELECT cluster, sqrt(sum(cv * cv)) AS nrm FROM cents GROUP BY 1
+         |), cc AS (
+         |  SELECT a.user_id, c.cluster, a.j - c.j AS s, sum(a.val * c.cv) AS corr
+         |  FROM r a JOIN cents c ON TRUE
+         |  GROUP BY 1, 2, 3
+         |), sbd AS (
+         |  SELECT cc.user_id, cc.cluster,
+         |    1.0 - max(cc.corr /
+         |      (CASE WHEN na.nrm * nc.nrm = 0 THEN 1.0 ELSE na.nrm * nc.nrm END)) AS d
+         |  FROM cc
+         |  JOIN norms na ON na.user_id = cc.user_id
+         |  JOIN cnorms nc ON nc.cluster = cc.cluster
+         |  GROUP BY 1, 2
+         |), assign AS (
+         |  SELECT user_id, cluster FROM (
+         |    SELECT user_id, cluster,
+         |      row_number() OVER (PARTITION BY user_id ORDER BY d, cluster) AS rn
+         |    FROM sbd)
+         |  WHERE rn = 1
+         |), best AS (
+         |  -- alignment shift of each member against ITS centroid. cc's s
+         |  -- = member_t − center_t is the NEGATIVE of the kernel's shift
+         |  -- convention (cc[σ] = Σ_t c(t)·x(t−σ), σ = −s), so the
+         |  -- kernel's earliest-most-negative-σ tie-break is s DESC here,
+         |  -- and aligned(t) = x(t−σ) = x(t+s). The denominator is
+         |  -- shift-independent, so raw corr suffices for the argmax.
+         |  SELECT user_id, cluster, s AS shift FROM (
+         |    SELECT cc.user_id, cc.cluster, cc.s,
+         |      row_number() OVER (PARTITION BY cc.user_id
+         |        ORDER BY cc.corr DESC, cc.s DESC) AS rn
+         |    FROM cc JOIN assign a ON a.user_id = cc.user_id AND a.cluster = cc.cluster)
+         |  WHERE rn = 1
+         |), seqt AS (
+         |  SELECT unnest(generate_series(0, ${sz - 1})) AS t
+         |), aligned AS (
+         |  SELECT b.user_id, b.cluster, q.t,
+         |    coalesce(r2.val, 0.0) AS av
+         |  FROM best b CROSS JOIN seqt q
+         |  LEFT JOIN r r2 ON r2.user_id = b.user_id AND r2.j = q.t + b.shift
+         |), zstats AS (
+         |  SELECT user_id,
+         |    avg(av) AS mu,
+         |    CASE WHEN avg(av * av) - avg(av) * avg(av) <= 0 THEN 1.0
+         |         ELSE sqrt(avg(av * av) - avg(av) * avg(av)) END AS sd
+         |  FROM aligned GROUP BY 1
+         |), za AS (
+         |  SELECT al.user_id, al.cluster, al.t AS i, (al.av - zs.mu) / zs.sd AS z
+         |  FROM aligned al JOIN zstats zs USING (user_id)
+         |), gram AS (
+         |  SELECT a.cluster, a.i, b.i AS j, sum(a.z * b.z) AS sv
+         |  FROM za a JOIN za b ON b.user_id = a.user_id
+         |  GROUP BY 1, 2, 3
+         |), rowm AS (
+         |  SELECT cluster, i, sum(sv) / $sz.0 AS m FROM gram GROUP BY 1, 2
+         |), grand AS (
+         |  SELECT cluster, sum(sv) / ${sz * sz}.0 AS g FROM gram GROUP BY 1
+         |), mm AS (
+         |  SELECT gr.cluster, gr.i, gr.j,
+         |    gr.sv - ri.m - rj.m + gg.g AS mv
+         |  FROM gram gr
+         |  JOIN rowm ri ON ri.cluster = gr.cluster AND ri.i = gr.i
+         |  JOIN rowm rj ON rj.cluster = gr.cluster AND rj.i = gr.j
+         |  JOIN grand gg ON gg.cluster = gr.cluster
+         |), xs AS (
+         |  SELECT cluster, i, sum(z) AS x FROM za GROUP BY 1, 2
+         |), pv0 AS (
+         |  SELECT DISTINCT cluster, i AS j, 1.0 / sqrt($sz.0) AS v FROM gram
+         |)""".stripMargin
+    for (t <- 1 to steps) {
+      sb ++=
+        s"""
+           |, pv$t AS (
+           |  SELECT cluster, i AS j,
+           |    w / (CASE WHEN nw = 0 THEN 1.0 ELSE nw END) AS v
+           |  FROM (
+           |    SELECT m.cluster, m.i, sum(m.mv * p.v) AS w,
+           |      sqrt(sum(power(sum(m.mv * p.v), 2))
+           |        OVER (PARTITION BY m.cluster)) AS nw
+           |    FROM mm m JOIN pv${t - 1} p
+           |      ON p.cluster = m.cluster AND p.j = m.j
+           |    GROUP BY m.cluster, m.i)
+           |)""".stripMargin
+    }
+    sb ++=
+      s"""
+         |, dotc AS (
+         |  SELECT xs.cluster, sum(xs.x * p.v) AS dt
+         |  FROM xs JOIN pv$steps p ON p.cluster = xs.cluster AND p.j = xs.i
+         |  GROUP BY 1
+         |), signedv AS (
+         |  SELECT p.cluster, p.j,
+         |    CASE WHEN d.dt < 0 THEN -p.v ELSE p.v END AS v
+         |  FROM pv$steps p JOIN dotc d USING (cluster)
+         |), fstats AS (
+         |  SELECT cluster,
+         |    avg(v) AS mu,
+         |    CASE WHEN avg(v * v) - avg(v) * avg(v) <= 0 THEN 1.0
+         |         ELSE sqrt(avg(v * v) - avg(v) * avg(v)) END AS sd
+         |  FROM signedv GROUP BY 1
+         |)
+         |SELECT CAST(s.cluster AS INT) AS cluster, CAST(s.j AS INT) AS t,
+         |  round((s.v - f.mu) / f.sd, 4) + 0.0 AS v
+         |FROM signedv s JOIN fstats f USING (cluster)""".stripMargin
+    // materialize the shared layers; the pv chain is small but each step
+    // references the previous one once — materialize those too
+    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+  }
+
   /** DuckDB oracle for ts_dba: the FULL `iters`-iteration MM trace —
     * dbaStepOracleSql's one-step machinery (per-series DTW cost matrix,
     * recursive-CTE backtrack with the kernel's diag-first tie-break,
@@ -1710,6 +1872,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "ts_shapelet_transform" -> shapeletTransformOracleSql(32, 8),
     "ts_kshape_assign" -> kshapeAssignOracleSql(32, 4),
+    "ts_kshape_step" -> kshapeStepOracleSql(32, 4, 60),
     "ts_dba_step" -> dbaStepOracleSql(32),
     "ts_dba" -> dbaTraceSql(10, 32),
     "ts_lcss_pairs" -> lcssOracleSql(32, 0.5),

@@ -281,6 +281,67 @@ object DistributedBary {
     }
   }
 
+  /** Deterministic power-iteration variant of [[shapeByCluster]]: the
+    * same distributed gram pass, but the dominant eigenvector is the
+    * result of EXACTLY `steps` power-method updates from the constant
+    * init 1/√sz — i.e. a reproducible iterate, not an opaque LAPACK
+    * limit. An external SQL oracle can replay the identical sequence
+    * (matvec → ℓ2-normalize, `steps` times), which makes the whole
+    * KShape shape-extraction path driver-verifiable (ts_kshape_step).
+    * M = QᵀSQ is PSD (S is a gram sum), so the iteration is monotone
+    * toward the dominant eigenvector; with enough steps the result
+    * matches [[shapeByCluster]] up to tolerance (spec-checked).
+    * Same sign fix ((Σ aligned members)·v) and final z-norm. */
+  def shapeByClusterPower(rows: Dataset[(Int, Array[Double])],
+                          centers: Array[Array[Double]],
+                          steps: Int = 60): Map[Int, Array[Double]] = {
+    aggByCluster(rows, new GramAgg(centers)).map { case (cid, b) =>
+      val sz = centers(cid).length
+      // M = S − rowMean_i − rowMean_j + grandMean  (Q = I − J/sz, S sym.)
+      val rowMean = new Array[Double](sz)
+      var g = 0.0
+      var i = 0
+      while (i < sz) {
+        var s = 0.0
+        var j = 0
+        while (j < sz) { s += b.gram(i * sz + j); j += 1 }
+        rowMean(i) = s / sz
+        g += s
+        i += 1
+      }
+      val grand = g / (sz.toDouble * sz)
+      val m = Array.tabulate(sz, sz)((p, q) =>
+        b.gram(p * sz + q) - rowMean(p) - rowMean(q) + grand)
+      var v = Array.fill(sz)(1.0 / math.sqrt(sz))
+      var t = 0
+      while (t < steps) {
+        val w = new Array[Double](sz)
+        i = 0
+        while (i < sz) {
+          var s = 0.0
+          var j = 0
+          while (j < sz) { s += m(i)(j) * v(j); j += 1 }
+          w(i) = s
+          i += 1
+        }
+        var n2 = 0.0
+        i = 0
+        while (i < sz) { n2 += w(i) * w(i); i += 1 }
+        val nrm = math.sqrt(n2)
+        if (nrm > 0) {
+          i = 0
+          while (i < sz) { v(i) = w(i) / nrm; i += 1 }
+        }
+        t += 1
+      }
+      var dot = 0.0
+      i = 0
+      while (i < sz) { dot += b.xsum(i) * v(i); i += 1 }
+      val signed = if (dot < 0) v.map(-_) else v
+      cid -> Kernels.scaleMeanVariance(Kernels.uni(signed)).map(_(0))
+    }
+  }
+
   /** Whole-dataset DBA (MM variant) — `dba.py:394-604` distributed: init
     * from the distributed euclidean mean, then one DbaStepAgg job per MM
     * iteration against the re-broadcast center. */

@@ -69,6 +69,28 @@ class ClusteringSpec extends AnyFunSuite {
     assert(purity >= 18, s"purity $purity < 18") // shape-based; allow slack
   }
 
+  test("power-iteration shape extraction matches eigSym up to tolerance") {
+    import graft.ml.DistributedBary
+    // znormed members keyed by cluster, centered on their znormed first
+    // member — the exact shape of the KShape update pass
+    val df = blobs().select(col("series_id"),
+      graft.functions.TsFunctions.znormUdf(col("values")).as("values"),
+      col("true_blob"))
+    val cents = df.where(col("series_id").isin(0L, 10L)).orderBy("series_id")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val rows = df.select(col("true_blob").cast("int"), col("values").cast("array<double>"))
+      .as[(Int, Array[Double])]
+    val eig = DistributedBary.shapeByCluster(rows, cents)
+    val pow = DistributedBary.shapeByClusterPower(rows, cents, steps = 200)
+    assert(eig.keySet == pow.keySet)
+    eig.keys.foreach { c =>
+      val (a, b) = (eig(c), pow(c))
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val cos = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      assert(cos > 0.9999, s"cluster $c: power vs eigSym cosine $cos")
+    }
+  }
+
   test("kernel kmeans assigns every series to a cluster in range") {
     val df = blobs(nPerBlob = 6, sz = 16)
     val labels = new KernelKMeans(k = 2, maxIter = 5, sigma = 1.0, seed = 7).fit(df)

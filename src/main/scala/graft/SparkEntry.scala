@@ -765,6 +765,41 @@ object SparkEntry {
       model.predict(series)
     }),
 
+    // One refined-shapelet gradient step, fully driver-verified: the
+    // three fixed length-8 shapelets cut from series 0 (the oracled
+    // ts_shapelet_transform set), deterministic head weights
+    // w0[c][k] = (c+1)(k+1)/10, b0 = 0, and ONE GradAgg pass + Adam(t=1)
+    // update — min-pool forward, softmax, argmin subgradient backward —
+    // each ingredient relational in DuckDB (shapeletStepOracleSql).
+    // Exercises the fitRefined machinery the rows-only
+    // ts_shapelet_classify can't expose to the oracle.
+    "ts_shapelet_step" -> ((s, dir) => {
+      import s.implicits._
+      val z = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(32)).as("values"))
+        .localCheckpoint()
+      val s0 = z.where(col("series_id") === 0).head().getSeq[Double](1).toArray
+      val shp0 = Array(s0.slice(0, 8), s0.slice(8, 16), s0.slice(16, 24))
+      val labelsDf = ev(s, dir).groupBy(col("user_id").as("series_id"))
+        .agg((sum(when(col("event_type") === "purchase", 1).otherwise(0)) > 5)
+          .cast("string").as("label"))
+      val df = z.join(labelsDf, "series_id")
+      val w0 = Array.tabulate(2, 3)((c, k) => (c + 1) * (k + 1) / 10.0)
+      val (shp1, w1, b1) = graft.ml.Shapelets.refineStep(
+        df, shp0, w0, new Array[Double](2), lr = 0.1,
+        labels = Array("false", "true"))
+      val rows =
+        shp1.toSeq.zipWithIndex.flatMap { case (sv, k) =>
+          sv.toSeq.zipWithIndex.map { case (x, t) => ("shp", k, t, x) } } ++
+        w1.toSeq.zipWithIndex.flatMap { case (wc, c) =>
+          wc.toSeq.zipWithIndex.map { case (x, k) => ("w", c, k, x) } } ++
+        b1.toSeq.zipWithIndex.map { case (x, c) => ("b", c, 0, x) }
+      rows.toDF("kind", "i", "j", "v")
+        .select(col("kind"), col("i"), col("j"),
+          (round(col("v"), 4) + lit(0.0)).as("v"))
+    }),
+
     "ts_early_classify" -> ((s, dir) => {
       val labels = ev(s, dir).groupBy(col("user_id").as("series_id"))
         .agg((sum(when(col("event_type") === "purchase", 1).otherwise(0)) > 5)
@@ -1558,6 +1593,91 @@ object SparkEntry {
          |  FROM sbd)
          |WHERE rn = 1""".stripMargin)
 
+  /** DuckDB oracle for ts_shapelet_step — one refined-shapelet gradient
+    * step replayed relationally: min-pool features with argmin position
+    * (smallest-pos tie-break, the kernel's strict-< scan), softmax head
+    * with the fixed w0[c][k] = (c+1)(k+1)/10, the three backward paths
+    * (dW = dl·f, db = dl, dS via the argmin-position subgradient
+    * 2(S−x[p*+t])/m), and the Adam(t=1, zero-moment) update
+    * θ − lr·g/(|g|+ε). */
+  private def shapeletStepOracleSql(sz: Int, m: Int, lr: Double): String = {
+    val maxPos = sz - m
+    evCte + resampleZnormCte(sz) +
+      s"""
+         |, labels AS (
+         |  SELECT user_id,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 5
+         |      AS VARCHAR) AS label
+         |  FROM events GROUP BY 1
+         |), yy AS (
+         |  SELECT user_id, CASE WHEN label = 'true' THEN 1 ELSE 0 END AS y FROM labels
+         |), shp AS (
+         |  SELECT k.k, r.j - k.o AS t, r.val AS sv
+         |  FROM r JOIN (SELECT unnest([0, 1, 2]) AS k, unnest([0, $m, ${2 * m}]) AS o) k ON TRUE
+         |  WHERE r.user_id = 0 AND r.j >= k.o AND r.j < k.o + $m
+         |), dists AS (
+         |  SELECT a.user_id, s.k, a.j - s.t AS pos,
+         |    sum((a.val - s.sv) * (a.val - s.sv)) AS d2
+         |  FROM r a JOIN shp s ON a.j - s.t BETWEEN 0 AND $maxPos
+         |  GROUP BY 1, 2, 3
+         |), feat AS (
+         |  SELECT user_id, k, d2 / $m.0 AS f, pos FROM (
+         |    SELECT user_id, k, pos, d2,
+         |      row_number() OVER (PARTITION BY user_id, k ORDER BY d2, pos) AS rn
+         |    FROM dists)
+         |  WHERE rn = 1
+         |), wconst AS (
+         |  SELECT c.c, k.k, (c.c + 1) * (k.k + 1) / 10.0 AS w
+         |  FROM (SELECT unnest([0, 1]) AS c) c, (SELECT unnest([0, 1, 2]) AS k) k
+         |), logits AS (
+         |  SELECT f.user_id, w.c, sum(w.w * f.f) AS l
+         |  FROM feat f JOIN wconst w ON w.k = f.k
+         |  GROUP BY 1, 2
+         |), pmax AS (
+         |  SELECT user_id, max(l) AS mx FROM logits GROUP BY 1
+         |), probs AS (
+         |  SELECT lg.user_id, lg.c,
+         |    exp(lg.l - pm.mx) /
+         |      sum(exp(lg.l - pm.mx)) OVER (PARTITION BY lg.user_id) AS p
+         |  FROM logits lg JOIN pmax pm USING (user_id)
+         |), dl AS (
+         |  SELECT pr.user_id, pr.c,
+         |    pr.p - CASE WHEN pr.c = yy.y THEN 1.0 ELSE 0.0 END AS d
+         |  FROM probs pr JOIN yy ON yy.user_id = pr.user_id
+         |), nn AS (
+         |  SELECT count(*) AS n FROM yy
+         |), gw AS (
+         |  SELECT dl.c, f.k, sum(dl.d * f.f) / (SELECT n FROM nn) AS g
+         |  FROM dl JOIN feat f ON f.user_id = dl.user_id
+         |  GROUP BY 1, 2
+         |), gb AS (
+         |  SELECT c, sum(d) / (SELECT n FROM nn) AS g FROM dl GROUP BY 1
+         |), gf AS (
+         |  SELECT dl.user_id, w.k, sum(dl.d * w.w) AS gf
+         |  FROM dl JOIN wconst w ON w.c = dl.c
+         |  GROUP BY 1, 2
+         |), gs AS (
+         |  SELECT s.k, s.t,
+         |    sum(gf.gf * 2.0 * (s.sv - r.val) / $m.0) / (SELECT n FROM nn) AS g
+         |  FROM gf
+         |  JOIN feat fe ON fe.user_id = gf.user_id AND fe.k = gf.k
+         |  JOIN shp s ON s.k = gf.k
+         |  JOIN r ON r.user_id = gf.user_id AND r.j = fe.pos + s.t
+         |  GROUP BY 1, 2
+         |)
+         |SELECT 'shp' AS kind, CAST(s.k AS INT) AS i, CAST(s.t AS INT) AS j,
+         |  round(s.sv - $lr * g.g / (abs(g.g) + 1e-8), 4) + 0.0 AS v
+         |FROM shp s JOIN gs g ON g.k = s.k AND g.t = s.t
+         |UNION ALL
+         |SELECT 'w', CAST(w.c AS INT), CAST(w.k AS INT),
+         |  round(w.w - $lr * gw.g / (abs(gw.g) + 1e-8), 4) + 0.0
+         |FROM wconst w JOIN gw ON gw.c = w.c AND gw.k = w.k
+         |UNION ALL
+         |SELECT 'b', CAST(gb.c AS INT), 0,
+         |  round(0.0 - $lr * gb.g / (abs(gb.g) + 1e-8), 4) + 0.0
+         |FROM gb""".stripMargin
+  }
+
   /** DuckDB oracle for ts_kshape_step — the full shape-extraction update
     * (`kshape.py:118-137`) replayed relationally:
     *   1. assignment: SBD argmin to the znormed-first-k centroids
@@ -1873,6 +1993,7 @@ object SparkEntry {
     "ts_shapelet_transform" -> shapeletTransformOracleSql(32, 8),
     "ts_kshape_assign" -> kshapeAssignOracleSql(32, 4),
     "ts_kshape_step" -> kshapeStepOracleSql(32, 4, 60),
+    "ts_shapelet_step" -> shapeletStepOracleSql(32, 8, 0.1),
     "ts_dba_step" -> dbaStepOracleSql(32),
     "ts_dba" -> dbaTraceSql(10, 32),
     "ts_lcss_pairs" -> lcssOracleSql(32, 0.5),

@@ -315,6 +315,51 @@ object Shapelets {
     RefinedModel(shapelets, w, b, labels, losses.toArray)
   }
 
+  /** ONE refined-gradient Adam step from EXPLICIT (shapelets, w, b) —
+    * the oracle-able unit of [[fitRefined]]: the same GradAgg
+    * distributed pass (min-pool forward, softmax head, argmin
+    * subgradient backward), then the Adam update at t=1 with zero
+    * moments, which algebraically reduces to
+    * θ ← θ − lr·g/(|g|+ε). Deterministic given the inputs, so an
+    * external SQL oracle can replay the whole step (ts_shapelet_step).
+    * Returns the updated (shapelets, w, b). */
+  def refineStep(df: DataFrame, shapelets0: Array[Array[Double]],
+                 w0: Array[Array[Double]], b0: Array[Double], lr: Double,
+                 labels: Array[String]): (Array[Array[Double]], Array[Array[Double]], Array[Double]) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val labelIdx = labels.zipWithIndex.toMap
+    val shapelets = shapelets0.map(_.clone())
+    val w = w0.map(_.clone())
+    val b = b0.clone()
+    val data = df.select(col("values").cast("array<double>"), col("label").cast("string"))
+      .as[(Array[Double], String)]
+      .map { case (v, l) => (v, labelIdx(l)) }
+    val g = data.groupByKey(_ => 0)
+      .agg(new GradAgg(shapelets, w, b).toColumn).collect().head._2
+    val n = math.max(1.0, g(g.length - 1))
+    val nC = b.length
+    val kS = shapelets.length
+    val offs = shapelets.map(_.length).scanLeft(0)(_ + _)
+    val nP = offs.last + nC * kS + nC
+    val eps = 1e-8
+    var i = 0
+    while (i < nP) {
+      val grad = g(i) / n
+      // Adam t=1, zero moments: mhat = grad, vhat = grad²
+      val step = lr * grad / (math.sqrt(grad * grad) + eps)
+      if (i < offs.last) {
+        val k = offs.indices.dropRight(1).find(kk => i < offs(kk + 1)).get
+        shapelets(k)(i - offs(k)) -= step
+      } else if (i < offs.last + nC * kS) {
+        val ci = (i - offs.last) / kS
+        w(ci)((i - offs.last) % kS) -= step
+      } else b(i - offs.last - nC * kS) -= step
+      i += 1
+    }
+    (shapelets, w, b)
+  }
+
   /** Fit: init shapelets, transform, logistic head. Input needs
     * (series_id, values, label STRING). */
   def fit(df: DataFrame, perSize: Int = 4, seed: Long = 0L): Model = {

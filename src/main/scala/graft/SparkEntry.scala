@@ -375,20 +375,20 @@ object SparkEntry {
       val d = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("words"))
       // array_distinct BEFORE the explode dedupes per-doc shingles with
       // no shuffle (a per-row .distinct() would be a full exchange).
-      // The df cap stays a window (one sort of the shingle stream) but
-      // per-doc sizes are a cheap post-aggregation groupBy joined back on
-      // the (small) surviving-pair set. persist(): the capped stream is
-      // consumed THREE times (both self-join sides + sizes) — measured in
-      // Prof.scala: persisted 4.65 s cold / 1.49 s warm vs unpersisted
-      // 7.33 / 2.62 at sf0.1 (and both beat the two-window shape).
-      val shingles = d.select(col("doc_id"),
+      val raw = d.select(col("doc_id"),
         array_distinct(transform(sequence(lit(0), size(col("words")) - 3),
           i => array_join(slice(col("words"), i + 1, lit(3)), " "))).as("shs"))
         .select(col("doc_id"), explode(col("shs")).as("sh"))
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
-        .where(col("df") <= maxDf)
+      // df cap via Dedup.dfCapped: skew-immune groupBy df + broadcast
+      // anti-join of the hot set (see its scaladoc; plan-locked in
+      // PlanAuditSpec). localCheckpoint, not persist: the capped stream
+      // is consumed THREE times (both self-join sides + sizes) but the
+      // blocks are released by the context cleaner instead of pinned for
+      // the rest of the session (a Bench run is 60+ queries in one
+      // session).
+      val shingles = graft.operators.Dedup.dfCapped(raw, maxDf)
         .select(col("doc_id"), col("sh"))
-        .persist()
+        .localCheckpoint()
       val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val a = shingles.select(col("doc_id").as("doc_a"), col("sh"))
       val b = shingles.select(col("doc_id").as("doc_b"), col("sh"))
@@ -613,17 +613,25 @@ object SparkEntry {
       val b = graft.ml.DistributedBary.dba(series.map(_._2), maxIter = 10, tol = -1.0)
       b.toSeq.zipWithIndex.map { case (v, t) => (t, v) }
         .toDF("t", "v")
-        .select(col("t"), round(col("v"), 4).as("v"))
+        .select(col("t"), (round(col("v"), 4) + lit(0.0)).as("v"))
     }),
 
+    // Full KShape fit, driver-verified end to end: deterministic
+    // first-k init, EXACTLY 8 assign→shape-extract iterations (tol = -1
+    // disables the early stop) with the power-iteration shape update
+    // (shapeSteps = 60, the ts_kshape_step machinery), then the final
+    // predict. kshapeTraceSql chains the identical 8 iterations as
+    // materialized CTEs the way dbaTraceSql/kmeansTraceSql chain theirs.
     "ts_kshape" -> ((s, dir) => {
       val series = TSModel.eventsToSeries(s, dir)
         .select(col("series_id"),
           TsFunctions.resampleUdf(col("values"), lit(32)).as("values"))
         .localCheckpoint()
-      val model = new graft.ml.KShape(k = 4, maxIter = 8, seed = 5).fit(series)
+      val model = new graft.ml.KShape(k = 4, maxIter = 8, tol = -1.0,
+        init = "first", shapeSteps = 60).fit(series)
       model.predict(series)
-        .select(col("series_id"), col("cluster"), round(col("dist"), 4).as("dist"))
+        .select(col("series_id"), col("cluster"),
+          (round(col("dist"), 4) + lit(0.0)).as("dist"))
     }),
 
     // One KShape assignment pass against fixed centroids (the znormed
@@ -691,7 +699,7 @@ object SparkEntry {
       val b = graft.ml.DistributedBary.dba(series.map(_._2), maxIter = 1)
       b.toSeq.zipWithIndex.map { case (v, t) => (t, v) }
         .toDF("t", "v")
-        .select(col("t"), round(col("v"), 4).as("v"))
+        .select(col("t"), (round(col("v"), 4) + lit(0.0)).as("v"))
     }),
 
     "emb_ann_ivf" -> ((s, dir) => {
@@ -1688,11 +1696,24 @@ object SparkEntry {
     *   3. re-znorm (avg(x²)−avg² variance, var≤0 → sd 1 — the kernel's
     *      formula), gram S = Σ z·zᵀ and Σz per cluster;
     *   4. centering M = QᵀSQ = S − rowMean_i − rowMean_j + grandMean;
-    *   5. EXACTLY `steps` power-method updates from v0 = 1/√sz (matvec →
-    *      ℓ2 normalize) — the engine's shapeByClusterPower replays the
-    *      same sequence, so both sides agree to fp noise ≪ round(4);
+    *   5. EXACTLY `steps` power-method updates from the ramp init
+    *      v0(i) ∝ i − (sz−1)/2 ℓ2-normalized (matvec → ℓ2 normalize; a
+    *      zero-norm matvec keeps the previous iterate) — the engine's
+    *      shapeByClusterPower replays the same sequence. The ramp init
+    *      matters: re-znormed members make the constant direction
+    *      exactly null(M), so a constant v0 would start from fp noise;
+    *      the ramp makes step 1 a real iterate on both sides;
     *   6. sign fix by (Σz)·v, final z-norm. */
   private def kshapeStepOracleSql(sz: Int, k: Int, steps: Int): String = {
+    // inline the engine's exact powerInit constants: (j − c) / n with c, n
+    // as shortest-round-trip doubles reproduces powerInit(sz) bit-for-bit
+    val pc = (sz - 1) / 2.0
+    val pn = {
+      var s = 0.0
+      var i = 0
+      while (i < sz) { val d = i - pc; s += d * d; i += 1 }
+      math.sqrt(s)
+    }
     val sb = new StringBuilder(evCte + resampleZnormCte(sz))
     sb ++=
       s"""
@@ -1767,21 +1788,22 @@ object SparkEntry {
          |), xs AS (
          |  SELECT cluster, i, sum(z) AS x FROM za GROUP BY 1, 2
          |), pv0 AS (
-         |  SELECT DISTINCT cluster, i AS j, 1.0 / sqrt($sz.0) AS v FROM gram
+         |  SELECT DISTINCT cluster, i AS j, (i - $pc) / $pn AS v FROM gram
          |)""".stripMargin
     for (t <- 1 to steps) {
       sb ++=
         s"""
            |, pv$t AS (
-           |  SELECT cluster, i AS j,
-           |    w / (CASE WHEN nw = 0 THEN 1.0 ELSE nw END) AS v
+           |  SELECT q.cluster, q.i AS j,
+           |    CASE WHEN q.nw = 0 THEN p0.v ELSE q.w / q.nw END AS v
            |  FROM (
            |    SELECT m.cluster, m.i, sum(m.mv * p.v) AS w,
            |      sqrt(sum(power(sum(m.mv * p.v), 2))
            |        OVER (PARTITION BY m.cluster)) AS nw
            |    FROM mm m JOIN pv${t - 1} p
            |      ON p.cluster = m.cluster AND p.j = m.j
-           |    GROUP BY m.cluster, m.i)
+           |    GROUP BY m.cluster, m.i) q
+           |  JOIN pv${t - 1} p0 ON p0.cluster = q.cluster AND p0.j = q.i
            |)""".stripMargin
     }
     sb ++=
@@ -1884,7 +1906,8 @@ object SparkEntry {
            |  GROUP BY 1
            |)""".stripMargin
     }
-    sb ++= s"\nSELECT CAST(i AS INT) AS t, round(bv, 4) AS v FROM bar$iters"
+    // + 0.0 collapses IEEE −0.0 to 0.0 (same discipline as ts_kshape_*)
+    sb ++= s"\nSELECT CAST(i AS INT) AS t, round(bv, 4) + 0.0 AS v FROM bar$iters"
     // materialize every DP-chain CTE, but never the recursive paths
     sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
       .replaceAll(", (path\\d+) AS MATERIALIZED \\(", ", $1 AS (")
@@ -1954,7 +1977,7 @@ object SparkEntry {
          |  LEFT JOIN cum cl ON cl.user_id = p.user_id AND cl.i = p.i AND cl.j = p.j - 1
          |  WHERE p.i > 0 OR p.j > 0
          |)
-         |SELECT CAST(pa.i AS INT) AS t, round(sum(r.val) / count(*), 4) AS v
+         |SELECT CAST(pa.i AS INT) AS t, round(sum(r.val) / count(*), 4) + 0.0 AS v
          |FROM path pa JOIN r ON r.user_id = pa.user_id AND r.j = pa.j
          |GROUP BY 1""".stripMargin
     // materialize the DP chain, but never the recursive CTE itself

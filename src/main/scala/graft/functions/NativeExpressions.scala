@@ -40,23 +40,35 @@ object NativeOps {
   def dot(a: ArrayData, b: ArrayData): Double = {
     val aa = a.toDoubleArray()
     val ba = b.toDoubleArray()
+    requireSameLength(aa.length, ba.length, "dot")
     var s = 0.0
     var i = 0
-    val n = math.min(aa.length, ba.length)
+    val n = aa.length
     while (i < n) { s += aa(i) * ba(i); i += 1 }
     s
   }
+
+  /** Ragged guard shared by the pointwise vector kernels: like
+    * Kernels.euclidean these are only defined for equal-length series
+    * (reference VARIABLE_LENGTH_METRICS excludes euclidean — a silent
+    * min-length truncation would return plausible-but-wrong distances
+    * through GraftML's euclidean kNN/kMeans on ragged input). */
+  private def requireSameLength(a: Int, b: Int, op: String): Unit =
+    if (a != b)
+      throw new IllegalArgumentException(
+        s"$op requires equal-size series (got $a vs $b)")
 
   /** Cosine similarity in one pass over the two buffers; same fold order
     * as vecDot/vecNorm (dot / (sqrt(na)·sqrt(nb))). */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val aa = a.toDoubleArray()
     val ba = b.toDoubleArray()
+    requireSameLength(aa.length, ba.length, "cosine")
     var s = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
-    val n = math.min(aa.length, ba.length)
+    val n = aa.length
     while (i < n) { s += aa(i) * ba(i); i += 1 }
     i = 0
     while (i < aa.length) { na += aa(i) * aa(i); i += 1 }
@@ -69,9 +81,10 @@ object NativeOps {
   def euclidean(a: ArrayData, b: ArrayData): Double = {
     val aa = a.toDoubleArray()
     val ba = b.toDoubleArray()
+    requireSameLength(aa.length, ba.length, "euclidean")
     var s = 0.0
     var i = 0
-    val n = math.min(aa.length, ba.length)
+    val n = aa.length
     while (i < n) { val d = aa(i) - ba(i); s += d * d; i += 1 }
     math.sqrt(s)
   }

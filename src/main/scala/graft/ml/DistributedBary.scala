@@ -283,15 +283,37 @@ object DistributedBary {
 
   /** Deterministic power-iteration variant of [[shapeByCluster]]: the
     * same distributed gram pass, but the dominant eigenvector is the
-    * result of EXACTLY `steps` power-method updates from the constant
-    * init 1/√sz — i.e. a reproducible iterate, not an opaque LAPACK
-    * limit. An external SQL oracle can replay the identical sequence
-    * (matvec → ℓ2-normalize, `steps` times), which makes the whole
-    * KShape shape-extraction path driver-verifiable (ts_kshape_step).
+    * result of EXACTLY `steps` power-method updates from the ramp init
+    * v0(i) ∝ i − (sz−1)/2 (ℓ2-normalized) — i.e. a reproducible
+    * iterate, not an opaque LAPACK limit. The ramp is deliberately NOT
+    * the constant vector: members are re-znormed (zero mean), so every
+    * row of M = QᵀSQ sums to 0 and the constant direction is exactly
+    * null(M) — a constant init would make the first matvec pure fp
+    * cancellation noise. The ramp has zero mean too but is orthogonal
+    * to none of the nontrivial eigendirections in general, so step 1 is
+    * already a real iterate. An external SQL oracle can replay the
+    * identical sequence (matvec → ℓ2-normalize, `steps` times; a
+    * zero-norm matvec keeps the previous iterate on BOTH sides), which
+    * makes the whole KShape shape-extraction path driver-verifiable
+    * (ts_kshape_step).
     * M = QᵀSQ is PSD (S is a gram sum), so the iteration is monotone
     * toward the dominant eigenvector; with enough steps the result
     * matches [[shapeByCluster]] up to tolerance (spec-checked).
     * Same sign fix ((Σ aligned members)·v) and final z-norm. */
+  /** Power-iteration start vector shared with the SQL oracle: the ramp
+    * i − (sz−1)/2, ℓ2-normalized (zero-mean but outside null(M); see
+    * [[shapeByClusterPower]]). sz = 1 degenerates to the zero ramp →
+    * fall back to the unit vector. */
+  def powerInit(sz: Int): Array[Double] = {
+    val c = (sz - 1) / 2.0
+    val raw = Array.tabulate(sz)(i => i - c)
+    var n2 = 0.0
+    var i = 0
+    while (i < sz) { n2 += raw(i) * raw(i); i += 1 }
+    val n = math.sqrt(n2)
+    if (n == 0) Array.fill(sz)(1.0) else raw.map(_ / n)
+  }
+
   def shapeByClusterPower(rows: Dataset[(Int, Array[Double])],
                           centers: Array[Array[Double]],
                           steps: Int = 60): Map[Int, Array[Double]] = {
@@ -312,7 +334,7 @@ object DistributedBary {
       val grand = g / (sz.toDouble * sz)
       val m = Array.tabulate(sz, sz)((p, q) =>
         b.gram(p * sz + q) - rowMean(p) - rowMean(q) + grand)
-      var v = Array.fill(sz)(1.0 / math.sqrt(sz))
+      var v = powerInit(sz)
       var t = 0
       while (t < steps) {
         val w = new Array[Double](sz)

@@ -17,8 +17,16 @@ import graft.kernels.{Kernels, Ncc}
   * a local Breeze eigendecomposition per cluster on the driver. Input must
   * be equal-length (KShape z-normalizes internally, as the reference does).
   */
+/** @param init "sample" (reference default: k series sampled with
+  *   `seed`) or "first" (the k lowest series_ids — the deterministic
+  *   mode the SQL trace oracle replays, as TimeSeriesKMeans does)
+  * @param shapeSteps 0 = eigSym shape extraction (production); > 0 =
+  *   exactly that many deterministic power-method updates per cluster
+  *   per iteration (DistributedBary.shapeByClusterPower) so an external
+  *   oracle can replay the identical iterate sequence */
 class KShape(val k: Int, val maxIter: Int = 20, val tol: Double = 1e-6,
-             val seed: Long = 0L) extends Serializable {
+             val seed: Long = 0L, val init: String = "sample",
+             val shapeSteps: Int = 0) extends Serializable {
 
   case class Model(centroids: Array[Array[Double]], inertia: Double) {
     def predict(df: DataFrame): DataFrame = {
@@ -52,9 +60,12 @@ class KShape(val k: Int, val maxIter: Int = 20, val tol: Double = 1e-6,
     // should pay for the gram aggregation, not empty-task scheduling
     val nPart = math.max(1, math.min(spark.sparkContext.defaultParallelism, n / 10000).toInt)
     val data = data0.repartition(nPart).cache()
-    // deterministic init: k sampled members as initial shapes
+    // deterministic init: k sampled members as initial shapes, or the k
+    // lowest-id members ("first" — the trace-oracle mode)
     var centroids: Array[Array[Double]] =
-      data.rdd.takeSample(withReplacement = false, k, seed).map(_._2)
+      if (init == "first")
+        data0.filter(_._1 < k).collect().sortBy(_._1).map(_._2)
+      else data.rdd.takeSample(withReplacement = false, k, seed).map(_._2)
     var prevInertia = Double.PositiveInfinity
     var inertia = Double.PositiveInfinity
     var iter = 0
@@ -68,8 +79,12 @@ class KShape(val k: Int, val maxIter: Int = 20, val tol: Double = 1e-6,
       inertia = assigned.map(r => r._3 * r._3).reduce(_ + _) / n
       // shape extraction: one streaming gram pass per iteration — the
       // sz×sz buffer is cluster-size-independent (DistributedBary)
-      val updated = DistributedBary.shapeByCluster(
-        assigned.map(t => (t._2, t._4)), centroids)
+      val updated =
+        if (shapeSteps > 0)
+          DistributedBary.shapeByClusterPower(
+            assigned.map(t => (t._2, t._4)), centroids, shapeSteps)
+        else DistributedBary.shapeByCluster(
+          assigned.map(t => (t._2, t._4)), centroids)
       centroids = Array.tabulate(k)(c => updated.getOrElse(c, centroids(c)))
       assigned.unpersist()
       if (prevInertia - inertia < tol) done = true

@@ -49,6 +49,23 @@ object Dedup {
       explode(if (dedupe) array_distinct(arr) else arr).as("sh"))
   }
 
+  /** Doc-frequency cap over a (doc_id, sh) shingle stream — drops
+    * shingles present in more than `maxDf` docs (stop-word n-grams)
+    * before an inverted-index join, bounding every index bucket at
+    * maxDf² pairs. Skew-immune by construction: the df count is a
+    * groupBy (a hot shingle partial-aggregates to ONE row per map
+    * partition), where a `Window.partitionBy(sh)` would co-locate all
+    * of the hot shingle's rows in a single task BEFORE the filter
+    * could drop them — the one shape that breaks at 100 TB. The hot
+    * set is small by construction (≤ shingle rows / maxDf distinct
+    * values), so it broadcasts and the cap is applied map-side with no
+    * shuffle of the stream at all. */
+  def dfCapped(shingleStream: DataFrame, maxDf: Int): DataFrame = {
+    val hot = shingleStream.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("sh")
+    shingleStream.join(broadcast(hot), Seq("sh"), "left_anti")
+  }
+
   /** Connected components over a near-duplicate pair list — the
     * canonical clusters step after any pair generator (minhash / simhash
     * / embedding-cosine): every doc in a pair gets its component's min
@@ -80,9 +97,14 @@ object Dedup {
     while (changed > 0 && it < maxIter) {
       val nbrMin = und.join(labels, und("src") === labels("doc_id"))
         .groupBy(und("dst").as("doc_id")).agg(min(col("cluster")).as("nbr"))
+      // cache: hop feeds BOTH sides of the doubling self-join — without
+      // it the join+groupBy above evaluates twice per round. Unpersisted
+      // as soon as `next` is materialized (cache, not localCheckpoint,
+      // so the blocks are released deterministically, not at GC).
       val hop = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+        .cache()
       // pointer doubling: labels only ever hold ids of nodes in the same
       // component, so jumping to the label's own label is sound and
       // keeps the min-label monotone
@@ -98,6 +120,7 @@ object Dedup {
           least(col("x.cluster"), coalesce(col("pc"), col("x.cluster"))).as("cluster"))
         .localCheckpoint()
       changed = next.where(col("cluster") =!= col("old")).count()
+      hop.unpersist()
       labels.unpersist()
       labels = next.select("doc_id", "cluster")
       it += 1

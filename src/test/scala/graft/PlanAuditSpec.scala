@@ -110,6 +110,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"exchange leaked into shapelet transform:\n$p")
   }
 
+  test("df-cap is a partial-agg groupBy + broadcast anti-join, never a window") {
+    import spark.implicits._
+    // a Window.partitionBy(sh) here would co-locate every row of a hot
+    // shingle in one task BEFORE the cap filter — the skew shape this
+    // operator exists to avoid. Lock: no Window, hot set broadcast,
+    // df groupBy keeps its map-side partial.
+    val stream = (0 until 50).flatMap(i => Seq((i.toLong, "the quick fox"),
+      (i.toLong, s"unique shingle $i"))).toDF("doc_id", "sh")
+    val p = graft.operators.Dedup.dfCapped(stream, maxDf = 10)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"df-cap regressed to a window:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"hot-set anti-join lost its broadcast:\n$p")
+    assert(p.contains("partial_"), s"df count lost map-side partial agg:\n$p")
+  }
+
   test("Nystrom SVC predict is a pure map: no shuffle exchange") {
     import spark.implicits._
     val df = (0 until 12).map { i =>

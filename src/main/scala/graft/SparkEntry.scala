@@ -1831,6 +1831,171 @@ object SparkEntry {
     sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
   }
 
+  /** DuckDB oracle for ts_kshape: the FULL `iters`-iteration fit trace —
+    * kshapeStepOracleSql's assign→shape-extract machinery chained across
+    * every iteration the way dbaTraceSql chains MM updates. Per
+    * iteration i against centroids cents{i}: SBD argmin assignment
+    * (lowest-cluster tie-break), per-member alignment shift (corr DESC,
+    * s DESC), zero-padded reconstruction, re-znorm, gram + centering,
+    * EXACTLY `steps` power-method updates from the ramp init (zero-norm
+    * matvec keeps the previous iterate), sign fix, final z-norm →
+    * cents{i+1} (a cluster that lost all members keeps its previous
+    * centroid via the COALESCE, matching the engine's getOrElse). After
+    * `iters` updates, the final predict pass re-runs the assignment and
+    * emits (series_id, cluster, dist) — the exact output of
+    * KShape(init="first", shapeSteps, tol=-1).fit(...).predict(...). */
+  private def kshapeTraceSql(sz: Int, k: Int, iters: Int, steps: Int): String = {
+    val pc = (sz - 1) / 2.0
+    val pn = {
+      var s = 0.0
+      var i = 0
+      while (i < sz) { val d = i - pc; s += d * d; i += 1 }
+      math.sqrt(s)
+    }
+    val sb = new StringBuilder(evCte + resampleZnormCte(sz))
+    sb ++=
+      s"""
+         |, norms AS (
+         |  SELECT user_id, sqrt(sum(val * val)) AS nrm FROM r GROUP BY 1
+         |), seqt AS (
+         |  SELECT unnest(generate_series(0, ${sz - 1})) AS t
+         |), cents0 AS (
+         |  SELECT user_id AS cluster, j, val AS cv FROM r WHERE user_id < $k
+         |)""".stripMargin
+    for (i <- 0 until iters) {
+      sb ++=
+        s"""
+           |, cn$i AS (
+           |  SELECT cluster, sqrt(sum(cv * cv)) AS nrm FROM cents$i GROUP BY 1
+           |), cc$i AS (
+           |  SELECT a.user_id, c.cluster, a.j - c.j AS s, sum(a.val * c.cv) AS corr
+           |  FROM r a JOIN cents$i c ON TRUE
+           |  GROUP BY 1, 2, 3
+           |), sbd$i AS (
+           |  SELECT cc.user_id, cc.cluster,
+           |    1.0 - max(cc.corr /
+           |      (CASE WHEN na.nrm * nc.nrm = 0 THEN 1.0 ELSE na.nrm * nc.nrm END)) AS d
+           |  FROM cc$i cc
+           |  JOIN norms na ON na.user_id = cc.user_id
+           |  JOIN cn$i nc ON nc.cluster = cc.cluster
+           |  GROUP BY 1, 2
+           |), asg$i AS (
+           |  SELECT user_id, cluster FROM (
+           |    SELECT user_id, cluster,
+           |      row_number() OVER (PARTITION BY user_id ORDER BY d, cluster) AS rn
+           |    FROM sbd$i)
+           |  WHERE rn = 1
+           |), best$i AS (
+           |  SELECT user_id, cluster, s AS shift FROM (
+           |    SELECT cc.user_id, cc.cluster, cc.s,
+           |      row_number() OVER (PARTITION BY cc.user_id
+           |        ORDER BY cc.corr DESC, cc.s DESC) AS rn
+           |    FROM cc$i cc JOIN asg$i a
+           |      ON a.user_id = cc.user_id AND a.cluster = cc.cluster)
+           |  WHERE rn = 1
+           |), al$i AS (
+           |  SELECT b.user_id, b.cluster, q.t,
+           |    coalesce(r2.val, 0.0) AS av
+           |  FROM best$i b CROSS JOIN seqt q
+           |  LEFT JOIN r r2 ON r2.user_id = b.user_id AND r2.j = q.t + b.shift
+           |), zs$i AS (
+           |  SELECT user_id,
+           |    avg(av) AS mu,
+           |    CASE WHEN avg(av * av) - avg(av) * avg(av) <= 0 THEN 1.0
+           |         ELSE sqrt(avg(av * av) - avg(av) * avg(av)) END AS sd
+           |  FROM al$i GROUP BY 1
+           |), za$i AS (
+           |  SELECT al.user_id, al.cluster, al.t AS i, (al.av - zs.mu) / zs.sd AS z
+           |  FROM al$i al JOIN zs$i zs USING (user_id)
+           |), gram$i AS (
+           |  SELECT a.cluster, a.i, b.i AS j, sum(a.z * b.z) AS sv
+           |  FROM za$i a JOIN za$i b ON b.user_id = a.user_id
+           |  GROUP BY 1, 2, 3
+           |), rowm$i AS (
+           |  SELECT cluster, i, sum(sv) / $sz.0 AS m FROM gram$i GROUP BY 1, 2
+           |), grand$i AS (
+           |  SELECT cluster, sum(sv) / ${sz * sz}.0 AS g FROM gram$i GROUP BY 1
+           |), mm$i AS (
+           |  SELECT gr.cluster, gr.i, gr.j,
+           |    gr.sv - ri.m - rj.m + gg.g AS mv
+           |  FROM gram$i gr
+           |  JOIN rowm$i ri ON ri.cluster = gr.cluster AND ri.i = gr.i
+           |  JOIN rowm$i rj ON rj.cluster = gr.cluster AND rj.i = gr.j
+           |  JOIN grand$i gg ON gg.cluster = gr.cluster
+           |), xs$i AS (
+           |  SELECT cluster, i, sum(z) AS x FROM za$i GROUP BY 1, 2
+           |), pv${i}x0 AS (
+           |  SELECT DISTINCT cluster, i AS j, (i - $pc) / $pn AS v FROM gram$i
+           |)""".stripMargin
+      for (t <- 1 to steps) {
+        sb ++=
+          s"""
+             |, pv${i}x$t AS (
+             |  SELECT q.cluster, q.i AS j,
+             |    CASE WHEN q.nw = 0 THEN p0.v ELSE q.w / q.nw END AS v
+             |  FROM (
+             |    SELECT m.cluster, m.i, sum(m.mv * p.v) AS w,
+             |      sqrt(sum(power(sum(m.mv * p.v), 2))
+             |        OVER (PARTITION BY m.cluster)) AS nw
+             |    FROM mm$i m JOIN pv${i}x${t - 1} p
+             |      ON p.cluster = m.cluster AND p.j = m.j
+             |    GROUP BY m.cluster, m.i) q
+             |  JOIN pv${i}x${t - 1} p0 ON p0.cluster = q.cluster AND p0.j = q.i
+             |)""".stripMargin
+      }
+      sb ++=
+        s"""
+           |, dot$i AS (
+           |  SELECT xs.cluster, sum(xs.x * p.v) AS dt
+           |  FROM xs$i xs JOIN pv${i}x$steps p
+           |    ON p.cluster = xs.cluster AND p.j = xs.i
+           |  GROUP BY 1
+           |), sg$i AS (
+           |  SELECT p.cluster, p.j,
+           |    CASE WHEN d.dt < 0 THEN -p.v ELSE p.v END AS v
+           |  FROM pv${i}x$steps p JOIN dot$i d USING (cluster)
+           |), fs$i AS (
+           |  SELECT cluster,
+           |    avg(v) AS mu,
+           |    CASE WHEN avg(v * v) - avg(v) * avg(v) <= 0 THEN 1.0
+           |         ELSE sqrt(avg(v * v) - avg(v) * avg(v)) END AS sd
+           |  FROM sg$i GROUP BY 1
+           |), fin$i AS (
+           |  SELECT s.cluster, s.j, (s.v - f.mu) / f.sd AS v
+           |  FROM sg$i s JOIN fs$i f USING (cluster)
+           |), cents${i + 1} AS (
+           |  SELECT c.cluster, c.j, coalesce(f.v, c.cv) AS cv
+           |  FROM cents$i c
+           |  LEFT JOIN fin$i f ON f.cluster = c.cluster AND f.j = c.j
+           |)""".stripMargin
+    }
+    sb ++=
+      s"""
+         |, cnF AS (
+         |  SELECT cluster, sqrt(sum(cv * cv)) AS nrm FROM cents$iters GROUP BY 1
+         |), ccF AS (
+         |  SELECT a.user_id, c.cluster, a.j - c.j AS s, sum(a.val * c.cv) AS corr
+         |  FROM r a JOIN cents$iters c ON TRUE
+         |  GROUP BY 1, 2, 3
+         |), sbdF AS (
+         |  SELECT cc.user_id, cc.cluster,
+         |    1.0 - max(cc.corr /
+         |      (CASE WHEN na.nrm * nc.nrm = 0 THEN 1.0 ELSE na.nrm * nc.nrm END)) AS d
+         |  FROM ccF cc
+         |  JOIN norms na ON na.user_id = cc.user_id
+         |  JOIN cnF nc ON nc.cluster = cc.cluster
+         |  GROUP BY 1, 2
+         |)
+         |SELECT user_id AS series_id, CAST(cluster AS INT) AS cluster,
+         |  round(d, 4) + 0.0 AS dist
+         |FROM (
+         |  SELECT user_id, cluster, d,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY d, cluster) AS rn
+         |  FROM sbdF)
+         |WHERE rn = 1""".stripMargin
+    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+  }
+
   /** DuckDB oracle for ts_dba: the FULL `iters`-iteration MM trace —
     * dbaStepOracleSql's one-step machinery (per-series DTW cost matrix,
     * recursive-CTE backtrack with the kernel's diag-first tie-break,
@@ -2016,6 +2181,7 @@ object SparkEntry {
     "ts_shapelet_transform" -> shapeletTransformOracleSql(32, 8),
     "ts_kshape_assign" -> kshapeAssignOracleSql(32, 4),
     "ts_kshape_step" -> kshapeStepOracleSql(32, 4, 60),
+    "ts_kshape" -> kshapeTraceSql(32, 4, 8, 60),
     "ts_shapelet_step" -> shapeletStepOracleSql(32, 8, 0.1),
     "ts_dba_step" -> dbaStepOracleSql(32),
     "ts_dba" -> dbaTraceSql(10, 32),

@@ -757,20 +757,43 @@ object SparkEntry {
     }),
 
     // ---------------- composite estimators (rows-only) ---------------
+    // Full shapelet-classifier fit, driver-verified end to end: the
+    // ts_shapelet_step setup (3 shapelets sliced from series 0, the
+    // fixed w0[c][k] = (c+1)(k+1)/10 head, purchase>5 binary labels)
+    // trained for EXACTLY 10 full bias-corrected Adam steps
+    // (Shapelets.refineLoop — one distributed GradAgg pass per step),
+    // then a deterministic predict: min-pool features against the final
+    // shapelets, margin = logit(true) − logit(false), strict > 0 →
+    // 'true'. shapeletTraceSql replays every step INCLUDING the Adam
+    // moment state. (The reference-default MLlib-LR head remains the
+    // production path in Shapelets.fit.)
     "ts_shapelet_classify" -> ((s, dir) => {
-      // labels: dominant event_type per user; train on half, predict all
-      val labels = ev(s, dir).groupBy("user_id", "event_type")
-        .agg(count(lit(1)).as("n"))
-        .groupBy("user_id")
-        .agg(min_by(col("event_type"), struct((-col("n")).as("nn"), col("event_type"))).as("label"))
-      val series = TSModel.eventsToSeries(s, dir)
+      import s.implicits._
+      val z = TSModel.eventsToSeries(s, dir)
         .select(col("series_id"),
           TsFunctions.resampleZnormUdf(col("values"), lit(32)).as("values"))
-        .join(labels.select(col("user_id").as("series_id"), col("label")), "series_id")
-        .cache()
-      val train = series.where(col("series_id") % 2 === 0)
-      val model = graft.ml.Shapelets.fit(train, perSize = 3, seed = 1)
-      model.predict(series)
+        .localCheckpoint()
+      val s0 = z.where(col("series_id") === 0).head().getSeq[Double](1).toArray
+      val shp0 = Array(s0.slice(0, 8), s0.slice(8, 16), s0.slice(16, 24))
+      val labelsDf = ev(s, dir).groupBy(col("user_id").as("series_id"))
+        .agg((sum(when(col("event_type") === "purchase", 1).otherwise(0)) > 5)
+          .cast("string").as("label"))
+      val df = z.join(labelsDf, "series_id")
+      val w0 = Array.tabulate(2, 3)((c, k) => (c + 1) * (k + 1) / 10.0)
+      val (shp, w, b) = graft.ml.Shapelets.refineLoop(
+        df, shp0, w0, new Array[Double](2), lr = 0.1, iters = 10,
+        labels = Array("false", "true"))
+      val feats = graft.ml.Shapelets.transform(z, shp)
+      // per-class logit then margin — the same association order as the
+      // SQL oracle (sum(w·f) + b per class, then the difference)
+      val l0 = (0 until 3).map(k => lit(w(0)(k)) * col("shapelet_features")(k))
+        .reduce(_ + _) + lit(b(0))
+      val l1 = (0 until 3).map(k => lit(w(1)(k)) * col("shapelet_features")(k))
+        .reduce(_ + _) + lit(b(1))
+      feats.select(col("series_id"), (l1 - l0).as("m0"))
+        .select(col("series_id"),
+          when(col("m0") > 0, "true").otherwise("false").as("pred"),
+          (round(col("m0"), 4) + lit(0.0)).as("margin"))
     }),
 
     // One refined-shapelet gradient step, fully driver-verified: the
@@ -1686,6 +1709,152 @@ object SparkEntry {
          |FROM gb""".stripMargin
   }
 
+  /** DuckDB oracle for ts_shapelet_classify: the FULL `iters`-step
+    * refined-shapelet fit trace — shapeletStepOracleSql's forward/
+    * backward machinery chained with the COMPLETE bias-corrected Adam
+    * state (m, v per parameter; β1=0.9, β2=0.999, ε=1e-8, the
+    * 1−βᵗ corrections written as the engine computes them), then the
+    * deterministic predict: min-pool features against the final
+    * shapelets, margin = logit₁ − logit₀ (head weights + bias), strict
+    * > 0 → 'true'. Mirrors Shapelets.refineLoop + the query's margin
+    * projection exactly. */
+  private def shapeletTraceSql(sz: Int, m: Int, lr: Double, iters: Int): String = {
+    val maxPos = sz - m
+    val sb = new StringBuilder(evCte + resampleZnormCte(sz))
+    sb ++=
+      s"""
+         |, labels AS (
+         |  SELECT user_id,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 5
+         |      AS VARCHAR) AS label
+         |  FROM events GROUP BY 1
+         |), yy AS (
+         |  SELECT user_id, CASE WHEN label = 'true' THEN 1 ELSE 0 END AS y FROM labels
+         |), nn AS (
+         |  SELECT count(*) AS n FROM yy
+         |), sh0 AS (
+         |  SELECT k.k, r.j - k.o AS t, r.val AS sv, 0.0 AS ma, 0.0 AS va
+         |  FROM r JOIN (SELECT unnest([0, 1, 2]) AS k, unnest([0, $m, ${2 * m}]) AS o) k ON TRUE
+         |  WHERE r.user_id = 0 AND r.j >= k.o AND r.j < k.o + $m
+         |), wb0 AS (
+         |  SELECT c.c, k.k, (c.c + 1) * (k.k + 1) / 10.0 AS w, 0.0 AS ma, 0.0 AS va
+         |  FROM (SELECT unnest([0, 1]) AS c) c, (SELECT unnest([0, 1, 2]) AS k) k
+         |), bb0 AS (
+         |  SELECT c.c, 0.0 AS bv, 0.0 AS ma, 0.0 AS va
+         |  FROM (SELECT unnest([0, 1]) AS c) c
+         |)""".stripMargin
+    for (it <- 1 to iters) {
+      val pv = it - 1
+      sb ++=
+        s"""
+           |, dists$it AS (
+           |  SELECT a.user_id, s.k, a.j - s.t AS pos,
+           |    sum((a.val - s.sv) * (a.val - s.sv)) AS d2
+           |  FROM r a JOIN sh$pv s ON a.j - s.t BETWEEN 0 AND $maxPos
+           |  GROUP BY 1, 2, 3
+           |), feat$it AS (
+           |  SELECT user_id, k, d2 / $m.0 AS f, pos FROM (
+           |    SELECT user_id, k, pos, d2,
+           |      row_number() OVER (PARTITION BY user_id, k ORDER BY d2, pos) AS rn
+           |    FROM dists$it)
+           |  WHERE rn = 1
+           |), logits$it AS (
+           |  SELECT q.user_id, q.c, q.l + bb.bv AS l
+           |  FROM (
+           |    SELECT f.user_id, w.c, sum(w.w * f.f) AS l
+           |    FROM feat$it f JOIN wb$pv w ON w.k = f.k
+           |    GROUP BY 1, 2) q
+           |  JOIN bb$pv bb ON bb.c = q.c
+           |), pmax$it AS (
+           |  SELECT user_id, max(l) AS mx FROM logits$it GROUP BY 1
+           |), probs$it AS (
+           |  SELECT lg.user_id, lg.c,
+           |    exp(lg.l - pm.mx) /
+           |      sum(exp(lg.l - pm.mx)) OVER (PARTITION BY lg.user_id) AS p
+           |  FROM logits$it lg JOIN pmax$it pm USING (user_id)
+           |), dl$it AS (
+           |  SELECT pr.user_id, pr.c,
+           |    pr.p - CASE WHEN pr.c = yy.y THEN 1.0 ELSE 0.0 END AS d
+           |  FROM probs$it pr JOIN yy ON yy.user_id = pr.user_id
+           |), gw$it AS (
+           |  SELECT dl.c, f.k, sum(dl.d * f.f) / (SELECT n FROM nn) AS g
+           |  FROM dl$it dl JOIN feat$it f ON f.user_id = dl.user_id
+           |  GROUP BY 1, 2
+           |), gb$it AS (
+           |  SELECT c, sum(d) / (SELECT n FROM nn) AS g FROM dl$it GROUP BY 1
+           |), gf$it AS (
+           |  SELECT dl.user_id, w.k, sum(dl.d * w.w) AS gf
+           |  FROM dl$it dl JOIN wb$pv w ON w.c = dl.c
+           |  GROUP BY 1, 2
+           |), gs$it AS (
+           |  SELECT s.k, s.t,
+           |    sum(gf.gf * 2.0 * (s.sv - r.val) / $m.0) / (SELECT n FROM nn) AS g
+           |  FROM gf$it gf
+           |  JOIN feat$it fe ON fe.user_id = gf.user_id AND fe.k = gf.k
+           |  JOIN sh$pv s ON s.k = gf.k
+           |  JOIN r ON r.user_id = gf.user_id AND r.j = fe.pos + s.t
+           |  GROUP BY 1, 2
+           |), sh$it AS (
+           |  SELECT k, t,
+           |    sv - $lr * (ma / (1 - pow(0.9, $it))) /
+           |      (sqrt(va / (1 - pow(0.999, $it))) + 1e-8) AS sv,
+           |    ma, va
+           |  FROM (
+           |    SELECT s.k, s.t, s.sv,
+           |      0.9 * s.ma + (1 - 0.9) * g.g AS ma,
+           |      0.999 * s.va + (1 - 0.999) * g.g * g.g AS va
+           |    FROM sh$pv s JOIN gs$it g ON g.k = s.k AND g.t = s.t)
+           |), wb$it AS (
+           |  SELECT c, k,
+           |    w - $lr * (ma / (1 - pow(0.9, $it))) /
+           |      (sqrt(va / (1 - pow(0.999, $it))) + 1e-8) AS w,
+           |    ma, va
+           |  FROM (
+           |    SELECT w.c, w.k, w.w,
+           |      0.9 * w.ma + (1 - 0.9) * g.g AS ma,
+           |      0.999 * w.va + (1 - 0.999) * g.g * g.g AS va
+           |    FROM wb$pv w JOIN gw$it g ON g.c = w.c AND g.k = w.k)
+           |), bb$it AS (
+           |  SELECT c,
+           |    bv - $lr * (ma / (1 - pow(0.9, $it))) /
+           |      (sqrt(va / (1 - pow(0.999, $it))) + 1e-8) AS bv,
+           |    ma, va
+           |  FROM (
+           |    SELECT b.c, b.bv,
+           |      0.9 * b.ma + (1 - 0.9) * g.g AS ma,
+           |      0.999 * b.va + (1 - 0.999) * g.g * g.g AS va
+           |    FROM bb$pv b JOIN gb$it g ON g.c = b.c)
+           |)""".stripMargin
+    }
+    sb ++=
+      s"""
+         |, pd AS (
+         |  SELECT a.user_id, s.k, a.j - s.t AS pos,
+         |    sum((a.val - s.sv) * (a.val - s.sv)) AS d2
+         |  FROM r a JOIN sh$iters s ON a.j - s.t BETWEEN 0 AND $maxPos
+         |  GROUP BY 1, 2, 3
+         |), pf AS (
+         |  SELECT user_id, k, d2 / $m.0 AS f FROM (
+         |    SELECT user_id, k, d2,
+         |      row_number() OVER (PARTITION BY user_id, k ORDER BY d2, pos) AS rn
+         |    FROM pd)
+         |  WHERE rn = 1
+         |), pl AS (
+         |  SELECT q.user_id, q.c, q.l + bb.bv AS l
+         |  FROM (
+         |    SELECT f.user_id, w.c, sum(w.w * f.f) AS l
+         |    FROM pf f JOIN wb$iters w ON w.k = f.k
+         |    GROUP BY 1, 2) q
+         |  JOIN bb$iters bb ON bb.c = q.c
+         |)
+         |SELECT l0.user_id AS series_id,
+         |  CASE WHEN l1.l - l0.l > 0 THEN 'true' ELSE 'false' END AS pred,
+         |  round(l1.l - l0.l, 4) + 0.0 AS margin
+         |FROM pl l0 JOIN pl l1 ON l1.user_id = l0.user_id
+         |WHERE l0.c = 0 AND l1.c = 1""".stripMargin
+    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+  }
+
   /** DuckDB oracle for ts_kshape_step — the full shape-extraction update
     * (`kshape.py:118-137`) replayed relationally:
     *   1. assignment: SBD argmin to the znormed-first-k centroids
@@ -2183,6 +2352,7 @@ object SparkEntry {
     "ts_kshape_step" -> kshapeStepOracleSql(32, 4, 60),
     "ts_kshape" -> kshapeTraceSql(32, 4, 8, 60),
     "ts_shapelet_step" -> shapeletStepOracleSql(32, 8, 0.1),
+    "ts_shapelet_classify" -> shapeletTraceSql(32, 8, 0.1, 10),
     "ts_dba_step" -> dbaStepOracleSql(32),
     "ts_dba" -> dbaTraceSql(10, 32),
     "ts_lcss_pairs" -> lcssOracleSql(32, 0.5),

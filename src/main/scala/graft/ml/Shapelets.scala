@@ -289,30 +289,78 @@ object Shapelets {
         .agg(new GradAgg(shapelets, w, b).toColumn).collect().head._2
       val n = math.max(1.0, g(g.length - 1))
       losses += g(g.length - 2) / n
-      // Adam step
-      val t = it + 1
-      val (b1, b2, eps) = (0.9, 0.999, 1e-8)
-      var i = 0
-      while (i < nP) {
-        val grad = g(i) / n
-        mAdam(i) = b1 * mAdam(i) + (1 - b1) * grad
-        vAdam(i) = b2 * vAdam(i) + (1 - b2) * grad * grad
-        val mh = mAdam(i) / (1 - math.pow(b1, t))
-        val vh = vAdam(i) / (1 - math.pow(b2, t))
-        val step = lr * mh / (math.sqrt(vh) + eps)
-        if (i < offs.last) {
-          val k = offs.indices.dropRight(1).find(kk => i < offs(kk + 1)).get
-          shapelets(k)(i - offs(k)) -= step
-        } else if (i < offs.last + nC * kS) {
-          val ci = (i - offs.last) / kS
-          w(ci)((i - offs.last) % kS) -= step
-        } else b(i - offs.last - nC * kS) -= step
-        i += 1
-      }
+      adamStep(g, n, it + 1, lr, mAdam, vAdam, shapelets, w, b, offs)
       it += 1
     }
     data.unpersist()
     RefinedModel(shapelets, w, b, labels, losses.toArray)
+  }
+
+  /** One bias-corrected Adam update (β1=0.9, β2=0.999, ε=1e-8) applied
+    * in place over the flat (shapelets ++ w ++ b) parameter vector. */
+  private def adamStep(g: Array[Double], n: Double, t: Int, lr: Double,
+                       mAdam: Array[Double], vAdam: Array[Double],
+                       shapelets: Array[Array[Double]],
+                       w: Array[Array[Double]], b: Array[Double],
+                       offs: Array[Int]): Unit = {
+    val nC = b.length
+    val kS = shapelets.length
+    val nP = offs.last + nC * kS + nC
+    val (b1, b2, eps) = (0.9, 0.999, 1e-8)
+    var i = 0
+    while (i < nP) {
+      val grad = g(i) / n
+      mAdam(i) = b1 * mAdam(i) + (1 - b1) * grad
+      vAdam(i) = b2 * vAdam(i) + (1 - b2) * grad * grad
+      val mh = mAdam(i) / (1 - math.pow(b1, t))
+      val vh = vAdam(i) / (1 - math.pow(b2, t))
+      val step = lr * mh / (math.sqrt(vh) + eps)
+      if (i < offs.last) {
+        val k = offs.indices.dropRight(1).find(kk => i < offs(kk + 1)).get
+        shapelets(k)(i - offs(k)) -= step
+      } else if (i < offs.last + nC * kS) {
+        val ci = (i - offs.last) / kS
+        w(ci)((i - offs.last) % kS) -= step
+      } else b(i - offs.last - nC * kS) -= step
+      i += 1
+    }
+  }
+
+  /** Fixed-iteration refined-gradient loop from EXPLICIT init — the
+    * oracle-able whole of [[fitRefined]]: `iters` full bias-corrected
+    * Adam steps (not the t=1 degenerate of [[refineStep]]), one GradAgg
+    * distributed pass per step, deterministic given the inputs. The SQL
+    * trace oracle (shapeletTraceSql) replays every step including the
+    * Adam moment state, so the entire classifier fit is
+    * driver-verifiable (ts_shapelet_classify). Returns the final
+    * (shapelets, w, b). */
+  def refineLoop(df: DataFrame, shapelets0: Array[Array[Double]],
+                 w0: Array[Array[Double]], b0: Array[Double], lr: Double,
+                 iters: Int, labels: Array[String])
+      : (Array[Array[Double]], Array[Array[Double]], Array[Double]) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val labelIdx = labels.zipWithIndex.toMap
+    val shapelets = shapelets0.map(_.clone())
+    val w = w0.map(_.clone())
+    val b = b0.clone()
+    val offs = shapelets.map(_.length).scanLeft(0)(_ + _)
+    val nP = offs.last + b.length * shapelets.length + b.length
+    val mAdam = new Array[Double](nP)
+    val vAdam = new Array[Double](nP)
+    val data = df.select(col("values").cast("array<double>"), col("label").cast("string"))
+      .as[(Array[Double], String)]
+      .map { case (v, l) => (v, labelIdx(l)) }
+      .localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val g = data.groupByKey(_ => 0)
+        .agg(new GradAgg(shapelets, w, b).toColumn).collect().head._2
+      val n = math.max(1.0, g(g.length - 1))
+      adamStep(g, n, it + 1, lr, mAdam, vAdam, shapelets, w, b, offs)
+      it += 1
+    }
+    (shapelets, w, b)
   }
 
   /** ONE refined-gradient Adam step from EXPLICIT (shapelets, w, b) —

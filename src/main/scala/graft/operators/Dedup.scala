@@ -203,13 +203,41 @@ object Dedup {
       .agg(minAgg(col("x")).as("sig"))
   }
 
+  /** Bucket-width cap shared by the banded candidate generators: a
+    * degenerate band bucket (boilerplate-heavy corpora can put many
+    * thousands of docs behind one band) goes quadratic in the candidate
+    * self-join — width w costs w² pairs. Buckets wider than `maxBucket`
+    * are dropped BEFORE the join, and never silently: the drop count is
+    * reported on stderr (the same no-silent-caps discipline as the
+    * Jaccard doc-frequency cap). The count pass is a map-side-partial
+    * groupBy and the hot set is broadcast, so the cap itself is
+    * skew-immune. Note a triggered cap is a recall trade: pairs inside
+    * a dropped bucket are only found if they share another band. */
+  private def capBuckets(banded: DataFrame, keyCols: Seq[String],
+                         maxBucket: Int, what: String): DataFrame = {
+    val hot = banded.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucket)
+      .select(keyCols.map(col): _*)
+      .cache()
+    val nHot = hot.count()
+    if (nHot == 0) { hot.unpersist(); banded }
+    else {
+      System.err.println(
+        s"[dedup] $what: dropping $nHot band buckets wider than " +
+          s"$maxBucket docs (a w-wide bucket costs w^2 candidate pairs)")
+      banded.join(broadcast(hot), keyCols, "left_anti")
+    }
+  }
+
   /** LSH banding: docs sharing any band bucket become candidate pairs;
     * candidates are verified against the estimated Jaccard from full
-    * signatures. Returns (doc_a, doc_b, est_jaccard ≥ threshold). */
+    * signatures. Returns (doc_a, doc_b, est_jaccard ≥ threshold).
+    * `maxBucket` bounds any one band bucket's candidate contribution
+    * (see [[capBuckets]]). */
   def minhashLsh(df: DataFrame, threshold: Double = 0.5, numHashes: Int = 64,
                  bands: Int = 16, shingleK: Int = 3, seed: Long = 42L,
                  idCol: String = "doc_id", textCol: String = "text",
-                 portable: Boolean = false): DataFrame = {
+                 portable: Boolean = false, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
     // dedupe=false: per-permutation minima are multiset-invariant, so
     // the per-doc distinct (a full shuffle of every shingle row) is
@@ -222,9 +250,11 @@ object Dedup {
     def bucketOf(b: Int): Column =
       if (portable) slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("string")
       else xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b)).cast("string")
-    val banded = sig.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until bands).map(bucketOf): _*))
-        .as(Seq("band", "bucket")))
+    val banded = capBuckets(
+      sig.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until bands).map(bucketOf): _*))
+          .as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), maxBucket, "minhashLsh")
     val candidates = banded.select(col("band"), col("bucket"), col("doc_id"))
       .alias("a")
       .join(banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b")).alias("b"),
@@ -292,17 +322,22 @@ object Dedup {
 
   /** SimHash near-dup candidates with Hamming distance ≤ maxHamming,
     * banded into 4 keys (16-bit, or 15-bit in portable/60-bit mode) —
-    * pigeonhole-complete for maxHamming ≤ 3. */
+    * pigeonhole-complete for maxHamming ≤ 3 as long as no band bucket
+    * exceeds `maxBucket` (a dropped degenerate bucket trades that
+    * completeness for a bounded join; see [[capBuckets]], which reports
+    * any drop). */
   def simhashPairs(df: DataFrame, maxHamming: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text",
-                   portable: Boolean = false): DataFrame = {
+                   portable: Boolean = false, maxBucket: Int = 1000): DataFrame = {
     val bandBits = if (portable) 15 else 16
     val bandMask = (1L << bandBits) - 1
     val sh = simhash(df, idCol, textCol, portable).cache()
-    val banded = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * bandBits).bitwiseAND(bandMask)): _*))
-        .as(Seq("band", "key")))
+    val banded = capBuckets(
+      sh.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(bandMask)): _*))
+          .as(Seq("band", "key"))),
+      Seq("band", "key"), maxBucket, "simhashPairs")
     val cands = banded.alias("a")
       .join(banded.select(col("band"), col("key"), col("doc_id").as("doc_b"),
         col("simhash").as("simhash_b")).alias("b"), Seq("band", "key"))

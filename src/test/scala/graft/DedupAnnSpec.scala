@@ -54,6 +54,27 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("band-bucket cap bounds degenerate buckets without touching normal corpora") {
+    // 60 identical docs: every band bucket is 60 wide. With maxBucket=10
+    // the candidate join must see none of them (bounded, not quadratic);
+    // uncapped it would yield 60·59/2 pairs per band.
+    val hotDocs = (0L until 60L).map(i =>
+      (i, "the same boilerplate sentence repeated in every document here"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.simhashPairs(hotDocs, maxBucket = 10)
+    assert(capped.count() == 0, "oversized buckets must be dropped, not joined")
+    val cappedLsh = Dedup.minhashLsh(hotDocs, maxBucket = 10)
+    assert(cappedLsh.count() == 0)
+    // the real corpus has no bucket near the default cap: results with
+    // and without the cap are identical (the oracle-compatibility claim)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = Dedup.simhashPairs(docs, portable = true)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val b = Dedup.simhashPairs(docs, portable = true, maxBucket = Int.MaxValue)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(a == b, "default cap must not fire on the test corpus")
+  }
+
   test("exact dedup groups identical texts") {
     val docs = Seq((0L, "aaa bbb"), (1L, "aaa bbb"), (2L, "ccc")).toDF("doc_id", "text")
     val d = Dedup.exact(docs).select("keep_id", "n_copies").as[(Long, Long)].collect().toSet

@@ -866,6 +866,23 @@ object SparkEntry {
     // kernel path (Kernels.TS with d=2) end-to-end against a DuckDB
     // oracle (mvDtwOracleSql: the same DP unrolled as a 16-step CTE
     // chain with local cost summed over both dims).
+    // Variable-length driver signal: adjacent-user DTW with NO resample —
+    // every other ts oracle fixes sz first, so this is the one
+    // CORRECTNESS row where sz1 ≠ sz2 flows through the DP itself
+    // (reference VARIABLE_LENGTH_METRICS contract; VariableLengthSpec
+    // locks the kernels, this locks the driver signal). Unbanded on
+    // purpose: Sakoe-Chiba on ragged pairs is a separate semantics
+    // (band around the resampled diagonal), kept out of the oracle.
+    "ts_dtw_ragged_pairs" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir).localCheckpoint()
+      series.alias("a")
+        .join(series.alias("b"), col("b.series_id") === col("a.series_id") + 1)
+        .select(col("a.series_id").as("user_id"),
+          round(graft.functions.NativeExpressions.dtwNative(
+            col("a.values").cast("array<double>"),
+            col("b.values").cast("array<double>")), 4).as("dtw"))
+    }),
+
     "ts_dtw_mv_pairs" -> ((s, dir) => {
       val sorted = ev(s, dir).groupBy("user_id").agg(
         array_sort(collect_list(struct(col("ts_us"), col("event_id"), col("value")))).as("sv"))
@@ -1306,6 +1323,65 @@ object SparkEntry {
     * DTW between adjacent users unrolled as a `sz`-step DP CTE chain —
     * the same row-by-row recurrence as knnDtwOracleSql with the local
     * cost summed over both dims. */
+  /** DuckDB oracle for ts_dtw_ragged_pairs — unbanded DTW over RAW
+    * adjacent-user event series with NO resample: each pair's own
+    * (sz1, sz2) drives the DP. Row i of the DP is one CTE
+    * (mvDtwOracleSql's running-sum + window-min row recurrence); a pair
+    * shorter than i is simply absent from t{i}, and the final SELECT
+    * picks each pair's (sz1−1, sz2−1) cell via the lens join. `maxSz`
+    * bounds the unroll above the generator's series lengths (n≈45–99);
+    * a longer series would lose its pair from the oracle side and fail
+    * the row-count compare LOUDLY rather than silently truncate. */
+  private def raggedDtwOracleSql(maxSz: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH v AS (
+         |  SELECT user_id, value,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_ns(ts) // 1000, event_id) - 1 AS j
+         |  FROM events
+         |), lens AS (
+         |  SELECT a.user_id AS pr, a.n AS len1, b.n AS len2
+         |  FROM (SELECT user_id, count(*) AS n FROM v GROUP BY 1) a
+         |  JOIN (SELECT user_id, count(*) AS n FROM v GROUP BY 1) b
+         |    ON b.user_id = a.user_id + 1
+         |), loc AS (
+         |  SELECT a.user_id AS pr, a.j AS i, b.j AS j,
+         |    (a.value - b.value) * (a.value - b.value) AS d
+         |  FROM v a JOIN v b ON b.user_id = a.user_id + 1
+         |), t0 AS (
+         |  SELECT pr, j, sum(d) OVER (PARTITION BY pr ORDER BY j) AS cost
+         |  FROM loc WHERE i = 0
+         |)""".stripMargin)
+    for (i <- 1 until maxSz) {
+      sb ++=
+        s"""
+           |, t$i AS (
+           |  SELECT pr, j, cs + mn AS cost FROM (
+           |    SELECT pr, j, cs,
+           |      min(mk - csk) OVER (PARTITION BY pr ORDER BY j) AS mn
+           |    FROM (
+           |      SELECT l.pr, l.j,
+           |        sum(l.d) OVER (PARTITION BY l.pr ORDER BY l.j) AS cs,
+           |        sum(l.d) OVER (PARTITION BY l.pr ORDER BY l.j) - l.d AS csk,
+           |        least(coalesce(pk.cost, 1e308), coalesce(pk1.cost, 1e308)) AS mk
+           |      FROM loc l
+           |      LEFT JOIN t${i - 1} pk ON pk.pr = l.pr AND pk.j = l.j
+           |      LEFT JOIN t${i - 1} pk1 ON pk1.pr = l.pr AND pk1.j = l.j - 1
+           |      WHERE l.i = $i))
+           |)""".stripMargin
+    }
+    sb ++= "\n, ans AS (\n  SELECT pr, 0 AS i, j, cost FROM t0"
+    for (i <- 1 until maxSz)
+      sb ++= s"\n  UNION ALL SELECT pr, $i, j, cost FROM t$i"
+    sb ++=
+      s"""
+         |)
+         |SELECT u.pr AS user_id, round(sqrt(u.cost), 4) AS dtw
+         |FROM ans u JOIN lens ln ON ln.pr = u.pr
+         |WHERE u.i = ln.len1 - 1 AND u.j = ln.len2 - 1""".stripMargin
+    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+  }
+
   private def mvDtwOracleSql(sz: Int): String = {
     val last = sz - 1
     val sb = new StringBuilder(
@@ -2360,6 +2436,7 @@ object SparkEntry {
     "ts_gak_pairs" -> gakOracleSql(16),
     "ts_softdtw_pairs" -> softDtwOracleSql(16),
     "ts_dtw_mv_pairs" -> mvDtwOracleSql(16),
+    "ts_dtw_ragged_pairs" -> raggedDtwOracleSql(128),
     "cdist_dtw_pairs" -> cdistDtwOracleSql(24, 16),
     "ts_kmeans" -> kmeansTraceSql(10),
     "ts_early_classify" -> earlyClassifyOracleSql,

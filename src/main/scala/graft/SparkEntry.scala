@@ -866,6 +866,25 @@ object SparkEntry {
     // kernel path (Kernels.TS with d=2) end-to-end against a DuckDB
     // oracle (mvDtwOracleSql: the same DP unrolled as a 16-step CTE
     // chain with local cost summed over both dims).
+    // Univariate CTW driver signal: on d=1 each CCA round degenerates to
+    // a closed form (the 1×1 eigenvector is ±1, a DTW-invariant common
+    // sign), so the CCA-project→DTW alternation is relationally
+    // replayable — EXACTLY 3 fixed rounds (Advanced.ctwPathFixed), the
+    // path backtracked per round with the dbaTraceSql recursive-CTE
+    // machinery. Closes the one metric (ctw) that kept
+    // cdist_metrics_sample rows-only.
+    "ts_ctw_pairs" -> ((s, dir) => {
+      val z = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(16)).as("values"))
+        .localCheckpoint()
+      z.alias("a")
+        .join(z.alias("b"), col("b.series_id") === col("a.series_id") + 1)
+        .select(col("a.series_id").as("user_id"),
+          (round(TsFunctions.ctwFixedUdf(
+            col("a.values"), col("b.values"), lit(3)), 4) + lit(0.0)).as("ctw"))
+    }),
+
     // Variable-length driver signal: adjacent-user DTW with NO resample —
     // every other ts oracle fixes sz first, so this is the one
     // CORRECTNESS row where sz1 ≠ sz2 flows through the DP itself
@@ -1323,6 +1342,108 @@ object SparkEntry {
     * DTW between adjacent users unrolled as a `sz`-step DP CTE chain —
     * the same row-by-row recurrence as knnDtwOracleSql with the local
     * cost summed over both dims. */
+  /** DuckDB oracle for ts_ctw_pairs — `rounds` fixed univariate CTW
+    * updates (Advanced.ctwPathFixed) replayed relationally. Per round k:
+    * DTW cost matrix over the round's projected pair (dbaTraceSql's
+    * row-chain DP), recursive-CTE backtrack (diag-first tie-break),
+    * then the d=1 CCA closed form over the path-aligned ORIGINAL rows —
+    * px = (x − μx)/σx, py = sign(cov)·(y − μy)/σy with sample σ
+    * (breeze stddev is ddof=1) and population cov (only its sign
+    * matters; the 1×1 eigenvector's ±1 is a common factor of both
+    * projections and cancels in DTW). Output: the final round's DTW
+    * score per adjacent pair. */
+  private def ctwTraceSql(sz: Int, rounds: Int): String = {
+    val last = sz - 1
+    val sb = new StringBuilder(
+      evCte.replaceFirst("WITH ", "WITH RECURSIVE ") + resampleZnormCte(sz))
+    sb ++=
+      """
+        |, px0 AS (
+        |  SELECT user_id AS pr, j AS t, val AS p FROM r
+        |), py0 AS (
+        |  SELECT user_id - 1 AS pr, j AS t, val AS p FROM r
+        |)""".stripMargin
+    for (k <- 0 to rounds) {
+      sb ++=
+        s"""
+           |, locC$k AS (
+           |  SELECT a.pr, a.t AS i, b.t AS j, (a.p - b.p) * (a.p - b.p) AS d
+           |  FROM px$k a JOIN py$k b ON b.pr = a.pr
+           |), c${k}x0 AS (
+           |  SELECT pr, j, sum(d) OVER (PARTITION BY pr ORDER BY j) AS cost
+           |  FROM locC$k WHERE i = 0
+           |)""".stripMargin
+      for (i <- 1 until sz) {
+        sb ++=
+          s"""
+             |, c${k}x$i AS (
+             |  SELECT pr, j, cs + mn AS cost FROM (
+             |    SELECT pr, j, cs,
+             |      min(mk - csk) OVER (PARTITION BY pr ORDER BY j) AS mn
+             |    FROM (
+             |      SELECT l.pr, l.j,
+             |        sum(l.d) OVER (PARTITION BY l.pr ORDER BY l.j) AS cs,
+             |        sum(l.d) OVER (PARTITION BY l.pr ORDER BY l.j) - l.d AS csk,
+             |        least(coalesce(pk.cost, 1e308), coalesce(pk1.cost, 1e308)) AS mk
+             |      FROM locC$k l
+             |      LEFT JOIN c${k}x${i - 1} pk ON pk.pr = l.pr AND pk.j = l.j
+             |      LEFT JOIN c${k}x${i - 1} pk1 ON pk1.pr = l.pr AND pk1.j = l.j - 1
+             |      WHERE l.i = $i))
+             |)""".stripMargin
+      }
+      sb ++= s"\n, cumc$k AS (\n" +
+        (0 until sz).map(i => s"  SELECT pr, $i AS i, j, cost FROM c${k}x$i")
+          .mkString("", "\n  UNION ALL\n", "\n)")
+      if (k < rounds) {
+        sb ++=
+          s"""
+             |, pathc$k AS (
+             |  SELECT pr, $last AS i, $last AS j FROM (SELECT DISTINCT pr FROM locC$k)
+             |  UNION ALL
+             |  SELECT p.pr,
+             |    CASE WHEN p.i = 0 THEN 0
+             |         WHEN p.j = 0 THEN p.i - 1
+             |         WHEN cd.cost <= cu.cost AND cd.cost <= cl.cost THEN p.i - 1
+             |         WHEN cu.cost <= cl.cost THEN p.i - 1
+             |         ELSE p.i END AS i,
+             |    CASE WHEN p.i = 0 THEN p.j - 1
+             |         WHEN p.j = 0 THEN p.j
+             |         WHEN cd.cost <= cu.cost AND cd.cost <= cl.cost THEN p.j - 1
+             |         WHEN cu.cost <= cl.cost THEN p.j
+             |         ELSE p.j - 1 END AS j
+             |  FROM pathc$k p
+             |  LEFT JOIN cumc$k cd ON cd.pr = p.pr AND cd.i = p.i - 1 AND cd.j = p.j - 1
+             |  LEFT JOIN cumc$k cu ON cu.pr = p.pr AND cu.i = p.i - 1 AND cu.j = p.j
+             |  LEFT JOIN cumc$k cl ON cl.pr = p.pr AND cl.i = p.i AND cl.j = p.j - 1
+             |  WHERE p.i > 0 OR p.j > 0
+             |), st$k AS (
+             |  SELECT pa.pr,
+             |    avg(x.p) AS mux, stddev_samp(x.p) AS sdx,
+             |    avg(y.p) AS muy, stddev_samp(y.p) AS sdy,
+             |    covar_pop(x.p, y.p) AS cv
+             |  FROM pathc$k pa
+             |  JOIN px0 x ON x.pr = pa.pr AND x.t = pa.i
+             |  JOIN py0 y ON y.pr = pa.pr AND y.t = pa.j
+             |  GROUP BY 1
+             |), px${k + 1} AS (
+             |  SELECT x.pr, x.t, (x.p - s.mux) / s.sdx AS p
+             |  FROM px0 x JOIN st$k s ON s.pr = x.pr
+             |), py${k + 1} AS (
+             |  SELECT y.pr, y.t,
+             |    (CASE WHEN s.cv < 0 THEN -1.0 WHEN s.cv > 0 THEN 1.0 ELSE 0.0 END)
+             |      * (y.p - s.muy) / s.sdy AS p
+             |  FROM py0 y JOIN st$k s ON s.pr = y.pr
+             |)""".stripMargin
+      }
+    }
+    sb ++=
+      s"""
+         |SELECT pr AS user_id, round(sqrt(cost), 4) + 0.0 AS ctw
+         |FROM cumc$rounds WHERE i = $last AND j = $last""".stripMargin
+    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+      .replaceAll(", (pathc\\d+) AS MATERIALIZED \\(", ", $1 AS (")
+  }
+
   /** DuckDB oracle for ts_dtw_ragged_pairs — unbanded DTW over RAW
     * adjacent-user event series with NO resample: each pair's own
     * (sz1, sz2) drives the DP. Row i of the DP is one CTE
@@ -2437,6 +2558,7 @@ object SparkEntry {
     "ts_softdtw_pairs" -> softDtwOracleSql(16),
     "ts_dtw_mv_pairs" -> mvDtwOracleSql(16),
     "ts_dtw_ragged_pairs" -> raggedDtwOracleSql(128),
+    "ts_ctw_pairs" -> ctwTraceSql(16, 3),
     "cdist_dtw_pairs" -> cdistDtwOracleSql(24, 16),
     "ts_kmeans" -> kmeansTraceSql(10),
     "ts_early_classify" -> earlyClassifyOracleSql,

@@ -88,6 +88,8 @@ object TsFunctions {
     })
   val ctwUdf: UserDefinedFunction =
     udf((a: S, b: S) => Advanced.ctw(uniTs(a), uniTs(b)))
+  val ctwFixedUdf: UserDefinedFunction =
+    udf((a: S, b: S, rounds: Int) => Advanced.ctwFixed(uniTs(a), uniTs(b), rounds))
   val softDtwAlignmentValueUdf: UserDefinedFunction =
     udf((a: S, b: S, gamma: Double) => {
       val (e, v) = Kernels.softDtwAlignment(uniTs(a), uniTs(b), gamma)

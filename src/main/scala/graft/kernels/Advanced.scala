@@ -270,4 +270,34 @@ object Advanced {
   }
 
   def ctw(s1: TS, s2: TS, maxIter: Int = 100): Double = ctwPath(s1, s2, maxIter)._2
+
+  /** Fixed-round CTW: EXACTLY `rounds` CCA-project + DTW updates after
+    * the initial raw-space DTW, with NO convergence break. Post-fixpoint
+    * rounds are no-ops (the projection depends only on the path), so
+    * this equals [[ctwPath]] whenever the fixpoint is reached within
+    * `rounds`; the fixed count is what makes an external SQL replay
+    * possible (ts_ctw_pairs). On UNIVARIATE input the per-round CCA has
+    * a closed form the oracle mirrors: the 1×1 eigenvector is ±1 and
+    * its sign is a common factor of both projections (DTW-invariant),
+    * so px = (x − μx)/σx and py = sign(cov(x,y))·(y − μy)/σy with
+    * μ/σ(sample)/cov taken over the path-aligned rows. */
+  def ctwPathFixed(s1: TS, s2: TS, rounds: Int): (Array[(Int, Int)], Double) = {
+    val nc = math.min(s1(0).length, s2(0).length)
+    def truncate(s: TS): TS = s.map(_.take(nc))
+    var (path, score) = Kernels.dtwPath(truncate(s1), truncate(s2))
+    var it = 0
+    while (it < rounds) {
+      val ax = path.map { case (i, _) => s1(i) }
+      val ay = path.map { case (_, j) => s2(j) }
+      val (cx, cy) = ccaFit(ax, ay, nc)
+      val (np, ns) = Kernels.dtwPath(cx.project(s1), cy.project(s2))
+      path = np
+      score = ns
+      it += 1
+    }
+    (path, score)
+  }
+
+  def ctwFixed(s1: TS, s2: TS, rounds: Int): Double =
+    ctwPathFixed(s1, s2, rounds)._2
 }

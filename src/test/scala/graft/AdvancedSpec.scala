@@ -47,6 +47,19 @@ class AdvancedSpec extends AnyFunSuite {
     assert(dist >= 0.0 && java.lang.Double.isFinite(dist))
   }
 
+  test("ctwFixed: extra rounds past the fixpoint are no-ops") {
+    // the projection depends only on the path, so once the path repeats
+    // every further round is identical — the property the ts_ctw_pairs
+    // fixed-round oracle rests on
+    val a = uni((0 until 24).map(i => math.sin(i * 0.3)): _*)
+    val b = uni((0 until 24).map(i => math.cos(i * 0.25) + 0.05 * (i % 5)): _*)
+    val d6 = Advanced.ctwFixed(a, b, 6)
+    val d7 = Advanced.ctwFixed(a, b, 7)
+    val d12 = Advanced.ctwFixed(a, b, 12)
+    assert(d6 == d7 && d7 == d12,
+      s"rounds 6/7/12 disagree: $d6 / $d7 / $d12 — path not at fixpoint")
+  }
+
   test("ctw aligns different-dimension series") {
     val s1 = uni(1, 2, 3)
     val s2 = Array(Array(1.0, 1.0), Array(2.0, 2.0), Array(2.0, 2.0), Array(3.0, 3.0))

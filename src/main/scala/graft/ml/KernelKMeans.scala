@@ -21,10 +21,27 @@ class KernelKMeans(val k: Int, val maxIter: Int = 10, val tol: Double = 1e-6,
 
   /** New-point assignment: kernel-trick distance to each fitted cluster
     * using the stored training series/labels (`kmeans.py:407-457`
-    * predict). `term3` is the fit-time within-cluster constant. */
+    * predict). `term3` is the fit-time within-cluster constant.
+    *
+    * CEILING: kernel-trick predict is inherently O(n_train) GAK kernels
+    * PER PROBE ROW against the broadcast training set — the reference
+    * has the same shape, and unlike kNN there is no index to prune with
+    * (every train row contributes to its cluster's mean kernel). The
+    * broadcast is n_train·sz doubles and each probe costs n_train·sz²
+    * kernel work, so `maxTrainRows` guards the two ways this blows up
+    * at scale (driver/executor OOM on the broadcast; per-row walls in
+    * minutes). Past the guard the right tool is a parametric model —
+    * TimeSeriesSVC.fitNystrom's landmark feature map is the documented
+    * escape hatch (m landmarks instead of n_train). */
   case class Model(assignments: Array[(Long, Array[Double], Int)],
                    term3: Map[Int, Double], inertia: Double) extends Serializable {
-    def predict(df: DataFrame): DataFrame = {
+    def predict(df: DataFrame, maxTrainRows: Int = 100000): DataFrame = {
+      require(assignments.length <= maxTrainRows,
+        s"KernelKMeans.predict carries the FULL ${assignments.length}-row " +
+          s"training set into every task and runs O(n_train) GAK kernels per " +
+          s"probe row (> maxTrainRows=$maxTrainRows). Subsample the training " +
+          s"set, or switch to a landmark/Nystrom model " +
+          s"(TimeSeriesSVC.fitNystrom) for predict at this scale.")
       val spark = df.sparkSession
       val s = sigma
       val t3 = term3

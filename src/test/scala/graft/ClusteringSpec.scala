@@ -99,6 +99,20 @@ class ClusteringSpec extends AnyFunSuite {
     assert(cs.forall(c => c >= 0 && c < 2))
   }
 
+  test("kernel kmeans predict refuses a training set past the broadcast guard") {
+    val df = blobs(nPerBlob = 6, sz = 16)
+    val model = new KernelKMeans(k = 2, maxIter = 3, sigma = 1.0, seed = 7)
+      .fitModel(df)
+    // the guard is the documented O(n_train)-per-probe ceiling: predict
+    // must fail loudly, not OOM the broadcast at 100x train scale
+    val e = intercept[IllegalArgumentException] {
+      model.predict(df, maxTrainRows = 5)
+    }
+    assert(e.getMessage.contains("maxTrainRows"))
+    // and under the guard it still answers
+    assert(model.predict(df).count() == 12)
+  }
+
   test("silhouette: separated blobs score high") {
     import graft.operators.Cdist
     import graft.functions.TsFunctions

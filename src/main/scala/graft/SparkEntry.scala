@@ -989,14 +989,23 @@ object SparkEntry {
         .select(col("left_id"), col("right_id"), round(col("dist"), 4).as("dtw"))
     }),
 
+    // The 6-metric sampler, fully oracle-backed since round 6: the ctw
+    // column moved from the fixpoint ctw to the SQL-replayable
+    // 3-round Advanced.ctwFixed (equal at the fixpoint, AdvancedSpec),
+    // which let metricsSampleOracleSql replay ALL six metrics — the
+    // last rows-only query.
     "cdist_metrics_sample" -> ((s, dir) => {
       TsFunctions.register(s)
       val series = TSModel.eventsToSeries(s, dir)
         .where(col("series_id") < 20)
         // fixed length for the equal-size metrics (SBD); DTW/GAK/LCSS
-        // accept ragged input but share the resampled view here
+        // accept ragged input but share the resampled view here. sz=16:
+        // the log-space sum-product row solve (GAK/soft-DTW oracles)
+        // spans ~36·sz nats of dynamic range per row — 16 keeps it
+        // inside double range (the same bound that sized ts_gak_pairs/
+        // ts_softdtw_pairs), 48 underflows the running exp-sum.
         .select(col("series_id"),
-          TsFunctions.resampleZnormUdf(col("values"), lit(48)).as("values"))
+          TsFunctions.resampleZnormUdf(col("values"), lit(16)).as("values"))
       val pairs = Cdist.selfCross(series, (a, b) => TsFunctions.dtwUdf(a, b),
         computeDiagonal = false)
         .where(col("left_id") < col("right_id"))
@@ -1005,12 +1014,12 @@ object SparkEntry {
         .join(series.select(col("series_id").as("right_id"), col("values").as("rv")), "right_id")
       withSeries.select(
         col("left_id"), col("right_id"),
-        round(col("dist"), 4).as("dtw"),
-        round(TsFunctions.softDtwUdf(col("lv"), col("rv"), lit(1.0)), 4).as("softdtw"),
-        round(TsFunctions.gakUdf(col("lv"), col("rv"), lit(1.0)), 4).as("gak"),
-        round(TsFunctions.lcssUdf(col("lv"), col("rv"), lit(0.5)), 4).as("lcss"),
-        round(TsFunctions.sbdUdf(col("lv"), col("rv")), 4).as("sbd"),
-        round(TsFunctions.ctwUdf(col("lv"), col("rv")), 4).as("ctw"))
+        (round(col("dist"), 4) + lit(0.0)).as("dtw"),
+        (round(TsFunctions.softDtwUdf(col("lv"), col("rv"), lit(1.0)), 4) + lit(0.0)).as("softdtw"),
+        (round(TsFunctions.gakUdf(col("lv"), col("rv"), lit(1.0)), 4) + lit(0.0)).as("gak"),
+        (round(TsFunctions.lcssUdf(col("lv"), col("rv"), lit(0.5)), 4) + lit(0.0)).as("lcss"),
+        (round(TsFunctions.sbdUdf(col("lv"), col("rv")), 4) + lit(0.0)).as("sbd"),
+        (round(TsFunctions.ctwFixedUdf(col("lv"), col("rv"), lit(3)), 4) + lit(0.0)).as("ctw"))
     })
   )
 
@@ -1442,6 +1451,285 @@ object SparkEntry {
          |FROM cumc$rounds WHERE i = $last AND j = $last""".stripMargin
     sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
       .replaceAll(", (pathc\\d+) AS MATERIALIZED \\(", ", $1 AS (")
+  }
+
+  /** DuckDB oracle for cdist_metrics_sample — ALL six metrics over the
+    * all-pairs (pr < cd, user_id < maxId) sample, replayed with the
+    * same machinery the per-metric oracles use, keyed (pr, cd):
+    * hard-min DTW row chain (cdistDtwOracleSql), log-space sum-product
+    * chains for GAK (with self-pairs for normalization) and soft-DTW
+    * (sumProdChainSql's closed-form row solve), the LCSS running-max
+    * chain, SBD direct correlation, and the fixed-round univariate CTW
+    * trace (ctwTraceSql's closed-form CCA + recursive backtrack, with
+    * round 0 reusing the DTW chain's accumulated matrix). */
+  private def metricsSampleOracleSql(sz: Int, maxId: Int, ctwRounds: Int,
+                                     eps: Double): String = {
+    val last = sz - 1
+    val neg = "-1.0e300"
+    val sb = new StringBuilder(
+      evCte.replaceFirst("WITH ", "WITH RECURSIVE ") + resampleZnormCte(sz))
+    sb ++=
+      s"""
+         |, rs AS (
+         |  SELECT user_id, j, val FROM r WHERE user_id < $maxId
+         |), prs AS (
+         |  SELECT a.user_id AS pr, b.user_id AS cd
+         |  FROM (SELECT DISTINCT user_id FROM rs) a
+         |  JOIN (SELECT DISTINCT user_id FROM rs) b ON b.user_id > a.user_id
+         |)""".stripMargin
+
+    // hard-min DTW row chain over `locName` (pr, cd, i, j, d) → ${p}cum
+    def dtwChain(p: String, locName: String): Unit = {
+      sb ++=
+        s"""
+           |, ${p}x0 AS (
+           |  SELECT pr, cd, j, sum(d) OVER (PARTITION BY pr, cd ORDER BY j) AS cost
+           |  FROM $locName WHERE i = 0
+           |)""".stripMargin
+      for (i <- 1 until sz) {
+        sb ++=
+          s"""
+             |, ${p}x$i AS (
+             |  SELECT pr, cd, j, cs + mn AS cost FROM (
+             |    SELECT pr, cd, j, cs,
+             |      min(mk - csk) OVER (PARTITION BY pr, cd ORDER BY j) AS mn
+             |    FROM (
+             |      SELECT l.pr, l.cd, l.j,
+             |        sum(l.d) OVER (PARTITION BY l.pr, l.cd ORDER BY l.j) AS cs,
+             |        sum(l.d) OVER (PARTITION BY l.pr, l.cd ORDER BY l.j) - l.d AS csk,
+             |        least(coalesce(pk.cost, 1e308), coalesce(pk1.cost, 1e308)) AS mk
+             |      FROM $locName l
+             |      LEFT JOIN ${p}x${i - 1} pk
+             |        ON pk.pr = l.pr AND pk.cd = l.cd AND pk.j = l.j
+             |      LEFT JOIN ${p}x${i - 1} pk1
+             |        ON pk1.pr = l.pr AND pk1.cd = l.cd AND pk1.j = l.j - 1
+             |      WHERE l.i = $i))
+             |)""".stripMargin
+      }
+      sb ++= s"\n, ${p}cum AS (\n" +
+        (0 until sz).map(i => s"  SELECT pr, cd, $i AS i, j, cost FROM ${p}x$i")
+          .mkString("", "\n  UNION ALL\n", "\n)")
+    }
+
+    // diag-first backtrack of ${cum} → $pathName (recursive, never
+    // materialized)
+    def backtrack(pathName: String, cum: String, loc: String): Unit = {
+      sb ++=
+        s"""
+           |, $pathName AS (
+           |  SELECT pr, cd, $last AS i, $last AS j
+           |  FROM (SELECT DISTINCT pr, cd FROM $loc)
+           |  UNION ALL
+           |  SELECT p.pr, p.cd,
+           |    CASE WHEN p.i = 0 THEN 0
+           |         WHEN p.j = 0 THEN p.i - 1
+           |         WHEN cd2.cost <= cu.cost AND cd2.cost <= cl.cost THEN p.i - 1
+           |         WHEN cu.cost <= cl.cost THEN p.i - 1
+           |         ELSE p.i END AS i,
+           |    CASE WHEN p.i = 0 THEN p.j - 1
+           |         WHEN p.j = 0 THEN p.j
+           |         WHEN cd2.cost <= cu.cost AND cd2.cost <= cl.cost THEN p.j - 1
+           |         WHEN cu.cost <= cl.cost THEN p.j
+           |         ELSE p.j - 1 END AS j
+           |  FROM $pathName p
+           |  LEFT JOIN $cum cd2 ON cd2.pr = p.pr AND cd2.cd = p.cd
+           |    AND cd2.i = p.i - 1 AND cd2.j = p.j - 1
+           |  LEFT JOIN $cum cu ON cu.pr = p.pr AND cu.cd = p.cd
+           |    AND cu.i = p.i - 1 AND cu.j = p.j
+           |  LEFT JOIN $cum cl ON cl.pr = p.pr AND cl.cd = p.cd
+           |    AND cl.i = p.i AND cl.j = p.j - 1
+           |  WHERE p.i > 0 OR p.j > 0
+           |)""".stripMargin
+    }
+
+    // log-space sum-product chain (GAK / soft-DTW) over loc (pr,cd,i,j,lg).
+    // Unlike sumProdChainSql's sz=16 instantiations, sz=48 rows span a
+    // dynamic range past double underflow: the cumulative exp-sum can hit
+    // exactly 0 for cells > ~745 nats below the row max — greatest(se,
+    // 1e-308) keeps ln finite; a cell that far down is dead weight at
+    // round(4) either way.
+    def sumProdChain(p: String, locName: String): Unit = {
+      sb ++=
+        s"""
+           |, ${p}x0 AS (
+           |  SELECT pr, cd, j, sum(lg) OVER (PARTITION BY pr, cd ORDER BY j) AS lw
+           |  FROM $locName WHERE i = 0
+           |)""".stripMargin
+      for (i <- 1 until sz) {
+        sb ++=
+          s"""
+             |, ${p}x$i AS (
+             |  SELECT pr, cd, j, lk + mx + ln(greatest(se, 1e-308)) AS lw FROM (
+             |    SELECT pr, cd, j, lk, mx,
+             |      sum(exp(lpk - mx)) OVER (PARTITION BY pr, cd ORDER BY j) AS se
+             |    FROM (
+             |      SELECT pr, cd, j, lk, lpk,
+             |        max(lpk) OVER (PARTITION BY pr, cd) AS mx
+             |      FROM (
+             |        SELECT l.pr, l.cd, l.j,
+             |          sum(l.lg) OVER (PARTITION BY l.pr, l.cd ORDER BY l.j) AS lk,
+             |          greatest(coalesce(pk.lw, $neg), coalesce(pk1.lw, $neg))
+             |            + ln(1.0 + exp(least(coalesce(pk.lw, $neg), coalesce(pk1.lw, $neg))
+             |                - greatest(coalesce(pk.lw, $neg), coalesce(pk1.lw, $neg))))
+             |            - (sum(l.lg) OVER (PARTITION BY l.pr, l.cd ORDER BY l.j) - l.lg) AS lpk
+             |        FROM $locName l
+             |        LEFT JOIN ${p}x${i - 1} pk
+             |          ON pk.pr = l.pr AND pk.cd = l.cd AND pk.j = l.j
+             |        LEFT JOIN ${p}x${i - 1} pk1
+             |          ON pk1.pr = l.pr AND pk1.cd = l.cd AND pk1.j = l.j - 1
+             |        WHERE l.i = $i)))
+             |)""".stripMargin
+      }
+    }
+
+    // ---- DTW (shared with CTW round 0)
+    sb ++=
+      """
+        |, locd AS (
+        |  SELECT p.pr, p.cd, a.j AS i, b.j AS j,
+        |    (a.val - b.val) * (a.val - b.val) AS d
+        |  FROM prs p
+        |  JOIN rs a ON a.user_id = p.pr
+        |  JOIN rs b ON b.user_id = p.cd
+        |)""".stripMargin
+    dtwChain("d", "locd")
+
+    // ---- soft-DTW (γ=1)
+    sb ++=
+      """
+        |, locs AS (
+        |  SELECT pr, cd, i, j, -d AS lg FROM locd
+        |)""".stripMargin
+    sumProdChain("s", "locs")
+
+    // ---- GAK (σ=1; self-pairs for the normalization)
+    sb ++=
+      s"""
+         |, gprs AS (
+         |  SELECT user_id AS pr, user_id AS cd FROM (SELECT DISTINCT user_id FROM rs)
+         |  UNION ALL
+         |  SELECT pr, cd FROM prs
+         |), locg AS (
+         |  SELECT p.pr, p.cd, a.j AS i, b.j AS j,
+         |    -(a.val - b.val) * (a.val - b.val) / 2.0
+         |      - ln(2.0 - exp(-(a.val - b.val) * (a.val - b.val) / 2.0)) AS lg
+         |  FROM gprs p
+         |  JOIN rs a ON a.user_id = p.pr
+         |  JOIN rs b ON b.user_id = p.cd
+         |)""".stripMargin
+    sumProdChain("g", "locg")
+
+    // ---- LCSS (running-max row chain)
+    sb ++=
+      s"""
+         |, locl AS (
+         |  SELECT pr, cd, i, j,
+         |    CASE WHEN sqrt(d) <= $eps THEN 1 ELSE 0 END AS m
+         |  FROM locd
+         |), lx0 AS (
+         |  SELECT pr, cd, j, max(m) OVER (PARTITION BY pr, cd ORDER BY j) AS len
+         |  FROM locl WHERE i = 0
+         |)""".stripMargin
+    for (i <- 1 until sz) {
+      sb ++=
+        s"""
+           |, lx$i AS (
+           |  SELECT pr, cd, j, max(c) OVER (PARTITION BY pr, cd ORDER BY j) AS len
+           |  FROM (
+           |    SELECT l.pr, l.cd, l.j,
+           |      CASE WHEN l.m = 1 THEN coalesce(pk1.len, 0) + 1
+           |           ELSE coalesce(pk.len, 0) END AS c
+           |    FROM locl l
+           |    LEFT JOIN lx${i - 1} pk
+           |      ON pk.pr = l.pr AND pk.cd = l.cd AND pk.j = l.j
+           |    LEFT JOIN lx${i - 1} pk1
+           |      ON pk1.pr = l.pr AND pk1.cd = l.cd AND pk1.j = l.j - 1
+           |    WHERE l.i = $i)
+           |)""".stripMargin
+    }
+
+    // ---- SBD (direct correlation over all pair shifts)
+    sb ++=
+      """
+        |, nrm AS (
+        |  SELECT user_id, sqrt(sum(val * val)) AS nrm FROM rs GROUP BY 1
+        |), ccx AS (
+        |  SELECT p.pr, p.cd, a.j - b.j AS sft, sum(a.val * b.val) AS corr
+        |  FROM prs p
+        |  JOIN rs a ON a.user_id = p.pr
+        |  JOIN rs b ON b.user_id = p.cd
+        |  GROUP BY 1, 2, 3
+        |), sbdf AS (
+        |  SELECT c.pr, c.cd,
+        |    1.0 - max(c.corr /
+        |      (CASE WHEN na.nrm * nb.nrm = 0 THEN 1.0 ELSE na.nrm * nb.nrm END)) AS sbd
+        |  FROM ccx c
+        |  JOIN nrm na ON na.user_id = c.pr
+        |  JOIN nrm nb ON nb.user_id = c.cd
+        |  GROUP BY 1, 2
+        |)""".stripMargin
+
+    // ---- CTW: round 0 reuses dcum; per round the d=1 CCA closed form
+    sb ++=
+      """
+        |, cx0 AS (
+        |  SELECT p.pr, p.cd, a.j AS t, a.val AS p FROM prs p
+        |  JOIN rs a ON a.user_id = p.pr
+        |), cy0 AS (
+        |  SELECT p.pr, p.cd, b.j AS t, b.val AS p FROM prs p
+        |  JOIN rs b ON b.user_id = p.cd
+        |)""".stripMargin
+    for (k <- 0 until ctwRounds) {
+      val cum = if (k == 0) "dcum" else s"c${k}cum"
+      val loc = if (k == 0) "locd" else s"locc$k"
+      backtrack(s"cpath$k", cum, loc)
+      sb ++=
+        s"""
+           |, cst$k AS (
+           |  SELECT pa.pr, pa.cd,
+           |    avg(x.p) AS mux, stddev_samp(x.p) AS sdx,
+           |    avg(y.p) AS muy, stddev_samp(y.p) AS sdy,
+           |    covar_pop(x.p, y.p) AS cv
+           |  FROM cpath$k pa
+           |  JOIN cx0 x ON x.pr = pa.pr AND x.cd = pa.cd AND x.t = pa.i
+           |  JOIN cy0 y ON y.pr = pa.pr AND y.cd = pa.cd AND y.t = pa.j
+           |  GROUP BY 1, 2
+           |), cx${k + 1} AS (
+           |  SELECT x.pr, x.cd, x.t, (x.p - s.mux) / s.sdx AS p
+           |  FROM cx0 x JOIN cst$k s ON s.pr = x.pr AND s.cd = x.cd
+           |), cy${k + 1} AS (
+           |  SELECT y.pr, y.cd, y.t,
+           |    (CASE WHEN s.cv < 0 THEN -1.0 WHEN s.cv > 0 THEN 1.0 ELSE 0.0 END)
+           |      * (y.p - s.muy) / s.sdy AS p
+           |  FROM cy0 y JOIN cst$k s ON s.pr = y.pr AND s.cd = y.cd
+           |), locc${k + 1} AS (
+           |  SELECT a.pr, a.cd, a.t AS i, b.t AS j, (a.p - b.p) * (a.p - b.p) AS d
+           |  FROM cx${k + 1} a
+           |  JOIN cy${k + 1} b ON b.pr = a.pr AND b.cd = a.cd
+           |)""".stripMargin
+      dtwChain(s"c${k + 1}", s"locc${k + 1}")
+    }
+
+    sb ++=
+      s"""
+         |SELECT dd.pr AS left_id, dd.cd AS right_id,
+         |  round(sqrt(dd.cost), 4) + 0.0 AS dtw,
+         |  round(-1.0 * ss.lw, 4) + 0.0 AS softdtw,
+         |  round(exp(gab.lw - 0.5 * (gaa.lw + gbb.lw)), 4) + 0.0 AS gak,
+         |  round(CAST(ll.len AS DOUBLE) / $sz, 4) + 0.0 AS lcss,
+         |  round(sbdf.sbd, 4) + 0.0 AS sbd,
+         |  round(sqrt(cc.cost), 4) + 0.0 AS ctw
+         |FROM dx$last dd
+         |JOIN sx$last ss ON ss.pr = dd.pr AND ss.cd = dd.cd AND ss.j = $last
+         |JOIN gx$last gab ON gab.pr = dd.pr AND gab.cd = dd.cd AND gab.j = $last
+         |JOIN gx$last gaa ON gaa.pr = dd.pr AND gaa.cd = dd.pr AND gaa.j = $last
+         |JOIN gx$last gbb ON gbb.pr = dd.cd AND gbb.cd = dd.cd AND gbb.j = $last
+         |JOIN lx$last ll ON ll.pr = dd.pr AND ll.cd = dd.cd AND ll.j = $last
+         |JOIN sbdf ON sbdf.pr = dd.pr AND sbdf.cd = dd.cd
+         |JOIN c${ctwRounds}x$last cc ON cc.pr = dd.pr AND cc.cd = dd.cd AND cc.j = $last
+         |WHERE dd.j = $last""".stripMargin
+    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+      .replaceAll(", (cpath\\d+) AS MATERIALIZED \\(", ", $1 AS (")
   }
 
   /** DuckDB oracle for ts_dtw_ragged_pairs — unbanded DTW over RAW
@@ -2559,6 +2847,7 @@ object SparkEntry {
     "ts_dtw_mv_pairs" -> mvDtwOracleSql(16),
     "ts_dtw_ragged_pairs" -> raggedDtwOracleSql(128),
     "ts_ctw_pairs" -> ctwTraceSql(16, 3),
+    "cdist_metrics_sample" -> metricsSampleOracleSql(16, 20, 3, 0.5),
     "cdist_dtw_pairs" -> cdistDtwOracleSql(24, 16),
     "ts_kmeans" -> kmeansTraceSql(10),
     "ts_early_classify" -> earlyClassifyOracleSql,

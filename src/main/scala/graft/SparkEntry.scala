@@ -835,10 +835,13 @@ object SparkEntry {
       val labels = ev(s, dir).groupBy(col("user_id").as("series_id"))
         .agg((sum(when(col("event_type") === "purchase", 1).otherwise(0)) > 5)
           .cast("string").as("label"))
+      // localCheckpoint, not cache: fit + predict both consume it, but a
+      // query-scope cache is never unpersisted and pins blocks for the
+      // rest of a 63-query Bench session
       val series = TSModel.eventsToSeries(s, dir)
         .select(col("series_id"),
           TsFunctions.resampleZnormUdf(col("values"), lit(32)).as("values"))
-        .join(labels, "series_id").cache()
+        .join(labels, "series_id").localCheckpoint()
       val model = new graft.ml.EarlyClassifier(tGrid = Seq(8, 16, 32), lambdaCost = 0.005)
         .fit(series)
       model.predict(series)
@@ -853,7 +856,7 @@ object SparkEntry {
       val series = TSModel.eventsToSeries(s, dir)
         .select(col("series_id"),
           TsFunctions.resampleZnormUdf(col("values"), lit(32)).as("values"))
-        .cache()
+        .localCheckpoint() // both kNN sides; GC-managed, no session pin
       Cdist.knnDtwPruned(series, series, k = 4, radius = 4)
         .where(col("probe_id") =!= col("neighbor_id")).where(col("rank") <= 3)
         .select(col("probe_id"), col("rank"), col("neighbor_id"))

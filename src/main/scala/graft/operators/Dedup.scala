@@ -215,12 +215,15 @@ object Dedup {
     * a dropped bucket are only found if they share another band. */
   private def capBuckets(banded: DataFrame, keyCols: Seq[String],
                          maxBucket: Int, what: String): DataFrame = {
+    // localCheckpoint (eager): materializes the tiny hot set once for
+    // the count AND the later broadcast, GC-managed like the session's
+    // other checkpoint blocks
     val hot = banded.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
       .where(col("n") > maxBucket)
       .select(keyCols.map(col): _*)
-      .cache()
+      .localCheckpoint()
     val nHot = hot.count()
-    if (nHot == 0) { hot.unpersist(); banded }
+    if (nHot == 0) banded
     else {
       System.err.println(
         s"[dedup] $what: dropping $nHot band buckets wider than " +
@@ -242,8 +245,12 @@ object Dedup {
     // dedupe=false: per-permutation minima are multiset-invariant, so
     // the per-doc distinct (a full shuffle of every shingle row) is
     // pure overhead on this path.
+    // localCheckpoint, not cache: the signature table feeds the banding,
+    // the bucket-cap count AND both verification joins of the lazily
+    // returned result — a cache here is never unpersistable before the
+    // caller materializes, so it would pin blocks for the session
     val sig = minhashSignatures(shingles(df, shingleK, idCol, textCol, dedupe = false),
-      numHashes, seed, portable).cache()
+      numHashes, seed, portable).localCheckpoint()
     // bucket key: the band slice hashed to 64 bits (narrow shuffle key) —
     // or the slice VALUE itself in portable mode, which an external SQL
     // oracle can reproduce as a plain list-equality join
@@ -331,7 +338,8 @@ object Dedup {
                    portable: Boolean = false, maxBucket: Int = 1000): DataFrame = {
     val bandBits = if (portable) 15 else 16
     val bandMask = (1L << bandBits) - 1
-    val sh = simhash(df, idCol, textCol, portable).cache()
+    // localCheckpoint for the same no-session-pin reason as minhashLsh
+    val sh = simhash(df, idCol, textCol, portable).localCheckpoint()
     val banded = capBuckets(
       sh.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>

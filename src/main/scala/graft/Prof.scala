@@ -107,6 +107,42 @@ object Prof {
             .where(col("jac") >= 0.5)
             .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
           out
+        case "ckraw" =>
+          // production round-6 shape, but the raw stream is checkpointed
+          // BEFORE dfCapped so shingle generation runs once (dfCapped
+          // consumes its input twice: hot-set groupBy + anti-join).
+          val ex = d.select(col("doc_id"), explode(shArr).as("sh")).localCheckpoint()
+          val shingles = graft.operators.Dedup.dfCapped(ex, maxDf)
+            .select(col("doc_id"), col("sh"))
+          val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+          val a = shingles.select(col("doc_id").as("doc_a"), col("sh"))
+          val b = shingles.select(col("doc_id").as("doc_b"), col("sh"))
+          val inter = a.join(b, "sh").where(col("doc_a") < col("doc_b"))
+            .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+          inter
+            .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+            .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+            .withColumn("jac", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+            .where(col("jac") >= 0.5)
+            .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+        case "prod" =>
+          // exactly the shipping doc_jaccard_pairs shape (capped stream
+          // checkpointed, raw evaluated twice inside dfCapped)
+          val raw = d.select(col("doc_id"), explode(shArr).as("sh"))
+          val shingles = graft.operators.Dedup.dfCapped(raw, maxDf)
+            .select(col("doc_id"), col("sh"))
+            .localCheckpoint()
+          val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+          val a = shingles.select(col("doc_id").as("doc_a"), col("sh"))
+          val b = shingles.select(col("doc_id").as("doc_b"), col("sh"))
+          val inter = a.join(b, "sh").where(col("doc_a") < col("doc_b"))
+            .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+          inter
+            .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+            .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+            .withColumn("jac", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+            .where(col("jac") >= 0.5)
+            .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
         case "adist" =>
           val shingles = d.select(col("doc_id"), shArr.as("shs"))
             .select(col("doc_id"), explode(col("shs")).as("sh"))
@@ -159,9 +195,10 @@ object Prof {
         time("pair join")(out.count())
       }
     } else {
+      val variants = if (args.nonEmpty) args.toSeq else Seq("adist", "cache")
       (1 to 2).foreach { round =>
         println(s"[prof] === round $round ===")
-        Seq("adist", "cache").foreach { v =>
+        variants.foreach { v =>
           time(s"jaccard $v")(jacV(v).count())
         }
       }

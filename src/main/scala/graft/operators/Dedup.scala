@@ -81,7 +81,8 @@ object Dedup {
     * Throws if the cap is still hit (a silently split cluster is a
     * wrong dedup answer, never acceptable). Returns (doc_id, cluster). */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
-                          bCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
+                          bCol: String = "doc_b", maxIter: Int = 20,
+                          localEdgeCap: Long = 5000000L): DataFrame = {
     // localCheckpoint the directed list BEFORE the union: both union
     // branches derive from it, the pair generator upstream (minhash/LSH)
     // is the expensive part — uncached it would evaluate twice — and
@@ -89,6 +90,19 @@ object Dedup {
     // of the whole LSH tree per iteration)
     val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .localCheckpoint()
+    // Small-graph fast path: the edge list is the LSH candidate-pair
+    // output — ≪ corpus size by construction — and is already
+    // materialized, so counting it is free. Below the cap, a single-task
+    // path-compressed union-find replaces ~log(diameter) shuffle rounds
+    // (each join+agg+checkpoint round costs ~1 s of fixed local-mode
+    // overhead regardless of data size). Output is IDENTICAL to the
+    // iterative fixpoint — (node, min id of its component) — which
+    // DedupAnnSpec locks by direct comparison. Past the cap (a corpus
+    // whose near-dup pair list alone is >5M edges) the distributed
+    // pointer-doubling loop below is the scale path, exactly like
+    // knnDtwPruned's broadcast-index / partitioned-index split.
+    val nEdges = edges.count()
+    if (nEdges <= localEdgeCap) return ccLocal(edges)
     val und = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
     var labels = und.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id")).cache()
@@ -130,6 +144,45 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds ($changed labels still moving)")
     labels
+  }
+
+  /** Single-task union-find over a materialized edge list (the
+    * small-graph path of [[connectedComponents]]). Union-by-min: a root
+    * is only ever re-pointed at a SMALLER root, so every component's
+    * root is its minimum id and find(x) is exactly the min-label
+    * fixpoint the distributed loop converges to. Path compression keeps
+    * it O(E α(E)); primitive LongMap avoids boxing. */
+  private def ccLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val res = edges.select(col("src"), col("dst")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = new scala.collection.mutable.LongMap[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (s, d) =>
+          if (!parent.contains(s)) parent(s) = s
+          if (!parent.contains(d)) parent(d) = d
+          val rs = find(s); val rd = find(d)
+          if (rs != rd) {
+            if (rs < rd) parent(rd) = rs else parent(rs) = rd
+          }
+        }
+        // snapshot keys: find() path-compresses (mutates values) during
+        // the final pass, so don't iterate the live map
+        val ks = parent.keys.toArray
+        ks.iterator.map(x => (x, find(x)))
+      }
+      .toDF("doc_id", "cluster")
+      .localCheckpoint() // materialize before releasing the edge blocks
+    edges.unpersist()
+    res
   }
 
   /** The MinHash modulus: 2^31−1 keeps a·x+b < 2^62 (no ANSI overflow). */

@@ -89,6 +89,21 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(comps == Set((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)))
   }
 
+  test("connected components: local union-find == distributed pointer doubling") {
+    // deterministic random graph: 120 nodes, 150 edges — long chains,
+    // merged components, self-contained min-label ground truth via the
+    // distributed fixpoint itself
+    val rng = new scala.util.Random(7)
+    val edges = Seq.fill(150)((rng.nextInt(120).toLong, rng.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    val pairs = edges.toDF("doc_a", "doc_b")
+    val local = Dedup.connectedComponents(pairs) // under the cap -> union-find
+      .as[(Long, Long)].collect().toSet
+    val dist = Dedup.connectedComponents(pairs, localEdgeCap = -1L) // force the loop
+      .as[(Long, Long)].collect().toSet
+    assert(local == dist)
+  }
+
   test("contamination flags corpus docs sharing eval 3-grams") {
     val evalSet = Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val corpus = Seq(

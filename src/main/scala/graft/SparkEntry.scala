@@ -456,6 +456,11 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"), langId(col("text")).as("lang_pred"))
     }),
 
+    // Gopher-style repetition filter signals (dup-word / top-bigram /
+    // dup-trigram fractions) — see TextAnalysis.repetitionSignals.
+    "doc_repetition" -> ((s, dir) =>
+      graft.operators.TextAnalysis.repetitionSignals(docs(s, dir))),
+
     // Deterministic stratified downsampling by language quota — the
     // training-mix rebalance step, hash-bucketed (portable md5) so the
     // kept set is stable across runs/cluster sizes and reproducible by
@@ -3339,6 +3344,39 @@ object SparkEntry {
         |  (CASE WHEN punct <= 0.1 THEN 1.0 WHEN punct <= 0.3 THEN 0.5 ELSE 0.0 END) +
         |  (CASE WHEN sw > 0.02 THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality
         |FROM f""".stripMargin,
+
+    "doc_repetition" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), base AS (
+        |  SELECT doc_id, len(w) AS nw, len(list_distinct(w)) AS nd FROM words
+        |), bg AS (
+        |  SELECT doc_id, array_to_string(w[j:j+1], ' ') AS g
+        |  FROM words, (SELECT unnest(generate_series(1, 1000)) AS j) s
+        |  WHERE j <= len(w) - 1
+        |), bgc AS (
+        |  SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2
+        |), bi AS (
+        |  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS tbf FROM bgc GROUP BY 1
+        |), tg AS (
+        |  SELECT doc_id, array_to_string(w[j:j+2], ' ') AS g
+        |  FROM words, (SELECT unnest(generate_series(1, 1000)) AS j) s
+        |  WHERE j <= len(w) - 2
+        |), tgc AS (
+        |  SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2
+        |), tri AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0) AS DOUBLE)
+        |      / sum(c) AS dtf
+        |  FROM tgc GROUP BY 1
+        |)
+        |SELECT b.doc_id,
+        |  round(1.0 - CAST(nd AS DOUBLE) / nw + 0.0, 4) AS dup_word_frac,
+        |  round(coalesce(tbf, 0.0) + 0.0, 4) AS top_bigram_frac,
+        |  round(coalesce(dtf, 0.0) + 0.0, 4) AS dup_trigram_frac
+        |FROM base b
+        |LEFT JOIN bi USING (doc_id)
+        |LEFT JOIN tri USING (doc_id)""".stripMargin,
 
     "doc_lang_id" ->
       """WITH w AS (

@@ -87,6 +87,38 @@ object TextAnalysis {
   def bagOfWordsFingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(split(lower(text), " "))), " ").cast("binary"))
 
+  /** Gopher-style repetition signals per document — the standard
+    * pre-training repetition filter family (Rae et al. 2021, table A1):
+    *  - dup_word_frac:     1 − distinct words / words (per-row array
+    *                       exprs, zero shuffle)
+    *  - top_bigram_frac:   occurrences of the most frequent bigram /
+    *                       total bigrams
+    *  - dup_trigram_frac:  fraction of trigram INSTANCES whose trigram
+    *                       occurs more than once in the doc
+    * The n-gram legs explode per doc and aggregate on (doc_id, gram) —
+    * partial-agg friendly, keyed by doc so no corpus-level skew is
+    * possible (a task's work is bounded by its docs' lengths). Docs too
+    * short for a gram level get 0.0 (left join + coalesce). */
+  def repetitionSignals(df: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val d = df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("words"))
+    val base = d.select(col("doc_id"), size(col("words")).as("nw"),
+      size(array_distinct(col("words"))).as("nd"))
+    def gramCounts(n: Int) = d.select(col("doc_id"),
+      explode(transform(sequence(lit(0), size(col("words")) - n),
+        i => array_join(slice(col("words"), i + 1, lit(n)), " "))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val bi = gramCounts(2).groupBy("doc_id")
+      .agg((max("c") / sum("c")).as("tbf"))
+    val tri = gramCounts(3).groupBy("doc_id")
+      .agg((sum(when(col("c") > 1, col("c")).otherwise(0L)) / sum("c")).as("dtf"))
+    base.join(bi, Seq("doc_id"), "left").join(tri, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(lit(1.0) - col("nd") / col("nw") + lit(0.0), 4).as("dup_word_frac"),
+        round(coalesce(col("tbf"), lit(0.0)) + lit(0.0), 4).as("top_bigram_frac"),
+        round(coalesce(col("dtf"), lit(0.0)) + lit(0.0), 4).as("dup_trigram_frac"))
+  }
+
   /** Benchmark decontamination: training docs that share at least
     * `minShared` distinct word k-grams with any doc of the (small) eval
     * set, with the shared count — the pipeline step that drops eval-set

@@ -182,4 +182,24 @@ class DedupAnnSpec extends AnyFunSuite {
     val m = out.map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(m(0L) == "en" && m(1L) == "de" && m(2L) == "und")
   }
+
+  test("repetition signals: dup-word / top-bigram / dup-trigram fractions") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      // "a b a b a": words 5, distinct 2 -> dup_word 0.6
+      // bigrams: ab, ba, ab, ba -> top 2/4 = 0.5
+      // trigrams: aba, bab, aba -> dup instances 2/3 = 0.6667
+      (0L, "a b a b a"),
+      // all-distinct doc: every signal 0 (top bigram 1/3 though)
+      (1L, "w x y z")
+    ).toDF("doc_id", "text")
+    val r0 = TextAnalysis.repetitionSignals(docs).where(col("doc_id") === 0)
+      .select("dup_word_frac", "top_bigram_frac", "dup_trigram_frac")
+      .as[(Double, Double, Double)].head()
+    assert(r0 == ((0.6, 0.5, 0.6667)))
+    val r1 = TextAnalysis.repetitionSignals(docs).where(col("doc_id") === 1)
+      .select("dup_word_frac", "top_bigram_frac", "dup_trigram_frac")
+      .as[(Double, Double, Double)].head()
+    assert(r1 == ((0.0, 0.3333, 0.0)))
+  }
 }

@@ -89,6 +89,14 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(comps == Set((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)))
   }
 
+  test("connected components: empty and single-edge inputs") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+    val one = Seq((9L, 3L)).toDF("doc_a", "doc_b")
+    val r = Dedup.connectedComponents(one).as[(Long, Long)].collect().toSet
+    assert(r == Set((3L, 3L), (9L, 3L)))
+  }
+
   test("connected components: local union-find == distributed pointer doubling") {
     // deterministic random graph: 120 nodes, 150 edges — long chains,
     // merged components, self-contained min-label ground truth via the

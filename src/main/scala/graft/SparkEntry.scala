@@ -194,7 +194,9 @@ object SparkEntry {
     // √(n_left/8). Previously golden-only; now oracle-backed.
     "ts_sax_mindist_pairs" -> ((s, dir) => {
       val bps = graft.kernels.Sax.breakpoints(4)
-      val sym = saxSymbolsOf(s, dir)
+      // localCheckpoint: sym (a windowed z-norm + segment agg) is both
+      // sides of the adjacent-pair join
+      val sym = saxSymbolsOf(s, dir).localCheckpoint()
       val a = sym.select(col("user_id"), col("seg"), col("symbol").as("sa"), col("n"))
       val b = sym.select((col("user_id") - 1).as("user_id"), col("seg"),
         col("symbol").as("sb"))
@@ -241,6 +243,7 @@ object SparkEntry {
       val paa = resampledEvents(s, dir, 16)
         .withColumn("seg", (col("j") / 4).cast("int"))
         .groupBy("user_id", "seg").agg(avg("v").as("p"))
+        .localCheckpoint() // both sides of the pair self-join below
       paa.select(col("user_id"), col("seg"), col("p"))
         .join(paa.select((col("user_id") - 1).as("user_id"), col("seg"), col("p").as("pb")),
           Seq("user_id", "seg"))
@@ -250,8 +253,9 @@ object SparkEntry {
 
     "ts_lbkeogh_pairs" -> ((s, dir) => {
       // LB_Keogh(query u, candidate u+1) with radius 2 over the resampled
-      // view — the kNN prune bound, oracle-checked end to end
-      val r = resampledEvents(s, dir, 16)
+      // view — the kNN prune bound, oracle-checked end to end.
+      // localCheckpoint: r feeds both the envelope window and the join.
+      val r = resampledEvents(s, dir, 16).localCheckpoint()
       val wEnv = Window.partitionBy("user_id").orderBy(col("j").asc).rowsBetween(-2, 2)
       val env = r.select(col("user_id"), col("j"),
           min("v").over(wEnv).as("lo"), max("v").over(wEnv).as("up"))
@@ -293,7 +297,10 @@ object SparkEntry {
     // the k-means semantics with a full relational oracle (the ts_kmeans
     // estimator query remains the end-to-end rows-only run)
     "ts_kmeans_iter" -> ((s, dir) => {
-      val r = resampledEvents(s, dir, 16)
+      // localCheckpoint: consumed FOUR times (seeds + two assign joins +
+      // update) and the prep is itself a 3-way join over a windowed
+      // explode — uncheckpointed it re-evaluates per consumption
+      val r = resampledEvents(s, dir, 16).localCheckpoint()
       val seeds = r.where(col("user_id") < 4)
         .select(col("user_id").cast("int").as("cell"), col("j"), col("v").as("c"))
       val a1 = r.join(broadcast(seeds), "j")
@@ -319,9 +326,12 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(min_by(col("event_type"), struct((-col("cnt")).as("nc"), col("event_type")))
           .as("label"))
+      // localCheckpoint: prefix (a windowed explode) feeds both the
+      // centroid build and the classify join
       val prefix = explodedEvents(s, dir)
         .where(col("n") >= 16 && col("t") <= 16)
         .select(col("user_id"), col("t"), col("value"))
+        .localCheckpoint()
       val cents = prefix.where(col("user_id") % 2 === 0)
         .join(labels, "user_id")
         .groupBy("label", "t").agg(avg("value").as("c"))
@@ -336,7 +346,8 @@ object SparkEntry {
     // sqeuclidean / cityblock, neighbors.py metric options) over
     // consecutive-user pairs — fully oracle-checked
     "ts_dist_pairs" -> ((s, dir) => {
-      val r = resampledEvents(s, dir, 16)
+      // localCheckpoint: r is both sides of the consecutive-pair join
+      val r = resampledEvents(s, dir, 16).localCheckpoint()
       val b = r.select((col("user_id") - 1).as("user_id"), col("j"), col("v").as("vb"))
       r.join(b, Seq("user_id", "j"))
         .groupBy("user_id")

@@ -26,7 +26,7 @@ object ScaleProbe {
       // LLM-pipeline family (scales in corpus size)
       "doc_dedup_exact", "doc_minhash_pairs", "doc_simhash",
       "doc_dedup_clusters", "doc_quality", "doc_lang_id", "doc_fingerprint",
-      "doc_sample_stratified", "doc_tokens_bpe",
+      "doc_sample_stratified", "doc_tokens_bpe", "doc_repetition",
       // embedding family (scales in vector count)
       "emb_knn_cosine", "emb_ann_ivf", "emb_dedup_cosine", "emb_kmeans_assign",
       // time-series family (scales in series count)

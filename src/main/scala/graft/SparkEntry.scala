@@ -472,6 +472,10 @@ object SparkEntry {
     "doc_repetition" -> ((s, dir) =>
       graft.operators.TextAnalysis.repetitionSignals(docs(s, dir))),
 
+    // Word-level Shannon entropy — the perplexity-proxy quality filter.
+    "doc_entropy" -> ((s, dir) =>
+      graft.operators.TextAnalysis.wordEntropy(docs(s, dir))),
+
     // Deterministic stratified downsampling by language quota — the
     // training-mix rebalance step, hash-bucketed (portable md5) so the
     // kept set is stable across runs/cluster sizes and reproducible by
@@ -3355,6 +3359,20 @@ object SparkEntry {
         |  (CASE WHEN punct <= 0.1 THEN 1.0 WHEN punct <= 0.3 THEN 0.5 ELSE 0.0 END) +
         |  (CASE WHEN sw > 0.02 THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality
         |FROM f""".stripMargin,
+
+    "doc_entropy" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), wc AS (
+        |  SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT doc_id, sum(c) AS n FROM wc GROUP BY 1
+        |)
+        |SELECT wc.doc_id,
+        |  round(-sum((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)) + 0.0, 4)
+        |    AS word_entropy
+        |FROM wc JOIN tot USING (doc_id)
+        |GROUP BY 1""".stripMargin,
 
     "doc_repetition" ->
       """WITH words AS (

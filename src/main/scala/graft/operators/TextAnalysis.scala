@@ -119,6 +119,23 @@ object TextAnalysis {
         round(coalesce(col("dtf"), lit(0.0)) + lit(0.0), 4).as("dup_trigram_frac"))
   }
 
+  /** Word-level Shannon entropy per document (bits) — the cheap
+    * perplexity proxy of pretraining quality filters: word-salad and
+    * boilerplate docs sit at the distribution tails. Explode +
+    * (doc_id, word) partial aggs; work bounded per doc like
+    * [[repetitionSignals]]. */
+  def wordEntropy(df: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val wc = df.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val tot = wc.groupBy("doc_id").agg(sum("c").as("n"))
+    wc.join(tot, "doc_id")
+      .groupBy("doc_id")
+      .agg(round(-sum((col("c") / col("n")) * log2(col("c") / col("n"))) + lit(0.0), 4)
+        .as("word_entropy"))
+  }
+
   /** Benchmark decontamination: training docs that share at least
     * `minShared` distinct word k-grams with any doc of the (small) eval
     * set, with the shared count — the pipeline step that drops eval-set

@@ -210,4 +210,20 @@ class DedupAnnSpec extends AnyFunSuite {
       .as[(Double, Double, Double)].head()
     assert(r1 == ((0.0, 0.3333, 0.0)))
   }
+
+  test("word entropy: uniform = log2(n distinct), constant doc = 0") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (0L, "a b c d"),   // uniform over 4 -> 2 bits
+      (1L, "x x x x"),   // constant -> 0 (and -0.0 normalized)
+      (2L, "a a b b b b b b")  // p=(1/4,3/4) -> 0.25*2 + 0.75*log2(4/3)
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.wordEntropy(docs)
+      .as[(Long, Double)].collect().toMap
+    assert(m(0L) == 2.0)
+    assert(m(1L) == 0.0 && (1.0 / m(1L)) > 0) // +0.0, not -0.0
+    val expected2 = BigDecimal(0.25 * 2 + 0.75 * (math.log(4.0 / 3) / math.log(2)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m(2L) == expected2)
+  }
 }

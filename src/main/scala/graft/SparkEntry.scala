@@ -384,6 +384,9 @@ object SparkEntry {
       // quadratic; capping bounds every bucket at maxDf² pairs.
       val maxDf = 100
       val d = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("words"))
+        // <3-word docs have no 3-grams; unguarded, sequence(0, size−3)
+        // would go negative and slice(start=0) throws (oracle: j ≤ len−2)
+        .where(size(col("words")) >= 3)
       // array_distinct BEFORE the explode dedupes per-doc shingles with
       // no shuffle (a per-row .distinct() would be a full exchange).
       val raw = d.select(col("doc_id"),

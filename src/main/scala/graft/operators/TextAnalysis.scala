@@ -104,9 +104,12 @@ object TextAnalysis {
     val d = df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("words"))
     val base = d.select(col("doc_id"), size(col("words")).as("nw"),
       size(array_distinct(col("words"))).as("nd"))
-    def gramCounts(n: Int) = d.select(col("doc_id"),
-      explode(transform(sequence(lit(0), size(col("words")) - n),
-        i => array_join(slice(col("words"), i + 1, lit(n)), " "))).as("g"))
+    // guard: a doc shorter than n words has no n-grams — without the
+    // filter, sequence(0, size−n) goes negative and slice(start=0) throws
+    def gramCounts(n: Int) = d.where(size(col("words")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("words")) - n),
+          i => array_join(slice(col("words"), i + 1, lit(n)), " "))).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
     val bi = gramCounts(2).groupBy("doc_id")
       .agg((max("c") / sum("c")).as("tbf"))

@@ -199,7 +199,9 @@ class DedupAnnSpec extends AnyFunSuite {
       // trigrams: aba, bab, aba -> dup instances 2/3 = 0.6667
       (0L, "a b a b a"),
       // all-distinct doc: every signal 0 (top bigram 1/3 though)
-      (1L, "w x y z")
+      (1L, "w x y z"),
+      // 2-word doc: no trigrams at all -> left-join coalesce 0.0 path
+      (2L, "p q")
     ).toDF("doc_id", "text")
     val r0 = TextAnalysis.repetitionSignals(docs).where(col("doc_id") === 0)
       .select("dup_word_frac", "top_bigram_frac", "dup_trigram_frac")
@@ -209,6 +211,10 @@ class DedupAnnSpec extends AnyFunSuite {
       .select("dup_word_frac", "top_bigram_frac", "dup_trigram_frac")
       .as[(Double, Double, Double)].head()
     assert(r1 == ((0.0, 0.3333, 0.0)))
+    val r2 = TextAnalysis.repetitionSignals(docs).where(col("doc_id") === 2)
+      .select("dup_word_frac", "top_bigram_frac", "dup_trigram_frac")
+      .as[(Double, Double, Double)].head()
+    assert(r2 == ((0.0, 1.0, 0.0))) // one bigram "p q"; no trigrams -> 0.0
   }
 
   test("word entropy: uniform = log2(n distinct), constant doc = 0") {

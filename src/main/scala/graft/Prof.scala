@@ -30,6 +30,7 @@ object Prof {
     def jacV(variant: String) = {
       val maxDf = 100
       val d = docs.select(col("doc_id"), split(col("text"), " ").as("words"))
+        .where(size(col("words")) >= 3) // mirror doc_jaccard_pairs' short-doc guard
       val shArr = array_distinct(transform(sequence(lit(0), size(col("words")) - 3),
         i => array_join(slice(col("words"), i + 1, lit(3)), " ")))
       variant match {

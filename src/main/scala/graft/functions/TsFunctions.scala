@@ -260,9 +260,13 @@ object TsFunctions {
       transform(sequence(lit(0), n - 1), i => array_max(win(i))).as("up"))
   }
 
-  /** All length-m stride-1 sliding windows of an array column. */
+  /** All length-m stride-1 sliding windows of an array column; a series
+    * shorter than m yields no windows (unguarded, sequence(0, size−m)
+    * turns descending and slice(start=0) throws). */
   def tsSlidingWindows(c: Column, m: Int): Column =
-    transform(sequence(lit(0), size(c) - m), i => slice(c, i + 1, lit(m)))
+    when(size(c) >= m,
+      transform(sequence(lit(0), size(c) - m), i => slice(c, i + 1, lit(m))))
+      .otherwise(array())
 
   // ------------------------------------------------ embedding helpers
 

@@ -253,7 +253,10 @@ object Multimodal {
   def sampleFrames(df: DataFrame, stride: Int): DataFrame =
     df.where(col("kind") === "video")
       .select(col("media_id"),
-        explode(sequence(lit(0), coalesce(col("meta.n_frames"), lit(1)) - 1,
+        // greatest(…,1): n_frames = 0 would make sequence(0, -1, stride)
+        // throw (explicit positive step with start > stop is illegal)
+        explode(sequence(lit(0),
+          greatest(coalesce(col("meta.n_frames"), lit(1)), lit(1)) - 1,
           lit(stride))).as("frame_idx"))
 
   /** Deterministic synthetic media table for tests/demos. */

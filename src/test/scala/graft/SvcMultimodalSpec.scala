@@ -189,6 +189,29 @@ class SvcMultimodalSpec extends AnyFunSuite {
     assert(frames.groupBy(_.getLong(0)).values.forall(_.length == 3))
   }
 
+  test("multimodal: frame sampling survives a zero-frame video") {
+    val media = Multimodal.synthetic(spark, 9, seed = 3)
+    val zeroed = media.withColumn("meta",
+      when(col("kind") === "video",
+        col("meta").withField("n_frames", lit(0))).otherwise(col("meta")))
+    val frames = Multimodal.sampleFrames(zeroed, stride = 10).collect()
+    // 0 frames clamps to a single frame-0 sample instead of throwing
+    assert(frames.groupBy(_.getLong(0)).values.forall(_.length == 1))
+    assert(frames.forall(_.getInt(1) == 0))
+  }
+
+  test("sliding windows: series shorter than m yields no windows") {
+    val df = Seq(
+      (0L, Array(1.0, 2.0, 3.0, 4.0)),
+      (1L, Array(1.0, 2.0))
+    ).toDF("series_id", "values")
+    val r = df.select(col("series_id"),
+        size(graft.functions.TsFunctions.tsSlidingWindows(col("values"), 3)).as("nw"))
+      .as[(Long, Int)].collect().toMap
+    assert(r(0L) == 2) // windows [1,2,3],[2,3,4]
+    assert(r(1L) == 0) // too short: empty, not an exception
+  }
+
   test("kmeans model persistence round-trips centroids") {
     val df = (0 until 12).map(i =>
       (i.toLong, Array.tabulate(8)(t => (i / 6) * 10.0 + t)))

@@ -46,17 +46,21 @@ object Bench {
     val results = wanted.map { case (name, fn) =>
       // repeat>1 reports the per-query MIN: the minimum over warm repeats
       // is the least load-contaminated estimate of the query's true cost
+      // only SUCCESSFUL runs fold into the min — a throwing run is
+      // typically fast, and an intermittent failure must not report a
+      // misleadingly small time next to its err flag
       var best = Double.PositiveInfinity
       var err: Option[String] = None
       (1 to repeat).foreach { r =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); err = None }
+        val ok = try { fn(spark, sfDir).count(); err = None; true }
         catch { case t: Throwable =>
           err = Some(t.getClass.getSimpleName)
           System.err.println(s"[bench] $name FAILED: $t")
+          false
         }
         val run = (System.nanoTime() - t0) / 1e9
-        best = math.min(best, run)
+        if (ok) best = math.min(best, run)
         if (repeat > 1) println(f"[bench] $name run $r: $run%.3f s")
       }
       name -> ((best, err))
@@ -64,12 +68,14 @@ object Bench {
     // A failed query must be visible in the JSON (err field), not just a
     // suspiciously fast wall-time.
     val qs = results.map { case (k, (v, err)) =>
+      val sec = if (v.isInfinity) "null" else v.toString // no successful run
       err match {
-        case Some(e) => s"\"" + k + "\":{\"sec\":" + v + ",\"err\":\"" + e + "\"}"
-        case None    => s"\"" + k + "\":" + v
+        case Some(e) => s"\"" + k + "\":{\"sec\":" + sec + ",\"err\":\"" + e + "\"}"
+        case None    => s"\"" + k + "\":" + sec
       }
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val total =
+      if (results.nonEmpty) results.values.map(_._1).filterNot(_.isInfinity).sum else 0.0
     val nErr = results.values.count(_._2.isDefined)
     val load = loadavg() // 1-min load average at END of run
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"loadavg":$load,"loadavg_start":$loadStart,"load_warning":$loadWarn,"repeat":$repeat,"sf":"$sfDir"}""")

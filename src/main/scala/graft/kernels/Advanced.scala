@@ -289,7 +289,9 @@ object Advanced {
     while (it < rounds) {
       val ax = path.map { case (i, _) => s1(i) }
       val ay = path.map { case (_, j) => s2(j) }
-      val (cx, cy) = ccaFit(ax, ay, nc)
+      // same degenerate-input guard as ctwPath: a constant path-aligned
+      // side makes sxx/syy near-singular — keep the current (path, score)
+      val (cx, cy) = try ccaFit(ax, ay, nc) catch { case _: Throwable => return (path, score) }
       val (np, ns) = Kernels.dtwPath(cx.project(s1), cy.project(s2))
       path = np
       score = ns

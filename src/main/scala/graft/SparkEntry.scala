@@ -1049,6 +1049,58 @@ object SparkEntry {
         (round(TsFunctions.lcssUdf(col("lv"), col("rv"), lit(0.5)), 4) + lit(0.0)).as("lcss"),
         (round(TsFunctions.sbdUdf(col("lv"), col("rv")), 4) + lit(0.0)).as("sbd"),
         (round(TsFunctions.ctwFixedUdf(col("lv"), col("rv"), lit(3)), 4) + lit(0.0)).as("ctw"))
+    }),
+
+    // ---------------- L-DTW / subsequence DTW / normalized soft-DTW --
+    // The last golden-only DP metrics driver-verified. L-DTW
+    // (dtw_limited_warping_length, dtw_variants.py:468-743) replays as a
+    // layered path-length DP: layer s = min cost of reaching each cell
+    // in exactly s+1 steps, answer = min over layers at the terminal
+    // cell. The DP here is Advanced.dtwLimitedWarpingLength's rolling
+    // two-layer loop.
+    "ts_ldtw_pairs" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(12)).as("values"))
+        .localCheckpoint()
+      series.alias("a").join(series.alias("b"), col("b.series_id") === col("a.series_id") + 1)
+        .select(col("a.series_id").as("user_id"),
+          round(TsFunctions.ldtwUdf(col("a.values"), col("b.values"), lit(16)), 4)
+            .as("ldtw"))
+    }),
+
+    // Subsequence DTW (dtw_variants.py:746-903): query = series 0
+    // resampled to 8, matched open-begin/open-end inside every other
+    // series at sz=24. Differs from plain DTW only in the free first
+    // row (raw local cost — any start) and the argmin over the last row
+    // (any end); end_pos is the kernel's strict-< argmin (lowest j wins).
+    "ts_subseq_match" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir).localCheckpoint()
+      val query = series.where(col("series_id") === 0)
+        .select(TsFunctions.resampleZnormUdf(col("values"), lit(8)).as("qv"))
+      val longs = series.where(col("series_id") > 0)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(24)).as("values"))
+      longs.crossJoin(broadcast(query))
+        .select(col("series_id").as("user_id"),
+          TsFunctions.dtwSubseqMatchUdf(col("qv"), col("values")).as("m"))
+        .select(col("user_id"), col("m._1").as("end_pos"),
+          (round(col("m._2"), 4) + lit(0.0)).as("dist"))
+    }),
+
+    // cdist_soft_dtw_normalized (softdtw_variants.py:451-605): the full
+    // 12×12 normalized matrix D(x,y) − ½(D(x,x)+D(y,y)) through the
+    // operator's diagonal-reuse join; oracle = the green soft-DTW
+    // sum-product chain over all ordered pairs incl. self.
+    "cdist_softdtw_norm" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .where(col("series_id") < 12)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(16)).as("values"))
+        .localCheckpoint()
+      Cdist.softDtwNormalized(series, series, 1.0)
+        .select(col("left_id"), col("right_id"),
+          (round(col("dist"), 4) + lit(0.0)).as("softdtw_norm"))
     })
   )
 
@@ -1977,7 +2029,7 @@ object SparkEntry {
     * overflows. `lgSql` is log k(i,j) in terms of a.val/b.val;
     * `selfPairs` adds (u,u) pairs (needed for GAK normalization). */
   private def sumProdChainSql(sz: Int, lgSql: String, selfPairs: Boolean,
-                              finalSql: String): String = {
+                              finalSql: String, allPairsMaxId: Int = -1): String = {
     val neg = "-1.0e300"
     val self =
       if (selfPairs)
@@ -1985,13 +2037,23 @@ object SparkEntry {
           |  SELECT user_id AS pr, user_id AS cd FROM (SELECT DISTINCT user_id FROM r)
           |  UNION ALL""".stripMargin
       else ""
+    // allPairsMaxId >= 0: every ordered pair (incl. self) among users
+    // < allPairsMaxId — the cdist-matrix shape — instead of adjacent ids
+    val pairsSql =
+      if (allPairsMaxId >= 0)
+        s"""
+           |  SELECT a.user_id AS pr, b.user_id AS cd
+           |  FROM (SELECT DISTINCT user_id FROM r WHERE user_id < $allPairsMaxId) a
+           |  JOIN (SELECT DISTINCT user_id FROM r WHERE user_id < $allPairsMaxId) b ON true""".stripMargin
+      else
+        s"""$self
+           |  SELECT a.user_id AS pr, b.user_id AS cd
+           |  FROM (SELECT DISTINCT user_id FROM r) a
+           |  JOIN (SELECT DISTINCT user_id FROM r) b ON b.user_id = a.user_id + 1""".stripMargin
     val sb = new StringBuilder(evCte + resampleZnormCte(sz))
     sb ++=
       s"""
-         |, pairs AS ($self
-         |  SELECT a.user_id AS pr, b.user_id AS cd
-         |  FROM (SELECT DISTINCT user_id FROM r) a
-         |  JOIN (SELECT DISTINCT user_id FROM r) b ON b.user_id = a.user_id + 1
+         |, pairs AS ($pairsSql
          |), loc AS (
          |  SELECT p.pr, p.cd, a.j AS i, b.j AS j, $lgSql AS lg
          |  FROM pairs p
@@ -2104,6 +2166,148 @@ object SparkEntry {
     selfPairs = false,
     finalSql =
       """SELECT pr AS user_id, round(-1.0 * lw, 4) AS softdtw FROM fin""".stripMargin)
+
+  /** cdist_soft_dtw_normalized: D(x,y) − ½(D(x,x)+D(y,y)) where
+    * D = −γ·ln W — the same sum-product chain over ALL ordered pairs
+    * (incl. self, which the engine's diagonal-reuse join also emits). */
+  private def softDtwNormOracleSql(sz: Int, maxId: Int): String = sumProdChainSql(
+    sz,
+    lgSql = "-(a.val - b.val) * (a.val - b.val)",
+    selfPairs = false,
+    allPairsMaxId = maxId,
+    finalSql =
+      """SELECT ab.pr AS left_id, ab.cd AS right_id,
+        |  round((-1.0 * ab.lw) - 0.5 * ((-1.0 * aa.lw) + (-1.0 * bb.lw)), 4) + 0.0
+        |    AS softdtw_norm
+        |FROM fin ab
+        |JOIN fin aa ON aa.pr = ab.pr AND aa.cd = ab.pr
+        |JOIN fin bb ON bb.pr = ab.cd AND bb.cd = ab.cd""".stripMargin)
+
+  /** DuckDB oracle for ts_ldtw_pairs: dtw_limited_warping_length
+    * (`dtw_variants.py:468-743`) as a layered path-length DP — layer s
+    * holds the min cost of reaching each cell in exactly s+1 steps
+    * (cost = d(i,j) + min over the three layer-(s−1) predecessors;
+    * cells with no reachable predecessor are absent, which is the
+    * kernel's implicit-Inf reachability). Answer = √(min over layers at
+    * the terminal cell). */
+  private def ldtwOracleSql(sz: Int, maxLength: Int): String = {
+    val last = sz - 1
+    val sb = new StringBuilder(evCte + resampleZnormCte(sz))
+    sb ++=
+      s"""
+         |, loc AS (
+         |  SELECT a.user_id AS pr, a.j AS i, b.j AS j,
+         |    (a.val - b.val) * (a.val - b.val) AS d
+         |  FROM r a JOIN r b ON b.user_id = a.user_id + 1
+         |), s0 AS (
+         |  SELECT pr, i, j, d AS cost FROM loc WHERE i = 0 AND j = 0
+         |)""".stripMargin
+    for (s <- 1 until maxLength) {
+      sb ++=
+        s"""
+           |, s$s AS (
+           |  SELECT l.pr, l.i, l.j,
+           |    l.d + least(coalesce(up.cost, 1e308), coalesce(lf.cost, 1e308),
+           |                coalesce(dg.cost, 1e308)) AS cost
+           |  FROM loc l
+           |  LEFT JOIN s${s - 1} up ON up.pr = l.pr AND up.i = l.i - 1 AND up.j = l.j
+           |  LEFT JOIN s${s - 1} lf ON lf.pr = l.pr AND lf.i = l.i AND lf.j = l.j - 1
+           |  LEFT JOIN s${s - 1} dg ON dg.pr = l.pr AND dg.i = l.i - 1 AND dg.j = l.j - 1
+           |  WHERE coalesce(up.cost, lf.cost, dg.cost) IS NOT NULL
+           |)""".stripMargin
+    }
+    sb ++= s"\n, fin AS (\n  SELECT pr, cost FROM s0 WHERE i = $last AND j = $last"
+    for (s <- 1 until maxLength)
+      sb ++= s"\n  UNION ALL SELECT pr, cost FROM s$s WHERE i = $last AND j = $last"
+    sb ++=
+      s"""
+         |)
+         |SELECT pr AS user_id, round(sqrt(min(cost)), 4) AS ldtw
+         |FROM fin GROUP BY pr""".stripMargin
+    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+  }
+
+  /** DuckDB oracle for ts_subseq_match: open-begin/open-end DTW
+    * (`dtw_variants.py:746-903`) of series 0 (resampled to qsz) inside
+    * every other series (resampled to sz). Row 0 is the raw local cost
+    * (free start); rows 1..qsz−1 are the standard DTW row chain; the
+    * answer is the argmin over the last row (free end, lowest j on
+    * ties — the kernel's strict-< scan). */
+  private def subseqOracleSql(qsz: Int, sz: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH v AS (
+         |  SELECT user_id, value,
+         |         row_number() OVER (PARTITION BY user_id
+         |           ORDER BY epoch_ns(ts) // 1000, event_id) AS t,
+         |         count(*) OVER (PARTITION BY user_id) AS n
+         |  FROM events
+         |)""".stripMargin)
+    // query side: series 0 at qsz points, z-normed (same resample CTE
+    // shape, restricted and renamed)
+    sb ++=
+      s"""
+         |, qgrid AS (
+         |  SELECT u.user_id, u.n, g.j, g.j * (u.n - 1) / ${qsz - 1}.0 AS pos
+         |  FROM (SELECT DISTINCT user_id, n FROM v WHERE user_id = 0) u,
+         |       (SELECT unnest(generate_series(0, ${qsz - 1})) AS j) g
+         |), qw AS (
+         |  SELECT user_id, j, CAST(floor(pos) AS INT) AS i0,
+         |    LEAST(CAST(floor(pos) AS INT) + 1, n - 1) AS i1, pos - floor(pos) AS frac
+         |  FROM qgrid
+         |), qr0 AS (
+         |  SELECT w.user_id, w.j, v0.value * (1.0 - w.frac) + v1.value * w.frac AS val
+         |  FROM qw w
+         |  JOIN v v0 ON v0.user_id = w.user_id AND v0.t - 1 = w.i0
+         |  JOIN v v1 ON v1.user_id = w.user_id AND v1.t - 1 = w.i1
+         |), qst AS (
+         |  SELECT user_id, avg(val) AS mu,
+         |    avg(val * val) - avg(val) * avg(val) AS var
+         |  FROM qr0 GROUP BY 1
+         |), q AS (
+         |  SELECT r0.j, (r0.val - st.mu) /
+         |    (CASE WHEN st.var <= 0 THEN 1.0 ELSE sqrt(st.var) END) AS val
+         |  FROM qr0 r0 JOIN qst st USING (user_id)
+         |)""".stripMargin
+    sb ++= resampleZnormCte(sz)
+    sb ++=
+      s"""
+         |, loc AS (
+         |  SELECT l.user_id AS pr, q.j AS i, l.j AS j,
+         |    (q.val - l.val) * (q.val - l.val) AS d
+         |  FROM r l JOIN q ON true
+         |  WHERE l.user_id > 0
+         |), t0 AS (
+         |  SELECT pr, j, d AS cost FROM loc WHERE i = 0
+         |)""".stripMargin
+    for (i <- 1 until qsz) {
+      sb ++=
+        s"""
+           |, t$i AS (
+           |  SELECT pr, j, cs + mn AS cost FROM (
+           |    SELECT pr, j, cs,
+           |      min(mk - csk) OVER (PARTITION BY pr ORDER BY j) AS mn
+           |    FROM (
+           |      SELECT l.pr, l.j,
+           |        sum(l.d) OVER (PARTITION BY l.pr ORDER BY l.j) AS cs,
+           |        sum(l.d) OVER (PARTITION BY l.pr ORDER BY l.j) - l.d AS csk,
+           |        least(coalesce(pk.cost, 1e308), coalesce(pk1.cost, 1e308)) AS mk
+           |      FROM loc l
+           |      LEFT JOIN t${i - 1} pk ON pk.pr = l.pr AND pk.j = l.j
+           |      LEFT JOIN t${i - 1} pk1 ON pk1.pr = l.pr AND pk1.j = l.j - 1
+           |      WHERE l.i = $i))
+           |)""".stripMargin
+    }
+    sb ++=
+      s"""
+         |SELECT pr AS user_id, CAST(j AS INT) AS end_pos,
+         |  round(sqrt(cost), 4) + 0.0 AS dist
+         |FROM (
+         |  SELECT pr, j, cost,
+         |    row_number() OVER (PARTITION BY pr ORDER BY cost, j) AS rn
+         |  FROM t${qsz - 1})
+         |WHERE rn = 1""".stripMargin
+    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+  }
 
   /** DuckDB oracle for ts_kshape_assign: SBD of every series to the four
     * fixed centroids via the direct O(sz²) correlation (as sbdOracleSql),
@@ -2873,6 +3077,9 @@ object SparkEntry {
     "ts_sbd_pairs" -> sbdOracleSql(32),
     "ts_gak_pairs" -> gakOracleSql(16),
     "ts_softdtw_pairs" -> softDtwOracleSql(16),
+    "ts_ldtw_pairs" -> ldtwOracleSql(12, 16),
+    "ts_subseq_match" -> subseqOracleSql(8, 24),
+    "cdist_softdtw_norm" -> softDtwNormOracleSql(16, 12),
     "ts_dtw_mv_pairs" -> mvDtwOracleSql(16),
     "ts_dtw_ragged_pairs" -> raggedDtwOracleSql(128),
     "ts_ctw_pairs" -> ctwTraceSql(16, 3),

@@ -97,6 +97,17 @@ object TsFunctions {
     })
   val dtwSubseqUdf: UserDefinedFunction =
     udf((q: S, l: S) => Kernels.dtwSubsequencePath(uniTs(q), uniTs(l))._2)
+  /** Subsequence match end position + distance: the path's last long-series
+    * index is the kernel's strict-< argmin over the free last row (lowest
+    * j wins ties). */
+  val dtwSubseqMatchUdf: UserDefinedFunction =
+    udf((q: S, l: S) => {
+      val (path, d) = Kernels.dtwSubsequencePath(uniTs(q), uniTs(l))
+      (path.last._2, d)
+    })
+  val ldtwUdf: UserDefinedFunction =
+    udf((a: S, b: S, maxLength: Int) =>
+      Advanced.dtwLimitedWarpingLength(uniTs(a), uniTs(b), maxLength))
   val matrixProfileUdf: UserDefinedFunction =
     udf((s: S, m: Int, scale: Boolean) => Kernels.matrixProfile(s.toArray, m, scale))
   val saxUdf: UserDefinedFunction =
@@ -185,6 +196,8 @@ object TsFunctions {
     spark.udf.register("ts_sbd", sbdUdf)
     spark.udf.register("ts_lb_keogh", lbKeoghUdf)
     spark.udf.register("ts_dtw_subseq", dtwSubseqUdf)
+    spark.udf.register("ts_dtw_subseq_match", dtwSubseqMatchUdf)
+    spark.udf.register("ts_ldtw", ldtwUdf)
     spark.udf.register("ts_matrix_profile", matrixProfileUdf)
     spark.udf.register("ts_sax", saxUdf)
     spark.udf.register("ts_sax_mindist", saxMindistUdf)

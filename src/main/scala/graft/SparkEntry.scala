@@ -1101,6 +1101,44 @@ object SparkEntry {
       Cdist.softDtwNormalized(series, series, 1.0)
         .select(col("left_id"), col("right_id"),
           (round(col("dist"), 4) + lit(0.0)).as("softdtw_norm"))
+    }),
+
+    // ---------------- ragged variable-length driver rows -------------
+    // LCSS on RAW lengths (sz1≠sz2 through the int DP) — with
+    // ts_dtw_ragged_pairs, ts_sax / ts_sax_mindist_pairs (already raw-
+    // length), and the resample path for ctw/gak/softdtw, this closes
+    // the VARIABLE_LENGTH_METRICS driver-signal list
+    // (metrics/__init__.py:29). z-norm keeps each series' own length.
+    "ts_lcss_ragged_pairs" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"), TsFunctions.znormUdf(col("values")).as("values"),
+          size(col("values")).as("n"))
+        .localCheckpoint()
+      series.alias("a").join(series.alias("b"), col("b.series_id") === col("a.series_id") + 1)
+        .select(col("a.series_id").as("user_id"),
+          // lcss() returns len/min(l1,l2); multiply back to the raw
+          // integer DP length (exact up to fp, recovered by round)
+          round(TsFunctions.lcssUdf(col("a.values"), col("b.values"), lit(0.5)) *
+            least(col("a.n"), col("b.n"))).cast("int").as("lcss_len"))
+    }),
+
+    // 1d-SAX distance (cysax.pyx:95-124) through the KERNEL path
+    // (oneDSax + dist1dSax) on raw-length series: (avg, slope) symbols
+    // per segment, distance = per-timestep reconstruction difference.
+    // originalSz convention on ragged pairs: the left series' length
+    // (same as ts_sax_mindist_pairs; the reference uses its fit-time sz).
+    "ts_1dsax_pairs" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"), TsFunctions.znormUdf(col("values")).as("values"),
+          size(col("values")).as("n"))
+        .select(col("series_id"),
+          TsFunctions.oneDSaxUdf(col("values"), lit(8), lit(4), lit(4), lit(1.0)).as("sym"),
+          col("n"))
+        .localCheckpoint()
+      series.alias("a").join(series.alias("b"), col("b.series_id") === col("a.series_id") + 1)
+        .select(col("a.series_id").as("user_id"),
+          (round(TsFunctions.dist1dSaxUdf(col("a.sym"), col("b.sym"),
+            lit(4), lit(4), lit(1.0), col("a.n")), 4) + lit(0.0)).as("dist_1dsax"))
     })
   )
 
@@ -1993,6 +2031,124 @@ object SparkEntry {
          |SELECT pr AS user_id, CAST(len AS INT) AS lcss_len
          |FROM t${sz - 1} WHERE j = ${sz - 1}""".stripMargin
     sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+  }
+
+  /** Shared CTE prefix for the raw-length (ragged) oracles: 0-based
+    * index j, per-user length n, and z-normed val via the kernel's
+    * m2/n − mean² variance formula (var≤0 → sd 1, Kernels.scala:473). */
+  private val rawZnormCte =
+    """WITH v AS (
+      |  SELECT user_id, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ns(ts) // 1000, event_id) - 1 AS j,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events
+      |), st AS (
+      |  SELECT user_id, avg(value) AS mu,
+      |    avg(value * value) - avg(value) * avg(value) AS var
+      |  FROM v GROUP BY 1
+      |), z AS (
+      |  SELECT v.user_id, v.j, v.n,
+      |    (v.value - st.mu) /
+      |      (CASE WHEN st.var <= 0 THEN 1.0 ELSE sqrt(st.var) END) AS val
+      |  FROM v JOIN st USING (user_id)
+      |)""".stripMargin
+
+  /** DuckDB oracle for ts_lcss_ragged_pairs: the same running-max LCSS
+    * row chain as lcssOracleSql but on RAW series lengths (sz1≠sz2
+    * through the int DP) — the ragged driver signal for lcss in
+    * VARIABLE_LENGTH_METRICS, mirroring raggedDtwOracleSql's shape. */
+  private def lcssRaggedOracleSql(maxSz: Int, eps: Double): String = {
+    val sb = new StringBuilder(rawZnormCte)
+    sb ++=
+      s"""
+         |, lens AS (
+         |  SELECT a.user_id AS pr, a.n AS len1, b.n AS len2
+         |  FROM (SELECT DISTINCT user_id, n FROM v) a
+         |  JOIN (SELECT DISTINCT user_id, n FROM v) b ON b.user_id = a.user_id + 1
+         |), loc AS (
+         |  SELECT a.user_id AS pr, a.j AS i, b.j AS j,
+         |    CASE WHEN abs(a.val - b.val) <= $eps THEN 1 ELSE 0 END AS m
+         |  FROM z a JOIN z b ON b.user_id = a.user_id + 1
+         |), t0 AS (
+         |  SELECT pr, j, max(m) OVER (PARTITION BY pr ORDER BY j) AS len
+         |  FROM loc WHERE i = 0
+         |)""".stripMargin
+    for (i <- 1 until maxSz) {
+      sb ++=
+        s"""
+           |, t$i AS (
+           |  SELECT pr, j, max(c) OVER (PARTITION BY pr ORDER BY j) AS len
+           |  FROM (
+           |    SELECT l.pr, l.j,
+           |      CASE WHEN l.m = 1 THEN coalesce(pk1.len, 0) + 1
+           |           ELSE coalesce(pk.len, 0) END AS c
+           |    FROM loc l
+           |    LEFT JOIN t${i - 1} pk ON pk.pr = l.pr AND pk.j = l.j
+           |    LEFT JOIN t${i - 1} pk1 ON pk1.pr = l.pr AND pk1.j = l.j - 1
+           |    WHERE l.i = $i)
+           |)""".stripMargin
+    }
+    sb ++= "\n, ans AS (\n  SELECT pr, 0 AS i, j, len FROM t0"
+    for (i <- 1 until maxSz)
+      sb ++= s"\n  UNION ALL SELECT pr, $i, j, len FROM t$i"
+    sb ++=
+      s"""
+         |)
+         |SELECT u.pr AS user_id, CAST(u.len AS INT) AS lcss_len
+         |FROM ans u JOIN lens ln ON ln.pr = u.pr
+         |WHERE u.i = ln.len1 - 1 AND u.j = ln.len2 - 1""".stripMargin
+    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+  }
+
+  /** DuckDB oracle for ts_1dsax_pairs (`cysax.pyx:95-124`): per-user
+    * raw-length z-norm → per-segment (avg, OLS slope) → symbols via the
+    * kernel's Acklam breakpoints (inlined below so SQL and Scala agree
+    * bit-for-bit) → distance = Σ_seg Σ_k (Δavg_med + Δslope_med·(k −
+    * segSz/2))², segSz from the LEFT series (the query's documented
+    * ragged convention). */
+  private def oneDSaxOracleSql(nSeg: Int, alpha: Int): String = {
+    val bps = graft.kernels.Sax.breakpoints(alpha)
+    val med = graft.kernels.Sax.binMedians(alpha)
+    def symCase(v: String): String =
+      s"CASE WHEN $v < ${bps(0)} THEN 0 WHEN $v < ${bps(1)} THEN 1 " +
+        s"WHEN $v < ${bps(2)} THEN 2 ELSE 3 END"
+    def medCase(sym: String): String =
+      s"CASE $sym WHEN 0 THEN ${med(0)} WHEN 1 THEN ${med(1)} " +
+        s"WHEN 2 THEN ${med(2)} ELSE ${med(3)} END"
+    rawZnormCte +
+      s"""
+         |, seg0 AS (
+         |  SELECT user_id, n, n // $nSeg AS segsz
+         |  FROM (SELECT DISTINCT user_id, n FROM v)
+         |), p AS (
+         |  SELECT z.user_id, CAST(z.j // s.segsz AS INT) AS seg,
+         |    avg(z.val) AS pavg,
+         |    regr_slope(z.val, CAST(z.j AS DOUBLE)) AS pslope
+         |  FROM z JOIN seg0 s USING (user_id)
+         |  WHERE z.j < s.segsz * $nSeg
+         |  GROUP BY 1, 2
+         |), sym AS (
+         |  SELECT user_id, seg,
+         |    ${symCase("pavg")} AS sa,
+         |    ${symCase("pslope")} AS ss
+         |  FROM p
+         |), cells AS (
+         |  SELECT a.user_id, a.seg, s0.segsz,
+         |    (${medCase("a.sa")}) - (${medCase("b.sa")}) AS da,
+         |    (${medCase("a.ss")}) - (${medCase("b.ss")}) AS ds
+         |  FROM sym a
+         |  JOIN sym b ON b.user_id = a.user_id + 1 AND b.seg = a.seg
+         |  JOIN seg0 s0 ON s0.user_id = a.user_id
+         |), expand AS (
+         |  SELECT user_id, da, ds, segsz,
+         |    unnest(generate_series(0, CAST(segsz AS INT) - 1)) AS k
+         |  FROM cells
+         |)
+         |SELECT user_id,
+         |  round(sqrt(sum((da + ds * (k - 0.5 * segsz)) *
+         |                 (da + ds * (k - 0.5 * segsz)))), 4) + 0.0 AS dist_1dsax
+         |FROM expand GROUP BY 1""".stripMargin
   }
 
   /** DuckDB oracle for ts_sbd_pairs: SBD = 1 − max-shift NCC, computed
@@ -3080,6 +3236,8 @@ object SparkEntry {
     "ts_ldtw_pairs" -> ldtwOracleSql(12, 16),
     "ts_subseq_match" -> subseqOracleSql(8, 24),
     "cdist_softdtw_norm" -> softDtwNormOracleSql(16, 12),
+    "ts_lcss_ragged_pairs" -> lcssRaggedOracleSql(128, 0.5),
+    "ts_1dsax_pairs" -> oneDSaxOracleSql(8, 4),
     "ts_dtw_mv_pairs" -> mvDtwOracleSql(16),
     "ts_dtw_ragged_pairs" -> raggedDtwOracleSql(128),
     "ts_ctw_pairs" -> ctwTraceSql(16, 3),

@@ -108,6 +108,17 @@ object TsFunctions {
   val ldtwUdf: UserDefinedFunction =
     udf((a: S, b: S, maxLength: Int) =>
       Advanced.dtwLimitedWarpingLength(uniTs(a), uniTs(b), maxLength))
+  /** 1d-SAX symbols (d avg symbols then d slope symbols per segment). */
+  val oneDSaxUdf: UserDefinedFunction =
+    udf((s: S, nSeg: Int, aAvg: Int, aSlope: Int, sigmaL: Double) =>
+      Sax.oneDSax(uniTs(s), nSeg, aAvg, aSlope, sigmaL).map(_.toSeq))
+  /** 1d-SAX distance over symbol arrays (cysax.pyx:95-124). */
+  val dist1dSaxUdf: UserDefinedFunction =
+    udf((a: scala.collection.Seq[scala.collection.Seq[Int]],
+         b: scala.collection.Seq[scala.collection.Seq[Int]],
+         aAvg: Int, aSlope: Int, sigmaL: Double, originalSz: Int) =>
+      Sax.dist1dSax(a.map(_.toArray).toArray, b.map(_.toArray).toArray,
+        aAvg, aSlope, sigmaL, originalSz))
   val matrixProfileUdf: UserDefinedFunction =
     udf((s: S, m: Int, scale: Boolean) => Kernels.matrixProfile(s.toArray, m, scale))
   val saxUdf: UserDefinedFunction =

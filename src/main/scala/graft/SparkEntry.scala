@@ -1103,6 +1103,26 @@ object SparkEntry {
           (round(col("dist"), 4) + lit(0.0)).as("softdtw_norm"))
     }),
 
+    // ---------------- kernel k-means full fit (kmeans.py:136-457) ----
+    // The last estimator family with no driver signal, now a
+    // deterministic fixed-iteration replay: GAK gram (σ=1, diag=1) over
+    // 12 series at sz=16, init = series_id % 3, 4 assign rounds of the
+    // kernel-trick distance K_ii − 2·Σ_{j∈c}K_ij/|c| + Σ_{j,l∈c}K_jl/|c|²
+    // (kmeans.py:390-405). Oracle = the green GAK sum-product chain over
+    // all ordered pairs feeding 4 chained group-sum/argmin CTE rounds.
+    "ts_kernel_kmeans" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .where(col("series_id") < 12)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(16)).as("values"))
+        .localCheckpoint()
+      val km = new graft.ml.KernelKMeans(k = 3, maxIter = 4,
+        tol = Double.NegativeInfinity, sigma = 1.0, init = "mod")
+      km.fitAssign(series)
+        .select(col("series_id"), col("cluster"),
+          (round(col("d2"), 4) + lit(0.0)).as("d2"))
+    }),
+
     // ---------------- ragged variable-length driver rows -------------
     // LCSS on RAW lengths (sz1≠sz2 through the int DP) — with
     // ts_dtw_ragged_pairs, ts_sax / ts_sax_mindist_pairs (already raw-
@@ -2339,6 +2359,66 @@ object SparkEntry {
         |JOIN fin aa ON aa.pr = ab.pr AND aa.cd = ab.pr
         |JOIN fin bb ON bb.pr = ab.cd AND bb.cd = ab.cd""".stripMargin)
 
+  /** DuckDB oracle for ts_kernel_kmeans: the kernel k-means fit as a
+    * fixed-iteration trace (`kmeans.py:136-457`). The GAK gram comes
+    * from the green sum-product chain over all ordered pairs (diag
+    * pinned to exactly 1.0 as the engine does); each round is two
+    * grouped sums — term2(i,c)=Σ_{j∈c}K_ij/|c| per sample and
+    * term3(c)=Σ_{j,l∈c}K_jl/|c|² per cluster (`kmeans.py:390-405`) —
+    * then an argmin with the engine's (d2, cluster) tie-break. Empty
+    * clusters drop out of both sums via the inner joins, mirroring the
+    * engine's label-join semantics. */
+  private def kernelKMeansTraceSql(sz: Int, maxId: Int, k: Int, iters: Int): String = {
+    val sb = new StringBuilder()
+    sb ++=
+      s""", gram AS (
+         |  SELECT ab.pr AS i, ab.cd AS j,
+         |    CASE WHEN ab.pr = ab.cd THEN 1.0
+         |         ELSE exp(ab.lw - 0.5 * (aa.lw + bb.lw)) END AS kv
+         |  FROM fin ab
+         |  JOIN fin aa ON aa.pr = ab.pr AND aa.cd = ab.pr
+         |  JOIN fin bb ON bb.pr = ab.cd AND bb.cd = ab.cd
+         |), lab0 AS (
+         |  SELECT i AS id, CAST(i % $k AS INT) AS c
+         |  FROM (SELECT DISTINCT pr AS i FROM fin)
+         |)""".stripMargin
+    for (it <- 1 to iters) {
+      sb ++=
+        s"""
+           |, s2_$it AS (
+           |  SELECT g.i AS id, l.c, sum(g.kv) AS s, count(*) AS cnt
+           |  FROM gram g JOIN lab${it - 1} l ON l.id = g.j
+           |  GROUP BY 1, 2
+           |), s3_$it AS (
+           |  SELECT la.c AS c, sum(g.kv) AS s3, count(DISTINCT g.i) AS csz
+           |  FROM gram g
+           |  JOIN lab${it - 1} la ON la.id = g.i
+           |  JOIN lab${it - 1} lb ON lb.id = g.j
+           |  WHERE la.c = lb.c
+           |  GROUP BY 1
+           |), d_$it AS (
+           |  SELECT s2.id, s2.c,
+           |    1.0 - 2.0 * s2.s / s2.cnt + s3.s3 / (s3.csz * s3.csz) AS d2
+           |  FROM s2_$it s2 JOIN s3_$it s3 ON s3.c = s2.c
+           |), lab$it AS (
+           |  SELECT id, c FROM (
+           |    SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY d2, c) AS rn
+           |    FROM d_$it) WHERE rn = 1
+           |)""".stripMargin
+    }
+    sb ++=
+      s"""
+         |SELECT l.id AS series_id, l.c AS cluster, round(d.d2, 4) + 0.0 AS d2
+         |FROM lab$iters l JOIN d_$iters d ON d.id = l.id AND d.c = l.c""".stripMargin
+    sumProdChainSql(
+      sz,
+      lgSql = "-(a.val - b.val) * (a.val - b.val) / 2.0" +
+        " - ln(2.0 - exp(-(a.val - b.val) * (a.val - b.val) / 2.0))",
+      selfPairs = false,
+      allPairsMaxId = maxId,
+      finalSql = sb.toString)
+  }
+
   /** DuckDB oracle for ts_ldtw_pairs: dtw_limited_warping_length
     * (`dtw_variants.py:468-743`) as a layered path-length DP — layer s
     * holds the min cost of reaching each cell in exactly s+1 steps
@@ -3238,6 +3318,7 @@ object SparkEntry {
     "cdist_softdtw_norm" -> softDtwNormOracleSql(16, 12),
     "ts_lcss_ragged_pairs" -> lcssRaggedOracleSql(128, 0.5),
     "ts_1dsax_pairs" -> oneDSaxOracleSql(8, 4),
+    "ts_kernel_kmeans" -> kernelKMeansTraceSql(16, 12, 3, 4),
     "ts_dtw_mv_pairs" -> mvDtwOracleSql(16),
     "ts_dtw_ragged_pairs" -> raggedDtwOracleSql(128),
     "ts_ctw_pairs" -> ctwTraceSql(16, 3),

@@ -17,7 +17,8 @@ import graft.functions.TsFunctions
   */
 class KernelKMeans(val k: Int, val maxIter: Int = 10, val tol: Double = 1e-6,
                    val sigma: Double = 1.0, val seed: Long = 0L,
-                   val blocks: Int = 0) extends Serializable {
+                   val blocks: Int = 0,
+                   val init: String = "random") extends Serializable {
 
   /** New-point assignment: kernel-trick distance to each fitted cluster
     * using the stored training series/labels (`kmeans.py:407-457`
@@ -63,14 +64,21 @@ class KernelKMeans(val k: Int, val maxIter: Int = 10, val tol: Double = 1e-6,
   }
 
   /** Fit on (series_id, values); returns assignments (series_id, cluster). */
-  def fit(df: DataFrame): DataFrame = fitInternal(df)._1
+  def fit(df: DataFrame): DataFrame = fitInternal(df)._1.select("series_id", "cluster")
+
+  /** Fit and return the final assignment WITH its kernel-trick distance
+    * (series_id, cluster, d2) — the trace-oracle surface: with
+    * init="mod" and tol=−∞ the whole fit is a deterministic
+    * fixed-iteration replay (the ts_kernel_kmeans driver row). */
+  def fitAssign(df: DataFrame): DataFrame = fitInternal(df)._1
 
   /** Fit and keep the predict-capable model (training series + labels +
     * per-cluster constants). */
   def fitModel(df: DataFrame): Model = {
     val spark = df.sparkSession
     import spark.implicits._
-    val (labels, term3, inertia) = fitInternal(df)
+    val (labels0, term3, inertia) = fitInternal(df)
+    val labels = labels0.select("series_id", "cluster")
     val assigned = df.select(col("series_id").cast("long"), col("values").cast("array<double>"))
       .join(labels, "series_id")
       .as[(Long, Array[Double], Int)].collect()
@@ -95,9 +103,13 @@ class KernelKMeans(val k: Int, val maxIter: Int = 10, val tol: Double = 1e-6,
       .withColumnRenamed("dist", "k_ij")
       .cache()
 
-    // deterministic random init labels
-    var labels = df.select(col("series_id"),
-      pmod(xxhash64(col("series_id"), lit(seed)), lit(k)).cast("int").as("cluster"))
+    // deterministic init labels: "random" = seeded hash; "mod" =
+    // series_id % k — the SQL-replayable trace-oracle mode (the
+    // KShape init="first" analogue)
+    val initLabel =
+      if (init == "mod") pmod(col("series_id"), lit(k)).cast("int")
+      else pmod(xxhash64(col("series_id"), lit(seed)), lit(k)).cast("int")
+    var labels = df.select(col("series_id"), initLabel.as("cluster"))
       .cache()
     var prevInertia = Double.PositiveInfinity
     var lastInertia = Double.PositiveInfinity
@@ -121,7 +133,8 @@ class KernelKMeans(val k: Int, val maxIter: Int = 10, val tol: Double = 1e-6,
           (lit(1.0) - lit(2.0) * col("s") / col("cnt") + col("s3") / (col("csz") * col("csz"))).as("d2"))
       val newLabels = dists
         .groupBy(col("left_id").as("series_id"))
-        .agg(min_by(col("cluster"), struct(col("d2"), col("cluster"))).as("cluster"))
+        .agg(min_by(col("cluster"), struct(col("d2"), col("cluster"))).as("cluster"),
+          min("d2").as("d2"))
         .cache()
       val inertia = dists.groupBy("left_id").agg(min("d2").as("d2"))
         .agg(sum("d2")).head().getDouble(0)

@@ -502,6 +502,46 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"), bpeishTokenCount(col("text")).as("n_bpe"))
     }),
 
+    // ---------------- multimodal decode driver signal ----------------
+    // The first oracle-backed multimodal row: deterministic binary
+    // PGM(P5)/PPM(P6) payloads (pixel v = (id·7919 + t·104729) mod 256,
+    // P6 rows carry r=g=b=v) built per doc_id, pushed through the REAL
+    // byte decoder (Multimodal.decodePnm — header parse included) and
+    // extractFeatures' mapPartitions batching. Output is integer-exact:
+    // pixel_sum = round(mean·w·h·maxv) and edge_sum recover the integer
+    // pixel sums despite float feature math (error ≪ 0.5), so DuckDB
+    // reproduces them from the generative formula without a decoder —
+    // any header/stride/luminance bug in the decode path breaks the sums.
+    "img_pixel_stats" -> ((s, dir) => {
+      val w = 8; val h = 8
+      val mkPnm = udf((id: Long) => {
+        val color = id % 2 == 1
+        val header = (if (color) s"P6\n$w $h\n255\n" else s"P5\n$w $h\n255\n")
+          .getBytes("US-ASCII")
+        val nCh = if (color) 3 else 1
+        val px = new Array[Byte](w * h * nCh)
+        var t = 0
+        while (t < w * h) {
+          val v = ((id * 7919 + t * 104729) % 256).toByte
+          var c = 0
+          while (c < nCh) { px(t * nCh + c) = v; c += 1 }
+          t += 1
+        }
+        header ++ px
+      })
+      val media = docs(s, dir).select(col("doc_id").cast("long"))
+        .where(col("doc_id") < 64)
+        .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+          mkPnm(col("doc_id")).as("payload"),
+          struct(lit(w).as("width"), lit(h).as("height"),
+            lit(null).cast("int").as("sample_rate"),
+            lit(null).cast("int").as("n_frames")).as("meta"))
+      graft.sources.Multimodal.extractFeatures(media)
+        .select(col("media_id"),
+          round(col("feat")(0) * lit(w * h * 255)).cast("long").as("pixel_sum"),
+          round(col("feat")(2) * lit(w * h * 255)).cast("long").as("edge_sum"))
+    }),
+
     // ---------------- dedup II / similarity (oracle where portable) ---
     "emb_dedup_cosine" -> ((s, dir) => {
       graft.operators.Dedup.embeddingCosine(emb(s, dir), threshold = 0.4)
@@ -3319,6 +3359,23 @@ object SparkEntry {
     "ts_lcss_ragged_pairs" -> lcssRaggedOracleSql(128, 0.5),
     "ts_1dsax_pairs" -> oneDSaxOracleSql(8, 4),
     "ts_kernel_kmeans" -> kernelKMeansTraceSql(16, 12, 3, 4),
+
+    // img_pixel_stats: ground truth from the generative pixel formula —
+    // no decoder on the oracle side; the engine's value only matches if
+    // header parse + sample stride + luminance are right.
+    "img_pixel_stats" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+        |px AS (
+        |  SELECT doc_id, g.t, (doc_id * 7919 + g.t * 104729) % 256 AS v
+        |  FROM ids, (SELECT unnest(generate_series(0, 63)) AS t) g
+        |), e AS (
+        |  SELECT doc_id, t, v, lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv
+        |  FROM px
+        |)
+        |SELECT doc_id AS media_id, CAST(sum(v) AS BIGINT) AS pixel_sum,
+        |  CAST(sum(CASE WHEN pv IS NULL THEN 0 ELSE abs(v - pv) END) AS BIGINT)
+        |    AS edge_sum
+        |FROM e GROUP BY 1""".stripMargin,
     "ts_dtw_mv_pairs" -> mvDtwOracleSql(16),
     "ts_dtw_ragged_pairs" -> raggedDtwOracleSql(128),
     "ts_ctw_pairs" -> ctwTraceSql(16, 3),

@@ -543,8 +543,12 @@ object SparkEntry {
     }),
 
     // ---------------- dedup II / similarity (oracle where portable) ---
+    // Through the size-routed front door: at test SF the count guard
+    // routes to the exact triangle (oracle-matchable); past exactLimit
+    // the same call becomes IVF — the switch itself is spec-locked in
+    // DedupAnnSpec.
     "emb_dedup_cosine" -> ((s, dir) => {
-      graft.operators.Dedup.embeddingCosine(emb(s, dir), threshold = 0.4)
+      graft.operators.Dedup.embeddingCosineAuto(emb(s, dir), threshold = 0.4)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
     }),
 

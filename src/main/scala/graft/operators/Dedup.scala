@@ -466,6 +466,30 @@ object Dedup {
       .where(col("cos") >= threshold)
   }
 
+  /** Size-routed front door for cosine near-dup: EXACT brute triangle
+    * under `exactLimit` rows, IVF cell-bucketed candidates past it —
+    * the same guard-and-fallback split as knnDtwPruned /
+    * connectedComponents / dfCapped, so a pipeline written against one
+    * call survives the corpus growing 1000×. The recall contract at the
+    * switch: the IVF route only LOSES pairs (two vectors sharing no
+    * probed cell), never invents them — every emitted pair is
+    * exact-cosine verified ≥ threshold on both routes. The count is one
+    * columnar aggregate; the switch is loud on stderr. */
+  def embeddingCosineAuto(df: DataFrame, threshold: Double,
+                          exactLimit: Long = 100000L,
+                          nlist: Int = 32, nprobe: Int = 2, seed: Long = 0L,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val n = df.count()
+    if (n <= exactLimit) embeddingCosine(df, threshold, idCol, vecCol)
+    else {
+      System.err.println(
+        s"[dedup] embeddingCosineAuto: $n rows > exactLimit=$exactLimit — routing to " +
+          s"IVF (nlist=$nlist, nprobe=$nprobe); recall<1 by construction, emitted " +
+          "pairs stay exact-verified")
+      embeddingCosineIvf(df, threshold, nlist, nprobe, seed, idCol, vecCol)
+    }
+  }
+
   /** EXACT cosine near-dup pairs with no broadcast of the full relation:
     * the block-partitioned pair join (Cdist.selfBlockedUpper). Identical
     * output to [[embeddingCosine]]; use when the table exceeds broadcast

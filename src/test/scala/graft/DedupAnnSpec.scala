@@ -157,6 +157,37 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF cosine dedup recall $recall over ${brute.size} pairs")
   }
 
+  test("embeddingCosineAuto routes exact under the limit, IVF past it") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+    val brute = Dedup.embeddingCosine(emb, threshold = 0.4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // under the limit: the auto route must be the exact triangle,
+    // bit-identical pairs
+    val exactRoute = Dedup.embeddingCosineAuto(emb, threshold = 0.4)
+    assert(exactRoute.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"),
+      "under exactLimit the auto route must be the broadcast triangle")
+    assert(exactRoute.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet == brute)
+    // past the limit (forced with a tiny cap): the plan switches to the
+    // IVF candidate join and the recall contract holds — a subset of
+    // brute (emitted pairs stay exact-verified), recall high
+    val ivfRoute = Dedup.embeddingCosineAuto(emb, threshold = 0.4,
+      exactLimit = 10, nlist = 8, nprobe = 4, seed = 3)
+    val ivfPlan = ivfRoute.queryExecution.executedPlan.toString
+    assert(!ivfPlan.contains("BroadcastNestedLoopJoin"),
+      "past exactLimit the auto route must not be the n^2 broadcast triangle")
+    val ivf = ivfRoute.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(ivf.subsetOf(brute), "auto-IVF pairs must pass the same exact filter")
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"auto-IVF recall $recall over ${brute.size} pairs")
+    // and the switch is transparent: identical to calling the IVF
+    // operator directly with the same parameters
+    val direct = Dedup.embeddingCosineIvf(emb, threshold = 0.4,
+      nlist = 8, nprobe = 4, seed = 3)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(ivf == direct)
+  }
+
   test("stratified sample: quota semantics, determinism, default stratum") {
     import graft.operators.TextAnalysis
     val docs = (0L until 400L).map(i =>

@@ -1186,6 +1186,34 @@ object SparkEntry {
             least(col("a.n"), col("b.n"))).cast("int").as("lcss_len"))
     }),
 
+    // GAK and soft-DTW with sz1≠sz2 through the DPs: each series
+    // resampled to its OWN length 8 + (id % 5)·2 ≤ 16 (inside the
+    // log-space oracle's double-range ceiling). With these, every
+    // VARIABLE_LENGTH_METRICS entry (ctw dtw gak sax softdtw lcss) has
+    // a ragged driver row.
+    "ts_gak_ragged_pairs" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"),
+            (lit(8) + pmod(col("series_id"), lit(5)) * 2).cast("int")).as("values"))
+        .localCheckpoint()
+      series.alias("a").join(series.alias("b"), col("b.series_id") === col("a.series_id") + 1)
+        .select(col("a.series_id").as("user_id"),
+          round(TsFunctions.gakUdf(col("a.values"), col("b.values"), lit(1.0)), 4).as("gak"))
+    }),
+
+    "ts_softdtw_ragged_pairs" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"),
+            (lit(8) + pmod(col("series_id"), lit(5)) * 2).cast("int")).as("values"))
+        .localCheckpoint()
+      series.alias("a").join(series.alias("b"), col("b.series_id") === col("a.series_id") + 1)
+        .select(col("a.series_id").as("user_id"),
+          round(TsFunctions.softDtwUdf(col("a.values"), col("b.values"), lit(1.0)), 4)
+            .as("softdtw"))
+    }),
+
     // 1d-SAX distance (cysax.pyx:95-124) through the KERNEL path
     // (oneDSax + dist1dSax) on raw-length series: (avg, slope) symbols
     // per segment, distance = per-timestep reconstruction difference.
@@ -2318,6 +2346,112 @@ object SparkEntry {
     sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
   }
 
+  /** Ragged variant of [[sumProdChainSql]]: each series is resampled to
+    * its OWN target length 8 + (user_id % 5)·2 (all ≤ 16, inside the
+    * log-space row-solve's double-range ceiling), so sz1≠sz2 flows
+    * through the sum-product DP — the ragged driver signal for gak /
+    * softdtw in VARIABLE_LENGTH_METRICS. Chain shape and per-row
+    * log-sum-exp identical to the fixed-size version; the terminal cell
+    * comes from a lens join instead of a constant. */
+  private def raggedSumProdChainSql(lgSql: String, selfPairs: Boolean,
+                                    finalSql: String): String = {
+    val maxSz = 16
+    val neg = "-1.0e300"
+    val self =
+      if (selfPairs)
+        """
+          |  SELECT user_id AS pr, user_id AS cd FROM tgt
+          |  UNION ALL""".stripMargin
+      else ""
+    val sb = new StringBuilder(
+      s"""WITH v AS (
+         |  SELECT user_id, value,
+         |         row_number() OVER (PARTITION BY user_id
+         |           ORDER BY epoch_ns(ts) // 1000, event_id) AS t,
+         |         count(*) OVER (PARTITION BY user_id) AS n
+         |  FROM events
+         |), tgt AS (
+         |  SELECT user_id, n, 8 + (user_id % 5) * 2 AS tl
+         |  FROM (SELECT DISTINCT user_id, n FROM v)
+         |), grid AS (
+         |  SELECT u.user_id, u.n, u.tl, g.j, g.j * (u.n - 1) / (u.tl - 1.0) AS pos
+         |  FROM tgt u, (SELECT unnest(generate_series(0, ${maxSz - 1})) AS j) g
+         |  WHERE g.j < u.tl
+         |), w AS (
+         |  SELECT user_id, j, CAST(floor(pos) AS INT) AS i0,
+         |    LEAST(CAST(floor(pos) AS INT) + 1, n - 1) AS i1, pos - floor(pos) AS frac
+         |  FROM grid
+         |), r0 AS (
+         |  SELECT w.user_id, w.j, v0.value * (1.0 - w.frac) + v1.value * w.frac AS val
+         |  FROM w
+         |  JOIN v v0 ON v0.user_id = w.user_id AND v0.t - 1 = w.i0
+         |  JOIN v v1 ON v1.user_id = w.user_id AND v1.t - 1 = w.i1
+         |), st AS (
+         |  SELECT user_id, avg(val) AS mu,
+         |    avg(val * val) - avg(val) * avg(val) AS var
+         |  FROM r0 GROUP BY 1
+         |), r AS (
+         |  SELECT r0.user_id, r0.j,
+         |    (r0.val - st.mu) /
+         |      (CASE WHEN st.var <= 0 THEN 1.0 ELSE sqrt(st.var) END) AS val
+         |  FROM r0 JOIN st USING (user_id)
+         |), pairs AS ($self
+         |  SELECT a.user_id AS pr, b.user_id AS cd
+         |  FROM tgt a JOIN tgt b ON b.user_id = a.user_id + 1
+         |), lens AS (
+         |  SELECT p.pr, p.cd, a.tl AS l1, b.tl AS l2
+         |  FROM pairs p
+         |  JOIN tgt a ON a.user_id = p.pr
+         |  JOIN tgt b ON b.user_id = p.cd
+         |), loc AS (
+         |  SELECT p.pr, p.cd, a.j AS i, b.j AS j, $lgSql AS lg
+         |  FROM pairs p
+         |  JOIN r a ON a.user_id = p.pr
+         |  JOIN r b ON b.user_id = p.cd
+         |), t0 AS (
+         |  SELECT pr, cd, j,
+         |    sum(lg) OVER (PARTITION BY pr, cd ORDER BY j) AS lw
+         |  FROM loc WHERE i = 0
+         |)""".stripMargin)
+    for (i <- 1 until maxSz) {
+      sb ++=
+        s"""
+           |, t$i AS (
+           |  SELECT pr, cd, j, lk + mx + ln(se) AS lw FROM (
+           |    SELECT pr, cd, j, lk, mx,
+           |      sum(exp(lpk - mx)) OVER (PARTITION BY pr, cd ORDER BY j) AS se
+           |    FROM (
+           |      SELECT pr, cd, j, lk, lpk,
+           |        max(lpk) OVER (PARTITION BY pr, cd) AS mx
+           |      FROM (
+           |        SELECT l.pr, l.cd, l.j,
+           |          sum(l.lg) OVER (PARTITION BY l.pr, l.cd ORDER BY l.j) AS lk,
+           |          greatest(coalesce(pk.lw, $neg), coalesce(pk1.lw, $neg))
+           |            + ln(1.0 + exp(least(coalesce(pk.lw, $neg), coalesce(pk1.lw, $neg))
+           |                - greatest(coalesce(pk.lw, $neg), coalesce(pk1.lw, $neg))))
+           |            - (sum(l.lg) OVER (PARTITION BY l.pr, l.cd ORDER BY l.j) - l.lg) AS lpk
+           |        FROM loc l
+           |        LEFT JOIN t${i - 1} pk
+           |          ON pk.pr = l.pr AND pk.cd = l.cd AND pk.j = l.j
+           |        LEFT JOIN t${i - 1} pk1
+           |          ON pk1.pr = l.pr AND pk1.cd = l.cd AND pk1.j = l.j - 1
+           |        WHERE l.i = $i)))
+           |)""".stripMargin
+    }
+    sb ++= "\n, ans AS (\n  SELECT pr, cd, 0 AS i, j, lw FROM t0"
+    for (i <- 1 until maxSz)
+      sb ++= s"\n  UNION ALL SELECT pr, cd, $i, j, lw FROM t$i"
+    sb ++=
+      s"""
+         |), fin AS (
+         |  SELECT a.pr, a.cd, a.lw
+         |  FROM ans a JOIN lens ln ON ln.pr = a.pr AND ln.cd = a.cd
+         |  WHERE a.i = ln.l1 - 1 AND a.j = ln.l2 - 1
+         |)
+         |$finalSql""".stripMargin
+    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+  }
+
   /** DuckDB oracle for cdist_dtw_pairs: unbanded univariate DTW between
     * ALL pairs (left < right) of the first `maxId` users at sz points —
     * the same row-chain DP as mvDtwOracleSql with a d=1 local cost and
@@ -3362,6 +3496,22 @@ object SparkEntry {
     "cdist_softdtw_norm" -> softDtwNormOracleSql(16, 12),
     "ts_lcss_ragged_pairs" -> lcssRaggedOracleSql(128, 0.5),
     "ts_1dsax_pairs" -> oneDSaxOracleSql(8, 4),
+    "ts_gak_ragged_pairs" -> raggedSumProdChainSql(
+      lgSql = "-(a.val - b.val) * (a.val - b.val) / 2.0" +
+        " - ln(2.0 - exp(-(a.val - b.val) * (a.val - b.val) / 2.0))",
+      selfPairs = true,
+      finalSql =
+        """SELECT ab.pr AS user_id,
+          |  round(exp(ab.lw - 0.5 * (aa.lw + bb.lw)), 4) AS gak
+          |FROM fin ab
+          |JOIN fin aa ON aa.pr = ab.pr AND aa.cd = ab.pr
+          |JOIN fin bb ON bb.pr = ab.cd AND bb.cd = ab.cd
+          |WHERE ab.pr <> ab.cd""".stripMargin),
+    "ts_softdtw_ragged_pairs" -> raggedSumProdChainSql(
+      lgSql = "-(a.val - b.val) * (a.val - b.val)",
+      selfPairs = false,
+      finalSql =
+        """SELECT pr AS user_id, round(-1.0 * lw, 4) AS softdtw FROM fin""".stripMargin),
     "ts_kernel_kmeans" -> kernelKMeansTraceSql(16, 12, 3, 4),
 
     // img_pixel_stats: ground truth from the generative pixel formula —

@@ -136,9 +136,11 @@ class KernelKMeans(val k: Int, val maxIter: Int = 10, val tol: Double = 1e-6,
         .agg(min_by(col("cluster"), struct(col("d2"), col("cluster"))).as("cluster"),
           min("d2").as("d2"))
         .cache()
-      val inertia = dists.groupBy("left_id").agg(min("d2").as("d2"))
-        .agg(sum("d2")).head().getDouble(0)
       newLabels.count()
+      // inertia = Σ min-d2, read off the already-cached assignment
+      // frame — the former dists.groupBy(min).agg(sum) re-evaluated the
+      // whole gram-join tree a second time per iteration
+      val inertia = newLabels.agg(sum("d2")).head().getDouble(0)
       labels.unpersist()
       labels = newLabels
       lastInertia = inertia

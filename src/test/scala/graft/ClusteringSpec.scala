@@ -99,6 +99,28 @@ class ClusteringSpec extends AnyFunSuite {
     assert(cs.forall(c => c >= 0 && c < 2))
   }
 
+  test("kernel kmeans fitAssign carries d2 and matches fit; mod init is deterministic") {
+    val df = blobs(nPerBlob = 6, sz = 16)
+    val km = new KernelKMeans(k = 2, maxIter = 4,
+      tol = Double.NegativeInfinity, sigma = 1.0, init = "mod")
+    val assign = km.fitAssign(df).orderBy("series_id")
+      .select("series_id", "cluster", "d2").as[(Long, Int, Double)].collect()
+    assert(assign.length == 12)
+    // d2 is the kernel-trick distance: nonnegative up to fp noise
+    assign.foreach { case (_, c, d2) => assert(c >= 0 && c < 2 && d2 > -1e-9) }
+    // fit is fitAssign minus the distance column
+    val labels = new KernelKMeans(k = 2, maxIter = 4,
+      tol = Double.NegativeInfinity, sigma = 1.0, init = "mod").fit(df)
+      .orderBy("series_id").as[(Long, Int)].collect()
+    assert(labels.toSeq == assign.map(a => (a._1, a._2)).toSeq,
+      "fit and fitAssign must agree on labels")
+    // blobs are well separated: the fixed-iteration mod-init replay
+    // still recovers the true 2-blob partition
+    val byBlob = assign.groupBy(_._1 / 6).view.mapValues(_.map(_._2).distinct).toMap
+    assert(byBlob.values.forall(_.length == 1), s"mixed blob assignment: $byBlob")
+    assert(byBlob(0L) != byBlob(1L), "blobs must land in different clusters")
+  }
+
   test("kernel kmeans predict refuses a training set past the broadcast guard") {
     val df = blobs(nPerBlob = 6, sz = 16)
     val model = new KernelKMeans(k = 2, maxIter = 3, sigma = 1.0, seed = 7)

@@ -97,11 +97,15 @@ class KernelKMeans(val k: Int, val maxIter: Int = 10, val tol: Double = 1e-6,
       else
         Cdist.selfCross(df, (a, b) => TsFunctions.gakUdf(a, b, lit(sigma)),
           computeDiagonal = false)
+    // localCheckpoint, not cache: the gram feeds two join branches in
+    // EVERY iteration — a cache substitutes the scan but leaves the full
+    // lineage in each round's analyzed plan (re-planned per iteration,
+    // the measured fixed cost of iterative local-mode loops)
     val gram = pairs
       .union(df.select(col("series_id").as("left_id"), col("series_id").as("right_id"),
         lit(1.0).as("dist")))
       .withColumnRenamed("dist", "k_ij")
-      .cache()
+      .localCheckpoint()
 
     // deterministic init labels: "random" = seeded hash; "mod" =
     // series_id % k — the SQL-replayable trace-oracle mode (the
@@ -131,13 +135,15 @@ class KernelKMeans(val k: Int, val maxIter: Int = 10, val tol: Double = 1e-6,
       val dists = sums.join(broadcast(bothIn), "cluster")
         .select(col("left_id"), col("cluster"),
           (lit(1.0) - lit(2.0) * col("s") / col("cnt") + col("s3") / (col("csz") * col("csz"))).as("d2"))
+      // eager localCheckpoint: materializes AND truncates lineage, so
+      // iteration r+1's plan starts from a leaf instead of replaying r
+      // rounds of analysis
       val newLabels = dists
         .groupBy(col("left_id").as("series_id"))
         .agg(min_by(col("cluster"), struct(col("d2"), col("cluster"))).as("cluster"),
           min("d2").as("d2"))
-        .cache()
-      newLabels.count()
-      // inertia = Σ min-d2, read off the already-cached assignment
+        .localCheckpoint()
+      // inertia = Σ min-d2, read off the already-checkpointed assignment
       // frame — the former dists.groupBy(min).agg(sum) re-evaluated the
       // whole gram-join tree a second time per iteration
       val inertia = newLabels.agg(sum("d2")).head().getDouble(0)

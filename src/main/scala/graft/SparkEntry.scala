@@ -1147,6 +1147,18 @@ object SparkEntry {
           (round(col("dist"), 4) + lit(0.0)).as("softdtw_norm"))
     }),
 
+    // sigma_gak bandwidth heuristic (softdtw_variants.py:221-272) as a
+    // deterministic exact-median replay: sample = all timestep values
+    // of series < 4, medians = exact k-th smallest (k = n/2). The
+    // production sigmaGak (RNG sample + approxQuantile) stays golden;
+    // this locks the median-of-pairwise-distances × √(median length)
+    // semantics with a driver row.
+    "ts_sigma_gak" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+      graft.ml.TimeSeriesSVC.sigmaGakExact(series, maxId = 4)
+        .select(round(col("sigma"), 4).as("sigma"))
+    }),
+
     // ---------------- kernel k-means full fit (kmeans.py:136-457) ----
     // The last estimator family with no driver signal, now a
     // deterministic fixed-iteration replay: GAK gram (σ=1, diag=1) over
@@ -3513,6 +3525,35 @@ object SparkEntry {
       finalSql =
         """SELECT pr AS user_id, round(-1.0 * lw, 4) AS softdtw FROM fin""".stripMargin),
     "ts_kernel_kmeans" -> kernelKMeansTraceSql(16, 12, 3, 4),
+
+    // ts_sigma_gak: exact k-th-smallest medians over the same bounded
+    // sample (k = n/2, the reference's sorted[n//2] upper middle).
+    "ts_sigma_gak" ->
+      """WITH v AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_ns(ts) // 1000, event_id) AS t
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, t, value FROM v WHERE user_id < 4
+        |), p AS (
+        |  SELECT abs(a.value - b.value) AS d
+        |  FROM s a JOIN s b
+        |    ON (a.user_id < b.user_id OR (a.user_id = b.user_id AND a.t < b.t))
+        |), cnt AS (SELECT count(*) AS n FROM p),
+        |md AS (
+        |  SELECT d AS med FROM
+        |    (SELECT d, row_number() OVER (ORDER BY d) AS rn FROM p), cnt
+        |  WHERE rn = n // 2 + 1
+        |), lens AS (
+        |  SELECT count(*) AS sz FROM v GROUP BY user_id
+        |), c2 AS (SELECT count(*) AS m FROM lens),
+        |ms AS (
+        |  SELECT sz AS med FROM
+        |    (SELECT sz, row_number() OVER (ORDER BY sz) AS rn FROM lens), c2
+        |  WHERE rn = m // 2 + 1
+        |)
+        |SELECT round(md.med * sqrt(ms.med), 4) AS sigma FROM md, ms""".stripMargin,
 
     // img_pixel_stats: ground truth from the generative pixel formula —
     // no decoder on the oracle side; the engine's value only matches if

@@ -37,6 +37,39 @@ object TimeSeriesSVC {
     medDist * math.sqrt(medSz.headOption.getOrElse(1.0))
   }
 
+  /** Deterministic exact-median variant of [[sigmaGak]] for driver
+    * verification: the sample is ALL timestep values of series
+    * < `maxId` (a bounded slice, no RNG), both medians are the exact
+    * k-th smallest with k = n/2 — the reference's sorted[n//2] upper
+    * middle (`softdtw_variants.py:251-272`) — instead of the sampled
+    * median + approxQuantile of the production heuristic. Returns a
+    * one-row frame (sigma). */
+  def sigmaGakExact(df: DataFrame, maxId: Long = 4,
+                    seriesCol: String = "values"): DataFrame = {
+    val vals = df.where(col("series_id") < maxId)
+      .select(col("series_id"), posexplode(col(seriesCol)).as(Seq("t", "v")))
+      .localCheckpoint()
+    val a = vals.select(col("series_id").as("sa"), col("t").as("ta"), col("v").as("va"))
+    val b = vals.select(col("series_id").as("sb"), col("t").as("tb"), col("v").as("vb"))
+    // i<j over the value multiset via the (series, t) lexicographic key
+    val pairs = a.crossJoin(b)
+      .where(col("sa") < col("sb") || (col("sa") === col("sb") && col("ta") < col("tb")))
+      .select(abs(col("va") - col("vb")).as("d"))
+      .localCheckpoint()
+    val nPairs = pairs.count()
+    // k-th smallest of a multiset = max of the first k+1 ascending —
+    // order-independent, so no global-sort determinism hazard
+    val medDist = pairs.orderBy("d").limit((nPairs / 2 + 1).toInt)
+      .agg(max("d")).head().getDouble(0)
+    val sizes = df.select(size(col(seriesCol)).cast("double").as("sz")).localCheckpoint()
+    val nSz = sizes.count()
+    val medSz = sizes.orderBy("sz").limit((nSz / 2 + 1).toInt)
+      .agg(max("sz")).head().getDouble(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq(medDist * math.sqrt(medSz)).toDF("sigma")
+  }
+
   /** Binary SMO on a precomputed kernel matrix (driver-side). Simplified
     * Platt SMO with random-ish second-choice heuristic; converges for the
     * small gram sizes this path is designed for. */

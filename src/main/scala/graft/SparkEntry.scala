@@ -1226,6 +1226,24 @@ object SparkEntry {
             .as("softdtw"))
     }),
 
+    // soft-DTW GRADIENT wrt the left series (soft_dtw_fast.pyx:69-104)
+    // — the backward pass the soft-DTW barycenter (softdtw.py:17-113)
+    // descends on, previously golden-only (finite-diff spec). The
+    // oracle avoids replaying the backward DP via the path-split
+    // identity E = F·B/(k·F_total), with B the green forward chain run
+    // on index-reversed cells (see softDtwGradOracleSql).
+    "ts_softdtw_grad_pairs" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(16)).as("values"))
+        .localCheckpoint()
+      series.alias("a").join(series.alias("b"), col("b.series_id") === col("a.series_id") + 1)
+        .select(col("a.series_id").as("user_id"),
+          posexplode(TsFunctions.softDtwGradUdf(col("a.values"), col("b.values"), lit(1.0))))
+        .select(col("user_id"), col("pos").as("t"),
+          (round(col("col"), 4) + lit(0.0)).as("g"))
+    }),
+
     // 1d-SAX distance (cysax.pyx:95-124) through the KERNEL path
     // (oneDSax + dist1dSax) on raw-length series: (avg, slope) symbols
     // per segment, distance = per-timestep reconstruction difference.
@@ -2288,9 +2306,56 @@ object SparkEntry {
     * in log space with a per-row max shift so the running exp-sum never
     * overflows. `lgSql` is log k(i,j) in terms of a.val/b.val;
     * `selfPairs` adds (u,u) pairs (needed for GAK normalization). */
+  /** One sum-product row chain `${t}0..${t}{sz-1}` over a cell CTE
+    * `$loc(pr, cd, i, j, lg)`: `${t}i` holds, for every column j, the
+    * log of the forward weight W(i,j) = Σ_{paths (0,0)→(i,j)} Π exp(lg)
+    * under the GAK/soft-DTW recurrence
+    * W(i,j) = k(i,j)·(W(i−1,j) + W(i−1,j−1) + W(i,j−1)). The same-row
+    * dependency is solved in closed form per row: a prefix-sum of
+    * per-cell log-factors (lk) plus a running exp-sum of the
+    * prev-row contributions (lpk), max-shifted for log-space safety.
+    * Factored out of [[sumProdChainSql]] so the gradient oracle can run
+    * the chain twice (forward + index-reversed = backward). */
+  private def rowChainCtes(sz: Int, loc: String, t: String): String = {
+    val neg = "-1.0e300"
+    val sb = new StringBuilder()
+    sb ++=
+      s"""
+         |, ${t}0 AS (
+         |  SELECT pr, cd, j,
+         |    sum(lg) OVER (PARTITION BY pr, cd ORDER BY j) AS lw
+         |  FROM $loc WHERE i = 0
+         |)""".stripMargin
+    for (i <- 1 until sz) {
+      sb ++=
+        s"""
+           |, $t$i AS (
+           |  SELECT pr, cd, j, lk + mx + ln(se) AS lw FROM (
+           |    SELECT pr, cd, j, lk, mx,
+           |      sum(exp(lpk - mx)) OVER (PARTITION BY pr, cd ORDER BY j) AS se
+           |    FROM (
+           |      SELECT pr, cd, j, lk, lpk,
+           |        max(lpk) OVER (PARTITION BY pr, cd) AS mx
+           |      FROM (
+           |        SELECT l.pr, l.cd, l.j,
+           |          sum(l.lg) OVER (PARTITION BY l.pr, l.cd ORDER BY l.j) AS lk,
+           |          greatest(coalesce(pk.lw, $neg), coalesce(pk1.lw, $neg))
+           |            + ln(1.0 + exp(least(coalesce(pk.lw, $neg), coalesce(pk1.lw, $neg))
+           |                - greatest(coalesce(pk.lw, $neg), coalesce(pk1.lw, $neg))))
+           |            - (sum(l.lg) OVER (PARTITION BY l.pr, l.cd ORDER BY l.j) - l.lg) AS lpk
+           |        FROM $loc l
+           |        LEFT JOIN $t${i - 1} pk
+           |          ON pk.pr = l.pr AND pk.cd = l.cd AND pk.j = l.j
+           |        LEFT JOIN $t${i - 1} pk1
+           |          ON pk1.pr = l.pr AND pk1.cd = l.cd AND pk1.j = l.j - 1
+           |        WHERE l.i = $i)))
+           |)""".stripMargin
+    }
+    sb.toString
+  }
+
   private def sumProdChainSql(sz: Int, lgSql: String, selfPairs: Boolean,
                               finalSql: String, allPairsMaxId: Int = -1): String = {
-    val neg = "-1.0e300"
     val self =
       if (selfPairs)
         """
@@ -2319,36 +2384,8 @@ object SparkEntry {
          |  FROM pairs p
          |  JOIN r a ON a.user_id = p.pr
          |  JOIN r b ON b.user_id = p.cd
-         |), t0 AS (
-         |  SELECT pr, cd, j,
-         |    sum(lg) OVER (PARTITION BY pr, cd ORDER BY j) AS lw
-         |  FROM loc WHERE i = 0
          |)""".stripMargin
-    for (i <- 1 until sz) {
-      sb ++=
-        s"""
-           |, t$i AS (
-           |  SELECT pr, cd, j, lk + mx + ln(se) AS lw FROM (
-           |    SELECT pr, cd, j, lk, mx,
-           |      sum(exp(lpk - mx)) OVER (PARTITION BY pr, cd ORDER BY j) AS se
-           |    FROM (
-           |      SELECT pr, cd, j, lk, lpk,
-           |        max(lpk) OVER (PARTITION BY pr, cd) AS mx
-           |      FROM (
-           |        SELECT l.pr, l.cd, l.j,
-           |          sum(l.lg) OVER (PARTITION BY l.pr, l.cd ORDER BY l.j) AS lk,
-           |          greatest(coalesce(pk.lw, $neg), coalesce(pk1.lw, $neg))
-           |            + ln(1.0 + exp(least(coalesce(pk.lw, $neg), coalesce(pk1.lw, $neg))
-           |                - greatest(coalesce(pk.lw, $neg), coalesce(pk1.lw, $neg))))
-           |            - (sum(l.lg) OVER (PARTITION BY l.pr, l.cd ORDER BY l.j) - l.lg) AS lpk
-           |        FROM loc l
-           |        LEFT JOIN t${i - 1} pk
-           |          ON pk.pr = l.pr AND pk.cd = l.cd AND pk.j = l.j
-           |        LEFT JOIN t${i - 1} pk1
-           |          ON pk1.pr = l.pr AND pk1.cd = l.cd AND pk1.j = l.j - 1
-           |        WHERE l.i = $i)))
-           |)""".stripMargin
-    }
+    sb ++= rowChainCtes(sz, "loc", "t")
     sb ++=
       s"""
          |, fin AS (
@@ -2548,6 +2585,76 @@ object SparkEntry {
         |FROM fin ab
         |JOIN fin aa ON aa.pr = ab.pr AND aa.cd = ab.pr
         |JOIN fin bb ON bb.pr = ab.cd AND bb.cd = ab.cd""".stripMargin)
+
+  /** DuckDB oracle for ts_softdtw_grad_pairs: the soft-DTW gradient wrt
+    * the LEFT series — the soft-DTW barycenter's backward pass
+    * (`soft_dtw_fast.pyx:69-104`, driven by `softdtw.py:17-113`) —
+    * WITHOUT replaying the backward DP. The expected alignment mass
+    * obeys the path-decomposition identity
+    *   E(i,j) = F(i,j) · B(i,j) / (k(i,j) · F(last,last))
+    * where F is the full forward sum-product matrix (every row of the
+    * green soft-min chain, not just its terminal cell), B is the SAME
+    * chain run on index-reversed cells (a forward pass over reversed
+    * series IS the backward pass), and k(i,j) divides out the local
+    * factor counted by both halves. Every monotone path through (i,j)
+    * splits uniquely into a prefix ending there and a suffix starting
+    * there, so the sum over paths factorizes — no new DP shape needed.
+    * Then grad_t = Σ_j E(t,j) · 2·(x_t − y_j) (squared-euclidean
+    * jacobian product, `Kernels.softDtwGrad`). */
+  private def softDtwGradOracleSql(sz: Int): String = {
+    val last = sz - 1
+    val sb = new StringBuilder(evCte + resampleZnormCte(sz))
+    sb ++=
+      s"""
+         |, pairs AS (
+         |  SELECT a.user_id AS pr, b.user_id AS cd
+         |  FROM (SELECT DISTINCT user_id FROM r) a
+         |  JOIN (SELECT DISTINCT user_id FROM r) b ON b.user_id = a.user_id + 1
+         |), loc AS (
+         |  SELECT p.pr, p.cd, a.j AS i, b.j AS j,
+         |    -(a.val - b.val) * (a.val - b.val) AS lg
+         |  FROM pairs p
+         |  JOIN r a ON a.user_id = p.pr
+         |  JOIN r b ON b.user_id = p.cd
+         |), locr AS (
+         |  SELECT pr, cd, $last - i AS i, $last - j AS j, lg FROM loc
+         |)""".stripMargin
+    sb ++= rowChainCtes(sz, "loc", "t")
+    sb ++= rowChainCtes(sz, "locr", "bk")
+    val matf = (0 until sz)
+      .map(i => s"SELECT pr, cd, $i AS i, j, lw FROM t$i")
+      .mkString("\n  UNION ALL ")
+    val matb = (0 until sz)
+      .map(i => s"SELECT pr, cd, $i AS i, j, lw FROM bk$i")
+      .mkString("\n  UNION ALL ")
+    sb ++=
+      s"""
+         |, matf AS (
+         |  $matf
+         |), matbr AS (
+         |  $matb
+         |), matb AS (
+         |  SELECT pr, cd, $last - i AS i, $last - j AS j, lw FROM matbr
+         |), fin AS (
+         |  SELECT pr, cd, lw FROM t$last WHERE j = $last
+         |), e AS (
+         |  SELECT f.pr, f.cd, f.i, f.j,
+         |    exp(f.lw + b2.lw - l.lg - fn.lw) AS ev
+         |  FROM matf f
+         |  JOIN matb b2 ON b2.pr = f.pr AND b2.cd = f.cd
+         |    AND b2.i = f.i AND b2.j = f.j
+         |  JOIN loc l ON l.pr = f.pr AND l.cd = f.cd
+         |    AND l.i = f.i AND l.j = f.j
+         |  JOIN fin fn ON fn.pr = f.pr AND fn.cd = f.cd
+         |)
+         |SELECT e.pr AS user_id, e.i AS t,
+         |  round(sum(e.ev * 2.0 * (a.val - b.val)), 4) + 0.0 AS g
+         |FROM e
+         |JOIN r a ON a.user_id = e.pr AND a.j = e.i
+         |JOIN r b ON b.user_id = e.cd AND b.j = e.j
+         |GROUP BY 1, 2""".stripMargin
+    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+  }
 
   /** DuckDB oracle for ts_kernel_kmeans: the kernel k-means fit as a
     * fixed-iteration trace (`kmeans.py:136-457`). The GAK gram comes
@@ -3503,6 +3610,7 @@ object SparkEntry {
     "ts_sbd_pairs" -> sbdOracleSql(32),
     "ts_gak_pairs" -> gakOracleSql(16),
     "ts_softdtw_pairs" -> softDtwOracleSql(16),
+    "ts_softdtw_grad_pairs" -> softDtwGradOracleSql(16),
     "ts_ldtw_pairs" -> ldtwOracleSql(12, 16),
     "ts_subseq_match" -> subseqOracleSql(8, 24),
     "cdist_softdtw_norm" -> softDtwNormOracleSql(16, 12),

@@ -95,6 +95,11 @@ object TsFunctions {
       val (e, v) = Kernels.softDtwAlignment(uniTs(a), uniTs(b), gamma)
       (e.map(_.toSeq), v)
     })
+  /** soft-DTW gradient wrt the first series (univariate): the backward
+    * pass the soft-DTW barycenter descends on (`soft_dtw_fast.pyx:69-104`). */
+  val softDtwGradUdf: UserDefinedFunction =
+    udf((a: S, b: S, gamma: Double) =>
+      Kernels.softDtwGrad(uniTs(a), uniTs(b), gamma)._2.map(_(0)).toSeq)
   val dtwSubseqUdf: UserDefinedFunction =
     udf((q: S, l: S) => Kernels.dtwSubsequencePath(uniTs(q), uniTs(l))._2)
   /** Subsequence match end position + distance: the path's last long-series
@@ -204,6 +209,7 @@ object TsFunctions {
     spark.udf.register("ts_gak", gakUdf)
     spark.udf.register("ts_log_gak", logGakUdf)
     spark.udf.register("ts_softdtw", softDtwUdf)
+    spark.udf.register("ts_softdtw_grad", softDtwGradUdf)
     spark.udf.register("ts_sbd", sbdUdf)
     spark.udf.register("ts_lb_keogh", lbKeoghUdf)
     spark.udf.register("ts_dtw_subseq", dtwSubseqUdf)

@@ -1179,6 +1179,30 @@ object SparkEntry {
           (round(col("d2"), 4) + lit(0.0)).as("d2"))
     }),
 
+    // ---------------- SVC decision function (svm.py:198) -------------
+    // First driver signal for the SVC family. The SMO solve is a
+    // driver-side iterative QP (not replayable), but the decision
+    // SURFACE is: pin a formula dual solution (αy per support vector,
+    // bias 0.25) and evaluate it through the real margin path —
+    // TimeSeriesSVC.decisionFunction's distributed GAK gram + broadcast
+    // weighted sum — against the green all-ordered-pairs GAK chain
+    // with the same formula weights replayed in SQL.
+    "ts_svc_decision" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .where(col("series_id") < 16)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(16)).as("values"))
+        .localCheckpoint()
+      val svIds = (0L until 8L).toArray
+      val alphaY = svIds.map(id => ((id * 37 + 11) % 19 - 9) / 10.0)
+      val bm = graft.ml.TimeSeriesSVC.BinaryModel(svIds, alphaY, b = 0.25)
+      graft.ml.TimeSeriesSVC.decisionFunction(bm,
+        series.where(col("series_id") >= 8),
+        series.where(col("series_id") < 8), sigma = 1.0)
+        .select(col("probe_id"),
+          (round(col("decision"), 4) + lit(0.0)).as("decision"))
+    }),
+
     // ---------------- ragged variable-length driver rows -------------
     // LCSS on RAW lengths (sz1≠sz2 through the int DP) — with
     // ts_dtw_ragged_pairs, ts_sax / ts_sax_mindist_pairs (already raw-
@@ -2656,6 +2680,26 @@ object SparkEntry {
     sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
   }
 
+  /** DuckDB oracle for ts_svc_decision: the SVC margin
+    * s(x) = b + Σ_t αyₜ·k(x, svₜ) (`svm.py:198` decision_function) with
+    * formula-pinned duals αy(id) = ((id·37+11) mod 19 − 9)/10 over the
+    * normalized GAK gram — probes 8..15 against support vectors 0..7. */
+  private def svcDecisionOracleSql(sz: Int, maxId: Int): String = sumProdChainSql(
+    sz,
+    lgSql = "-(a.val - b.val) * (a.val - b.val) / 2.0" +
+      " - ln(2.0 - exp(-(a.val - b.val) * (a.val - b.val) / 2.0))",
+    selfPairs = false,
+    allPairsMaxId = maxId,
+    finalSql =
+      """SELECT ab.pr AS probe_id,
+        |  round(0.25 + sum((((ab.cd * 37 + 11) % 19) - 9) / 10.0
+        |    * exp(ab.lw - 0.5 * (aa.lw + bb.lw))), 4) + 0.0 AS decision
+        |FROM fin ab
+        |JOIN fin aa ON aa.pr = ab.pr AND aa.cd = ab.pr
+        |JOIN fin bb ON bb.pr = ab.cd AND bb.cd = ab.cd
+        |WHERE ab.pr >= 8 AND ab.cd < 8
+        |GROUP BY 1""".stripMargin)
+
   /** DuckDB oracle for ts_kernel_kmeans: the kernel k-means fit as a
     * fixed-iteration trace (`kmeans.py:136-457`). The GAK gram comes
     * from the green sum-product chain over all ordered pairs (diag
@@ -3633,6 +3677,7 @@ object SparkEntry {
       finalSql =
         """SELECT pr AS user_id, round(-1.0 * lw, 4) AS softdtw FROM fin""".stripMargin),
     "ts_kernel_kmeans" -> kernelKMeansTraceSql(16, 12, 3, 4),
+    "ts_svc_decision" -> svcDecisionOracleSql(16, 16),
 
     // ts_sigma_gak: exact k-th-smallest medians over the same bounded
     // sample (k = n/2, the reference's sorted[n//2] upper middle).

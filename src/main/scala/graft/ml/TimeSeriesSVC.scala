@@ -310,6 +310,25 @@ object TimeSeriesSVC {
       .select(col("series_id"), element_at(classArr, col("bestIdx") + 1).as("label"))
   }
 
+  /** Distributed binary decision function s(x) = b + Σ_t αyₜ·k(x, svₜ)
+    * — the SVC margin (`svm.py:198` decision_function) evaluated as a
+    * broadcast gram join + grouped sum, never collecting the gram: the
+    * support-vector side is small by construction (≤ n_sv rows), so at
+    * 100 TB of probes this is one broadcast + one map-side-combined
+    * aggregation per probe. */
+  def decisionFunction(bm: BinaryModel, probes: DataFrame, train: DataFrame,
+                       sigma: Double): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val w = bm.ids.zip(bm.alphaY).toSeq.toDF("right_id", "ay")
+    val svTrain = train.where(col("series_id").isin(bm.ids.toSeq: _*))
+    Cdist.cross(probes, svTrain,
+      (a, b) => TsFunctions.gakUdf(a, b, lit(sigma)))
+      .join(broadcast(w), "right_id")
+      .groupBy(col("left_id").as("probe_id"))
+      .agg((sum(col("dist") * col("ay")) + lit(bm.b)).as("decision"))
+  }
+
   /** Predict: distributed probe×train gram, then driver vote. */
   def predict(model: Model, probes: DataFrame, train: DataFrame): DataFrame = {
     val spark = probes.sparkSession

@@ -1203,6 +1203,27 @@ object SparkEntry {
           (round(col("decision"), 4) + lit(0.0)).as("decision"))
     }),
 
+    // ------- MLP forward pass (neural_network/neural_network.py:108) -
+    // First driver signal for the MLP family. The L-BFGS fit is a
+    // driver solve (not replayable), but the FORWARD pass is pure
+    // arithmetic: pin formula weights (4 tanh hidden units over sz=16)
+    // and run them through the real TimeSeriesMLPRegressor.Model
+    // .predict path (broadcast model, one UDF pass) against the same
+    // matmul+tanh replayed in SQL.
+    "ts_mlp_forward" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(16)).as("values"))
+      val model = graft.ml.TimeSeriesMLPRegressor.Model(
+        w1 = Array.tabulate(4, 16)((h, i) => ((h * 31 + i * 17 + 7) % 23 - 11) / 25.0),
+        b1 = Array.tabulate(4)(h => (h - 1.5) / 10.0),
+        w2 = Array.tabulate(4)(h => ((h * 13 + 5) % 11 - 5) / 10.0),
+        b2 = 0.1)
+      model.predict(series)
+        .select(col("series_id").as("user_id"),
+          (round(col("prediction"), 4) + lit(0.0)).as("prediction"))
+    }),
+
     // ---------------- ragged variable-length driver rows -------------
     // LCSS on RAW lengths (sz1≠sz2 through the int DP) — with
     // ts_dtw_ragged_pairs, ts_sax / ts_sax_mindist_pairs (already raw-
@@ -3678,6 +3699,27 @@ object SparkEntry {
         """SELECT pr AS user_id, round(-1.0 * lw, 4) AS softdtw FROM fin""".stripMargin),
     "ts_kernel_kmeans" -> kernelKMeansTraceSql(16, 12, 3, 4),
     "ts_svc_decision" -> svcDecisionOracleSql(16, 16),
+    // ts_mlp_forward: the same formula weights replayed as SQL matmul
+    // + tanh over the shared resample/z-norm CTE (h = hidden unit).
+    // This DuckDB build has no tanh() — use (e^{2a}−1)/(e^{2a}+1);
+    // the pre-activation |a| ≲ 21 keeps exp(2a) far inside double range.
+    "ts_mlp_forward" -> (evCte + resampleZnormCte(16) +
+      """
+        |, pre AS (
+        |  SELECT r.user_id, h.h,
+        |    (h.h - 1.5) / 10.0
+        |      + sum((((h.h * 31 + r.j * 17 + 7) % 23) - 11) / 25.0 * r.val) AS a
+        |  FROM r, (SELECT unnest(generate_series(0, 3)) AS h) h
+        |  GROUP BY 1, 2
+        |), hid AS (
+        |  SELECT user_id, h,
+        |    (exp(2.0 * a) - 1.0) / (exp(2.0 * a) + 1.0) AS a
+        |  FROM pre
+        |)
+        |SELECT user_id,
+        |  round(0.1 + sum((((h * 13 + 5) % 11) - 5) / 10.0 * a), 4) + 0.0
+        |    AS prediction
+        |FROM hid GROUP BY 1""".stripMargin),
 
     // ts_sigma_gak: exact k-th-smallest medians over the same bounded
     // sample (k = n/2, the reference's sorted[n//2] upper middle).

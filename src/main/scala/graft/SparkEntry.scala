@@ -1159,6 +1159,14 @@ object SparkEntry {
         .select(round(col("sigma"), 4).as("sigma"))
     }),
 
+    // gamma_soft_dtw = 2·sigma_gak² (softdtw_variants.py:275-313) —
+    // the soft-DTW bandwidth heuristic, same exact-median driver row.
+    "ts_gamma_softdtw" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+      graft.ml.TimeSeriesSVC.gammaSoftDtwExact(series, maxId = 4)
+        .select((round(col("gamma"), 4) + lit(0.0)).as("gamma"))
+    }),
+
     // ---------------- kernel k-means full fit (kmeans.py:136-457) ----
     // The last estimator family with no driver signal, now a
     // deterministic fixed-iteration replay: GAK gram (σ=1, diag=1) over
@@ -2701,6 +2709,37 @@ object SparkEntry {
     sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
   }
 
+  /** Shared CTE core of the sigma_gak / gamma_soft_dtw oracles
+    * (`softdtw_variants.py:221-313`): exact k-th-smallest medians
+    * (k = n/2, the reference's sorted[n//2] upper middle) of the
+    * pairwise |Δvalue| multiset over series < 4 and of the series
+    * lengths — yields `md(med)` and `ms(med)` for the final SELECT. */
+  private val sigmaGakOracleCore =
+    """WITH v AS (
+      |  SELECT user_id, value,
+      |         row_number() OVER (PARTITION BY user_id
+      |           ORDER BY epoch_ns(ts) // 1000, event_id) AS t
+      |  FROM events
+      |), s AS (
+      |  SELECT user_id, t, value FROM v WHERE user_id < 4
+      |), p AS (
+      |  SELECT abs(a.value - b.value) AS d
+      |  FROM s a JOIN s b
+      |    ON (a.user_id < b.user_id OR (a.user_id = b.user_id AND a.t < b.t))
+      |), cnt AS (SELECT count(*) AS n FROM p),
+      |md AS (
+      |  SELECT d AS med FROM
+      |    (SELECT d, row_number() OVER (ORDER BY d) AS rn FROM p), cnt
+      |  WHERE rn = n // 2 + 1
+      |), lens AS (
+      |  SELECT count(*) AS sz FROM v GROUP BY user_id
+      |), c2 AS (SELECT count(*) AS m FROM lens),
+      |ms AS (
+      |  SELECT sz AS med FROM
+      |    (SELECT sz, row_number() OVER (ORDER BY sz) AS rn FROM lens), c2
+      |  WHERE rn = m // 2 + 1
+      |)""".stripMargin
+
   /** DuckDB oracle for ts_svc_decision: the SVC margin
     * s(x) = b + Σ_t αyₜ·k(x, svₜ) (`svm.py:198` decision_function) with
     * formula-pinned duals αy(id) = ((id·37+11) mod 19 − 9)/10 over the
@@ -3724,31 +3763,17 @@ object SparkEntry {
     // ts_sigma_gak: exact k-th-smallest medians over the same bounded
     // sample (k = n/2, the reference's sorted[n//2] upper middle).
     "ts_sigma_gak" ->
-      """WITH v AS (
-        |  SELECT user_id, value,
-        |         row_number() OVER (PARTITION BY user_id
-        |           ORDER BY epoch_ns(ts) // 1000, event_id) AS t
-        |  FROM events
-        |), s AS (
-        |  SELECT user_id, t, value FROM v WHERE user_id < 4
-        |), p AS (
-        |  SELECT abs(a.value - b.value) AS d
-        |  FROM s a JOIN s b
-        |    ON (a.user_id < b.user_id OR (a.user_id = b.user_id AND a.t < b.t))
-        |), cnt AS (SELECT count(*) AS n FROM p),
-        |md AS (
-        |  SELECT d AS med FROM
-        |    (SELECT d, row_number() OVER (ORDER BY d) AS rn FROM p), cnt
-        |  WHERE rn = n // 2 + 1
-        |), lens AS (
-        |  SELECT count(*) AS sz FROM v GROUP BY user_id
-        |), c2 AS (SELECT count(*) AS m FROM lens),
-        |ms AS (
-        |  SELECT sz AS med FROM
-        |    (SELECT sz, row_number() OVER (ORDER BY sz) AS rn FROM lens), c2
-        |  WHERE rn = m // 2 + 1
-        |)
-        |SELECT round(md.med * sqrt(ms.med), 4) AS sigma FROM md, ms""".stripMargin,
+      (sigmaGakOracleCore +
+        "\nSELECT round(md.med * sqrt(ms.med), 4) AS sigma FROM md, ms"),
+
+    // ts_gamma_softdtw: 2·sigma_gak² (softdtw_variants.py:275-313) —
+    // sigma squared EXACTLY as the engine does (2·(med·√msz)·(med·√msz),
+    // not the algebraic 2·med²·msz) so fp rounding matches.
+    "ts_gamma_softdtw" ->
+      (sigmaGakOracleCore +
+        """
+          |SELECT round(2.0 * (md.med * sqrt(ms.med)) * (md.med * sqrt(ms.med)), 4)
+          |  + 0.0 AS gamma FROM md, ms""".stripMargin),
 
     // img_pixel_stats: ground truth from the generative pixel formula —
     // no decoder on the oracle side; the engine's value only matches if

@@ -70,6 +70,21 @@ object TimeSeriesSVC {
     Seq(medDist * math.sqrt(medSz)).toDF("sigma")
   }
 
+  /** gamma_soft_dtw heuristic = 2·sigma_gak²
+    * (`softdtw_variants.py:275-313`). */
+  def gammaSoftDtw(df: DataFrame, seriesCol: String = "values",
+                   sample: Int = 100, seed: Long = 0L): Double = {
+    val s = sigmaGak(df, seriesCol, sample, seed)
+    2.0 * s * s
+  }
+
+  /** Deterministic exact-median variant of [[gammaSoftDtw]] (driver
+    * verification) — squares [[sigmaGakExact]]'s one-row frame. */
+  def gammaSoftDtwExact(df: DataFrame, maxId: Long = 4,
+                        seriesCol: String = "values"): DataFrame =
+    sigmaGakExact(df, maxId, seriesCol)
+      .select((lit(2.0) * col("sigma") * col("sigma")).as("gamma"))
+
   /** Binary SMO on a precomputed kernel matrix (driver-side). Simplified
     * Platt SMO with random-ish second-choice heuristic; converges for the
     * small gram sizes this path is designed for. */

@@ -787,6 +787,22 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("cand_id"), round(col("cos"), 4).as("cos"))
     }),
 
+    // Hyperplane (sign-random-projection) LSH ANN — the third scale
+    // path next to brute (emb_knn_cosine) and IVF (emb_ann_ivf):
+    // 16 formula hyperplanes → 4 bands of 4 sign bits, candidate iff
+    // any band code matches, exact cosine on survivors only. The
+    // signature pass is codegen'd HOFs (no UDF), candidates come from
+    // an equi-join on (band, code). Deterministic planes ⇒ the oracle
+    // replays buckets exactly (recall-vs-brute is spec'd, DedupAnnSpec).
+    "emb_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val queries = e.where(col("vec_id") < 10)
+      val cands = e.where(col("vec_id") >= 10)
+      graft.operators.Ann.lshTopK(cands, queries, k = 5, dim = 64)
+        .select(col("query_id"), col("rank"), col("cand_id"), round(col("cos"), 4).as("cos"))
+    }),
+
     // ---------------- bundled dataset tier (SURVEY §2.1) -------------
     // 1-NN euclidean classify on the bundled Trace fixture — exercises
     // CachedDatasets.loadDataset with a full DuckDB oracle (absolute
@@ -4027,6 +4043,41 @@ object SparkEntry {
         |  JOIN cands c ON c.vec_id = a.vec_id
         |  JOIN q qq ON qq.query_id = p.query_id),
         |ranked AS (
+        |  SELECT query_id, cand_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, cand_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, cand_id, round(cos, 4) AS cos
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // emb_ann_lsh: the 16 formula hyperplanes replayed in SQL — bit
+    // h = [Σ_i hp(h,i)·v_i ≥ 0], 4-bit band codes, equi-join on
+    // (band, code), exact cosine on surviving pairs.
+    "emb_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |hp AS (
+        |  SELECT h.h, i.i, (((h.h * 53 + i.i * 29 + 3) % 41) - 20) / 20.0 AS w
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS h) h,
+        |       (SELECT unnest(generate_series(0, 63)) AS i) i
+        |), bits AS (
+        |  SELECT e.vec_id, hp.h,
+        |    CASE WHEN sum(hp.w * e.v[hp.i + 1]) >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM e, hp GROUP BY 1, 2
+        |), codes AS (
+        |  SELECT vec_id, h // 4 AS band,
+        |    sum(bit * (1 << (h % 4))) AS code
+        |  FROM bits GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+        |  FROM codes q JOIN codes c ON c.band = q.band AND c.code = q.code
+        |  WHERE q.vec_id < 10 AND c.vec_id >= 10
+        |), scored AS (
+        |  SELECT p.query_id, p.cand_id,
+        |    list_cosine_similarity(q.v, c.v) AS cos
+        |  FROM pairs p
+        |  JOIN e q ON q.vec_id = p.query_id
+        |  JOIN e c ON c.vec_id = p.cand_id
+        |), ranked AS (
         |  SELECT query_id, cand_id, cos,
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY cos DESC, cand_id) AS rank

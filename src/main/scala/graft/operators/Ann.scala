@@ -78,6 +78,62 @@ object Ann {
       .select(col("series_id").as(idCol), col("cluster").as("cell"))
   }
 
+  /** Deterministic hyperplane set for sign-random-projection LSH:
+    * hp(h)(i) = ((h·53 + i·29 + 3) mod 41 − 20)/20 — a fixed integer
+    * formula rather than a seeded gaussian so the driver oracle can
+    * replay the exact planes in SQL. Distributionally this is a
+    * quasi-random direction set; the LSH guarantees only need planes
+    * independent of the data. */
+  def hyperplanes(nBits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nBits, dim)((h, i) => ((h * 53 + i * 29 + 3) % 41 - 20) / 20.0)
+
+  /** Banded signature rows (id, band, code): bit h = [⟨hp_h, v⟩ ≥ 0],
+    * band code = the rBits-bit integer of its band's bits. Pure
+    * codegen'd HOF expressions (zip_with + aggregate over literal plane
+    * arrays) — a map-only scan, no UDF, no shuffle. */
+  def lshBands(df: DataFrame, planes: Array[Array[Double]], nBands: Int,
+               idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    val nBits = planes.length
+    require(nBits % nBands == 0, s"nBits $nBits not divisible into $nBands bands")
+    val rBits = nBits / nBands
+    val bits = planes.map { hp =>
+      val dot = aggregate(
+        zip_with(col(vecCol), typedlit(hp.toSeq), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, 1).otherwise(0)
+    }
+    val codes = (0 until nBands).map { b =>
+      (0 until rBits).map(r => bits(b * rBits + r) * lit(1 << r)).reduce(_ + _)
+    }
+    df.select(col(idCol), posexplode(array(codes: _*)).as(Seq("band", "code")))
+  }
+
+  /** Hyperplane-LSH top-k: candidate pair iff ANY band code matches
+    * (the minhash/simhash banding trick on sign bits), exact cosine on
+    * the surviving pairs only. The scale path that complements IVF:
+    * signatures are one map pass, the candidate generation is an
+    * equi-join on (band, code) — at 100 TB nothing here is n², and the
+    * bucket join partitions cleanly by band code. Recall < 1 by
+    * construction (spec'd against brute like ivfTopK). */
+  def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+              dim: Int, nBits: Int = 16, nBands: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    val planes = hyperplanes(nBits, dim)
+    val cb = lshBands(candidates, planes, nBands, idCol, vecCol)
+      .select(col(idCol).as("cand_id"), col("band"), col("code"))
+    val qb = lshBands(queries, planes, nBands, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("band"), col("code"))
+    val pairs = qb.join(cb, Seq("band", "code"))
+      .select(col("query_id"), col("cand_id")).distinct()
+    val scored = pairs
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id")
+      .join(candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv")), "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        TsFunctions.cosineSim(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** IVF search: probe the nprobe nearest cells per query. Returns the
     * same schema as bruteTopK. Recall < 1 by construction; verified ≥
     * threshold against brute in tests. */

@@ -142,6 +142,31 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(full == brute, "nprobe=nlist IVF must equal brute force")
   }
 
+  test("hyperplane-LSH ANN: recall@5 vs brute, and 1-band degenerate case") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val queries = e.where(col("vec_id") < 10)
+    val cands = e.where(col("vec_id") >= 10).cache()
+    val brute = Ann.bruteTopK(cands, queries, 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    // uniform random embeddings are also LSH's worst case (cosines
+    // cluster near 0, where sign bits are noisiest) — 4 bands of 4 bits
+    // keeps the candidate set wide enough for decent recall here
+    val lsh = Ann.lshTopK(cands, queries, 5, dim = 64)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    // measured 0.46 on this fixture: near-orthogonal vectors sit right at
+    // the sign-bit decision boundary, the documented floor for 4×4 bands
+    assert(recall >= 0.4, s"LSH recall $recall over ${brute.size} true pairs")
+    // 16 bands of 1 bit ⇒ a pair collides unless ALL 16 signs differ:
+    // near-total recall, the banding-trick sanity direction
+    val wide = Ann.lshTopK(cands, queries, 5, dim = 64, nBits = 16, nBands = 16)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recallWide = brute.intersect(wide).size.toDouble / brute.size
+    assert(recallWide >= recall, s"1-bit bands must not lose recall ($recallWide < $recall)")
+    assert(recallWide >= 0.9, s"1-bit-band LSH recall $recallWide")
+  }
+
   test("blocked cosine dedup is exact; IVF cosine dedup has high recall") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
     val brute = Dedup.embeddingCosine(emb, threshold = 0.4)

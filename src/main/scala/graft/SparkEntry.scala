@@ -542,6 +542,40 @@ object SparkEntry {
           round(col("feat")(2) * lit(w * h * 255)).cast("long").as("edge_sum"))
     }),
 
+    // Audio twin of img_pixel_stats: deterministic 8-bit PCM WAV
+    // payloads (44-byte RIFF header + formula samples) decoded through
+    // the REAL javax.sound path (Multimodal.decodeAudio). 8-bit WAV is
+    // unsigned PCM, so px = raw/256 — EXACT in float (dyadic divisors
+    // throughout), making sample_sum/edge_sum integer-exact and the
+    // oracle a pure formula replay with no decoder. Any header-parse,
+    // signedness, or normalization bug in the audio path breaks the sums.
+    "wav_audio_stats" -> ((s, dir) => {
+      val n = 64
+      val mkWav = udf((id: Long) => {
+        val data = Array.tabulate(n)(t => ((id * 6151 + t * 769) % 256).toByte)
+        val bb = java.nio.ByteBuffer.allocate(44 + n)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+          .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+          .putInt(16).putShort(1).putShort(1) // PCM, mono
+          .putInt(8000).putInt(8000).putShort(1).putShort(8) // 8 kHz, 8-bit
+          .put("data".getBytes("US-ASCII")).putInt(n).put(data)
+        bb.array()
+      })
+      val media = docs(s, dir).select(col("doc_id").cast("long"))
+        .where(col("doc_id") < 64)
+        .select(col("doc_id").as("media_id"), lit("audio").as("kind"),
+          mkWav(col("doc_id")).as("payload"),
+          struct(lit(null).cast("int").as("width"),
+            lit(null).cast("int").as("height"),
+            lit(8000).as("sample_rate"),
+            lit(null).cast("int").as("n_frames")).as("meta"))
+      graft.sources.Multimodal.extractFeatures(media)
+        .select(col("media_id"),
+          round(col("feat")(0) * lit(n * 256)).cast("long").as("sample_sum"),
+          round(col("feat")(2) * lit(n * 256)).cast("long").as("edge_sum"))
+    }),
+
     // ---------------- dedup II / similarity (oracle where portable) ---
     // Through the size-routed front door: at test SF the count guard
     // routes to the exact triangle (oracle-matchable); past exactLimit
@@ -3807,6 +3841,22 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN pv IS NULL THEN 0 ELSE abs(v - pv) END) AS BIGINT)
         |    AS edge_sum
         |FROM e GROUP BY 1""".stripMargin,
+    // wav_audio_stats: formula replay, no decoder — mirrors
+    // img_pixel_stats (unsigned 8-bit PCM ⇒ exact integer recovery).
+    "wav_audio_stats" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+        |sm AS (
+        |  SELECT doc_id, g.t, (doc_id * 6151 + g.t * 769) % 256 AS v
+        |  FROM ids, (SELECT unnest(generate_series(0, 63)) AS t) g
+        |), e AS (
+        |  SELECT doc_id, t, v, lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv
+        |  FROM sm
+        |)
+        |SELECT doc_id AS media_id, CAST(sum(v) AS BIGINT) AS sample_sum,
+        |  CAST(sum(CASE WHEN pv IS NULL THEN 0 ELSE abs(v - pv) END) AS BIGINT)
+        |    AS edge_sum
+        |FROM e GROUP BY 1""".stripMargin,
+
     "ts_dtw_mv_pairs" -> mvDtwOracleSql(16),
     "ts_dtw_ragged_pairs" -> raggedDtwOracleSql(128),
     "ts_ctw_pairs" -> ctwTraceSql(16, 3),

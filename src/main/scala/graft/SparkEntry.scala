@@ -1329,6 +1329,25 @@ object SparkEntry {
             .as("softdtw"))
     }),
 
+    // The optimal DTW alignment path ITSELF (dtw_path,
+    // dtw_variants.py:109-198) as driver output — previously verified
+    // only embedded inside the DBA trace oracles. Path cells are a set
+    // per pair (the driver compare sorts rows), so (user_id, i, j) rows
+    // hash-verify the full backtrack incl. the diag-then-up tie-break.
+    "ts_dtw_path_pairs" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .where(col("series_id") < 12)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(16)).as("values"))
+        .localCheckpoint()
+      series.alias("a").join(series.alias("b"), col("b.series_id") === col("a.series_id") + 1)
+        .select(col("a.series_id").as("user_id"),
+          explode(TsFunctions.dtwPathUdf(col("a.values"), col("b.values"))
+            .getField("_1")).as("cell"))
+        .select(col("user_id"), col("cell")(0).cast("int").as("i"),
+          col("cell")(1).cast("int").as("j"))
+    }),
+
     // soft-DTW GRADIENT wrt the left series (soft_dtw_fast.pyx:69-104)
     // — the backward pass the soft-DTW barycenter (softdtw.py:17-113)
     // descends on, previously golden-only (finite-diff spec). The
@@ -2651,6 +2670,83 @@ object SparkEntry {
     sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
   }
 
+  /** DuckDB oracle for ts_dtw_path_pairs: the optimal DTW alignment
+    * path itself (`dtw_variants.py:109-198`, Kernels.returnPath) for
+    * adjacent pairs — full min-plus cost matrix kept per pair, then a
+    * recursive-CTE backtrack with the kernel's exact tie-break (diag
+    * preferred, then up), the same machinery the green ts_dba trace
+    * uses per-iteration, here partitioned by (pr, cd). */
+  private def dtwPathOracleSql(sz: Int, maxId: Int): String = {
+    val last = sz - 1
+    val sb = new StringBuilder(
+      evCte.replaceFirst("WITH ", "WITH RECURSIVE ") + resampleZnormCte(sz))
+    sb ++=
+      s"""
+         |, rs AS (
+         |  SELECT user_id, j, val FROM r WHERE user_id < $maxId
+         |), loc AS (
+         |  SELECT a.user_id AS pr, b.user_id AS cd, a.j AS i, b.j AS j,
+         |    (a.val - b.val) * (a.val - b.val) AS d
+         |  FROM rs a JOIN rs b ON b.user_id = a.user_id + 1
+         |), t0 AS (
+         |  SELECT pr, cd, j,
+         |    sum(d) OVER (PARTITION BY pr, cd ORDER BY j) AS cost
+         |  FROM loc WHERE i = 0
+         |)""".stripMargin
+    for (i <- 1 until sz) {
+      sb ++=
+        s"""
+           |, t$i AS (
+           |  SELECT pr, cd, j, cs + mn AS cost FROM (
+           |    SELECT pr, cd, j, cs,
+           |      min(mk - csk) OVER (PARTITION BY pr, cd ORDER BY j) AS mn
+           |    FROM (
+           |      SELECT l.pr, l.cd, l.j,
+           |        sum(l.d) OVER (PARTITION BY l.pr, l.cd ORDER BY l.j) AS cs,
+           |        sum(l.d) OVER (PARTITION BY l.pr, l.cd ORDER BY l.j) - l.d AS csk,
+           |        least(coalesce(pk.cost, 1e308), coalesce(pk1.cost, 1e308)) AS mk
+           |      FROM loc l
+           |      LEFT JOIN t${i - 1} pk
+           |        ON pk.pr = l.pr AND pk.cd = l.cd AND pk.j = l.j
+           |      LEFT JOIN t${i - 1} pk1
+           |        ON pk1.pr = l.pr AND pk1.cd = l.cd AND pk1.j = l.j - 1
+           |      WHERE l.i = $i))
+           |)""".stripMargin
+    }
+    sb ++= "\n, cum AS (\n" +
+      (0 until sz).map(i => s"  SELECT pr, cd, $i AS i, j, cost FROM t$i")
+        .mkString("", "\n  UNION ALL\n", "\n)")
+    sb ++=
+      s"""
+         |, path AS (
+         |  SELECT pr, cd, $last AS i, $last AS j FROM (SELECT DISTINCT pr, cd FROM loc)
+         |  UNION ALL
+         |  SELECT p.pr, p.cd,
+         |    CASE WHEN p.i = 0 THEN 0
+         |         WHEN p.j = 0 THEN p.i - 1
+         |         WHEN cd2.cost <= cu.cost AND cd2.cost <= cl.cost THEN p.i - 1
+         |         WHEN cu.cost <= cl.cost THEN p.i - 1
+         |         ELSE p.i END AS i,
+         |    CASE WHEN p.i = 0 THEN p.j - 1
+         |         WHEN p.j = 0 THEN p.j
+         |         WHEN cd2.cost <= cu.cost AND cd2.cost <= cl.cost THEN p.j - 1
+         |         WHEN cu.cost <= cl.cost THEN p.j
+         |         ELSE p.j - 1 END AS j
+         |  FROM path p
+         |  LEFT JOIN cum cd2 ON cd2.pr = p.pr AND cd2.cd = p.cd
+         |    AND cd2.i = p.i - 1 AND cd2.j = p.j - 1
+         |  LEFT JOIN cum cu ON cu.pr = p.pr AND cu.cd = p.cd
+         |    AND cu.i = p.i - 1 AND cu.j = p.j
+         |  LEFT JOIN cum cl ON cl.pr = p.pr AND cl.cd = p.cd
+         |    AND cl.i = p.i AND cl.j = p.j - 1
+         |  WHERE p.i > 0 OR p.j > 0
+         |)
+         |SELECT pr AS user_id, CAST(i AS INT) AS i, CAST(j AS INT) AS j
+         |FROM path""".stripMargin
+    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+      .replace(", path AS MATERIALIZED (", ", path AS (")
+  }
+
   /** GAK with σ=1, normalized so k(x,x)=1 (Kernels.gak). */
   private def gakOracleSql(sz: Int): String = sumProdChainSql(
     sz,
@@ -3765,6 +3861,7 @@ object SparkEntry {
     "ts_gak_pairs" -> gakOracleSql(16),
     "ts_softdtw_pairs" -> softDtwOracleSql(16),
     "ts_softdtw_grad_pairs" -> softDtwGradOracleSql(16),
+    "ts_dtw_path_pairs" -> dtwPathOracleSql(16, 12),
     "ts_ldtw_pairs" -> ldtwOracleSql(12, 16),
     "ts_subseq_match" -> subseqOracleSql(8, 24),
     "cdist_softdtw_norm" -> softDtwNormOracleSql(16, 12),

@@ -1348,6 +1348,24 @@ object SparkEntry {
           col("cell")(1).cast("int").as("j"))
     }),
 
+    // The LCSS alignment path (lcss_path, dtw_variants.py:1693-1879):
+    // only match cells are path members; backtrack rule match⇒diag,
+    // else argmax(up, left) with left on ties — mirrored exactly in
+    // the recursive oracle.
+    "ts_lcss_path_pairs" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .where(col("series_id") < 12)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(16)).as("values"))
+        .localCheckpoint()
+      series.alias("a").join(series.alias("b"), col("b.series_id") === col("a.series_id") + 1)
+        .select(col("a.series_id").as("user_id"),
+          explode(TsFunctions.lcssPathUdf(col("a.values"), col("b.values"), lit(0.5))
+            .getField("_1")).as("cell"))
+        .select(col("user_id"), col("cell")(0).cast("int").as("i"),
+          col("cell")(1).cast("int").as("j"))
+    }),
+
     // soft-DTW GRADIENT wrt the left series (soft_dtw_fast.pyx:69-104)
     // — the backward pass the soft-DTW barycenter (softdtw.py:17-113)
     // descends on, previously golden-only (finite-diff spec). The
@@ -2275,6 +2293,79 @@ object SparkEntry {
          |SELECT pr AS user_id, CAST(len AS INT) AS lcss_len
          |FROM t${sz - 1} WHERE j = ${sz - 1}""".stripMargin
     sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+  }
+
+  /** DuckDB oracle for ts_lcss_path_pairs: the LCSS alignment path
+    * (`lcss_path`, `dtw_variants.py:1693-1879`; Advanced.lcssPathFromLocal)
+    * — the running-max DP chain of [[lcssOracleSql]] kept as a full
+    * matrix, then a recursive-CTE backtrack with the kernel's exact
+    * rule: match ⇒ emit cell + diag; else up if acc(i−1,j) > acc(i,j−1)
+    * else left. Only MATCH cells are path members. */
+  private def lcssPathOracleSql(sz: Int, eps: Double, maxId: Int): String = {
+    val sb = new StringBuilder(
+      evCte.replaceFirst("WITH ", "WITH RECURSIVE ") + resampleZnormCte(sz))
+    sb ++=
+      s"""
+         |, rs AS (
+         |  SELECT user_id, j, val FROM r WHERE user_id < $maxId
+         |), loc AS (
+         |  SELECT a.user_id AS pr, b.user_id AS cd, a.j AS i, b.j AS j,
+         |    CASE WHEN abs(a.val - b.val) <= $eps THEN 1 ELSE 0 END AS m
+         |  FROM rs a JOIN rs b ON b.user_id = a.user_id + 1
+         |), t0 AS (
+         |  SELECT pr, cd, j,
+         |    max(m) OVER (PARTITION BY pr, cd ORDER BY j) AS len
+         |  FROM loc WHERE i = 0
+         |)""".stripMargin
+    for (i <- 1 until sz) {
+      sb ++=
+        s"""
+           |, t$i AS (
+           |  SELECT pr, cd, j,
+           |    max(c) OVER (PARTITION BY pr, cd ORDER BY j) AS len
+           |  FROM (
+           |    SELECT l.pr, l.cd, l.j,
+           |      CASE WHEN l.m = 1 THEN coalesce(pk1.len, 0) + 1
+           |           ELSE coalesce(pk.len, 0) END AS c
+           |    FROM loc l
+           |    LEFT JOIN t${i - 1} pk
+           |      ON pk.pr = l.pr AND pk.cd = l.cd AND pk.j = l.j
+           |    LEFT JOIN t${i - 1} pk1
+           |      ON pk1.pr = l.pr AND pk1.cd = l.cd AND pk1.j = l.j - 1
+           |    WHERE l.i = $i)
+           |)""".stripMargin
+    }
+    sb ++= "\n, acc AS (\n" +
+      (0 until sz).map(i => s"  SELECT pr, cd, ${i + 1} AS pi, j + 1 AS pj, len FROM t$i")
+        .mkString("", "\n  UNION ALL\n", "\n)")
+    sb ++=
+      s"""
+         |, path AS (
+         |  SELECT pr, cd, $sz AS pi, $sz AS pj FROM (SELECT DISTINCT pr, cd FROM loc)
+         |  UNION ALL
+         |  SELECT p.pr, p.cd,
+         |    CASE WHEN m.m = 1 THEN p.pi - 1
+         |         WHEN coalesce(au.len, 0) > coalesce(al.len, 0) THEN p.pi - 1
+         |         ELSE p.pi END AS pi,
+         |    CASE WHEN m.m = 1 THEN p.pj - 1
+         |         WHEN coalesce(au.len, 0) > coalesce(al.len, 0) THEN p.pj
+         |         ELSE p.pj - 1 END AS pj
+         |  FROM path p
+         |  JOIN loc m ON m.pr = p.pr AND m.cd = p.cd
+         |    AND m.i = p.pi - 1 AND m.j = p.pj - 1
+         |  LEFT JOIN acc au ON au.pr = p.pr AND au.cd = p.cd
+         |    AND au.pi = p.pi - 1 AND au.pj = p.pj
+         |  LEFT JOIN acc al ON al.pr = p.pr AND al.cd = p.cd
+         |    AND al.pi = p.pi AND al.pj = p.pj - 1
+         |  WHERE p.pi > 0 AND p.pj > 0
+         |)
+         |SELECT p.pr AS user_id, CAST(p.pi - 1 AS INT) AS i, CAST(p.pj - 1 AS INT) AS j
+         |FROM path p
+         |JOIN loc m ON m.pr = p.pr AND m.cd = p.cd
+         |  AND m.i = p.pi - 1 AND m.j = p.pj - 1
+         |WHERE p.pi > 0 AND p.pj > 0 AND m.m = 1""".stripMargin
+    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+      .replace(", path AS MATERIALIZED (", ", path AS (")
   }
 
   /** Shared CTE prefix for the raw-length (ragged) oracles: 0-based
@@ -3862,6 +3953,7 @@ object SparkEntry {
     "ts_softdtw_pairs" -> softDtwOracleSql(16),
     "ts_softdtw_grad_pairs" -> softDtwGradOracleSql(16),
     "ts_dtw_path_pairs" -> dtwPathOracleSql(16, 12),
+    "ts_lcss_path_pairs" -> lcssPathOracleSql(16, 0.5, 12),
     "ts_ldtw_pairs" -> ldtwOracleSql(12, 16),
     "ts_subseq_match" -> subseqOracleSql(8, 24),
     "cdist_softdtw_norm" -> softDtwNormOracleSql(16, 12),

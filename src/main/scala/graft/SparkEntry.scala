@@ -1348,6 +1348,24 @@ object SparkEntry {
           col("cell")(1).cast("int").as("j"))
     }),
 
+    // Itakura-constrained DTW (itakura_parallelogram,
+    // dtw_variants.py:958-1012): the last warping-constraint variant
+    // with no driver row (sakoe-chiba is inside knn_dtw_users). The
+    // oracle runs the same banded min-plus chain with loc restricted to
+    // the parallelogram bounds — exact at sz=16/slope=2 where every
+    // bound value is a multiple of 0.5 (the reference's
+    // round-to-2-decimals quirk is the identity there).
+    "ts_dtw_itakura_pairs" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(16)).as("values"))
+        .localCheckpoint()
+      series.alias("a").join(series.alias("b"), col("b.series_id") === col("a.series_id") + 1)
+        .select(col("a.series_id").as("user_id"),
+          round(TsFunctions.dtwItakuraUdf(col("a.values"), col("b.values"), lit(2.0)), 4)
+            .as("dtw"))
+    }),
+
     // The LCSS alignment path (lcss_path, dtw_variants.py:1693-1879):
     // only match cells are path members; backtrack rule match⇒diag,
     // else argmax(up, left) with left on ties — mirrored exactly in
@@ -2292,6 +2310,55 @@ object SparkEntry {
       s"""
          |SELECT pr AS user_id, CAST(len AS INT) AS lcss_len
          |FROM t${sz - 1} WHERE j = ${sz - 1}""".stripMargin
+    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+  }
+
+  /** DuckDB oracle for ts_dtw_itakura_pairs: the banded min-plus chain
+    * with loc restricted to the Itakura parallelogram
+    * (`dtw_variants.py:958-1012`, Mask.itakura): cell (i,j) admissible
+    * iff ceil(max(j/2, 2j−(sz−1))) ≤ i < floor(min(2j, (sz−1+j)/2)+1).
+    * In-band cells are contiguous per row, so the prefix-sum row solve
+    * applies unchanged (same shape as knnDtwOracleSql's radius band). */
+  private def dtwItakuraOracleSql(sz: Int): String = {
+    val last = sz - 1
+    val sb = new StringBuilder(evCte + resampleZnormCte(sz))
+    sb ++=
+      s"""
+         |, loc AS (
+         |  SELECT a.user_id AS pr, b.user_id AS cd, a.j AS i, b.j AS j,
+         |    (a.val - b.val) * (a.val - b.val) AS d
+         |  FROM r a JOIN r b ON b.user_id = a.user_id + 1
+         |  WHERE a.j >= ceil(greatest(0.5 * b.j, 2.0 * b.j - $last))
+         |    AND a.j < floor(least(2.0 * b.j, 0.5 * $last + 0.5 * b.j) + 1)
+         |), t0 AS (
+         |  SELECT pr, cd, j,
+         |    sum(d) OVER (PARTITION BY pr, cd ORDER BY j) AS cost
+         |  FROM loc WHERE i = 0
+         |)""".stripMargin
+    for (i <- 1 until sz) {
+      sb ++=
+        s"""
+           |, t$i AS (
+           |  SELECT pr, cd, j, cs + mn AS cost FROM (
+           |    SELECT pr, cd, j, cs,
+           |      min(mk - csk) OVER (PARTITION BY pr, cd ORDER BY j) AS mn
+           |    FROM (
+           |      SELECT l.pr, l.cd, l.j,
+           |        sum(l.d) OVER (PARTITION BY l.pr, l.cd ORDER BY l.j) AS cs,
+           |        sum(l.d) OVER (PARTITION BY l.pr, l.cd ORDER BY l.j) - l.d AS csk,
+           |        least(coalesce(pk.cost, 1e308), coalesce(pk1.cost, 1e308)) AS mk
+           |      FROM loc l
+           |      LEFT JOIN t${i - 1} pk
+           |        ON pk.pr = l.pr AND pk.cd = l.cd AND pk.j = l.j
+           |      LEFT JOIN t${i - 1} pk1
+           |        ON pk1.pr = l.pr AND pk1.cd = l.cd AND pk1.j = l.j - 1
+           |      WHERE l.i = $i))
+           |)""".stripMargin
+    }
+    sb ++=
+      s"""
+         |SELECT pr AS user_id, round(sqrt(cost), 4) AS dtw
+         |FROM t$last WHERE j = $last""".stripMargin
     sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
   }
 
@@ -3954,6 +4021,7 @@ object SparkEntry {
     "ts_softdtw_grad_pairs" -> softDtwGradOracleSql(16),
     "ts_dtw_path_pairs" -> dtwPathOracleSql(16, 12),
     "ts_lcss_path_pairs" -> lcssPathOracleSql(16, 0.5, 12),
+    "ts_dtw_itakura_pairs" -> dtwItakuraOracleSql(16),
     "ts_ldtw_pairs" -> ldtwOracleSql(12, 16),
     "ts_subseq_match" -> subseqOracleSql(8, 24),
     "cdist_softdtw_norm" -> softDtwNormOracleSql(16, 12),

@@ -1366,6 +1366,20 @@ object SparkEntry {
             .as("dtw"))
     }),
 
+    // Sakoe-Chiba banded DTW as a DIRECT row (the constraint is only
+    // exercised inside knn_dtw_users' pruned pipeline otherwise) —
+    // radius 2 at sz=16, same banded chain with |i−j| ≤ r bounds.
+    "ts_dtw_sakoe_pairs" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(16)).as("values"))
+        .localCheckpoint()
+      series.alias("a").join(series.alias("b"), col("b.series_id") === col("a.series_id") + 1)
+        .select(col("a.series_id").as("user_id"),
+          round(TsFunctions.dtwSakoeUdf(col("a.values"), col("b.values"), lit(2)), 4)
+            .as("dtw"))
+    }),
+
     // The LCSS alignment path (lcss_path, dtw_variants.py:1693-1879):
     // only match cells are path members; backtrack rule match⇒diag,
     // else argmax(up, left) with left on ties — mirrored exactly in
@@ -2321,6 +2335,20 @@ object SparkEntry {
     * applies unchanged (same shape as knnDtwOracleSql's radius band). */
   private def dtwItakuraOracleSql(sz: Int): String = {
     val last = sz - 1
+    bandedDtwPairsOracleSql(sz,
+      s"""a.j >= ceil(greatest(0.5 * b.j, 2.0 * b.j - $last))
+         |    AND a.j < floor(least(2.0 * b.j, 0.5 * $last + 0.5 * b.j) + 1)""".stripMargin)
+  }
+
+  /** Sakoe-Chiba band |i−j| ≤ r at equal lengths (Mask.sakoeChiba). */
+  private def dtwSakoePairsOracleSql(sz: Int, radius: Int): String =
+    bandedDtwPairsOracleSql(sz, s"b.j BETWEEN a.j - $radius AND a.j + $radius")
+
+  /** Shared banded DTW pair chain: the min-plus row solve over loc
+    * restricted to `bandSql` (in-band cells must be contiguous per row,
+    * true for both constraint masks). */
+  private def bandedDtwPairsOracleSql(sz: Int, bandSql: String): String = {
+    val last = sz - 1
     val sb = new StringBuilder(evCte + resampleZnormCte(sz))
     sb ++=
       s"""
@@ -2328,8 +2356,7 @@ object SparkEntry {
          |  SELECT a.user_id AS pr, b.user_id AS cd, a.j AS i, b.j AS j,
          |    (a.val - b.val) * (a.val - b.val) AS d
          |  FROM r a JOIN r b ON b.user_id = a.user_id + 1
-         |  WHERE a.j >= ceil(greatest(0.5 * b.j, 2.0 * b.j - $last))
-         |    AND a.j < floor(least(2.0 * b.j, 0.5 * $last + 0.5 * b.j) + 1)
+         |  WHERE $bandSql
          |), t0 AS (
          |  SELECT pr, cd, j,
          |    sum(d) OVER (PARTITION BY pr, cd ORDER BY j) AS cost
@@ -4022,6 +4049,7 @@ object SparkEntry {
     "ts_dtw_path_pairs" -> dtwPathOracleSql(16, 12),
     "ts_lcss_path_pairs" -> lcssPathOracleSql(16, 0.5, 12),
     "ts_dtw_itakura_pairs" -> dtwItakuraOracleSql(16),
+    "ts_dtw_sakoe_pairs" -> dtwSakoePairsOracleSql(16, 2),
     "ts_ldtw_pairs" -> ldtwOracleSql(12, 16),
     "ts_subseq_match" -> subseqOracleSql(8, 24),
     "cdist_softdtw_norm" -> softDtwNormOracleSql(16, 12),

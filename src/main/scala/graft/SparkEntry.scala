@@ -1380,6 +1380,20 @@ object SparkEntry {
             .as("dtw"))
     }),
 
+    // dtw_path_from_metric (dtw_variants.py:201-381) with a cityblock
+    // local cost: raw accumulated total (no sqrt) — the arbitrary-
+    // local-metric DTW surface, previously golden-only.
+    "ts_dtw_cityblock_pairs" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(16)).as("values"))
+        .localCheckpoint()
+      series.alias("a").join(series.alias("b"), col("b.series_id") === col("a.series_id") + 1)
+        .select(col("a.series_id").as("user_id"),
+          round(TsFunctions.dtwCityblockUdf(col("a.values"), col("b.values")), 4)
+            .as("dtw"))
+    }),
+
     // The LCSS alignment path (lcss_path, dtw_variants.py:1693-1879):
     // only match cells are path members; backtrack rule match⇒diag,
     // else argmax(up, left) with left on ties — mirrored exactly in
@@ -2346,15 +2360,19 @@ object SparkEntry {
 
   /** Shared banded DTW pair chain: the min-plus row solve over loc
     * restricted to `bandSql` (in-band cells must be contiguous per row,
-    * true for both constraint masks). */
-  private def bandedDtwPairsOracleSql(sz: Int, bandSql: String): String = {
+    * true for both constraint masks). `dSql`/`finalExpr` default to the
+    * squared-euclidean local cost + sqrt'd total; dtw_path_from_metric
+    * variants swap them (e.g. cityblock local, raw total). */
+  private def bandedDtwPairsOracleSql(sz: Int, bandSql: String,
+      dSql: String = "(a.val - b.val) * (a.val - b.val)",
+      finalExpr: String = "sqrt(cost)"): String = {
     val last = sz - 1
     val sb = new StringBuilder(evCte + resampleZnormCte(sz))
     sb ++=
       s"""
          |, loc AS (
          |  SELECT a.user_id AS pr, b.user_id AS cd, a.j AS i, b.j AS j,
-         |    (a.val - b.val) * (a.val - b.val) AS d
+         |    $dSql AS d
          |  FROM r a JOIN r b ON b.user_id = a.user_id + 1
          |  WHERE $bandSql
          |), t0 AS (
@@ -2384,7 +2402,7 @@ object SparkEntry {
     }
     sb ++=
       s"""
-         |SELECT pr AS user_id, round(sqrt(cost), 4) AS dtw
+         |SELECT pr AS user_id, round($finalExpr, 4) AS dtw
          |FROM t$last WHERE j = $last""".stripMargin
     sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
   }
@@ -4050,6 +4068,8 @@ object SparkEntry {
     "ts_lcss_path_pairs" -> lcssPathOracleSql(16, 0.5, 12),
     "ts_dtw_itakura_pairs" -> dtwItakuraOracleSql(16),
     "ts_dtw_sakoe_pairs" -> dtwSakoePairsOracleSql(16, 2),
+    "ts_dtw_cityblock_pairs" -> bandedDtwPairsOracleSql(16, "TRUE",
+      dSql = "abs(a.val - b.val)", finalExpr = "cost"),
     "ts_ldtw_pairs" -> ldtwOracleSql(12, 16),
     "ts_subseq_match" -> subseqOracleSql(8, 24),
     "cdist_softdtw_norm" -> softDtwNormOracleSql(16, 12),

@@ -86,6 +86,11 @@ object TsFunctions {
       val (path, sim) = Advanced.lcssPath(uniTs(a), uniTs(b), eps)
       (path.map(p => Array(p._1, p._2)), sim)
     })
+  /** dtw_path_from_metric with cityblock local cost (univariate):
+    * raw accumulated cost, not sqrt'd (`dtw_variants.py:201-381`). */
+  val dtwCityblockUdf: UserDefinedFunction =
+    udf((a: S, b: S) => Advanced.dtwPathFromMetric(uniTs(a), uniTs(b),
+      (x, y) => math.abs(x(0) - y(0)))._2)
   val ctwUdf: UserDefinedFunction =
     udf((a: S, b: S) => Advanced.ctw(uniTs(a), uniTs(b)))
   val ctwFixedUdf: UserDefinedFunction =

@@ -18,16 +18,10 @@ import graft.operators.Cdist
   */
 object SparkEntry {
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
-    * default; read ns-as-long and truncate to µs (`ts div 1000`, integer
-    * division — a double division would lose precision at 1.7e18 ns).
-    * DuckDB truncates the same ns values to µs TIMESTAMPs, so µs is the
-    * common clock for ordering, sessionizing and bucketing. */
-  private def ev(s: SparkSession, dir: String) = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
-  }
+  /** events.parquet with a canonical µs `ts_us` clock — schema-adaptive
+    * (the generator has produced both TIMESTAMP(NANOS) and plain µs
+    * TIMESTAMP schemas across rounds); see TSModel.eventsWithTsUs. */
+  private def ev(s: SparkSession, dir: String) = TSModel.eventsWithTsUs(s, dir)
   private def li(s: SparkSession, dir: String) = s.read.parquet(s"$dir/lineitem.parquet")
   private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")

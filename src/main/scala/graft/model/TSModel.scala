@@ -23,16 +23,31 @@ object TSModel {
     * not a global orderBy.
     */
   def eventsToSeries(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-    // ns→µs truncation (integer div) matches the DuckDB oracle's clock
+    val ev = eventsWithTsUs(spark, sfDir)
     ev.groupBy(col("user_id").as("series_id"))
       .agg(
         transform(
-          array_sort(collect_list(struct(expr("ts div 1000").as("ts_us"),
+          array_sort(collect_list(struct(col("ts_us"),
             col("event_id"), col("value")))),
           x => x.getField("value")
         ).as("values"))
+  }
+
+  /** events.parquet with a canonical µs-since-epoch `ts_us` column,
+    * robust to either physical schema the generator has produced:
+    * TIMESTAMP(NANOS) (read ns-as-long, integer-div to µs) or a plain
+    * TIMESTAMP (µs precision, `unix_micros`). Both match the DuckDB
+    * oracle's `epoch_ns(ts) // 1000` clock. */
+  def eventsWithTsUs(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    // TIMESTAMP_NTZ (what parquet timestamp[us] reads as) needs a cast
+    // before unix_micros; session TZ is UTC so the cast is instant-exact.
+    val tsUs = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+    ev.withColumn("ts_us", tsUs)
   }
 
   /** Nested univariate ARRAY<DOUBLE> → ARRAY<ARRAY<DOUBLE>> (d=1). */

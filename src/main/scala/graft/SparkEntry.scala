@@ -1311,6 +1311,23 @@ object SparkEntry {
           round(TsFunctions.gakUdf(col("a.values"), col("b.values"), lit(1.0)), 4).as("gak"))
     }),
 
+    // CTW with sz1≠sz2 through the full CCA-project→DTW alternation —
+    // the last VARIABLE_LENGTH_METRICS member (metrics/__init__.py:29)
+    // whose ragged path had no driver signal (ts_ctw_pairs resamples
+    // both sides to 16). Same per-series own-length scheme as the GAK /
+    // soft-DTW ragged rows.
+    "ts_ctw_ragged_pairs" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"),
+            (lit(8) + pmod(col("series_id"), lit(5)) * 2).cast("int")).as("values"))
+        .localCheckpoint()
+      series.alias("a").join(series.alias("b"), col("b.series_id") === col("a.series_id") + 1)
+        .select(col("a.series_id").as("user_id"),
+          (round(TsFunctions.ctwFixedUdf(
+            col("a.values"), col("b.values"), lit(3)), 4) + lit(0.0)).as("ctw"))
+    }),
+
     "ts_softdtw_ragged_pairs" -> ((s, dir) => {
       val series = TSModel.eventsToSeries(s, dir)
         .select(col("series_id"),
@@ -1871,6 +1888,139 @@ object SparkEntry {
          |SELECT pr AS user_id, round(sqrt(cost), 4) + 0.0 AS ctw
          |FROM cumc$rounds WHERE i = $last AND j = $last""".stripMargin
     sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+      .replaceAll(", (pathc\\d+) AS MATERIALIZED \\(", ", $1 AS (")
+  }
+
+  /** DuckDB oracle for ts_ctw_ragged_pairs — ctwTraceSql's fixed-round
+    * univariate CTW replay with sz1 ≠ sz2 through every stage: ragged
+    * per-user resample (each series to its own length 8 + (id%5)·2, the
+    * ts_gak_ragged_pairs scheme), a DP whose shorter pairs are simply
+    * absent from the high-i CTEs (raggedDtwOracleSql's trick), a
+    * backtrack recursion SEEDED PER PAIR at (sz1−1, sz2−1) from the
+    * lens CTE instead of a fixed corner, and the same d=1 closed-form
+    * CCA over path-aligned rows between rounds. */
+  private def ctwRaggedTraceSql(rounds: Int): String = {
+    val maxSz = 16
+    val sb = new StringBuilder(
+      s"""WITH RECURSIVE v AS (
+         |  SELECT user_id, value,
+         |         row_number() OVER (PARTITION BY user_id
+         |           ORDER BY epoch_ns(ts) // 1000, event_id) AS t,
+         |         count(*) OVER (PARTITION BY user_id) AS n
+         |  FROM events
+         |), tgt AS (
+         |  SELECT user_id, n, 8 + (user_id % 5) * 2 AS tl
+         |  FROM (SELECT DISTINCT user_id, n FROM v)
+         |), grid AS (
+         |  SELECT u.user_id, u.n, u.tl, g.j, g.j * (u.n - 1) / (u.tl - 1.0) AS pos
+         |  FROM tgt u, (SELECT unnest(generate_series(0, ${maxSz - 1})) AS j) g
+         |  WHERE g.j < u.tl
+         |), w AS (
+         |  SELECT user_id, j, CAST(floor(pos) AS INT) AS i0,
+         |    LEAST(CAST(floor(pos) AS INT) + 1, n - 1) AS i1, pos - floor(pos) AS frac
+         |  FROM grid
+         |), r0 AS (
+         |  SELECT w.user_id, w.j, v0.value * (1.0 - w.frac) + v1.value * w.frac AS val
+         |  FROM w
+         |  JOIN v v0 ON v0.user_id = w.user_id AND v0.t - 1 = w.i0
+         |  JOIN v v1 ON v1.user_id = w.user_id AND v1.t - 1 = w.i1
+         |), st AS (
+         |  SELECT user_id, avg(val) AS mu,
+         |    avg(val * val) - avg(val) * avg(val) AS var
+         |  FROM r0 GROUP BY 1
+         |), r AS (
+         |  SELECT r0.user_id, r0.j,
+         |    (r0.val - st.mu) /
+         |      (CASE WHEN st.var <= 0 THEN 1.0 ELSE sqrt(st.var) END) AS val
+         |  FROM r0 JOIN st USING (user_id)
+         |), lens AS (
+         |  SELECT a.user_id AS pr, a.tl AS l1, b.tl AS l2
+         |  FROM tgt a JOIN tgt b ON b.user_id = a.user_id + 1
+         |), px0 AS (
+         |  SELECT user_id AS pr, j AS t, val AS p FROM r
+         |), py0 AS (
+         |  SELECT user_id - 1 AS pr, j AS t, val AS p FROM r
+         |)""".stripMargin)
+    for (k <- 0 to rounds) {
+      sb ++=
+        s"""
+           |, locC$k AS (
+           |  SELECT a.pr, a.t AS i, b.t AS j, (a.p - b.p) * (a.p - b.p) AS d
+           |  FROM px$k a JOIN py$k b ON b.pr = a.pr
+           |), c${k}x0 AS (
+           |  SELECT pr, j, sum(d) OVER (PARTITION BY pr ORDER BY j) AS cost
+           |  FROM locC$k WHERE i = 0
+           |)""".stripMargin
+      for (i <- 1 until maxSz) {
+        sb ++=
+          s"""
+             |, c${k}x$i AS (
+             |  SELECT pr, j, cs + mn AS cost FROM (
+             |    SELECT pr, j, cs,
+             |      min(mk - csk) OVER (PARTITION BY pr ORDER BY j) AS mn
+             |    FROM (
+             |      SELECT l.pr, l.j,
+             |        sum(l.d) OVER (PARTITION BY l.pr ORDER BY l.j) AS cs,
+             |        sum(l.d) OVER (PARTITION BY l.pr ORDER BY l.j) - l.d AS csk,
+             |        least(coalesce(pk.cost, 1e308), coalesce(pk1.cost, 1e308)) AS mk
+             |      FROM locC$k l
+             |      LEFT JOIN c${k}x${i - 1} pk ON pk.pr = l.pr AND pk.j = l.j
+             |      LEFT JOIN c${k}x${i - 1} pk1 ON pk1.pr = l.pr AND pk1.j = l.j - 1
+             |      WHERE l.i = $i))
+             |)""".stripMargin
+      }
+      sb ++= s"\n, cumc$k AS (\n" +
+        (0 until maxSz).map(i => s"  SELECT pr, $i AS i, j, cost FROM c${k}x$i")
+          .mkString("", "\n  UNION ALL\n", "\n)")
+      if (k < rounds) {
+        sb ++=
+          s"""
+             |, pathc$k AS (
+             |  SELECT pr, l1 - 1 AS i, l2 - 1 AS j FROM lens
+             |  UNION ALL
+             |  SELECT p.pr,
+             |    CASE WHEN p.i = 0 THEN 0
+             |         WHEN p.j = 0 THEN p.i - 1
+             |         WHEN cd.cost <= cu.cost AND cd.cost <= cl.cost THEN p.i - 1
+             |         WHEN cu.cost <= cl.cost THEN p.i - 1
+             |         ELSE p.i END AS i,
+             |    CASE WHEN p.i = 0 THEN p.j - 1
+             |         WHEN p.j = 0 THEN p.j
+             |         WHEN cd.cost <= cu.cost AND cd.cost <= cl.cost THEN p.j - 1
+             |         WHEN cu.cost <= cl.cost THEN p.j
+             |         ELSE p.j - 1 END AS j
+             |  FROM pathc$k p
+             |  LEFT JOIN cumc$k cd ON cd.pr = p.pr AND cd.i = p.i - 1 AND cd.j = p.j - 1
+             |  LEFT JOIN cumc$k cu ON cu.pr = p.pr AND cu.i = p.i - 1 AND cu.j = p.j
+             |  LEFT JOIN cumc$k cl ON cl.pr = p.pr AND cl.i = p.i AND cl.j = p.j - 1
+             |  WHERE p.i > 0 OR p.j > 0
+             |), st$k AS (
+             |  SELECT pa.pr,
+             |    avg(x.p) AS mux, stddev_samp(x.p) AS sdx,
+             |    avg(y.p) AS muy, stddev_samp(y.p) AS sdy,
+             |    covar_pop(x.p, y.p) AS cv
+             |  FROM pathc$k pa
+             |  JOIN px0 x ON x.pr = pa.pr AND x.t = pa.i
+             |  JOIN py0 y ON y.pr = pa.pr AND y.t = pa.j
+             |  GROUP BY 1
+             |), px${k + 1} AS (
+             |  SELECT x.pr, x.t, (x.p - s.mux) / s.sdx AS p
+             |  FROM px0 x JOIN st$k s ON s.pr = x.pr
+             |), py${k + 1} AS (
+             |  SELECT y.pr, y.t,
+             |    (CASE WHEN s.cv < 0 THEN -1.0 WHEN s.cv > 0 THEN 1.0 ELSE 0.0 END)
+             |      * (y.p - s.muy) / s.sdy AS p
+             |  FROM py0 y JOIN st$k s ON s.pr = y.pr
+             |)""".stripMargin
+      }
+    }
+    sb ++=
+      s"""
+         |SELECT c.pr AS user_id, round(sqrt(c.cost), 4) + 0.0 AS ctw
+         |FROM cumc$rounds c JOIN lens ln ON ln.pr = c.pr
+         |WHERE c.i = ln.l1 - 1 AND c.j = ln.l2 - 1""".stripMargin
+    sb.toString.replaceAll("(?m)^(WITH RECURSIVE |WITH |, |\\), )(\\w+) AS \\($",
+        "$1$2 AS MATERIALIZED (")
       .replaceAll(", (pathc\\d+) AS MATERIALIZED \\(", ", $1 AS (")
   }
 
@@ -4159,6 +4309,7 @@ object SparkEntry {
     "ts_dtw_mv_pairs" -> mvDtwOracleSql(16),
     "ts_dtw_ragged_pairs" -> raggedDtwOracleSql(128),
     "ts_ctw_pairs" -> ctwTraceSql(16, 3),
+    "ts_ctw_ragged_pairs" -> ctwRaggedTraceSql(3),
     "cdist_metrics_sample" -> metricsSampleOracleSql(16, 20, 3, 0.5),
     "cdist_dtw_pairs" -> cdistDtwOracleSql(24, 16),
     "ts_kmeans" -> kmeansTraceSql(10),

@@ -1441,6 +1441,32 @@ object SparkEntry {
           (round(col("col"), 4) + lit(0.0)).as("g"))
     }),
 
+    // soft-DTW BARYCENTER one-GD-step replay (softdtw.py:17-113): from
+    // the euclidean-mean init b over series 0..3, one fixed-step update
+    // b' = b − η·Σᵢ ∂softDTW(b,xᵢ)/∂b with pinned η — the descent
+    // direction of the real barycenter objective through the green
+    // gradient chain (ts_softdtw_grad_pairs); only the L-BFGS line
+    // search stays golden, as SMO does for the SVC.
+    "ts_softdtw_bary_step" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .where(col("series_id") < 4)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(16)).as("values"))
+        .localCheckpoint()
+      val init = series
+        .select(posexplode(col("values")).as(Seq("t", "v")))
+        .groupBy(col("t")).agg(avg(col("v")).as("bv"))
+        .agg(transform(array_sort(collect_list(struct(col("t"), col("bv")))),
+          x => x.getField("bv")).as("b"))
+      series.crossJoin(broadcast(init))
+        .select(col("b"),
+          TsFunctions.softDtwGradUdf(col("b"), col("values"), lit(1.0)).as("g"))
+        .select(posexplode(arrays_zip(col("b"), col("g"))).as(Seq("t", "z")))
+        .groupBy(col("t"))
+        .agg((first(col("z.b")) - lit(0.05) * sum(col("z.g"))).as("raw"))
+        .select(col("t"), (round(col("raw"), 4) + lit(0.0)).as("b_new"))
+    }),
+
     // 1d-SAX distance (cysax.pyx:95-124) through the KERNEL path
     // (oneDSax + dist1dSax) on raw-length series: (avg, slope) symbols
     // per segment, distance = per-timestep reconstruction difference.
@@ -3202,6 +3228,68 @@ object SparkEntry {
     sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
   }
 
+  /** DuckDB oracle for ts_softdtw_bary_step — one gradient-descent step
+    * of the soft-DTW barycenter objective (`softdtw.py:17-113`) from the
+    * euclidean-mean init: b′ = b − η·Σᵢ grad(b, xᵢ), each per-series
+    * gradient via softDtwGradOracleSql's path-split identity
+    * E = F·B/(k·F_total) with the init as the LEFT series of every
+    * chain (pr = cd = series id keys the per-series DP). */
+  private def softDtwBaryStepOracleSql(sz: Int, nSeries: Int,
+                                       eta: Double): String = {
+    val last = sz - 1
+    val sb = new StringBuilder(evCte + resampleZnormCte(sz))
+    sb ++=
+      s"""
+         |, rs AS (
+         |  SELECT user_id, j, val FROM r WHERE user_id < $nSeries
+         |), binit AS (
+         |  SELECT j, avg(val) AS val FROM rs GROUP BY 1
+         |), loc AS (
+         |  SELECT x.user_id AS pr, x.user_id AS cd, bi.j AS i, x.j AS j,
+         |    -(bi.val - x.val) * (bi.val - x.val) AS lg
+         |  FROM binit bi CROSS JOIN rs x
+         |), locr AS (
+         |  SELECT pr, cd, $last - i AS i, $last - j AS j, lg FROM loc
+         |)""".stripMargin
+    sb ++= rowChainCtes(sz, "loc", "t")
+    sb ++= rowChainCtes(sz, "locr", "bk")
+    val matf = (0 until sz)
+      .map(i => s"SELECT pr, cd, $i AS i, j, lw FROM t$i")
+      .mkString("\n  UNION ALL ")
+    val matb = (0 until sz)
+      .map(i => s"SELECT pr, cd, $i AS i, j, lw FROM bk$i")
+      .mkString("\n  UNION ALL ")
+    sb ++=
+      s"""
+         |, matf AS (
+         |  $matf
+         |), matbr AS (
+         |  $matb
+         |), matb AS (
+         |  SELECT pr, cd, $last - i AS i, $last - j AS j, lw FROM matbr
+         |), fin AS (
+         |  SELECT pr, cd, lw FROM t$last WHERE j = $last
+         |), e AS (
+         |  SELECT f.pr, f.cd, f.i, f.j,
+         |    exp(f.lw + b2.lw - l.lg - fn.lw) AS ev
+         |  FROM matf f
+         |  JOIN matb b2 ON b2.pr = f.pr AND b2.cd = f.cd
+         |    AND b2.i = f.i AND b2.j = f.j
+         |  JOIN loc l ON l.pr = f.pr AND l.cd = f.cd
+         |    AND l.i = f.i AND l.j = f.j
+         |  JOIN fin fn ON fn.pr = f.pr AND fn.cd = f.cd
+         |), g AS (
+         |  SELECT e.i AS t, sum(e.ev * 2.0 * (bi.val - x.val)) AS gsum
+         |  FROM e
+         |  JOIN binit bi ON bi.j = e.i
+         |  JOIN rs x ON x.user_id = e.cd AND x.j = e.j
+         |  GROUP BY 1
+         |)
+         |SELECT g.t, round(b.val - $eta * g.gsum, 4) + 0.0 AS b_new
+         |FROM g JOIN binit b ON b.j = g.t""".stripMargin
+    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+  }
+
   /** Shared CTE core of the sigma_gak / gamma_soft_dtw oracles
     * (`softdtw_variants.py:221-313`): exact k-th-smallest medians
     * (k = n/2, the reference's sorted[n//2] upper middle) of the
@@ -4208,6 +4296,7 @@ object SparkEntry {
     "ts_gak_pairs" -> gakOracleSql(16),
     "ts_softdtw_pairs" -> softDtwOracleSql(16),
     "ts_softdtw_grad_pairs" -> softDtwGradOracleSql(16),
+    "ts_softdtw_bary_step" -> softDtwBaryStepOracleSql(16, 4, 0.05),
     "ts_dtw_path_pairs" -> dtwPathOracleSql(16, 12),
     "ts_lcss_path_pairs" -> lcssPathOracleSql(16, 0.5, 12),
     "ts_dtw_itakura_pairs" -> dtwItakuraOracleSql(16),

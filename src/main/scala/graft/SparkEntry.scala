@@ -1231,6 +1231,23 @@ object SparkEntry {
           (round(col("d2"), 4) + lit(0.0)).as("d2"))
     }),
 
+    // KernelKMeans.predict (kmeans.py:407-457): held-out probes 12..19
+    // against the model fitted on 0..11 — the kernel-trick new-point
+    // assignment (broadcast training set + per-cluster mean kernel +
+    // fit-time term3 constants) through the real Model.predict path.
+    "ts_kernel_kmeans_predict" -> ((s, dir) => {
+      val all = TSModel.eventsToSeries(s, dir)
+        .where(col("series_id") < 20)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(16)).as("values"))
+        .localCheckpoint()
+      val km = new graft.ml.KernelKMeans(k = 3, maxIter = 4,
+        tol = Double.NegativeInfinity, sigma = 1.0, init = "mod")
+      val model = km.fitModel(all.where(col("series_id") < 12))
+      model.predict(all.where(col("series_id") >= 12))
+        .select(col("series_id").as("probe_id"), col("cluster"))
+    }),
+
     // ---------------- SVC decision function (svm.py:198) -------------
     // First driver signal for the SVC family. The SMO solve is a
     // driver-side iterative QP (not replayable), but the decision
@@ -3327,8 +3344,7 @@ object SparkEntry {
     * normalized GAK gram — probes 8..15 against support vectors 0..7. */
   private def svcDecisionOracleSql(sz: Int, maxId: Int): String = sumProdChainSql(
     sz,
-    lgSql = "-(a.val - b.val) * (a.val - b.val) / 2.0" +
-      " - ln(2.0 - exp(-(a.val - b.val) * (a.val - b.val) / 2.0))",
+    lgSql = gakLgSql,
     selfPairs = false,
     allPairsMaxId = maxId,
     finalSql =
@@ -3350,7 +3366,11 @@ object SparkEntry {
     * then an argmin with the engine's (d2, cluster) tie-break. Empty
     * clusters drop out of both sums via the inner joins, mirroring the
     * engine's label-join semantics. */
-  private def kernelKMeansTraceSql(sz: Int, maxId: Int, k: Int, iters: Int): String = {
+  /** Shared fit-trace CTEs of the kernel-k-means oracles: normalized
+    * gram off the sum-product chain, init="mod" labels over ids passing
+    * `trainPred`, then `iters` two-grouped-sum assignment rounds. */
+  private def kernelKMeansCoreCtes(k: Int, iters: Int,
+                                   trainPred: String): String = {
     val sb = new StringBuilder()
     sb ++=
       s""", gram AS (
@@ -3362,7 +3382,7 @@ object SparkEntry {
          |  JOIN fin bb ON bb.pr = ab.cd AND bb.cd = ab.cd
          |), lab0 AS (
          |  SELECT i AS id, CAST(i % $k AS INT) AS c
-         |  FROM (SELECT DISTINCT pr AS i FROM fin)
+         |  FROM (SELECT DISTINCT pr AS i FROM fin) WHERE $trainPred
          |)""".stripMargin
     for (it <- 1 to iters) {
       sb ++=
@@ -3388,18 +3408,60 @@ object SparkEntry {
            |    FROM d_$it) WHERE rn = 1
            |)""".stripMargin
     }
-    sb ++=
-      s"""
-         |SELECT l.id AS series_id, l.c AS cluster, round(d.d2, 4) + 0.0 AS d2
-         |FROM lab$iters l JOIN d_$iters d ON d.id = l.id AND d.c = l.c""".stripMargin
+    sb.toString
+  }
+
+  /** The normalized-GAK log chain shared by every GAK-gram oracle. */
+  private val gakLgSql =
+    "-(a.val - b.val) * (a.val - b.val) / 2.0" +
+      " - ln(2.0 - exp(-(a.val - b.val) * (a.val - b.val) / 2.0))"
+
+  private def kernelKMeansTraceSql(sz: Int, maxId: Int, k: Int, iters: Int): String =
     sumProdChainSql(
       sz,
-      lgSql = "-(a.val - b.val) * (a.val - b.val) / 2.0" +
-        " - ln(2.0 - exp(-(a.val - b.val) * (a.val - b.val) / 2.0))",
+      lgSql = gakLgSql,
       selfPairs = false,
       allPairsMaxId = maxId,
-      finalSql = sb.toString)
-  }
+      finalSql = kernelKMeansCoreCtes(k, iters, "TRUE") +
+        s"""
+           |SELECT l.id AS series_id, l.c AS cluster, round(d.d2, 4) + 0.0 AS d2
+           |FROM lab$iters l JOIN d_$iters d ON d.id = l.id AND d.c = l.c""".stripMargin)
+
+  /** DuckDB oracle for ts_kernel_kmeans_predict — `kmeans.py:407-457`:
+    * fit on ids < `trainMax` exactly as kernelKMeansTraceSql, then
+    * assign each held-out probe (id ≥ trainMax) by the kernel-trick
+    * distance 1 − 2·Σ_{j∈c}K(p,j)/|c| + term3(c), with term3 the
+    * within-cluster constant of the FINAL labels and the engine's
+    * (d2, cluster) tie-break. */
+  private def kernelKMeansPredictSql(sz: Int, trainMax: Int, maxId: Int,
+                                     k: Int, iters: Int): String =
+    sumProdChainSql(
+      sz,
+      lgSql = gakLgSql,
+      selfPairs = false,
+      allPairsMaxId = maxId,
+      finalSql = kernelKMeansCoreCtes(k, iters, s"i < $trainMax") +
+        s"""
+           |, ft3 AS (
+           |  SELECT la.c AS c, sum(g.kv) AS s3, count(DISTINCT g.i) AS csz
+           |  FROM gram g
+           |  JOIN lab$iters la ON la.id = g.i
+           |  JOIN lab$iters lb ON lb.id = g.j
+           |  WHERE la.c = lb.c
+           |  GROUP BY 1
+           |), p2 AS (
+           |  SELECT g.i AS id, l.c, sum(g.kv) AS s, count(*) AS cnt
+           |  FROM gram g JOIN lab$iters l ON l.id = g.j
+           |  WHERE g.i >= $trainMax
+           |  GROUP BY 1, 2
+           |), pd AS (
+           |  SELECT p2.id, p2.c,
+           |    1.0 - 2.0 * p2.s / p2.cnt + ft3.s3 / (ft3.csz * ft3.csz) AS d2
+           |  FROM p2 JOIN ft3 ON ft3.c = p2.c
+           |)
+           |SELECT id AS probe_id, c AS cluster FROM (
+           |  SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY d2, c) AS rn
+           |  FROM pd) WHERE rn = 1""".stripMargin)
 
   /** DuckDB oracle for ts_ldtw_pairs: dtw_limited_warping_length
     * (`dtw_variants.py:468-743`) as a layered path-length DP — layer s
@@ -4325,6 +4387,7 @@ object SparkEntry {
       finalSql =
         """SELECT pr AS user_id, round(-1.0 * lw, 4) AS softdtw FROM fin""".stripMargin),
     "ts_kernel_kmeans" -> kernelKMeansTraceSql(16, 12, 3, 4),
+    "ts_kernel_kmeans_predict" -> kernelKMeansPredictSql(16, 12, 20, 3, 4),
     "ts_svc_decision" -> svcDecisionOracleSql(16, 16),
     // ts_mlp_forward: the same formula weights replayed as SQL matmul
     // + tanh over the shared resample/z-norm CTE (h = hidden unit).

@@ -1362,6 +1362,23 @@ object SparkEntry {
     // only embedded inside the DBA trace oracles. Path cells are a set
     // per pair (the driver compare sorts rows), so (user_id, i, j) rows
     // hash-verify the full backtrack incl. the diag-then-up tie-break.
+    // L-DTW alignment path (dtw_variants.py:620-743): the layered DP's
+    // backtrack — best final layer, then per-layer predecessor matching
+    // with the engine's eps-tolerant diag-up-left order. (step, i, j)
+    // rows pin the whole path incl. its length (= best layer + 1).
+    "ts_ldtw_path_pairs" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(12)).as("values"))
+        .localCheckpoint()
+      series.alias("a").join(series.alias("b"), col("b.series_id") === col("a.series_id") + 1)
+        .select(col("a.series_id").as("user_id"),
+          posexplode(TsFunctions.ldtwPathUdf(col("a.values"), col("b.values"), lit(16))
+            .getField("_1")))
+        .select(col("user_id"), col("pos").as("step"),
+          col("col")(0).cast("int").as("i"), col("col")(1).cast("int").as("j"))
+    }),
+
     "ts_dtw_path_pairs" -> ((s, dir) => {
       val series = TSModel.eventsToSeries(s, dir)
         .where(col("series_id") < 12)
@@ -3507,6 +3524,80 @@ object SparkEntry {
     sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
   }
 
+  /** DuckDB oracle for ts_ldtw_path_pairs — the L-DTW backtrack
+    * (`dtw_variants.py:620-743`, engine
+    * `Advanced.dtwLimitedWarpingLengthPath`): the same layered DP as
+    * ldtwOracleSql, the best terminal layer (strict < keeps the lowest
+    * s, so ORDER BY cost, s), then a recursion that descends one layer
+    * per step matching the engine's predecessor rule LITERALLY —
+    * |pred − (cur − d)| ≤ 1e-9·max(1,|target|) tried diag, up, left
+    * (absent preds coalesce to 1e308 and never match). */
+  private def ldtwPathOracleSql(sz: Int, maxLength: Int): String = {
+    val last = sz - 1
+    val sb = new StringBuilder(
+      (evCte + resampleZnormCte(sz)).replaceFirst("WITH ", "WITH RECURSIVE "))
+    sb ++=
+      s"""
+         |, loc AS (
+         |  SELECT a.user_id AS pr, a.j AS i, b.j AS j,
+         |    (a.val - b.val) * (a.val - b.val) AS d
+         |  FROM r a JOIN r b ON b.user_id = a.user_id + 1
+         |), s0 AS (
+         |  SELECT pr, i, j, d AS cost FROM loc WHERE i = 0 AND j = 0
+         |)""".stripMargin
+    for (s <- 1 until maxLength) {
+      sb ++=
+        s"""
+           |, s$s AS (
+           |  SELECT l.pr, l.i, l.j,
+           |    l.d + least(coalesce(up.cost, 1e308), coalesce(lf.cost, 1e308),
+           |                coalesce(dg.cost, 1e308)) AS cost
+           |  FROM loc l
+           |  LEFT JOIN s${s - 1} up ON up.pr = l.pr AND up.i = l.i - 1 AND up.j = l.j
+           |  LEFT JOIN s${s - 1} lf ON lf.pr = l.pr AND lf.i = l.i AND lf.j = l.j - 1
+           |  LEFT JOIN s${s - 1} dg ON dg.pr = l.pr AND dg.i = l.i - 1 AND dg.j = l.j - 1
+           |  WHERE coalesce(up.cost, lf.cost, dg.cost) IS NOT NULL
+           |)""".stripMargin
+    }
+    sb ++= "\n, alls AS (\n  SELECT pr, 0 AS s, i, j, cost FROM s0"
+    for (s <- 1 until maxLength)
+      sb ++= s"\n  UNION ALL SELECT pr, $s, i, j, cost FROM s$s"
+    sb ++=
+      s"""
+         |), beststart AS (
+         |  SELECT pr, s, i, j FROM (
+         |    SELECT pr, s, i, j,
+         |      row_number() OVER (PARTITION BY pr ORDER BY cost, s) AS rn
+         |    FROM alls WHERE i = $last AND j = $last) WHERE rn = 1
+         |), pth AS (
+         |  SELECT pr, s, i, j FROM beststart
+         |  UNION ALL
+         |  SELECT p.pr, p.s - 1,
+         |    CASE WHEN abs(coalesce(cd.cost, 1e308) - (cur.cost - l.d))
+         |             <= 1e-9 * greatest(1.0, abs(cur.cost - l.d)) THEN p.i - 1
+         |         WHEN abs(coalesce(cu.cost, 1e308) - (cur.cost - l.d))
+         |             <= 1e-9 * greatest(1.0, abs(cur.cost - l.d)) THEN p.i - 1
+         |         ELSE p.i END AS i,
+         |    CASE WHEN abs(coalesce(cd.cost, 1e308) - (cur.cost - l.d))
+         |             <= 1e-9 * greatest(1.0, abs(cur.cost - l.d)) THEN p.j - 1
+         |         WHEN abs(coalesce(cu.cost, 1e308) - (cur.cost - l.d))
+         |             <= 1e-9 * greatest(1.0, abs(cur.cost - l.d)) THEN p.j
+         |         ELSE p.j - 1 END AS j
+         |  FROM pth p
+         |  JOIN alls cur ON cur.pr = p.pr AND cur.s = p.s AND cur.i = p.i AND cur.j = p.j
+         |  JOIN loc l ON l.pr = p.pr AND l.i = p.i AND l.j = p.j
+         |  LEFT JOIN alls cd ON cd.pr = p.pr AND cd.s = p.s - 1
+         |    AND cd.i = p.i - 1 AND cd.j = p.j - 1
+         |  LEFT JOIN alls cu ON cu.pr = p.pr AND cu.s = p.s - 1
+         |    AND cu.i = p.i - 1 AND cu.j = p.j
+         |  WHERE p.s > 0
+         |)
+         |SELECT pr AS user_id, s AS step, i, j FROM pth""".stripMargin
+    sb.toString.replaceAll("(?m)^(WITH RECURSIVE |WITH |, |\\), )(\\w+) AS \\($",
+        "$1$2 AS MATERIALIZED (")
+      .replaceAll(", (pth) AS MATERIALIZED \\(", ", $1 AS (")
+  }
+
   /** DuckDB oracle for ts_subseq_match: open-begin/open-end DTW
     * (`dtw_variants.py:746-903`) of series 0 (resampled to qsz) inside
     * every other series (resampled to sz). Row 0 is the raw local cost
@@ -4366,6 +4457,7 @@ object SparkEntry {
     "ts_dtw_cityblock_pairs" -> bandedDtwPairsOracleSql(16, "TRUE",
       dSql = "abs(a.val - b.val)", finalExpr = "cost"),
     "ts_ldtw_pairs" -> ldtwOracleSql(12, 16),
+    "ts_ldtw_path_pairs" -> ldtwPathOracleSql(12, 16),
     "ts_subseq_match" -> subseqOracleSql(8, 24),
     "cdist_softdtw_norm" -> softDtwNormOracleSql(16, 12),
     "ts_lcss_ragged_pairs" -> lcssRaggedOracleSql(128, 0.5),

@@ -118,6 +118,11 @@ object TsFunctions {
   val ldtwUdf: UserDefinedFunction =
     udf((a: S, b: S, maxLength: Int) =>
       Advanced.dtwLimitedWarpingLength(uniTs(a), uniTs(b), maxLength))
+  val ldtwPathUdf: UserDefinedFunction =
+    udf((a: S, b: S, maxLength: Int) => {
+      val (path, dist) = Advanced.dtwLimitedWarpingLengthPath(uniTs(a), uniTs(b), maxLength)
+      (path.map(p => Array(p._1, p._2)), dist)
+    })
   /** 1d-SAX symbols (d avg symbols then d slope symbols per segment). */
   val oneDSaxUdf: UserDefinedFunction =
     udf((s: S, nSeg: Int, aAvg: Int, aSlope: Int, sigmaL: Double) =>

@@ -536,6 +536,40 @@ object SparkEntry {
           round(col("feat")(2) * lit(w * h * 255)).cast("long").as("edge_sum"))
     }),
 
+    // Compressed-codec twin of img_pixel_stats: the formula raster
+    // round-trips through a REAL PNG — written in-query by ImageIO
+    // (TYPE_INT_RGB, r=g=b=v so no colorspace conversion on read) and
+    // decoded back through Multimodal's ImageIO branch. The oracle is
+    // the same formula replay with no decoder: a deflate/filter/stride
+    // bug on either side of the codec breaks the integer sums.
+    "img_png_stats" -> ((s, dir) => {
+      val w = 8; val h = 8
+      val mkPng = udf((id: Long) => {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var t = 0
+        while (t < w * h) {
+          val v = ((id * 4421 + t * 7573) % 256).toInt
+          img.setRGB(t % w, t / w, (v << 16) | (v << 8) | v)
+          t += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      })
+      val media = docs(s, dir).select(col("doc_id").cast("long"))
+        .where(col("doc_id") < 64)
+        .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+          mkPng(col("doc_id")).as("payload"),
+          struct(lit(w).as("width"), lit(h).as("height"),
+            lit(null).cast("int").as("sample_rate"),
+            lit(null).cast("int").as("n_frames")).as("meta"))
+      graft.sources.Multimodal.extractFeatures(media)
+        .select(col("media_id"),
+          round(col("feat")(0) * lit(w * h * 255)).cast("long").as("pixel_sum"),
+          round(col("feat")(2) * lit(w * h * 255)).cast("long").as("edge_sum"))
+    }),
+
     // Audio twin of img_pixel_stats: deterministic 8-bit PCM WAV
     // payloads (44-byte RIFF header + formula samples) decoded through
     // the REAL javax.sound path (Multimodal.decodeAudio). 8-bit WAV is
@@ -4525,6 +4559,21 @@ object SparkEntry {
       """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
         |px AS (
         |  SELECT doc_id, g.t, (doc_id * 7919 + g.t * 104729) % 256 AS v
+        |  FROM ids, (SELECT unnest(generate_series(0, 63)) AS t) g
+        |), e AS (
+        |  SELECT doc_id, t, v, lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv
+        |  FROM px
+        |)
+        |SELECT doc_id AS media_id, CAST(sum(v) AS BIGINT) AS pixel_sum,
+        |  CAST(sum(CASE WHEN pv IS NULL THEN 0 ELSE abs(v - pv) END) AS BIGINT)
+        |    AS edge_sum
+        |FROM e GROUP BY 1""".stripMargin,
+    // img_png_stats: same formula-replay shape, different constants —
+    // the engine value survives a PNG encode/decode round trip.
+    "img_png_stats" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+        |px AS (
+        |  SELECT doc_id, g.t, (doc_id * 4421 + g.t * 7573) % 256 AS v
         |  FROM ids, (SELECT unnest(generate_series(0, 63)) AS t) g
         |), e AS (
         |  SELECT doc_id, t, v, lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv

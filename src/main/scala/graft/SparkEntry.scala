@@ -614,6 +614,27 @@ object SparkEntry {
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
     }),
 
+    // KNeighborsTimeSeriesRegressor with 'distance' weights
+    // (neighbors.py:362-372): probes 12..23 against train 0..11,
+    // euclidean metric as pure codegen'd HOFs (zip_with + aggregate, no
+    // UDF), y = the raw series mean, prediction = Σyᵢ/dᵢ / Σ1/dᵢ over
+    // the top-3 — the whole regress path (cross → window top-k →
+    // weighted vote) through the real KNeighbors.regress.
+    "ts_knn_regress" -> ((s, dir) => {
+      val base = TSModel.eventsToSeries(s, dir).where(col("series_id") < 24)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(16)).as("values"),
+          (aggregate(col("values"), lit(0.0), (acc, x) => acc + x) /
+            size(col("values"))).as("y"))
+        .localCheckpoint()
+      graft.ml.KNeighbors.regress(
+        base.where(col("series_id") >= 12), base.where(col("series_id") < 12), 3,
+        (a, b) => sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)),
+        weights = "distance")
+        .select(col("probe_id"), (round(col("y_pred"), 4) + lit(0.0)).as("y_pred"))
+    }),
+
     "emb_kmeans_assign" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("values"))
@@ -4490,6 +4511,32 @@ object SparkEntry {
     "ts_dtw_sakoe_pairs" -> dtwSakoePairsOracleSql(16, 2),
     "ts_dtw_cityblock_pairs" -> bandedDtwPairsOracleSql(16, "TRUE",
       dSql = "abs(a.val - b.val)", finalExpr = "cost"),
+    // ts_knn_regress: euclidean kNN top-3 by (dist, id), then the
+    // 'distance'-weighted mean with the engine's d=0 → 1/d=1e12 guard.
+    "ts_knn_regress" -> (evCte + resampleZnormCte(16) +
+      """
+        |, ys AS (
+        |  SELECT user_id, avg(value) AS y FROM v GROUP BY 1
+        |), dist AS (
+        |  SELECT p.user_id AS probe_id, t.user_id AS neighbor_id,
+        |    sqrt(sum((p.val - t.val) * (p.val - t.val))) AS dist
+        |  FROM r p JOIN r t ON t.j = p.j
+        |  WHERE p.user_id >= 12 AND p.user_id < 24 AND t.user_id < 12
+        |  GROUP BY 1, 2
+        |), top AS (
+        |  SELECT probe_id, neighbor_id, dist,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY dist, neighbor_id) AS rn
+        |  FROM dist
+        |), wtop AS (
+        |  SELECT probe_id, neighbor_id,
+        |    CASE WHEN dist = 0 THEN 1e12 ELSE 1.0 / dist END AS w
+        |  FROM top WHERE rn <= 3
+        |)
+        |SELECT t.probe_id, round(sum(y.y * t.w) / sum(t.w), 4) + 0.0 AS y_pred
+        |FROM wtop t JOIN ys y ON y.user_id = t.neighbor_id
+        |GROUP BY 1""".stripMargin),
+
     "ts_ldtw_pairs" -> ldtwOracleSql(12, 16),
     "ts_ldtw_path_pairs" -> ldtwPathOracleSql(12, 16),
     "ts_subseq_match" -> subseqOracleSql(8, 24),

@@ -28,9 +28,15 @@ class SparkEntrySpec extends AnyFunSuite {
     }
   }
 
-  test("oracleSql keys are a subset of queries keys") {
+  test("queries and oracleSql declare exactly the same keys") {
+    // Every declared query must be oracle-backed and vice versa — a
+    // mechanical guard that keeps the 0-rows-only invariant true as both
+    // maps grow (a query without an oracle silently downgrades the
+    // driver's gate to a rows-only check).
     val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    val unbacked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(extra.isEmpty, s"oracle without query: $extra")
+    assert(unbacked.isEmpty, s"query without oracle: $unbacked")
   }
 
   test("mv metric UDFs agree with univariate variants on d=1 input") {

@@ -81,7 +81,22 @@ object ScaleProbe {
       }
 
       val results = queries.map { name =>
-        val fn = graft.SparkEntry.queries(name)
+        // op_* pseudo-queries probe an OPERATOR at full scaled input —
+        // for surfaces whose driver query pins a tiny id subset for the
+        // oracle (the gram family) and therefore cannot grow with f.
+        val fn: (SparkSession, String) => DataFrame = name match {
+          case "op_kernel_kmeans" => (sp, d) => {
+            val series = graft.model.TSModel.eventsToSeries(sp, d)
+              .select(col("series_id"),
+                graft.functions.TsFunctions.resampleZnormUdf(
+                  col("values"), lit(16)).as("values"))
+              .localCheckpoint()
+            new graft.ml.KernelKMeans(k = 3, maxIter = 4,
+              tol = Double.NegativeInfinity, sigma = 1.0, init = "mod",
+              blocks = 16).fitAssign(series)
+          }
+          case n => graft.SparkEntry.queries(n)
+        }
         val t0 = System.nanoTime()
         val n = scala.util.Try(fn(spark, dir).count()).getOrElse(-1L)
         val sec = (System.nanoTime() - t0) / 1e9

@@ -1327,6 +1327,27 @@ object SparkEntry {
           (round(col("decision"), 4) + lit(0.0)).as("decision"))
     }),
 
+    // SVR prediction surface (svm.py:276-421): f(x) = b + Σⱼ βⱼ·K(x,svⱼ)
+    // with a formula-pinned dual solution through the real
+    // TimeSeriesSVR.predict path (broadcast β join + one weighted-sum
+    // agg) — the regression twin of ts_svc_decision; the SMO solve
+    // itself stays golden, as for the SVC.
+    "ts_svr_predict" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .where(col("series_id") < 16)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(16)).as("values"))
+        .localCheckpoint()
+      val svIds = (0L until 8L).toArray
+      val beta = svIds.map(id => ((id * 29 + 3) % 17 - 8) / 10.0)
+      val m = graft.ml.TimeSeriesSVR.Model(svIds, beta, b = -0.15, sigma = 1.0)
+      graft.ml.TimeSeriesSVR.predict(m,
+        series.where(col("series_id") >= 8),
+        series.where(col("series_id") < 8))
+        .select(col("series_id").as("probe_id"),
+          (round(col("prediction"), 4) + lit(0.0)).as("prediction"))
+    }),
+
     // ------- MLP forward pass (neural_network/neural_network.py:108) -
     // First driver signal for the MLP family. The L-BFGS fit is a
     // driver solve (not replayable), but the FORWARD pass is pure
@@ -4562,6 +4583,22 @@ object SparkEntry {
     "ts_kernel_kmeans" -> kernelKMeansTraceSql(16, 12, 3, 4),
     "ts_kernel_kmeans_predict" -> kernelKMeansPredictSql(16, 12, 20, 3, 4),
     "ts_svc_decision" -> svcDecisionOracleSql(16, 16),
+    // ts_svr_predict: the SVC margin chain with β weights and bias —
+    // f(x) = b + Σⱼ βⱼ·normalizedGAK(x, svⱼ) over probes 8..15 × SVs 0..7.
+    "ts_svr_predict" -> sumProdChainSql(
+      16,
+      lgSql = gakLgSql,
+      selfPairs = false,
+      allPairsMaxId = 16,
+      finalSql =
+        """SELECT ab.pr AS probe_id,
+          |  round(-0.15 + sum((((ab.cd * 29 + 3) % 17) - 8) / 10.0
+          |    * exp(ab.lw - 0.5 * (aa.lw + bb.lw))), 4) + 0.0 AS prediction
+          |FROM fin ab
+          |JOIN fin aa ON aa.pr = ab.pr AND aa.cd = ab.pr
+          |JOIN fin bb ON bb.pr = ab.cd AND bb.cd = ab.cd
+          |WHERE ab.pr >= 8 AND ab.cd < 8
+          |GROUP BY 1""".stripMargin),
     // ts_mlp_forward: the same formula weights replayed as SQL matmul
     // + tanh over the shared resample/z-norm CTE (h = hidden unit).
     // This DuckDB build has no tanh() — use (e^{2a}−1)/(e^{2a}+1);

@@ -1551,6 +1551,25 @@ object SparkEntry {
           (round(col("col"), 4) + lit(0.0)).as("g"))
     }),
 
+    // soft-DTW ALIGNMENT matrix (soft_dtw_alignment,
+    // softdtw_variants.py:377-448): every (i,j) expected-alignment-mass
+    // cell E(i,j) as driver output — previously only the E·jacobian
+    // contraction (ts_softdtw_grad_pairs) was visible; this pins the
+    // backward pass cell by cell at sz=8.
+    "ts_softdtw_align_pairs" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(8)).as("values"))
+        .localCheckpoint()
+      series.alias("a").join(series.alias("b"), col("b.series_id") === col("a.series_id") + 1)
+        .select(col("a.series_id").as("user_id"),
+          posexplode(TsFunctions.softDtwAlignmentValueUdf(
+            col("a.values"), col("b.values"), lit(1.0)).getField("_1")))
+        .select(col("user_id"), col("pos").as("i"), posexplode(col("col")))
+        .select(col("user_id"), col("i"), col("pos").as("j"),
+          (round(col("col"), 4) + lit(0.0)).as("e"))
+    }),
+
     // soft-DTW BARYCENTER one-GD-step replay (softdtw.py:17-113): from
     // the euclidean-mean init b over series 0..3, one fixed-step update
     // b' = b − η·Σᵢ ∂softDTW(b,xᵢ)/∂b with pinned η — the descent
@@ -3283,7 +3302,28 @@ object SparkEntry {
     * there, so the sum over paths factorizes — no new DP shape needed.
     * Then grad_t = Σ_j E(t,j) · 2·(x_t − y_j) (squared-euclidean
     * jacobian product, `Kernels.softDtwGrad`). */
-  private def softDtwGradOracleSql(sz: Int): String = {
+  private def softDtwGradOracleSql(sz: Int): String =
+    softDtwEMatrixCtes(sz) +
+      s"""
+         |SELECT e.pr AS user_id, e.i AS t,
+         |  round(sum(e.ev * 2.0 * (a.val - b.val)), 4) + 0.0 AS g
+         |FROM e
+         |JOIN r a ON a.user_id = e.pr AND a.j = e.i
+         |JOIN r b ON b.user_id = e.cd AND b.j = e.j
+         |GROUP BY 1, 2""".stripMargin
+
+  /** DuckDB oracle for ts_softdtw_align_pairs — the E matrix itself
+    * (`soft_dtw_alignment`, `softdtw_variants.py:377-448`): every
+    * (i, j) alignment-mass cell from the same path-split identity. */
+  private def softDtwAlignOracleSql(sz: Int): String =
+    softDtwEMatrixCtes(sz) +
+      """
+        |SELECT pr AS user_id, i, j, round(ev, 4) + 0.0 AS e FROM e""".stripMargin
+
+  /** Shared CTE chain of the soft-DTW backward-pass oracles: forward
+    * chain, reversed-cell backward chain, and the alignment-mass matrix
+    * E via E = F·B/(k·F_total) (see softDtwGradOracleSql doc). */
+  private def softDtwEMatrixCtes(sz: Int): String = {
     val last = sz - 1
     val sb = new StringBuilder(evCte + resampleZnormCte(sz))
     sb ++=
@@ -3328,13 +3368,7 @@ object SparkEntry {
          |  JOIN loc l ON l.pr = f.pr AND l.cd = f.cd
          |    AND l.i = f.i AND l.j = f.j
          |  JOIN fin fn ON fn.pr = f.pr AND fn.cd = f.cd
-         |)
-         |SELECT e.pr AS user_id, e.i AS t,
-         |  round(sum(e.ev * 2.0 * (a.val - b.val)), 4) + 0.0 AS g
-         |FROM e
-         |JOIN r a ON a.user_id = e.pr AND a.j = e.i
-         |JOIN r b ON b.user_id = e.cd AND b.j = e.j
-         |GROUP BY 1, 2""".stripMargin
+         |)""".stripMargin
     sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
   }
 
@@ -4525,6 +4559,7 @@ object SparkEntry {
     "ts_gak_pairs" -> gakOracleSql(16),
     "ts_softdtw_pairs" -> softDtwOracleSql(16),
     "ts_softdtw_grad_pairs" -> softDtwGradOracleSql(16),
+    "ts_softdtw_align_pairs" -> softDtwAlignOracleSql(8),
     "ts_softdtw_bary_step" -> softDtwBaryStepOracleSql(16, 4, 0.05),
     "ts_dtw_path_pairs" -> dtwPathOracleSql(16, 12),
     "ts_lcss_path_pairs" -> lcssPathOracleSql(16, 0.5, 12),

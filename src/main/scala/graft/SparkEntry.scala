@@ -635,6 +635,19 @@ object SparkEntry {
         .select(col("probe_id"), (round(col("y_pred"), 4) + lit(0.0)).as("y_pred"))
     }),
 
+    // LabelCategorizer (utils.py:528-636): fit = sorted distinct labels,
+    // transform = one-hot — the last golden-only §2.2 surface, driven
+    // over the documents.lang column and exploded to (doc_id, cls, v)
+    // so every encoded cell is compared.
+    "doc_label_onehot" -> ((s, dir) => {
+      val d = docs(s, dir).where(col("doc_id") < 500)
+        .select(col("doc_id"), col("lang").as("label"))
+      val model = new graft.ml.LabelCategorizer().fit(d)
+      model.transform(d)
+        .select(col("doc_id"), posexplode(col("y_onehot")))
+        .select(col("doc_id"), col("pos").as("cls"), col("col").as("v"))
+    }),
+
     "emb_kmeans_assign" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("values"))
@@ -4567,6 +4580,22 @@ object SparkEntry {
     "ts_dtw_sakoe_pairs" -> dtwSakoePairsOracleSql(16, 2),
     "ts_dtw_cityblock_pairs" -> bandedDtwPairsOracleSql(16, "TRUE",
       dSql = "abs(a.val - b.val)", finalExpr = "cost"),
+    // doc_label_onehot: one-hot cell = [lang rank == cls]; Scala's
+    // Array[String].sorted and DuckDB's default varchar ORDER BY agree
+    // on the ASCII lang codes.
+    "doc_label_onehot" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang FROM documents WHERE doc_id < 500
+        |), lbl AS (
+        |  SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS idx
+        |  FROM (SELECT DISTINCT lang FROM d)
+        |)
+        |SELECT d.doc_id, c.idx AS cls,
+        |  CASE WHEN l.idx = c.idx THEN 1.0 ELSE 0.0 END AS v
+        |FROM d
+        |JOIN lbl l ON l.lang = d.lang
+        |CROSS JOIN (SELECT idx FROM lbl) c""".stripMargin,
+
     // ts_knn_regress: euclidean kNN top-3 by (dist, id), then the
     // 'distance'-weighted mean with the engine's d=0 → 1/d=1e12 guard.
     "ts_knn_regress" -> (evCte + resampleZnormCte(16) +

@@ -1626,6 +1626,89 @@ object SparkEntry {
         .select(col("a.series_id").as("user_id"),
           (round(TsFunctions.dist1dSaxUdf(col("a.sym"), col("b.sym"),
             lit(4), lit(4), lit(1.0), col("a.n")), 4) + lit(0.0)).as("dist_1dsax"))
+    }),
+
+    // ---------------- inverse transforms (piecewise.py) --------------
+    // The three inverse_transform surfaces (inv_transform_paa /
+    // inv_transform_sax / inv_transform_1d_sax, cysax.pyx:127-151),
+    // each through the full KERNEL transform+inverse on raw-length
+    // z-normed series: PAA repeats segment means, SAX maps symbols to
+    // Gaussian bin medians, 1d-SAX reconstructs avg + slope·(t − t_mid).
+    "ts_paa_inverse" -> ((s, dir) => {
+      TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"), TsFunctions.znormUdf(col("values")).as("values"))
+        .select(col("series_id").as("user_id"),
+          posexplode(TsFunctions.inversePaaUdf(col("values"), lit(8))).as(Seq("t", "v")))
+        .select(col("user_id"), col("t"), (round(col("v"), 4) + lit(0.0)).as("v"))
+    }),
+
+    "ts_sax_inverse" -> ((s, dir) => {
+      TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"), TsFunctions.znormUdf(col("values")).as("values"))
+        .select(col("series_id").as("user_id"),
+          posexplode(TsFunctions.inverseSaxUdf(col("values"), lit(8), lit(4)))
+            .as(Seq("t", "v")))
+        .select(col("user_id"), col("t"), (round(col("v"), 4) + lit(0.0)).as("v"))
+    }),
+
+    "ts_1dsax_inverse" -> ((s, dir) => {
+      TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"), TsFunctions.znormUdf(col("values")).as("values"))
+        .select(col("series_id").as("user_id"),
+          posexplode(TsFunctions.inverse1dSaxUdf(col("values"),
+            lit(8), lit(4), lit(4), lit(1.0))).as(Seq("t", "v")))
+        .select(col("user_id"), col("t"), (round(col("v"), 4) + lit(0.0)).as("v"))
+    }),
+
+    // One Schultz–Jain SSG update (dba.py:607-740) per user from the
+    // shared mean-init barycenter: b′ᵤ(i) = b(i) − 2η·(V(i)·b(i) −
+    // Σ_{(i,j)∈path} xᵤ(j)) at the DTW alignment of b to user u's
+    // series — the in-loop unit of Barycenters.dbaSubgradient
+    // (ssgUpdate) driver-verified; the sequential epoch shuffle stays
+    // golden. The DuckDB mirror backtracks each user's path with the
+    // ts_dba_step recursive CTE and applies the update arithmetically.
+    "ts_dba_ssg_step" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(32)).as("values"))
+        .localCheckpoint()
+      val init = series
+        .select(posexplode(col("values")).as(Seq("t", "v")))
+        .groupBy(col("t")).agg(avg(col("v")).as("bv"))
+        .agg(transform(array_sort(collect_list(struct(col("t"), col("bv")))),
+          x => x.getField("bv")).as("b"))
+      val ssgU = udf((b: scala.collection.Seq[Double], x: scala.collection.Seq[Double]) =>
+        graft.kernels.Barycenters.ssgUpdate(
+          b.map(Array(_)).toArray, x.map(Array(_)).toArray, eta = 0.05).map(_(0)))
+      series.crossJoin(broadcast(init))
+        .select(col("series_id").as("user_id"),
+          posexplode(ssgU(col("b"), col("values"))).as(Seq("t", "v")))
+        .select(col("user_id"), col("t"), (round(col("v"), 4) + lit(0.0)).as("v"))
+    }),
+
+    // lcss_path_from_metric (dtw_variants.py:1693-1879) with a CITYBLOCK
+    // local gate over the d=2 (value, Δt) channels of ts_dtw_mv_pairs —
+    // at d=1 any monotone local metric is threshold-equivalent to the
+    // default euclidean gate, so the multivariate channels are what make
+    // this a distinct surface (|dx|+|dy| ≤ ε vs √(dx²+dy²) ≤ ε). The
+    // engine runs the full DP + reference backtrack and returns the
+    // path length (≡ the DP's LCS length); integer output.
+    "ts_lcss_cityblock_pairs" -> ((s, dir) => {
+      val sorted = ev(s, dir).groupBy("user_id").agg(
+        array_sort(collect_list(struct(col("ts_us"), col("event_id"), col("value")))).as("sv"))
+      val series = sorted.select(col("user_id"),
+          TsFunctions.resampleZnormUdf(expr("transform(sv, e -> e.value)"), lit(16)).as("x"),
+          TsFunctions.resampleZnormUdf(
+            expr("transform(sv, (e, i) -> CASE WHEN i = 0 THEN CAST(0 AS DOUBLE) " +
+              "ELSE CAST(e.ts_us - sv[i-1].ts_us AS DOUBLE) END)"),
+            lit(16)).as("y"))
+        .select(col("user_id"), zip_with(col("x"), col("y"), (a, b) => array(a, b)).as("mv"))
+        .localCheckpoint()
+      series.alias("a")
+        .join(series.alias("b"), col("b.user_id") === col("a.user_id") + 1)
+        .select(col("a.user_id").as("user_id"),
+          TsFunctions.lcssMvCityblockUdf(col("a.mv"), col("b.mv"), lit(1.0))
+            .cast("int").as("lcss_len"))
     })
   )
 
@@ -2530,47 +2613,58 @@ object SparkEntry {
     sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
   }
 
+  /** d=2 (value, Δt) channel prep shared by the multivariate oracles
+    * (mvDtwOracleSql, lcssMvCityblockOracleSql): per-channel resample to
+    * `sz` + z-norm, yielding r(user_id, j, x, y) — mirrors the Spark
+    * side's two resampleZnormUdf calls over the sorted event structs. */
+  private def mvChannelsCte(sz: Int): String = {
+    val last = sz - 1
+    s"""WITH v AS (
+       |  SELECT user_id, value, epoch_ns(ts) // 1000 AS ts_us,
+       |         row_number() OVER (PARTITION BY user_id
+       |           ORDER BY epoch_ns(ts) // 1000, event_id) AS t,
+       |         count(*) OVER (PARTITION BY user_id) AS n
+       |  FROM events
+       |), v2 AS (
+       |  SELECT user_id, t, n, value,
+       |    CAST(coalesce(ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY t), 0)
+       |      AS DOUBLE) AS dt
+       |  FROM v
+       |), grid AS (
+       |  SELECT u.user_id, u.n, g.j, g.j * (u.n - 1) / $last.0 AS pos
+       |  FROM (SELECT DISTINCT user_id, n FROM v2) u,
+       |       (SELECT unnest(generate_series(0, $last)) AS j) g
+       |), w AS (
+       |  SELECT user_id, j, CAST(floor(pos) AS INT) AS i0,
+       |    LEAST(CAST(floor(pos) AS INT) + 1, n - 1) AS i1,
+       |    pos - floor(pos) AS frac
+       |  FROM grid
+       |), r0 AS (
+       |  SELECT w.user_id, w.j,
+       |    a.value * (1.0 - w.frac) + b.value * w.frac AS xv,
+       |    a.dt * (1.0 - w.frac) + b.dt * w.frac AS yv
+       |  FROM w
+       |  JOIN v2 a ON a.user_id = w.user_id AND a.t - 1 = w.i0
+       |  JOIN v2 b ON b.user_id = w.user_id AND b.t - 1 = w.i1
+       |), st AS (
+       |  SELECT user_id,
+       |    avg(xv) AS mx, avg(xv * xv) - avg(xv) * avg(xv) AS vx,
+       |    avg(yv) AS my, avg(yv * yv) - avg(yv) * avg(yv) AS vy
+       |  FROM r0 GROUP BY 1
+       |), r AS (
+       |  SELECT r0.user_id, r0.j,
+       |    (xv - mx) / (CASE WHEN vx <= 0 THEN 1.0 ELSE sqrt(vx) END) AS x,
+       |    (yv - my) / (CASE WHEN vy <= 0 THEN 1.0 ELSE sqrt(vy) END) AS y
+       |  FROM r0 JOIN st USING (user_id)
+       |)""".stripMargin
+  }
+
   private def mvDtwOracleSql(sz: Int): String = {
     val last = sz - 1
-    val sb = new StringBuilder(
-      s"""WITH v AS (
-         |  SELECT user_id, value, epoch_ns(ts) // 1000 AS ts_us,
-         |         row_number() OVER (PARTITION BY user_id
-         |           ORDER BY epoch_ns(ts) // 1000, event_id) AS t,
-         |         count(*) OVER (PARTITION BY user_id) AS n
-         |  FROM events
-         |), v2 AS (
-         |  SELECT user_id, t, n, value,
-         |    CAST(coalesce(ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY t), 0)
-         |      AS DOUBLE) AS dt
-         |  FROM v
-         |), grid AS (
-         |  SELECT u.user_id, u.n, g.j, g.j * (u.n - 1) / $last.0 AS pos
-         |  FROM (SELECT DISTINCT user_id, n FROM v2) u,
-         |       (SELECT unnest(generate_series(0, $last)) AS j) g
-         |), w AS (
-         |  SELECT user_id, j, CAST(floor(pos) AS INT) AS i0,
-         |    LEAST(CAST(floor(pos) AS INT) + 1, n - 1) AS i1,
-         |    pos - floor(pos) AS frac
-         |  FROM grid
-         |), r0 AS (
-         |  SELECT w.user_id, w.j,
-         |    a.value * (1.0 - w.frac) + b.value * w.frac AS xv,
-         |    a.dt * (1.0 - w.frac) + b.dt * w.frac AS yv
-         |  FROM w
-         |  JOIN v2 a ON a.user_id = w.user_id AND a.t - 1 = w.i0
-         |  JOIN v2 b ON b.user_id = w.user_id AND b.t - 1 = w.i1
-         |), st AS (
-         |  SELECT user_id,
-         |    avg(xv) AS mx, avg(xv * xv) - avg(xv) * avg(xv) AS vx,
-         |    avg(yv) AS my, avg(yv * yv) - avg(yv) * avg(yv) AS vy
-         |  FROM r0 GROUP BY 1
-         |), r AS (
-         |  SELECT r0.user_id, r0.j,
-         |    (xv - mx) / (CASE WHEN vx <= 0 THEN 1.0 ELSE sqrt(vx) END) AS x,
-         |    (yv - my) / (CASE WHEN vy <= 0 THEN 1.0 ELSE sqrt(vy) END) AS y
-         |  FROM r0 JOIN st USING (user_id)
-         |), loc AS (
+    val sb = new StringBuilder(mvChannelsCte(sz))
+    sb ++=
+      s"""
+         |, loc AS (
          |  SELECT a.user_id AS pr, b.user_id AS cd, a.j AS i, b.j AS j,
          |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d
          |  FROM r a JOIN r b ON b.user_id = a.user_id + 1
@@ -2578,7 +2672,7 @@ object SparkEntry {
          |  SELECT pr, cd, j,
          |    sum(d) OVER (PARTITION BY pr, cd ORDER BY j) AS cost
          |  FROM loc WHERE i = 0
-         |)""".stripMargin)
+         |)""".stripMargin
     for (i <- 1 until sz) {
       sb ++=
         s"""
@@ -2615,19 +2709,39 @@ object SparkEntry {
     * standard LCS monotonicity L(i,j) ≤ L(i,j-1)+1 makes the match case
     * dominate cur(j-1), so one window per row suffices. Integer output:
     * no float-hash fragility. */
-  private def lcssOracleSql(sz: Int, eps: Double): String = {
-    val sb = new StringBuilder(evCte + resampleZnormCte(sz))
-    sb ++=
+  private def lcssOracleSql(sz: Int, eps: Double): String =
+    lcssChainSql(sz, evCte + resampleZnormCte(sz),
       s"""
          |, loc AS (
          |  SELECT a.user_id AS pr, b.user_id AS cd, a.j AS i, b.j AS j,
          |    CASE WHEN abs(a.val - b.val) <= $eps THEN 1 ELSE 0 END AS m
          |  FROM r a JOIN r b ON b.user_id = a.user_id + 1
-         |), t0 AS (
-         |  SELECT pr, cd, j,
-         |    max(m) OVER (PARTITION BY pr, cd ORDER BY j) AS len
-         |  FROM loc WHERE i = 0
-         |)""".stripMargin
+         |)""".stripMargin)
+
+  /** DuckDB oracle for ts_lcss_cityblock_pairs: the SAME running-max
+    * chain over the d=2 (value, Δt) channels with the cityblock match
+    * gate |dx| + |dy| ≤ ε (`dtw_variants.py:1693-1879`). */
+  private def lcssMvCityblockOracleSql(sz: Int, eps: Double): String =
+    lcssChainSql(sz, mvChannelsCte(sz),
+      s"""
+         |, loc AS (
+         |  SELECT a.user_id AS pr, b.user_id AS cd, a.j AS i, b.j AS j,
+         |    CASE WHEN abs(a.x - b.x) + abs(a.y - b.y) <= $eps THEN 1 ELSE 0 END AS m
+         |  FROM r a JOIN r b ON b.user_id = a.user_id + 1
+         |)""".stripMargin)
+
+  /** Shared ε-LCSS running-max DP chain over a 0/1 match CTE
+    * `loc(pr, cd, i, j, m)` built by `locCte` on top of `prep`. */
+  private def lcssChainSql(sz: Int, prep: String, locCte: String): String = {
+    val sb = new StringBuilder(prep)
+    sb ++= locCte
+    sb ++=
+      """
+        |, t0 AS (
+        |  SELECT pr, cd, j,
+        |    max(m) OVER (PARTITION BY pr, cd ORDER BY j) AS len
+        |  FROM loc WHERE i = 0
+        |)""".stripMargin
     for (i <- 1 until sz) {
       sb ++=
         s"""
@@ -2866,6 +2980,67 @@ object SparkEntry {
     * bit-for-bit) → distance = Σ_seg Σ_k (Δavg_med + Δslope_med·(k −
     * segSz/2))², segSz from the LEFT series (the query's documented
     * ragged convention). */
+  /** Shared frame for the inverse-transform oracles
+    * (`piecewise.py` inverse_transform, `cysax.pyx:127-151`): raw
+    * z-norm, per-user segment size (n // nSeg), per-segment avg
+    * (+ OLS slope for 1d-SAX), then every original timestep t joined to
+    * its inverse segment least(nSeg−1, t // segsz) — the kernel's
+    * min(nSeg−1, t/segSz) tail rule. `valueExpr` maps the joined
+    * per-segment columns (p.pavg[, p.pslope], p.seg, i.segsz, i.t) to
+    * the reconstructed value. */
+  private def inverseTransformOracleSql(nSeg: Int, withSlope: Boolean,
+                                        valueExpr: String): String = {
+    val slopeCol =
+      if (withSlope) ",\n    regr_slope(z.val, CAST(z.j AS DOUBLE)) AS pslope" else ""
+    rawZnormCte +
+      s"""
+         |, seg0 AS (
+         |  SELECT user_id, n, n // $nSeg AS segsz
+         |  FROM (SELECT DISTINCT user_id, n FROM v)
+         |), p AS (
+         |  SELECT z.user_id, CAST(z.j // s.segsz AS INT) AS seg,
+         |    avg(z.val) AS pavg$slopeCol
+         |  FROM z JOIN seg0 s USING (user_id)
+         |  WHERE z.j < s.segsz * $nSeg
+         |  GROUP BY 1, 2
+         |), idx AS (
+         |  SELECT user_id, segsz,
+         |    unnest(generate_series(0, CAST(n AS INT) - 1)) AS t
+         |  FROM seg0
+         |)
+         |SELECT i.user_id, CAST(i.t AS INT) AS t,
+         |  round($valueExpr, 4) + 0.0 AS v
+         |FROM idx i JOIN p ON p.user_id = i.user_id
+         |  AND p.seg = LEAST(${nSeg - 1}, CAST(i.t // i.segsz AS INT))""".stripMargin
+  }
+
+  private def saxSymCase(alpha: Int, v: String): String = {
+    val bps = graft.kernels.Sax.breakpoints(alpha)
+    s"CASE WHEN $v < ${bps(0)} THEN 0 WHEN $v < ${bps(1)} THEN 1 " +
+      s"WHEN $v < ${bps(2)} THEN 2 ELSE 3 END"
+  }
+
+  private def saxMedCase(alpha: Int, sym: String): String = {
+    val med = graft.kernels.Sax.binMedians(alpha)
+    s"CASE $sym WHEN 0 THEN ${med(0)} WHEN 1 THEN ${med(1)} " +
+      s"WHEN 2 THEN ${med(2)} ELSE ${med(3)} END"
+  }
+
+  /** ts_sax_inverse: symbolize the per-segment means, map each symbol to
+    * its Gaussian bin median, repeat over the segment's timesteps. */
+  private def saxInverseOracleSql(nSeg: Int, alpha: Int): String =
+    inverseTransformOracleSql(nSeg, withSlope = false,
+      saxMedCase(alpha, saxSymCase(alpha, "p.pavg")))
+
+  /** ts_1dsax_inverse: v(t) = medAvg(sym_avg) + medSlope(sym_slope)·
+    * (t − t_mid), t_mid = seg·segsz + segsz/2 (sigmaL = 1 ⇒ the slope
+    * alphabet shares the unscaled breakpoints/medians). */
+  private def oneDSaxInverseOracleSql(nSeg: Int, alpha: Int): String =
+    inverseTransformOracleSql(nSeg, withSlope = true,
+      s"(${saxMedCase(alpha, saxSymCase(alpha, "p.pavg"))}) + " +
+        s"(${saxMedCase(alpha, saxSymCase(alpha, "p.pslope"))}) * " +
+        "(i.t - (p.seg * i.segsz + 0.5 * i.segsz))")
+
   private def oneDSaxOracleSql(nSeg: Int, alpha: Int): String = {
     val bps = graft.kernels.Sax.breakpoints(alpha)
     val med = graft.kernels.Sax.binMedians(alpha)
@@ -4463,7 +4638,36 @@ object SparkEntry {
     * cost matrix per series (the knnDtw chain keeping every row), a
     * recursive-CTE backtrack with the kernel's tie-break (diag preferred,
     * then up — Kernels.returnPath), and the per-timestep aligned mean. */
-  private def dbaStepOracleSql(sz: Int): String = {
+  private def dbaStepOracleSql(sz: Int): String =
+    dbaStepMaterialize(dbaStepChainSql(sz) +
+      s"""
+         |SELECT CAST(pa.i AS INT) AS t, round(sum(r.val) / count(*), 4) + 0.0 AS v
+         |FROM path pa JOIN r ON r.user_id = pa.user_id AND r.j = pa.j
+         |GROUP BY 1""".stripMargin)
+
+  /** DuckDB oracle for ts_dba_ssg_step: the SAME chain (mean init, DTW
+    * matrix, kernel-tie-break backtrack), then one Schultz–Jain update
+    * per user — b′(i) = b(i) − 2η·(V(i)·b(i) − Σ_{(i,j)∈path} x(j)) with
+    * V(i) the path valence (`dba.py:607-740`, Barycenters.ssgUpdate). */
+  private def dbaSsgStepOracleSql(sz: Int, eta: Double): String =
+    dbaStepMaterialize(dbaStepChainSql(sz) +
+      s"""
+         |SELECT pa.user_id AS user_id, CAST(pa.i AS INT) AS t,
+         |  round(b.bv - 2 * $eta * (count(*) * b.bv - sum(r.val)), 4) + 0.0 AS v
+         |FROM path pa
+         |JOIN r ON r.user_id = pa.user_id AND r.j = pa.j
+         |JOIN bar b ON b.i = pa.i
+         |GROUP BY pa.user_id, pa.i, b.bv""".stripMargin)
+
+  // materialize the DP chain, but never the recursive CTE itself
+  private def dbaStepMaterialize(sql: String): String =
+    sql.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+      .replace(", path AS MATERIALIZED (", ", path AS (")
+
+  /** Shared ts_dba_step / ts_dba_ssg_step chain: everything through the
+    * `path` CTE (mean-init `bar`, per-user local costs, the row-solve DP,
+    * the recursive backtrack). */
+  private def dbaStepChainSql(sz: Int): String = {
     val last = sz - 1
     val sb = new StringBuilder(
       evCte.replaceFirst("WITH ", "WITH RECURSIVE ") + resampleZnormCte(sz))
@@ -4522,13 +4726,8 @@ object SparkEntry {
          |  LEFT JOIN cum cu ON cu.user_id = p.user_id AND cu.i = p.i - 1 AND cu.j = p.j
          |  LEFT JOIN cum cl ON cl.user_id = p.user_id AND cl.i = p.i AND cl.j = p.j - 1
          |  WHERE p.i > 0 OR p.j > 0
-         |)
-         |SELECT CAST(pa.i AS INT) AS t, round(sum(r.val) / count(*), 4) + 0.0 AS v
-         |FROM path pa JOIN r ON r.user_id = pa.user_id AND r.j = pa.j
-         |GROUP BY 1""".stripMargin
-    // materialize the DP chain, but never the recursive CTE itself
-    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
-      .replace(", path AS MATERIALIZED (", ", path AS (")
+         |)""".stripMargin
+    sb.toString
   }
 
   /** DuckDB oracle for ts_shapelet_transform: the sliding min distance
@@ -4566,7 +4765,12 @@ object SparkEntry {
     "ts_shapelet_step" -> shapeletStepOracleSql(32, 8, 0.1),
     "ts_shapelet_classify" -> shapeletTraceSql(32, 8, 0.1, 10),
     "ts_dba_step" -> dbaStepOracleSql(32),
+    "ts_dba_ssg_step" -> dbaSsgStepOracleSql(32, 0.05),
     "ts_dba" -> dbaTraceSql(10, 32),
+    "ts_paa_inverse" -> inverseTransformOracleSql(8, withSlope = false, "p.pavg"),
+    "ts_sax_inverse" -> saxInverseOracleSql(8, 4),
+    "ts_1dsax_inverse" -> oneDSaxInverseOracleSql(8, 4),
+    "ts_lcss_cityblock_pairs" -> lcssMvCityblockOracleSql(16, 1.0),
     "ts_lcss_pairs" -> lcssOracleSql(32, 0.5),
     "ts_sbd_pairs" -> sbdOracleSql(32),
     "ts_gak_pairs" -> gakOracleSql(16),

@@ -134,6 +134,34 @@ object TsFunctions {
          aAvg: Int, aSlope: Int, sigmaL: Double, originalSz: Int) =>
       Sax.dist1dSax(a.map(_.toArray).toArray, b.map(_.toArray).toArray,
         aAvg, aSlope, sigmaL, originalSz))
+  /** Inverse transforms (`piecewise.py` inverse_transform surfaces):
+    * PAA segment means repeated back to the original length
+    * (`inv_transform_paa`), SAX bin medians (`inv_transform_sax`),
+    * 1d-SAX avg + slope·(t − t_mid) reconstruction
+    * (`inv_transform_1d_sax`, `cysax.pyx:127-151`). Each runs the full
+    * kernel transform + inverse in one call per row. */
+  val inversePaaUdf: UserDefinedFunction =
+    udf((s: S, nSeg: Int) =>
+      Sax.inversePaa(Kernels.paa(uniTs(s), nSeg), s.length).map(_(0)))
+  val inverseSaxUdf: UserDefinedFunction =
+    udf((s: S, nSeg: Int, alpha: Int) =>
+      Sax.inverseSax(Sax.sax(uniTs(s), nSeg, alpha), alpha, s.length).map(_(0)))
+  val inverse1dSaxUdf: UserDefinedFunction =
+    udf((s: S, nSeg: Int, aAvg: Int, aSlope: Int, sigmaL: Double) =>
+      Sax.inverse1dSax(Sax.oneDSax(uniTs(s), nSeg, aAvg, aSlope, sigmaL),
+        aAvg, aSlope, sigmaL, s.length).map(_(0)))
+  /** lcss_path_from_metric with a cityblock local metric
+    * (`dtw_variants.py:1693-1879`) on multivariate rows — distinct from
+    * the default euclidean gate only for d ≥ 2 (any monotone 1-D metric
+    * is threshold-equivalent). Returns the raw LCS length. */
+  val lcssMvCityblockUdf: UserDefinedFunction =
+    udf((a: SS, b: SS, eps: Double) =>
+      Advanced.lcssPathFromMetric(toTs(a), toTs(b), eps,
+        (x, y) => {
+          var s = 0.0; var k = 0
+          while (k < x.length) { s += math.abs(x(k) - y(k)); k += 1 }
+          s
+        })._1.length)
   val matrixProfileUdf: UserDefinedFunction =
     udf((s: S, m: Int, scale: Boolean) => Kernels.matrixProfile(s.toArray, m, scale))
   val saxUdf: UserDefinedFunction =

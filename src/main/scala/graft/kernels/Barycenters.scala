@@ -132,6 +132,40 @@ object Barycenters {
     center
   }
 
+  /** One Schultz–Jain SSG update — the in-loop unit of `dbaSubgradient`
+    * (`dba.py:607-740`): b′(i) = b(i) − (2η/w)·(V(i)·b(i) − Σ_{(i,j)∈path}
+    * w·x(j)) at the DTW alignment of the current barycenter to series x.
+    * Mutates `center` in place (the sequential loop's contract) and
+    * returns it; callers that need the input preserved pass a clone. */
+  def ssgUpdate(center: TS, x: TS, eta: Double, w: Double = 1.0): TS = {
+    val (path, _) = Kernels.dtwPath(center, x)
+    ssgApply(center, x, path, eta, w)
+  }
+
+  private def ssgApply(center: TS, x: TS, path: Array[(Int, Int)],
+                       eta: Double, w: Double): TS = {
+    val size = center.length
+    val d = center(0).length
+    val delta = Array.ofDim[Double](size, d)
+    val v = new Array[Double](size)
+    path.foreach { case (i, j) =>
+      v(i) += w
+      var k = 0
+      while (k < d) { delta(i)(k) -= w * x(j)(k); k += 1 }
+    }
+    var i = 0
+    while (i < size) {
+      var k = 0
+      while (k < d) {
+        delta(i)(k) += v(i) * center(i)(k)
+        center(i)(k) -= (2.0 * eta / w) * delta(i)(k)
+        k += 1
+      }
+      i += 1
+    }
+    center
+  }
+
   /** DBA via stochastic subgradient descent — `dba.py:607-740` (Schultz &
     * Jain SSG): one series per update, step from η_initial decaying
     * linearly to η_final during the first epoch. Δ = V·b − W·x at the DTW
@@ -150,7 +184,6 @@ object Barycenters {
     val size = if (init != null) init.length
       else if (barycenterSize > 0) barycenterSize else eu.length
     var center: TS = if (init != null) init.map(_.clone()) else Kernels.resample(eu, size)
-    val d = center(0).length
     val n = series.length
     val rng = new scala.util.Random(seed)
     var eta = initialStepSize
@@ -165,23 +198,7 @@ object Barycenters {
         val (path, dist) = Kernels.dtwPath(center, x)
         cost = w(idx) * dist * dist
         // Δ(i) = V(i)·b(i) − Σ_{(i,j)∈path} w·x(j)   (V(i) = w·|{j: (i,j)∈path}|)
-        val delta = Array.ofDim[Double](size, d)
-        val v = new Array[Double](size)
-        path.foreach { case (i, j) =>
-          v(i) += w(idx)
-          var k = 0
-          while (k < d) { delta(i)(k) -= w(idx) * x(j)(k); k += 1 }
-        }
-        var i = 0
-        while (i < size) {
-          var k = 0
-          while (k < d) {
-            delta(i)(k) += v(i) * center(i)(k)
-            center(i)(k) -= (2.0 * eta / w(idx)) * delta(i)(k)
-            k += 1
-          }
-          i += 1
-        }
+        ssgApply(center, x, path, eta, w(idx))
         if (it == 0) eta -= (initialStepSize - finalStepSize) / n
       }
       if (math.abs(costPrev - cost) < tol || costPrev < cost) done = true

@@ -151,6 +151,14 @@ class MetricGapsSpec extends AnyFunSuite {
     flat(sg).zip(Seq(1.0, 2.0, 3.5, 4.5)).foreach { case (a, b) =>
       assert(math.abs(a - b) < 0.2, s"subgradient drifted: ${flat(sg)}")
     }
+    // ssgUpdate IS the loop unit: one-series dbaSubgradient with a
+    // constant step and a pinned init reproduces it exactly (the
+    // ts_dba_ssg_step driver row leans on this extraction)
+    val init = uni(1.5, 2.5, 3.0, 4.0)
+    val one = Barycenters.dbaSubgradient(Seq(uni(1, 2, 4, 5)), maxIter = 1,
+      initialStepSize = 0.05, finalStepSize = 0.05, tol = -1.0, init = init)
+    val direct = Barycenters.ssgUpdate(init.map(_.clone()), uni(1, 2, 4, 5), 0.05)
+    assert(flat(one) == flat(direct), "ssgUpdate != dbaSubgradient loop unit")
   }
 
   test("SVR: fits a smooth target within eps-tube on train, predicts distributed") {

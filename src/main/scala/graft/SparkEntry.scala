@@ -1709,6 +1709,24 @@ object SparkEntry {
         .select(col("a.user_id").as("user_id"),
           TsFunctions.lcssMvCityblockUdf(col("a.mv"), col("b.mv"), lit(1.0))
             .cast("int").as("lcss_len"))
+    }),
+
+    // Best-of-n_init restarts (kmeans.py:766-795) driver-verified: TWO
+    // deterministic 10-iteration Lloyd traces (init blocks = series
+    // 0..3 and 4..7 — init="first" with nInit=2 seeds restart a from id
+    // block [a·k, (a+1)·k)), ranked by the engine's restart rule (the
+    // last computed per-iteration inertia, attempt 0 wins ties), then
+    // the winner's predict pass. The DuckDB mirror replays both traces
+    // and the inertia compare.
+    "ts_kmeans_best2" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(32)).as("values"))
+        .localCheckpoint()
+      val model = new graft.ml.TimeSeriesKMeans(k = 4, metric = "euclidean",
+        maxIter = 10, tol = -1.0, nInit = 2, init = "first").fit(series)
+      model.predict(series)
+        .select(col("series_id"), col("cluster"), round(col("dist"), 4).as("dist"))
     })
   )
 
@@ -1905,6 +1923,69 @@ object SparkEntry {
     // MATERIALIZED: DuckDB inlines single-reference CTEs, and the
     // a/c chain would re-inline the whole resample pipeline into every
     // iteration layer (measured 560 s vs ~1 s for the 10-step trace).
+    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+  }
+
+  /** DuckDB oracle for ts_kmeans_best2: two full Lloyd traces (init
+    * blocks user_id 0..k-1 and k..2k-1), each restart's ranking value
+    * (the engine's LAST per-iteration inertia = mean over users of the
+    * min d² against c_{iters-1}, i.e. the assignment made one update
+    * before the final centroids), the attempt-0-wins-ties compare, and
+    * the winner's final predict pass against its c_iters. */
+  private def kmeansBest2TraceSql(iters: Int, k: Int): String = {
+    val sb = new StringBuilder(evCte + resampleZnormCte(32))
+    for (seed <- 0 to 1) {
+      val off = seed * k
+      sb ++= s"\n, s${seed}c0 AS (\n  SELECT CAST(user_id - $off AS INT) AS cell, j, val AS c" +
+        s" FROM r WHERE user_id >= $off AND user_id < ${off + k}\n)"
+      for (i <- 1 to iters) {
+        sb ++=
+          s"""
+             |, s${seed}a$i AS (
+             |  SELECT user_id, cell FROM (
+             |    SELECT r.user_id, s.cell,
+             |      sum((r.val - s.c) * (r.val - s.c)) AS d2,
+             |      row_number() OVER (PARTITION BY r.user_id
+             |        ORDER BY sum((r.val - s.c) * (r.val - s.c)), s.cell) AS rn
+             |    FROM r JOIN s${seed}c${i - 1} s ON s.j = r.j
+             |    GROUP BY 1, 2)
+             |  WHERE rn = 1
+             |), s${seed}c$i AS (
+             |  SELECT a.cell, r.j, avg(r.val) AS c
+             |  FROM r JOIN s${seed}a$i a ON a.user_id = r.user_id
+             |  GROUP BY 1, 2
+             |)""".stripMargin
+      }
+      sb ++=
+        s"""
+           |, s${seed}in AS (
+           |  SELECT avg(md2) AS inertia FROM (
+           |    SELECT user_id, min(d2) AS md2 FROM (
+           |      SELECT r.user_id, s.cell,
+           |        sum((r.val - s.c) * (r.val - s.c)) AS d2
+           |      FROM r JOIN s${seed}c${iters - 1} s ON s.j = r.j
+           |      GROUP BY 1, 2) GROUP BY 1)
+           |)""".stripMargin
+    }
+    def predictSql(seed: Int): String =
+      s"""SELECT user_id AS series_id, cell AS cluster,
+         |  round(sqrt(d2), 4) AS dist FROM (
+         |  SELECT r.user_id, u.cell,
+         |    sum((r.val - u.c) * (r.val - u.c)) AS d2,
+         |    row_number() OVER (PARTITION BY r.user_id
+         |      ORDER BY sum((r.val - u.c) * (r.val - u.c)), u.cell) AS rn
+         |  FROM r JOIN s${seed}c$iters u ON u.j = r.j
+         |  GROUP BY 1, 2), win
+         |WHERE rn = 1 AND win.w = $seed""".stripMargin
+    sb ++=
+      s"""
+         |, win AS (
+         |  SELECT CASE WHEN a.inertia <= b.inertia THEN 0 ELSE 1 END AS w
+         |  FROM s0in a, s1in b
+         |)
+         |${predictSql(0)}
+         |UNION ALL
+         |${predictSql(1)}""".stripMargin
     sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
   }
 
@@ -4958,6 +5039,7 @@ object SparkEntry {
     "cdist_metrics_sample" -> metricsSampleOracleSql(16, 20, 3, 0.5),
     "cdist_dtw_pairs" -> cdistDtwOracleSql(24, 16),
     "ts_kmeans" -> kmeansTraceSql(10),
+    "ts_kmeans_best2" -> kmeansBest2TraceSql(10, 4),
     "ts_early_classify" -> earlyClassifyOracleSql,
     "knn_dtw_users" -> knnDtwOracleSql(32, 4, 16, 3),
     "ts_paa_dist_pairs" -> (evCte + resampleCte +

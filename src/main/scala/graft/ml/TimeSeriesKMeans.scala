@@ -89,16 +89,23 @@ class TimeSeriesKMeans(
 
     // init="first": the k smallest-series_id series, in id order — fully
     // deterministic and data-independent, so an external SQL oracle can
-    // reproduce the whole Lloyd trace (seeds = series 0..k-1).
-    val firstK: Array[Array[Double]] =
-      if (init == "first")
-        data0.orderBy("series_id").limit(k).collect().map(_._2)
-      else null
+    // reproduce the whole Lloyd trace (seeds = series 0..k-1). With
+    // nInit > 1, restart a seeds from the a-th id block [a·k, (a+1)·k):
+    // the deterministic analog of the reference's random restarts, so a
+    // best-of-n fit stays oracle-replayable (ts_kmeans_best2).
+    val firstAll: Array[Array[Double]] =
+      if (init == "first") {
+        val rows = data0.orderBy("series_id").limit(k * nInit).collect().map(_._2)
+        require(rows.length >= k * nInit,
+          s"init=first with nInit=$nInit needs ${k * nInit} series, got ${rows.length}")
+        rows
+      } else null
 
     var best: Model = null
     for (attempt <- 0 until nInit) {
       val rng = new scala.util.Random(seed + attempt)
-      var centroids = if (init == "first") firstK else kmeansPlusPlus(sample, rng)
+      var centroids = if (init == "first") firstAll.slice(attempt * k, attempt * k + k)
+        else kmeansPlusPlus(sample, rng)
       var prevInertia = Double.PositiveInfinity
       var inertia = Double.PositiveInfinity
       var iter = 0

@@ -491,6 +491,18 @@ object SparkEntry {
         .select(col("keep_id"), col("n_docs"))
     }),
 
+    // Per-source cap (the C4/RefinedWeb per-domain quota): keep 15 docs
+    // per source under the deterministic md5 rank — exact top-cap per
+    // key via the salted two-window pass (no task ever holds a hot
+    // source's full list).
+    "doc_source_cap" -> ((s, dir) =>
+      graft.operators.TextAnalysis.sourceCap(docs(s, dir), cap = 15)),
+
+    // Token-length histogram — the sequence-packing planner's view of
+    // the corpus: per 16-token bucket, doc count + token mass.
+    "doc_length_buckets" -> ((s, dir) =>
+      graft.operators.TextAnalysis.lengthBuckets(docs(s, dir), bucketSz = 16)),
+
     "doc_tokens_bpe" -> ((s, dir) => {
       import graft.operators.TextAnalysis._
       docs(s, dir).select(col("doc_id"), bpeishTokenCount(col("text")).as("n_bpe"))
@@ -5646,6 +5658,20 @@ object SparkEntry {
       """SELECT doc_id,
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe
         |FROM documents""".stripMargin,
+
+    "doc_source_cap" ->
+      """SELECT doc_id, source, CAST(rank AS INT) AS rank FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        |  FROM documents)
+        |WHERE rank <= 15""".stripMargin,
+
+    "doc_length_buckets" ->
+      """SELECT CAST(len(string_split(text, ' ')) // 16 AS INT) AS bucket,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "emb_dedup_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)

@@ -82,6 +82,41 @@ object TextAnalysis {
     df.withColumn("bucket", bucket).where(col("bucket") < quota)
   }
 
+  /** Per-source document cap — the per-domain quota of C4/RefinedWeb-style
+    * pipelines: keep the `cap` docs per source, ranked by a deterministic
+    * portable md5 of doc_id (data-independent, so any cluster size or
+    * rerun agrees on the survivors). Exact top-cap per key in TWO bounded
+    * windows: a salted local pass keeps ≤ cap per (source, salt) — any
+    * single task sees only its salt shard of a hot source — then the
+    * ≤ salts·cap survivors per source rank globally. Top-cap of each salt
+    * shard is a superset of the global top-cap, so the result is exact;
+    * no task ever holds a hot key's full document list (at 100 TB one
+    * domain can be a large corpus fraction — the unbounded-key analog of
+    * the doc_jaccard hot-shingle fix). */
+  def sourceCap(docs: DataFrame, cap: Int, salts: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = docs.select(col("doc_id"), col("source"),
+      md5(col("doc_id").cast("string")).as("rk"))
+    val salted = ranked.withColumn("salt",
+      pmod(conv(substring(col("rk"), 1, 2), 16, 10).cast("int"), lit(salts)))
+    val w1 = Window.partitionBy("source", "salt").orderBy("rk", "doc_id")
+    val w2 = Window.partitionBy("source").orderBy("rk", "doc_id")
+    salted.withColumn("r1", row_number().over(w1)).where(col("r1") <= cap)
+      .withColumn("rank", row_number().over(w2)).where(col("rank") <= cap)
+      .select(col("doc_id"), col("source"), col("rank"))
+  }
+
+  /** Token-length histogram — the sequence-packing planner's input
+    * (how much mass sits in each context-length bucket): bucket =
+    * tokens / bucketSz, per-bucket doc count + token mass. One
+    * map-side-partial groupBy over a per-row expression — flat at any
+    * scale, ~bucket-count result rows. */
+  def lengthBuckets(docs: DataFrame, bucketSz: Int = 16): DataFrame =
+    docs.select(tokenCount(col("text")).as("tk"))
+      .select((col("tk") / bucketSz).cast("int").as("bucket"), col("tk"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("tk").as("total_tokens"))
+
   /** Order-insensitive content fingerprint: md5 of the sorted distinct
     * word set (catches word-reorder near-dups). */
   def bagOfWordsFingerprint(text: Column): Column =

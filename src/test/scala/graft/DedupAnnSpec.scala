@@ -213,6 +213,40 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(ivf == direct)
   }
 
+  test("source cap: salted two-phase == naive single window on a skewed corpus") {
+    import org.apache.spark.sql.expressions.Window
+    // one hot source (200 docs) + many small ones — the shape the salted
+    // local pass exists for
+    val rows = (0 until 200).map(i => (i.toLong, "hot")) ++
+      (200 until 260).map(i => (i.toLong, s"cold${i % 7}"))
+    val docsDf = rows.toDF("doc_id", "source")
+    val capped = graft.operators.TextAnalysis.sourceCap(docsDf, cap = 5, salts = 4)
+      .select("doc_id", "source", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val naive = docsDf
+      .select(col("doc_id"), col("source"), md5(col("doc_id").cast("string")).as("rk"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("source").orderBy("rk", "doc_id")))
+      .where(col("rank") <= 5)
+      .select("doc_id", "source", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(capped == naive, "salted two-phase cap diverged from exact top-cap")
+    assert(capped.count(_._2 == "hot") == 5)
+    // every cold source keeps all its docs (below cap) or exactly cap
+    val perSource = capped.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perSource.forall { case (_, n) => n <= 5 })
+  }
+
+  test("length buckets: counts and token mass partition the corpus") {
+    val docsDf = Seq(
+      (1L, "a b c"), (2L, "a b c d e f g h i j k l m n o p q r"), (3L, "x")
+    ).toDF("doc_id", "text")
+    val b = graft.operators.TextAnalysis.lengthBuckets(docsDf, bucketSz = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    // tokens: 3, 18, 1 → buckets 0 (3+1 docs, 4 tokens) and 1 (1 doc, 18)
+    assert(b == Set((0, 2L, 4L), (1, 1L, 18L)))
+  }
+
   test("stratified sample: quota semantics, determinism, default stratum") {
     import graft.operators.TextAnalysis
     val docs = (0L until 400L).map(i =>

@@ -1739,6 +1739,18 @@ object SparkEntry {
         maxIter = 10, tol = -1.0, nInit = 2, init = "first").fit(series)
       model.predict(series)
         .select(col("series_id"), col("cluster"), round(col("dist"), 4).as("dist"))
+    }),
+
+    // grabocka_params_to_shapelet_size_dict (shapelets.py:158-209): the
+    // published shapelet count/length heuristic, with n_ts read off the
+    // real corpus (ts_sz = 32, n_classes = 2, l = 1/8, r = 3) — the
+    // last shapelets-module public symbol without driver signal.
+    "ts_shapelet_sizes" -> ((s, dir) => {
+      import s.implicits._
+      val nTs = TSModel.eventsToSeries(s, dir).count().toInt
+      graft.ml.Shapelets.grabockaParamsToShapeletSizes(
+        nTs, tsSz = 32, nClasses = 2, l = 0.125, r = 3)
+        .toSeq.sorted.toDF("shp_sz", "n_shapelets")
     })
   )
 
@@ -5052,6 +5064,16 @@ object SparkEntry {
     "cdist_dtw_pairs" -> cdistDtwOracleSql(24, 16),
     "ts_kmeans" -> kmeansTraceSql(10),
     "ts_kmeans_best2" -> kmeansBest2TraceSql(10, 4),
+    // n_classes − 1 = 1; base = ⌊0.125·32⌋ = 4; truncation == floor
+    // (the log10 argument is ≥ 1)
+    "ts_shapelet_sizes" ->
+      """WITH p AS (
+        |  SELECT count(DISTINCT user_id) AS n_ts FROM events
+        |), m AS (SELECT unnest([1, 2, 3]) AS m)
+        |SELECT CAST(4 * m.m AS INT) AS shp_sz,
+        |  CAST(greatest(1, CAST(floor(log10(p.n_ts * (32 - 4 * m.m + 1)))
+        |    AS INT)) AS INT) AS n_shapelets
+        |FROM p, m""".stripMargin,
     "ts_early_classify" -> earlyClassifyOracleSql,
     "knn_dtw_users" -> knnDtwOracleSql(32, 4, 16, 3),
     "ts_paa_dist_pairs" -> (evCte + resampleCte +

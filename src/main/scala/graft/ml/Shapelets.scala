@@ -25,6 +25,21 @@ object Shapelets {
   def suggestSizes(sz: Int, nScales: Int = 2): Seq[Int] =
     (1 to nScales).map(s => math.max(2, (0.15 * s * sz).toInt)).distinct
 
+  /** The full Grabocka et al. (SIGKDD 2014) heuristic —
+    * `grabocka_params_to_shapelet_size_dict` (`shapelets.py:158-209`):
+    * r shapelet lengths at multiples of base = max(1, ⌊l·ts_sz⌋), each
+    * with max(1, ⌊log₁₀(n_ts·(ts_sz−len+1)·(n_classes−1))⌋) shapelets. */
+  def grabockaParamsToShapeletSizes(nTs: Int, tsSz: Int, nClasses: Int,
+                                    l: Double, r: Int): Map[Int, Int] = {
+    val base = math.max((l * tsSz).toInt, 1)
+    (0 until math.min(r, tsSz)).map { i =>
+      val sz = base * (i + 1)
+      val n = math.max(1,
+        math.log10(nTs.toDouble * (tsSz - sz + 1) * (nClasses - 1)).toInt)
+      sz -> n
+    }.toMap
+  }
+
   /** Sample candidate segments and k-means them into shapelets (driver
     * side on a bounded sample — shapelet sets are small by design). */
   def initShapelets(df: DataFrame, sizes: Seq[Int], perSize: Int,

@@ -84,6 +84,17 @@ class AdvancedSpec extends AnyFunSuite {
     assert(acc >= 0.9, s"shapelet classifier accuracy $acc")
   }
 
+  test("grabocka shapelet-size heuristic matches the reference doctest") {
+    // shapelets.py:185-191: n_ts=100, ts_sz=100, n_classes=3, l=0.1, r=2
+    val d = graft.ml.Shapelets.grabockaParamsToShapeletSizes(
+      nTs = 100, tsSz = 100, nClasses = 3, l = 0.1, r = 2)
+    assert(d == Map(10 -> 4, 20 -> 4))
+    // r is clamped to ts_sz; every length gets at least one shapelet
+    val tiny = graft.ml.Shapelets.grabockaParamsToShapeletSizes(
+      nTs = 2, tsSz = 3, nClasses = 2, l = 0.1, r = 5)
+    assert(tiny.keySet == Set(1, 2, 3) && tiny.values.forall(_ == 1))
+  }
+
   test("early classifier decides earlier for easy series") {
     import spark.implicits._
     val rng = new scala.util.Random(9)

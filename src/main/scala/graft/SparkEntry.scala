@@ -1741,6 +1741,24 @@ object SparkEntry {
         .select(col("series_id"), col("cluster"), round(col("dist"), 4).as("dist"))
     }),
 
+    // Streaming left matrix profile (the STAMPI-style operator,
+    // StreamingOps.leftMatrixProfile) driver-verified through the SAME
+    // flatMapGroupsWithState code path run in BATCH mode (Spark invokes
+    // the state function once per key with empty initial state — the
+    // identical newest-window-vs-priors loop the stream executes
+    // incrementally; streaming ≡ batch is spec-locked in StreamingSpec).
+    // m=8 raw-value windows, m/2 exclusion zone, emit sqrt(min d²).
+    "ts_left_matrix_profile" -> ((s, dir) => {
+      import s.implicits._
+      val pts = explodedEvents(s, dir)
+        .where(col("user_id") < 8)
+        .select(col("user_id"), (col("t") - 1).cast("long").as("seq"), col("value"))
+        .as[graft.streaming.StreamingOps.MpPoint]
+      graft.streaming.StreamingOps.leftMatrixProfile(pts, m = 8)
+        .toDF("user_id", "i", "mp")
+        .select(col("user_id"), col("i"), (round(col("mp"), 4) + lit(0.0)).as("mp"))
+    }),
+
     // grabocka_params_to_shapelet_size_dict (shapelets.py:158-209): the
     // published shapelet count/length heuristic, with n_ts read off the
     // real corpus (ts_sz = 32, n_classes = 2, l = 1/8, r = 3) — the
@@ -5064,6 +5082,33 @@ object SparkEntry {
     "cdist_dtw_pairs" -> cdistDtwOracleSql(24, 16),
     "ts_kmeans" -> kmeansTraceSql(10),
     "ts_kmeans_best2" -> kmeansBest2TraceSql(10, 4),
+    // Left matrix profile: per user (< 8), window start i vs every
+    // prior start j < i with i − j > m/2 = 4; d² summed over the m=8
+    // aligned raw values; emit sqrt(min) where any j is admissible.
+    "ts_left_matrix_profile" ->
+      (evCte +
+        """
+          |, s AS (
+          |  SELECT user_id, t - 1 AS j, value FROM v WHERE user_id < 8
+          |), n AS (
+          |  SELECT user_id, max(j) AS mx FROM s GROUP BY 1
+          |), d AS (
+          |  SELECT wa.user_id, wa.i, wb.i AS j2,
+          |    sum((sa.value - sb.value) * (sa.value - sb.value)) AS d2
+          |  FROM (SELECT user_id, j AS i FROM s) wa
+          |  JOIN n ON n.user_id = wa.user_id AND wa.i + 7 <= n.mx
+          |  JOIN (SELECT user_id, j AS i FROM s) wb
+          |    ON wb.user_id = wa.user_id AND wb.i < wa.i AND wa.i - wb.i > 4
+          |  JOIN s sa ON sa.user_id = wa.user_id
+          |    AND sa.j BETWEEN wa.i AND wa.i + 7
+          |  JOIN s sb ON sb.user_id = wa.user_id
+          |    AND sb.j = wb.i + (sa.j - wa.i)
+          |  GROUP BY 1, 2, 3
+          |)
+          |SELECT user_id, CAST(i AS BIGINT) AS i,
+          |  round(sqrt(min(d2)), 4) + 0.0 AS mp
+          |FROM d GROUP BY 1, 2""".stripMargin),
+
     // n_classes − 1 = 1; base = ⌊0.125·32⌋ = 4; truncation == floor
     // (the log10 argument is ≥ 1)
     "ts_shapelet_sizes" ->

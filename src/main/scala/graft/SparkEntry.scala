@@ -1741,6 +1741,35 @@ object SparkEntry {
         .select(col("series_id"), col("cluster"), round(col("dist"), 4).as("dist"))
     }),
 
+    // The other streaming operators run in BATCH mode too (window /
+    // session_window / the contamination UDF are batch-legal; the
+    // watermark is a no-op) — driver rows through the REAL StreamingOps
+    // expressions, so the exact streaming aggregation semantics (incl.
+    // session_window's merge-iff-gap-strictly-smaller rule, which
+    // differs from the batch ts_sessionize query's > rule at the exact
+    // boundary) are oracle signal.
+    "ts_stream_hourly" -> ((s, dir) => {
+      val events = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      graft.streaming.StreamingOps.hourlyCounts(events)
+        .select((unix_micros(col("hour")) / 1000000L).cast("long").as("hour_epoch"),
+          col("event_type"), col("n"), round(col("sum_v"), 2).as("sum_v"))
+    }),
+
+    "ts_stream_sessionize" -> ((s, dir) => {
+      val events = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      graft.streaming.StreamingOps.sessionize(events)
+        .select(col("user_id"), unix_micros(col("session_start")).as("session_start_us"),
+          col("n_events"), col("duration_ms"))
+    }),
+
+    "doc_stream_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.streaming.StreamingOps.contamination(
+        d.where(col("doc_id") >= 10), d.where(col("doc_id") < 10), k = 3)
+    }),
+
     // Streaming left matrix profile (the STAMPI-style operator,
     // StreamingOps.leftMatrixProfile) driver-verified through the SAME
     // flatMapGroupsWithState code path run in BATCH mode (Spark invokes
@@ -5082,6 +5111,56 @@ object SparkEntry {
     "cdist_dtw_pairs" -> cdistDtwOracleSql(24, 16),
     "ts_kmeans" -> kmeansTraceSql(10),
     "ts_kmeans_best2" -> kmeansBest2TraceSql(10, 4),
+    // hour buckets align with date_trunc (tumbling 1h windows at epoch)
+    "ts_stream_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // session_window merges iff the gap is STRICTLY below 30 min (each
+    // event spans [ts, ts+gap); touching windows don't overlap), so the
+    // break rule here is >= — unlike ts_sessionize's > rule. Duration
+    // mirrors unix_millis(max) − unix_millis(min): per-event ms
+    // truncation FIRST, then the difference.
+    "ts_stream_sessionize" ->
+      """WITH e0 AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events
+        |), e AS (
+        |  SELECT user_id, ts_us, event_id,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |         OR ts_us - lag(ts_us) OVER w >= 30 * 60 * 1000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e0
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), s AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM e
+        |)
+        |SELECT user_id, CAST(min(ts_us) AS BIGINT) AS session_start_us,
+        |  count(*) AS n_events,
+        |  CAST(max(ts_us // 1000) - min(ts_us // 1000) AS BIGINT) AS duration_ms
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    // same oracle text as doc_contamination — the streaming twin must
+    // flag the identical docs with identical shared counts
+    "doc_stream_contamination" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[j:j+2], ' ') AS sh
+        |  FROM words, (SELECT unnest(generate_series(1, 1000)) AS j) g
+        |  WHERE j <= len(w) - 2
+        |), ev AS (
+        |  SELECT DISTINCT sh FROM sh WHERE doc_id < 10
+        |)
+        |SELECT s.doc_id, count(*) AS n_shared
+        |FROM sh s JOIN ev USING (sh)
+        |WHERE s.doc_id >= 10
+        |GROUP BY 1""".stripMargin,
+
     // Left matrix profile: per user (< 8), window start i vs every
     // prior start j < i with i − j > m/2 = 4; d² summed over the m=8
     // aligned raw values; emit sqrt(min) where any j is admissible.

@@ -1770,6 +1770,35 @@ object SparkEntry {
         d.where(col("doc_id") >= 10), d.where(col("doc_id") < 10), k = 3)
     }),
 
+    // Streaming early-classification predict (StreamingOps.earlyClassify
+    // — the flatMapGroupsWithState prefix loop) in batch mode with a
+    // pinned relational classifier: label = [prefix mean > 50],
+    // confidence = dev/(dev+1), dev = |mean − 50|. Decide at the first
+    // prefix length in [8, 32] with confidence ≥ 0.8 (dev ≥ 4) or at
+    // maxLen; streams that end undecided emit nothing (the operator's
+    // contract). The (ts-millis, value) sort and 1 − conf cost are the
+    // operator's own.
+    "ts_stream_early_classify" -> ((s, dir) => {
+      import s.implicits._
+      val events = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .select(col("user_id"), col("ts"), col("value"), col("event_type"))
+        .as[graft.streaming.StreamingOps.Event]
+      val k = 50.0
+      val classify = (prefix: Array[Double]) => {
+        var sum = 0.0
+        prefix.foreach(sum += _)
+        val m = sum / prefix.length
+        val dev = math.abs(m - k)
+        (if (m > k) 1 else 0, dev / (dev + 1.0))
+      }
+      graft.streaming.StreamingOps.earlyClassify(events, classify,
+        minLen = 8, maxLen = 32, tau = 0.8)
+        .toDF("user_id", "decided_at", "label", "cost")
+        .select(col("user_id"), col("decided_at"), col("label"),
+          (round(col("cost"), 4) + lit(0.0)).as("cost"))
+    }),
+
     // Streaming left matrix profile (the STAMPI-style operator,
     // StreamingOps.leftMatrixProfile) driver-verified through the SAME
     // flatMapGroupsWithState code path run in BATCH mode (Spark invokes
@@ -5160,6 +5189,31 @@ object SparkEntry {
         |FROM sh s JOIN ev USING (sh)
         |WHERE s.doc_id >= 10
         |GROUP BY 1""".stripMargin,
+
+    // first prefix length in [8, 32] with dev-confidence >= 0.8 or the
+    // forced t = 32; prefix order is the operator's (ts-millis, value)
+    "ts_stream_early_classify" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms, value FROM events
+        |), r AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER w AS t,
+        |    avg(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS m
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, value)
+        |), c AS (
+        |  SELECT user_id, t, m,
+        |    abs(m - 50.0) / (abs(m - 50.0) + 1.0) AS conf
+        |  FROM r WHERE t BETWEEN 8 AND 32
+        |), d AS (
+        |  SELECT user_id, min(t) AS decided_at FROM c
+        |  WHERE conf >= 0.8 OR t >= 32 GROUP BY 1
+        |)
+        |SELECT d.user_id, CAST(d.decided_at AS INT) AS decided_at,
+        |  CASE WHEN c.m > 50.0 THEN 1 ELSE 0 END AS label,
+        |  round(1.0 - c.conf, 4) + 0.0 AS cost
+        |FROM d JOIN c ON c.user_id = d.user_id AND c.t = d.decided_at""".stripMargin,
 
     // Left matrix profile: per user (< 8), window start i vs every
     // prior start j < i with i − j > m/2 = 4; d² summed over the m=8

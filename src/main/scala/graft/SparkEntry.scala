@@ -681,6 +681,21 @@ object SparkEntry {
         .select(col("probe_id").as("query_id"), col("label"))
     }),
 
+    // The classifier's weights="distance" vote (neighbors.py:362-372:
+    // 1/d per neighbor, d = 1 − cosine so weights are positive) — the
+    // regressor's distance vote is green (ts_knn_regress); this closes
+    // the classifier side. Label-only output: the vote argmax is robust
+    // to last-ulp weight differences.
+    "emb_knn_classify_w" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("series_id"),
+        transform(col("embedding"), x => x.cast("double")).as("values"), col("label"))
+      val train = e.where(col("series_id") >= 50)
+      val probes = e.where(col("series_id") < 50)
+      graft.ml.KNeighbors.classify(probes, train, k = 5,
+        (a, b) => lit(1.0) - TsFunctions.cosineSim(a, b), weights = "distance")
+        .select(col("probe_id").as("query_id"), col("label"))
+    }),
+
     // portable=true switches the base hash to md5-60bit and band buckets
     // to slice values, so the DuckDB oracle below reproduces the LSH
     // pipeline with IDENTICAL constants (Dedup.minhashCoeffs)
@@ -5916,6 +5931,27 @@ object SparkEntry {
         |), best AS (
         |  SELECT query_id, label,
         |    row_number() OVER (PARTITION BY query_id ORDER BY n DESC, label ASC) AS rn
+        |  FROM votes
+        |)
+        |SELECT query_id, label FROM best WHERE rn = 1""".stripMargin,
+
+    // weights="distance": Σ 1/(1−cos) per label (1e12 at d = 0, the
+    // engine's zero-distance clamp), argmax with smallest-label ties
+    "emb_knn_classify_w" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v, label FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.label,
+        |    1.0 - list_cosine_similarity(q.v, c.v) AS d,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY 1.0 - list_cosine_similarity(q.v, c.v) ASC, c.vec_id ASC) AS rnk
+        |  FROM e q JOIN e c ON q.vec_id < 50 AND c.vec_id >= 50
+        |), votes AS (
+        |  SELECT query_id, label,
+        |    sum(CASE WHEN d = 0 THEN 1e12 ELSE 1.0 / d END) AS w
+        |  FROM scored WHERE rnk <= 5 GROUP BY 1, 2
+        |), best AS (
+        |  SELECT query_id, label,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY w DESC, label ASC) AS rn
         |  FROM votes
         |)
         |SELECT query_id, label FROM best WHERE rn = 1""".stripMargin

@@ -120,7 +120,10 @@ class TimeSeriesKMeans(
         // because the update pass below may run several jobs over it
         val assigned = TimeSeriesKMeans.assignDs(data, centroids, metric, gamma)
           .map(t => (t._2, t._3, t._4)).cache()
-        if (needInertia)
+        // restart ranking (nInit > 1, tol < 0) only ever reads the LAST
+        // iteration's inertia — skip the per-iteration reduce job until
+        // then (same value the full per-iteration sequence would leave)
+        if (tol >= 0 || (needInertia && iter == maxIter - 1))
           inertia = assigned.map(r => r._2 * r._2).reduce(_ + _) / n
         // update: distributed fixed-size-buffer aggregations — no task
         // ever holds a whole cluster (DistributedBary scaladoc)

@@ -926,6 +926,27 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("cand_id"), round(col("cos"), 4).as("cos"))
     }),
 
+    // Product-quantization ANN (Jégou et al. TPAMI 2011) — the fourth
+    // ANN path next to brute / IVF / LSH: 64 dims split into 8
+    // subspaces, per-subspace codebook = the matching subvectors of
+    // data rows 10..17 (the emb_ann_ivf fixed-quantizer pattern, so
+    // the oracle replays encode + ADC exactly), candidates scored from
+    // their 8 codes alone (asymmetric distance).
+    "emb_ann_pq" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val queries = e.where(col("vec_id") < 10)
+      val cands = e.where(col("vec_id") >= 10)
+      val rows = e.where(col("vec_id") >= 10 && col("vec_id") < 18)
+        .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+      val dsub = 8
+      val codebooks = Array.tabulate(8)(sIdx =>
+        rows.map(r => r.slice(sIdx * dsub, sIdx * dsub + dsub)))
+      graft.operators.Ann.pqTopK(cands, queries, k = 5, codebooks)
+        .select(col("query_id"), col("rank"), col("cand_id"),
+          (round(col("d2"), 4) + lit(0.0)).as("d2"))
+    }),
+
     // ---------------- bundled dataset tier (SURVEY §2.1) -------------
     // 1-NN euclidean classify on the bundled Trace fixture — exercises
     // CachedDatasets.loadDataset with a full DuckDB oracle (absolute
@@ -5503,6 +5524,42 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, cand_id, round(cos, 4) AS cos
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // emb_ann_pq: per-subspace encode (argmin vs the 8 data-row
+    // codebook slices, lowest code on ties) then the ADC sum of
+    // per-subspace squared distances to the CODE's centroid — the
+    // candidate's own floats never appear after enc.
+    "emb_ann_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cb AS (
+        |  SELECT s.s, j.j, list_slice(b.v, s.s * 8 + 1, s.s * 8 + 8) AS c
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS s) s,
+        |       (SELECT unnest(generate_series(0, 7)) AS j) j
+        |  JOIN e b ON b.vec_id = 10 + j.j
+        |), enc AS (
+        |  SELECT vec_id, s, j FROM (
+        |    SELECT c.vec_id, cb.s, cb.j,
+        |      row_number() OVER (PARTITION BY c.vec_id, cb.s
+        |        ORDER BY list_distance(
+        |          list_slice(c.v, cb.s * 8 + 1, cb.s * 8 + 8), cb.c), cb.j) AS rn
+        |    FROM e c, cb WHERE c.vec_id >= 10)
+        |  WHERE rn = 1
+        |), adc AS (
+        |  SELECT q.vec_id AS query_id, enc.vec_id AS cand_id,
+        |    sum(pow(list_distance(
+        |      list_slice(q.v, enc.s * 8 + 1, enc.s * 8 + 8), cb.c), 2)) AS d2
+        |  FROM e q, enc
+        |  JOIN cb ON cb.s = enc.s AND cb.j = enc.j
+        |  WHERE q.vec_id < 10
+        |  GROUP BY 1, 2
+        |), topk AS (
+        |  SELECT query_id, cand_id, d2,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY d2, cand_id) AS rank
+        |  FROM adc
+        |)
+        |SELECT query_id, CAST(rank AS INT) AS rank, cand_id,
+        |  round(d2, 4) + 0.0 AS d2
+        |FROM topk WHERE rank <= 5""".stripMargin,
 
     // emb_ann_lsh: the 16 formula hyperplanes replayed in SQL — bit
     // h = [Σ_i hp(h,i)·v_i ≥ 0], 4-bit band codes, equi-join on

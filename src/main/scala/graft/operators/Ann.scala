@@ -28,6 +28,69 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Per-subspace PQ encode — Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search" (TPAMI 2011): split the d-dim vector into
+    * m contiguous subvectors and store, per subspace, the index of the
+    * nearest codebook entry (argmin squared euclidean, lowest index on
+    * ties). d floats become m small ints — the compression that lets a
+    * 100 TB corpus keep its ANN index in memory. */
+  def pqEncode(df: DataFrame, codebooks: Array[Array[Array[Double]]],
+               idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(codebooks)
+    val enc = udf((v: scala.collection.Seq[Double]) => {
+      val cbs = bc.value
+      val m = cbs.length
+      val dsub = v.length / m
+      Array.tabulate(m) { s =>
+        val cb = cbs(s)
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var j = 0
+        while (j < cb.length) {
+          var d = 0.0
+          var t = 0
+          while (t < dsub) { val df2 = v(s * dsub + t) - cb(j)(t); d += df2 * df2; t += 1 }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        best
+      }
+    })
+    df.select(col(idCol), enc(col(vecCol)).as("codes"))
+  }
+
+  /** PQ ANN with asymmetric distance (ADC): candidates are scored from
+    * their codes alone — d²(q, c) ≈ Σ_s ‖q_s − codebook[s][codes_s]‖² —
+    * so the scored side of the join carries only the COMPRESSED corpus
+    * (m ints per vector); the candidate floats are never touched after
+    * encode. Queries stay exact on their side of the asymmetry. */
+  def pqTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+             codebooks: Array[Array[Array[Double]]],
+             idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    val bc = candidates.sparkSession.sparkContext.broadcast(codebooks)
+    val adc = udf((q: scala.collection.Seq[Double], codes: scala.collection.Seq[Int]) => {
+      val cbs = bc.value
+      val m = cbs.length
+      val dsub = q.length / m
+      var d = 0.0
+      var s = 0
+      while (s < m) {
+        val cb = cbs(s)(codes(s))
+        var t = 0
+        while (t < dsub) { val df2 = q(s * dsub + t) - cb(t); d += df2 * df2; t += 1 }
+        s += 1
+      }
+      d
+    })
+    val enc = pqEncode(candidates, codebooks, idCol, vecCol)
+    val scored = enc.crossJoin(broadcast(queries.select(
+        col(idCol).as("query_id"), col(vecCol).as("qv"))))
+      .select(col("query_id"), col(idCol).as("cand_id"),
+        adc(col("qv"), col("codes")).as("d2"))
+    val w = Window.partitionBy("query_id").orderBy(col("d2").asc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Train nlist coarse centroids with driver-local Lloyd iterations on a
     * bounded sample (standard IVF practice: the coarse quantizer is
     * trained on a sample, only the assignment pass touches all data — a

@@ -213,6 +213,33 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(ivf == direct)
   }
 
+  test("PQ: codebook rows self-code; ADC is exact on codebook candidates") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val rows = e.where(col("vec_id") >= 10 && col("vec_id") < 18)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val codebooks = Array.tabulate(8)(s => rows.map(_._2.slice(s * 8, s * 8 + 8)))
+    // a codebook row's nearest entry in every subspace is itself
+    val codes = Ann.pqEncode(e.where(col("vec_id") >= 10 && col("vec_id") < 18), codebooks)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    codes.foreach { case (id, cs) =>
+      val j = (id - 10).toInt
+      assert(cs.forall(_ == j), s"row $id codes $cs != all-$j")
+    }
+    // ADC against candidates that ARE codebook rows = true sq-euclidean
+    val queries = e.where(col("vec_id") < 4)
+    val pq = Ann.pqTopK(e.where(col("vec_id") >= 10 && col("vec_id") < 18),
+        queries, k = 8, codebooks)
+      .select("query_id", "cand_id", "d2").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val qRows = queries.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    for ((qid, qv) <- qRows; (cid, cv) <- rows) {
+      val truth = qv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(math.abs(pq((qid, cid)) - truth) < 1e-9,
+        s"ADC($qid,$cid) drifted from exact sq-euclidean")
+    }
+  }
+
   test("source cap: salted two-phase == naive single window on a skewed corpus") {
     import org.apache.spark.sql.expressions.Window
     // one hot source (200 docs) + many small ones — the shape the salted

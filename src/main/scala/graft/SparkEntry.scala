@@ -947,6 +947,28 @@ object SparkEntry {
           (round(col("d2"), 4) + lit(0.0)).as("d2"))
     }),
 
+    // IVF-PQ (the FAISS-style industrial composition): 16 fixed
+    // data-row cells pruned to nprobe=4 per query, candidates scored
+    // from their 8 PQ codes alone — the scored relation carries only
+    // (id, cell, codes). Same pinned quantizer/codebooks as
+    // emb_ann_ivf / emb_ann_pq, so the whole pipeline replays in SQL.
+    "emb_ann_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val queries = e.where(col("vec_id") < 10)
+      val cands = e.where(col("vec_id") >= 10)
+      val centroids = e.where(col("vec_id") >= 10 && col("vec_id") < 26)
+        .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+      val rows = centroids.take(8)
+      val dsub = 8
+      val codebooks = Array.tabulate(8)(sIdx =>
+        rows.map(r => r.slice(sIdx * dsub, sIdx * dsub + dsub)))
+      graft.operators.Ann.ivfPqTopK(cands, queries, k = 5, centroids,
+        nprobe = 4, codebooks)
+        .select(col("query_id"), col("rank"), col("cand_id"),
+          (round(col("d2"), 4) + lit(0.0)).as("d2"))
+    }),
+
     // ---------------- bundled dataset tier (SURVEY §2.1) -------------
     // 1-NN euclidean classify on the bundled Trace fixture — exercises
     // CachedDatasets.loadDataset with a full DuckDB oracle (absolute
@@ -5524,6 +5546,58 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, cand_id, round(cos, 4) AS cos
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // emb_ann_ivfpq: the emb_ann_ivf assign/probe CTEs composed with
+    // the emb_ann_pq enc/ADC CTEs — candidates filtered to probed
+    // cells, scored from codes only.
+    "emb_ann_ivfpq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT vec_id - 10 AS cell, v AS cv FROM e
+        |         WHERE vec_id BETWEEN 10 AND 25),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT c.vec_id, cent.cell,
+        |      row_number() OVER (PARTITION BY c.vec_id
+        |        ORDER BY list_distance(c.v, cent.cv), cent.cell) AS rn
+        |    FROM e c, cent WHERE c.vec_id >= 10) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, cent.cell,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_distance(q.qv, cent.cv), cent.cell) AS rn
+        |    FROM q, cent) WHERE rn <= 4),
+        |cb AS (
+        |  SELECT s.s, j.j, list_slice(b.v, s.s * 8 + 1, s.s * 8 + 8) AS c
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS s) s,
+        |       (SELECT unnest(generate_series(0, 7)) AS j) j
+        |  JOIN e b ON b.vec_id = 10 + j.j
+        |), enc AS (
+        |  SELECT vec_id, s, j FROM (
+        |    SELECT c.vec_id, cb.s, cb.j,
+        |      row_number() OVER (PARTITION BY c.vec_id, cb.s
+        |        ORDER BY list_distance(
+        |          list_slice(c.v, cb.s * 8 + 1, cb.s * 8 + 8), cb.c), cb.j) AS rn
+        |    FROM e c, cb WHERE c.vec_id >= 10)
+        |  WHERE rn = 1
+        |), adc AS (
+        |  SELECT p.query_id, a.vec_id AS cand_id,
+        |    sum(pow(list_distance(
+        |      list_slice(qq.qv, enc.s * 8 + 1, enc.s * 8 + 8), cb.c), 2)) AS d2
+        |  FROM probes p
+        |  JOIN assign a ON a.cell = p.cell
+        |  JOIN enc ON enc.vec_id = a.vec_id
+        |  JOIN cb ON cb.s = enc.s AND cb.j = enc.j
+        |  JOIN q qq ON qq.query_id = p.query_id
+        |  GROUP BY 1, 2
+        |), topk AS (
+        |  SELECT query_id, cand_id, d2,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY d2, cand_id) AS rank
+        |  FROM adc
+        |)
+        |SELECT query_id, CAST(rank AS INT) AS rank, cand_id,
+        |  round(d2, 4) + 0.0 AS d2
+        |FROM topk WHERE rank <= 5""".stripMargin,
 
     // emb_ann_pq: per-subspace encode (argmin vs the 8 data-row
     // codebook slices, lowest code on ties) then the ADC sum of

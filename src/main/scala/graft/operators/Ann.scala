@@ -64,11 +64,12 @@ object Ann {
     * so the scored side of the join carries only the COMPRESSED corpus
     * (m ints per vector); the candidate floats are never touched after
     * encode. Queries stay exact on their side of the asymmetry. */
-  def pqTopK(candidates: DataFrame, queries: DataFrame, k: Int,
-             codebooks: Array[Array[Array[Double]]],
-             idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
-    val bc = candidates.sparkSession.sparkContext.broadcast(codebooks)
-    val adc = udf((q: scala.collection.Seq[Double], codes: scala.collection.Seq[Int]) => {
+  /** ADC scorer over broadcast codebooks: (query floats, cand codes) →
+    * Σ_s ‖q_s − codebook[s][codes_s]‖². */
+  private def adcUdf(spark: org.apache.spark.sql.SparkSession,
+                     codebooks: Array[Array[Array[Double]]]) = {
+    val bc = spark.sparkContext.broadcast(codebooks)
+    udf((q: scala.collection.Seq[Double], codes: scala.collection.Seq[Int]) => {
       val cbs = bc.value
       val m = cbs.length
       val dsub = q.length / m
@@ -82,6 +83,12 @@ object Ann {
       }
       d
     })
+  }
+
+  def pqTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+             codebooks: Array[Array[Array[Double]]],
+             idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    val adc = adcUdf(candidates.sparkSession, codebooks)
     val enc = pqEncode(candidates, codebooks, idCol, vecCol)
     val scored = enc.crossJoin(broadcast(queries.select(
         col(idCol).as("query_id"), col(vecCol).as("qv"))))
@@ -89,6 +96,41 @@ object Ann {
         adc(col("qv"), col("codes")).as("d2"))
     val w = Window.partitionBy("query_id").orderBy(col("d2").asc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** IVF-PQ — the standard industrial ANN composition (coarse cells
+    * prune the scan to nprobe inverted lists; PQ codes compress the
+    * scanned payload to m ints): the scored relation carries ONLY
+    * (id, cell, codes) — candidate floats are read once at index-build
+    * (assign + encode) and never again. Queries stay exact (ADC). */
+  def ivfPqTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+                centroids: Array[Array[Double]], nprobe: Int,
+                codebooks: Array[Array[Array[Double]]],
+                idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    val spark = candidates.sparkSession
+    val compressed = ivfAssign(candidates, centroids, idCol, vecCol)
+      .join(pqEncode(candidates, codebooks, idCol, vecCol), idCol)
+    val adc = adcUdf(spark, codebooks)
+    val qProbes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(probeCellsUdf(spark, centroids, nprobe)(col("qv"))))
+    val scored = compressed.join(broadcast(qProbes), "cell")
+      .select(col("query_id"), col(idCol).as("cand_id"),
+        adc(col("qv"), col("codes")).as("d2"))
+    val w = Window.partitionBy("query_id").orderBy(col("d2").asc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** nprobe nearest coarse cells per query (lowest cell index on ties —
+    * stable sort over the (cell, dist) list). */
+  private def probeCellsUdf(spark: org.apache.spark.sql.SparkSession,
+                            centroids: Array[Array[Double]], nprobe: Int) = {
+    val bc = spark.sparkContext.broadcast(centroids)
+    udf((q: scala.collection.Seq[Double]) => {
+      val cs = bc.value
+      cs.indices.map(i => (i, graft.kernels.Kernels.euclidean(
+          cs(i).map(Array(_)), q.map(Array(_)).toArray)))
+        .sortBy(_._2).take(nprobe).map(_._1).toArray
+    })
   }
 
   /** Train nlist coarse centroids with driver-local Lloyd iterations on a
@@ -206,16 +248,8 @@ object Ann {
     val cells = ivfAssign(candidates, centroids, idCol, vecCol)
     val cands = candidates.join(cells, idCol)
     val spark = candidates.sparkSession
-    val bc = spark.sparkContext.broadcast(centroids)
-    import spark.implicits._
-    val probeUdf = udf((q: scala.collection.Seq[Double]) => {
-      val cs = bc.value
-      cs.indices.map(i => (i, graft.kernels.Kernels.euclidean(
-          cs(i).map(Array(_)), q.map(Array(_)).toArray)))
-        .sortBy(_._2).take(nprobe).map(_._1).toArray
-    })
     val qProbes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("cell", explode(probeUdf(col("qv"))))
+      .withColumn("cell", explode(probeCellsUdf(spark, centroids, nprobe)(col("qv"))))
     val scored = cands.join(qProbes, "cell")
       .select(col("query_id"), col(idCol).as("cand_id"),
         TsFunctions.cosineSim(col("qv"), col(vecCol)).as("cos"))

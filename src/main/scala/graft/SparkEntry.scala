@@ -412,6 +412,14 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
     }),
 
+    // Directional containment — the quote/near-subset detector Jaccard
+    // misses (short-in-long quotes: containment ≈ 1, Jaccard low).
+    // Same capped shingle machinery; both directions emitted.
+    "doc_containment_pairs" -> ((s, dir) =>
+      graft.operators.Dedup.containmentPairs(docs(s, dir), threshold = 0.6)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("containment"), 4).as("containment"))),
+
     // ---------------- text analysis (training-data ops) --------------
     "doc_stats" -> ((s, dir) => {
       docs(s, dir).select(
@@ -5864,6 +5872,32 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5""".stripMargin,
+
+    // Dedup.shingles semantics: lowercase, per-doc distinct, and docs
+    // shorter than k words yield ONE truncated shingle (index 0 via
+    // greatest(len-k, 0)) — mirrored by greatest(len(w)-2, 1)
+    "doc_containment_pairs" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |), sh0 AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[j:j+2], ' ') AS sh
+        |  FROM words, (SELECT unnest(generate_series(1, 1000)) AS j) g
+        |  WHERE j <= greatest(len(w) - 2, 1)
+        |), sh AS (
+        |  SELECT doc_id, sh FROM (
+        |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0
+        |  ) WHERE df <= 100
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(inter AS DOUBLE) / sa.sz, 4) AS containment
+        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+        |WHERE CAST(inter AS DOUBLE) / sa.sz >= 0.6""".stripMargin,
 
     "doc_stats" ->
       """SELECT doc_id, lang, length(text) AS n_chars_m,

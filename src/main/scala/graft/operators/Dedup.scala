@@ -49,6 +49,30 @@ object Dedup {
       explode(if (dedupe) array_distinct(arr) else arr).as("sh"))
   }
 
+  /** Directional shingle containment C(a → b) = |Sh(a) ∩ Sh(b)| / |Sh(a)|
+    * — the quote / near-subset detector Jaccard misses: a short doc
+    * fully quoted inside a long one has containment ≈ 1 but low Jaccard
+    * (the union is dominated by the long doc). Same capped
+    * inverted-index join as the Jaccard pipeline (dfCapped bounds every
+    * shingle bucket at maxDf² pairs); emits BOTH directions of a pair
+    * when they clear the threshold, since containment is asymmetric. */
+  def containmentPairs(docsDf: DataFrame, threshold: Double, k: Int = 3,
+                       maxDf: Int = 100): DataFrame = {
+    val raw = shingles(docsDf, k)
+    // localCheckpoint before dfCapped for the same reuse reasons as
+    // doc_jaccard_pairs (hot-set groupBy + anti-join + both join sides)
+    val capped = dfCapped(raw.localCheckpoint(), maxDf).select(col("doc_id"), col("sh"))
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = capped.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = capped.select(col("doc_id").as("doc_b"), col("sh"))
+    a.join(b, "sh").where(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .withColumn("containment", col("inter") / col("sz_a"))
+      .where(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
   /** Doc-frequency cap over a (doc_id, sh) shingle stream — drops
     * shingles present in more than `maxDf` docs (stop-word n-grams)
     * before an inverted-index join, bounding every index bucket at

@@ -213,6 +213,21 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(ivf == direct)
   }
 
+  test("containment: a quoted subset scores 1 directionally where jaccard is low") {
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val quote = (10 to 20).map(i => s"w$i").mkString(" ") // verbatim slice of long
+    val docsDf = Seq((1L, long), (2L, quote),
+      (3L, "completely different words here entirely")).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docsDf, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // all 9 of the quote's shingles sit inside the long doc: C(2→1) = 1
+    assert(pairs.exists { case (a, b, c) => a == 2 && b == 1 && c >= 0.999 },
+      s"missing quote→source direction in ${pairs.toSeq}")
+    // the reverse direction is 9/58 ≈ 0.16 — below threshold, as is
+    // the symmetric Jaccard 9/(58 + 9 − 9) ≈ 0.16 that misses this pair
+    assert(!pairs.exists { case (a, b, _) => a == 1 && b == 2 })
+  }
+
   test("PQ: codebook rows self-code; ADC is exact on codebook candidates") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))

@@ -42,6 +42,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "hash groupBy lost its partial aggregation")
   }
 
+  test("source cap: pruned scan + map-side WindowGroupLimit before each exchange") {
+    val p = plan("doc_source_cap")
+    // Partial WindowGroupLimit = per-map-task top-cap pruning BEFORE the
+    // shuffle — with the salted first pass, no task ever sorts a hot
+    // source's full list (the design the salted two-window pass locks)
+    assert(p.contains("WindowGroupLimit"), s"lost the group-limit pushdown:\n$p")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "expected both window passes to carry a group limit")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("doc_id") && read.contains("source") &&
+      !read.contains("text"), s"scan should prune to (doc_id, source): $read")
+  }
+
+  test("PQ ADC join scores the compressed codes relation, broadcast queries") {
+    val p = plan("emb_ann_pq")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"queries side must broadcast:\n$p")
+  }
+
   test("broadcast-index kNN adds NO shuffle exchange of its own") {
     // deterministic in-plan series (range + transform): the kNN operator's
     // own plan contribution must be exchange-free — the n² pair space

@@ -65,12 +65,21 @@ object Dedup {
     val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = capped.select(col("doc_id").as("doc_a"), col("sh"))
     val b = capped.select(col("doc_id").as("doc_b"), col("sh"))
-    a.join(b, "sh").where(col("doc_a") =!= col("doc_b"))
+    // the intersection is symmetric: run the heavy inverted-index join
+    // over the a < b triangle ONCE, then emit both directions from the
+    // (far smaller) pair list. localCheckpoint: the union reads the
+    // joined pair frame twice; uncheckpointed, the whole index join
+    // would re-evaluate per direction.
+    val withSizes = a.join(b, "sh").where(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-      .withColumn("containment", col("inter") / col("sz_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .localCheckpoint()
+    withSizes.select(col("doc_a"), col("doc_b"),
+        (col("inter") / col("sz_a")).as("containment"))
+      .union(withSizes.select(col("doc_b"), col("doc_a"),
+        (col("inter") / col("sz_b")).as("containment")))
       .where(col("containment") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("containment"))
   }
 
   /** Doc-frequency cap over a (doc_id, sh) shingle stream — drops

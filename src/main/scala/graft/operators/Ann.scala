@@ -40,7 +40,11 @@ object Ann {
     val enc = udf((v: scala.collection.Seq[Double]) => {
       val cbs = bc.value
       val m = cbs.length
-      val dsub = v.length / m
+      val dsub = cbs(0)(0).length
+      // a silent v.length/m floor would drop trailing dims from the
+      // index — refuse instead (the reference PQ contract: d = m·dsub)
+      require(v.length == m * dsub,
+        s"vector dim ${v.length} != $m subspaces x $dsub dims")
       Array.tabulate(m) { s =>
         val cb = cbs(s)
         var best = 0
@@ -72,7 +76,9 @@ object Ann {
     udf((q: scala.collection.Seq[Double], codes: scala.collection.Seq[Int]) => {
       val cbs = bc.value
       val m = cbs.length
-      val dsub = q.length / m
+      val dsub = cbs(0)(0).length
+      require(q.length == m * dsub,
+        s"query dim ${q.length} != $m subspaces x $dsub dims")
       var d = 0.0
       var s = 0
       while (s < m) {

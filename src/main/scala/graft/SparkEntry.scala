@@ -363,6 +363,22 @@ object SparkEntry {
         .select(col("user_id"), col("i"), round(col("mp"), 4).as("mp"))
     }),
 
+    // z-normalized matrix profile — the reference DEFAULT
+    // (MatrixProfile(scale=True), matrix_profile.py): every window
+    // z-normed (population σ, var ≤ 0 → 1) before the band-excluded
+    // min; the scale=false raw variant is ts_matrix_profile.
+    "ts_matrix_profile_znorm" -> ((s, dir) => {
+      val m = 8
+      TsFunctions.register(s)
+      val series = TSModel.eventsToSeries(s, dir)
+        .where(size(col("values")) >= m * 2)
+      series
+        .select(col("series_id").as("user_id"),
+          posexplode(TsFunctions.matrixProfileUdf(col("values"), lit(m), lit(true)))
+            .as(Seq("i", "mp")))
+        .select(col("user_id"), col("i"), round(col("mp"), 4).as("mp"))
+    }),
+
     // ---------------- dedup family (training-data ops) ---------------
     "doc_dedup_exact" -> ((s, dir) => {
       docs(s, dir).groupBy(md5(col("text").cast("binary")).as("h"))
@@ -5839,6 +5855,38 @@ object SparkEntry {
         |  JOIN seg b ON a.user_id = b.user_id AND abs(a.i - b.i) > 2
         |  JOIN pos pa ON pa.user_id = a.user_id AND pa.i BETWEEN a.i AND a.i + 7
         |  JOIN pos pb ON pb.user_id = b.user_id AND pb.i = b.i + (pa.i - a.i)
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT user_id, i, round(min(d), 4) AS mp
+        |FROM dists GROUP BY 1, 2""".stripMargin),
+
+    // per-window z-norm (kernel scaleMeanVariance: avg(x²)−avg(x)² var,
+    // var ≤ 0 → sd 1) ahead of the same band-excluded pair min
+    "ts_matrix_profile_znorm" -> (evCte +
+      """
+        |, eligible AS (SELECT user_id FROM v GROUP BY 1 HAVING count(*) >= 16)
+        |, pos AS (
+        |  SELECT v.user_id, v.t - 1 AS i, v.value FROM v JOIN eligible USING (user_id)
+        |), seg AS (
+        |  SELECT user_id, t - 1 AS i FROM v JOIN eligible USING (user_id)
+        |  WHERE t - 1 <= n - 8)
+        |, st AS (
+        |  SELECT s.user_id, s.i, avg(p.value) AS mu,
+        |    avg(p.value * p.value) - avg(p.value) * avg(p.value) AS var
+        |  FROM seg s
+        |  JOIN pos p ON p.user_id = s.user_id AND p.i BETWEEN s.i AND s.i + 7
+        |  GROUP BY 1, 2
+        |), wz AS (
+        |  SELECT st.user_id, st.i, p.i - st.i AS t,
+        |    (p.value - st.mu) /
+        |      (CASE WHEN st.var <= 0 THEN 1.0 ELSE sqrt(st.var) END) AS z
+        |  FROM st JOIN pos p ON p.user_id = st.user_id
+        |    AND p.i BETWEEN st.i AND st.i + 7
+        |), dists AS (
+        |  SELECT a.user_id, a.i AS i, b.i AS j,
+        |    sqrt(sum((a.z - b.z) * (a.z - b.z))) AS d
+        |  FROM wz a
+        |  JOIN wz b ON b.user_id = a.user_id AND b.t = a.t AND abs(a.i - b.i) > 2
         |  GROUP BY 1, 2, 3
         |)
         |SELECT user_id, i, round(min(d), 4) AS mp

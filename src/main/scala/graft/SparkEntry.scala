@@ -1899,6 +1899,27 @@ object SparkEntry {
         .select(col("user_id"), col("i"), (round(col("mp"), 4) + lit(0.0)).as("mp"))
     }),
 
+    // metric="dtw" k-means FULL fit (kmeans.py metric="dtw"): DTW
+    // assignment + a one-MM-step DBA update per Lloyd iteration
+    // (barycenterMaxIter = 1), k = 2 over 16 series at sz = 16, 2
+    // iterations, then the predict pass — the first driver signal for
+    // a non-euclidean k-means fit (the euclidean trace is ts_kmeans).
+    // kmeansDtwTraceSql replays every (user, centroid) DTW DP, the
+    // assignment argmin, the path backtracks of the assigned pairs,
+    // and the aligned-mean update with the wsum=0 keep-old rule.
+    "ts_kmeans_dtw" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .where(col("series_id") < 16)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(16)).as("values"))
+        .localCheckpoint()
+      val model = new graft.ml.TimeSeriesKMeans(k = 2, metric = "dtw",
+        maxIter = 2, tol = -1.0, init = "first", barycenterMaxIter = 1).fit(series)
+      model.predict(series)
+        .select(col("series_id"), col("cluster"),
+          (round(col("dist"), 4) + lit(0.0)).as("dist"))
+    }),
+
     // grabocka_params_to_shapelet_size_dict (shapelets.py:158-209): the
     // published shapelet count/length heuristic, with n_ts read off the
     // real corpus (ts_sz = 32, n_classes = 2, l = 1/8, r = 3) — the
@@ -2106,6 +2127,107 @@ object SparkEntry {
     // a/c chain would re-inline the whole resample pipeline into every
     // iteration layer (measured 560 s vs ~1 s for the 10-step trace).
     sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+  }
+
+  /** DuckDB oracle for ts_kmeans_dtw — the metric="dtw" Lloyd fit
+    * (`kmeans.py` metric="dtw": DTW assignment + one-MM-step DBA
+    * update per iteration with barycenterMaxIter=1): per iteration,
+    * one dbaStep-style DP chain per (user, centroid) keyed by
+    * (user_id, c) gives BOTH the assignment argmin (cost at the
+    * (sz−1, sz−1) cell, lowest c on ties — assignDs's strict <) and,
+    * via the recursive backtrack restricted to the assigned pair, the
+    * aligned-mean DBA update (wsum = 0 cells keep the old centroid
+    * value, DbaStepAgg's rule). Final layer = the predict pass. */
+  private def kmeansDtwTraceSql(iters: Int, sz: Int, k: Int, nUsers: Int): String = {
+    val last = sz - 1
+    val sb = new StringBuilder(
+      evCte.replaceFirst("WITH ", "WITH RECURSIVE ") + resampleZnormCte(sz))
+    sb ++= s"\n, rr AS (\n  SELECT user_id, j, val FROM r WHERE user_id < $nUsers\n)"
+    sb ++= s"\n, b0 AS (\n  SELECT CAST(user_id AS INT) AS c, j AS i, val AS bv" +
+      s" FROM rr WHERE user_id < $k\n)"
+    for (it <- 0 to iters) {
+      sb ++=
+        s"""
+           |, loc$it AS (
+           |  SELECT rr.user_id, b.c, b.i, rr.j,
+           |    (b.bv - rr.val) * (b.bv - rr.val) AS d
+           |  FROM rr JOIN b$it b ON TRUE
+           |), a${it}x0 AS (
+           |  SELECT user_id, c, j,
+           |    sum(d) OVER (PARTITION BY user_id, c ORDER BY j) AS cost
+           |  FROM loc$it WHERE i = 0
+           |)""".stripMargin
+      for (i <- 1 until sz) {
+        sb ++=
+          s"""
+             |, a${it}x$i AS (
+             |  SELECT user_id, c, j, cs + mn AS cost FROM (
+             |    SELECT user_id, c, j, cs,
+             |      min(mk - csk) OVER (PARTITION BY user_id, c ORDER BY j) AS mn
+             |    FROM (
+             |      SELECT l.user_id, l.c, l.j,
+             |        sum(l.d) OVER (PARTITION BY l.user_id, l.c ORDER BY l.j) AS cs,
+             |        sum(l.d) OVER (PARTITION BY l.user_id, l.c ORDER BY l.j) - l.d AS csk,
+             |        least(coalesce(pk.cost, 1e308), coalesce(pk1.cost, 1e308)) AS mk
+             |      FROM loc$it l
+             |      LEFT JOIN a${it}x${i - 1} pk
+             |        ON pk.user_id = l.user_id AND pk.c = l.c AND pk.j = l.j
+             |      LEFT JOIN a${it}x${i - 1} pk1
+             |        ON pk1.user_id = l.user_id AND pk1.c = l.c AND pk1.j = l.j - 1
+             |      WHERE l.i = $i))
+             |)""".stripMargin
+      }
+      sb ++= s"\n, asg$it AS (\n" +
+        s"  SELECT user_id, c FROM (\n" +
+        s"    SELECT user_id, c,\n" +
+        s"      row_number() OVER (PARTITION BY user_id ORDER BY cost, c) AS rn\n" +
+        s"    FROM a${it}x$last WHERE j = $last)\n  WHERE rn = 1\n)"
+      if (it < iters) {
+        sb ++= s"\n, cumA$it AS (\n" +
+          (0 until sz).map(i => s"  SELECT user_id, c, $i AS i, j, cost FROM a${it}x$i")
+            .mkString("", "\n  UNION ALL\n", "\n)")
+        sb ++=
+          s"""
+             |, path$it AS (
+             |  SELECT user_id, c, $last AS i, $last AS j FROM asg$it
+             |  UNION ALL
+             |  SELECT p.user_id, p.c,
+             |    CASE WHEN p.i = 0 THEN 0
+             |         WHEN p.j = 0 THEN p.i - 1
+             |         WHEN cd.cost <= cu.cost AND cd.cost <= cl.cost THEN p.i - 1
+             |         WHEN cu.cost <= cl.cost THEN p.i - 1
+             |         ELSE p.i END AS i,
+             |    CASE WHEN p.i = 0 THEN p.j - 1
+             |         WHEN p.j = 0 THEN p.j
+             |         WHEN cd.cost <= cu.cost AND cd.cost <= cl.cost THEN p.j - 1
+             |         WHEN cu.cost <= cl.cost THEN p.j
+             |         ELSE p.j - 1 END AS j
+             |  FROM path$it p
+             |  LEFT JOIN cumA$it cd ON cd.user_id = p.user_id AND cd.c = p.c
+             |    AND cd.i = p.i - 1 AND cd.j = p.j - 1
+             |  LEFT JOIN cumA$it cu ON cu.user_id = p.user_id AND cu.c = p.c
+             |    AND cu.i = p.i - 1 AND cu.j = p.j
+             |  LEFT JOIN cumA$it cl ON cl.user_id = p.user_id AND cl.c = p.c
+             |    AND cl.i = p.i AND cl.j = p.j - 1
+             |  WHERE p.i > 0 OR p.j > 0
+             |), b${it + 1} AS (
+             |  SELECT bb.c, bb.i, coalesce(m.v, bb.bv) AS bv
+             |  FROM b$it bb
+             |  LEFT JOIN (
+             |    SELECT pa.c, pa.i, sum(rr.val) / count(*) AS v
+             |    FROM path$it pa JOIN rr ON rr.user_id = pa.user_id AND rr.j = pa.j
+             |    GROUP BY 1, 2) m ON m.c = bb.c AND m.i = bb.i
+             |)""".stripMargin
+      }
+    }
+    sb ++=
+      s"""
+         |SELECT a.user_id AS series_id, a.c AS cluster,
+         |  round(sqrt(x.cost), 4) + 0.0 AS dist
+         |FROM asg$iters a
+         |JOIN a${iters}x$last x ON x.user_id = a.user_id AND x.c = a.c AND x.j = $last""".stripMargin
+    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+      .replaceAll(", (path\\d+) AS MATERIALIZED \\(", ", $1 AS (")
   }
 
   /** DuckDB oracle for ts_kmeans_best2: two full Lloyd traces (init
@@ -5222,6 +5344,7 @@ object SparkEntry {
     "cdist_dtw_pairs" -> cdistDtwOracleSql(24, 16),
     "ts_kmeans" -> kmeansTraceSql(10),
     "ts_kmeans_best2" -> kmeansBest2TraceSql(10, 4),
+    "ts_kmeans_dtw" -> kmeansDtwTraceSql(2, 16, 2, 16),
     // hour buckets align with date_trunc (tumbling 1h windows at epoch)
     "ts_stream_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,

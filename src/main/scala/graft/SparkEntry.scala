@@ -1268,6 +1268,27 @@ object SparkEntry {
         .select(col("left_id"), col("right_id"), round(col("dist"), 4).as("dtw"))
     }),
 
+    // silhouette_score over PRECOMPUTED DTW distances — the reference's
+    // headline composition (silhouette_score(cdist_dtw(X), labels,
+    // metric="precomputed"), clustering/utils.py:66-197): the green
+    // selfCross DTW pair machinery feeding the green silhouette
+    // aggregation, pinned parity labels.
+    "ts_silhouette_dtw" -> ((s, dir) => {
+      import s.implicits._
+      TsFunctions.register(s)
+      val series = TSModel.eventsToSeries(s, dir)
+        .where(col("series_id") < 16)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(24)).as("values"))
+        .localCheckpoint()
+      val pairs = Cdist.selfCross(series, (a, b) => TsFunctions.dtwUdf(a, b),
+        computeDiagonal = false)
+      val assign = series.select(col("series_id"),
+        pmod(col("series_id"), lit(2)).cast("string").as("cluster"))
+      val score = graft.ml.TimeSeriesKMeans.silhouette(pairs, assign)
+      Seq(math.rint(score * 1e4) / 1e4).toDF("silhouette")
+    }),
+
     // The 6-metric sampler, fully oracle-backed since round 6: the ctw
     // column moved from the fixpoint ctw to the SQL-replayable
     // 3-round Advanced.ctwFixed (equal at the fixpoint, AdvancedSpec),
@@ -3704,6 +3725,52 @@ object SparkEntry {
     * an all-pairs join, verifying the triangle self-join output. */
   private def cdistDtwOracleSql(sz: Int, maxId: Int): String = {
     val last = sz - 1
+    (cdistDtwChainSql(sz, maxId) +
+      s"""
+         |SELECT pr AS left_id, cd AS right_id, round(sqrt(cost), 4) AS dtw
+         |FROM t$last WHERE j = $last""".stripMargin)
+      .replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+  }
+
+  /** DuckDB oracle for ts_silhouette_dtw: the cdist DTW triangle chain
+    * mirrored to both directions, parity labels, then the silhouette
+    * aggregation (per-(point, cluster) mean → a/b → mean (b−a)/max) —
+    * `silhouette_score(cdist_dtw(X), labels, metric="precomputed")`,
+    * `clustering/utils.py:66-197`. */
+  private def silhouetteDtwOracleSql(sz: Int, maxId: Int): String = {
+    val last = sz - 1
+    (cdistDtwChainSql(sz, maxId) +
+      s"""
+         |, pd AS (
+         |  SELECT pr, cd, sqrt(cost) AS dist FROM t$last WHERE j = $last
+         |), dd AS (
+         |  SELECT pr AS l, cd AS r2, dist FROM pd
+         |  UNION ALL
+         |  SELECT cd, pr, dist FROM pd
+         |), lab AS (
+         |  SELECT DISTINCT user_id, user_id % 2 AS lc FROM rs
+         |), dmat AS (
+         |  SELECT dd.l, la.lc, lb.lc AS rc, dd.dist
+         |  FROM dd
+         |  JOIN lab la ON la.user_id = dd.l
+         |  JOIN lab lb ON lb.user_id = dd.r2
+         |), pc AS (
+         |  SELECT l, lc, rc, avg(dist) AS md FROM dmat GROUP BY 1, 2, 3
+         |), aa AS (
+         |  SELECT l, md AS a FROM pc WHERE lc = rc
+         |), bb AS (
+         |  SELECT l, min(md) AS b FROM pc WHERE lc <> rc GROUP BY 1
+         |), sil AS (
+         |  SELECT (bb.b - aa.a) / greatest(aa.a, bb.b) AS s
+         |  FROM aa JOIN bb ON aa.l = bb.l
+         |)
+         |SELECT round(avg(s), 4) AS silhouette FROM sil""".stripMargin)
+      .replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+  }
+
+  /** Shared all-pairs (a < b triangle) DTW DP chain over the first
+    * `maxId` users at `sz`, through cost table t{sz−1}. */
+  private def cdistDtwChainSql(sz: Int, maxId: Int): String = {
     val sb = new StringBuilder(evCte + resampleZnormCte(sz))
     sb ++=
       s"""
@@ -3738,11 +3805,7 @@ object SparkEntry {
            |      WHERE l.i = $i))
            |)""".stripMargin
     }
-    sb ++=
-      s"""
-         |SELECT pr AS left_id, cd AS right_id, round(sqrt(cost), 4) AS dtw
-         |FROM t$last WHERE j = $last""".stripMargin
-    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+    sb.toString
   }
 
   /** DuckDB oracle for ts_dtw_path_pairs: the optimal DTW alignment
@@ -5342,6 +5405,7 @@ object SparkEntry {
     "ts_ctw_ragged_pairs" -> ctwRaggedTraceSql(3),
     "cdist_metrics_sample" -> metricsSampleOracleSql(16, 20, 3, 0.5),
     "cdist_dtw_pairs" -> cdistDtwOracleSql(24, 16),
+    "ts_silhouette_dtw" -> silhouetteDtwOracleSql(24, 16),
     "ts_kmeans" -> kmeansTraceSql(10),
     "ts_kmeans_best2" -> kmeansBest2TraceSql(10, 4),
     "ts_kmeans_dtw" -> kmeansDtwTraceSql(2, 16, 2, 16),

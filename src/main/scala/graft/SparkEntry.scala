@@ -993,6 +993,49 @@ object SparkEntry {
           (round(col("d2"), 4) + lit(0.0)).as("d2"))
     }),
 
+    // ---------------- loader round trips (SURVEY §2.1) ---------------
+    // The img_png_stats pattern applied to the text loaders: write a
+    // FORMULA-generated document in-query, parse it through the REAL
+    // loader pipeline (header filter, tokenizer, casts, id assignment),
+    // and emit the parsed cells against the formula recomputed in SQL —
+    // a parser regression breaks the row. v(s,t) = ((7s+3t) mod 11) −
+    // 4.5 (exactly representable halves), label = s mod 3.
+    "arff_roundtrip" -> ((s, dir) => {
+      val nS = 16
+      val sz = 12
+      val sb = new StringBuilder("@relation synth\n")
+      (1 to sz).foreach(t => sb ++= s"@attribute t$t numeric\n")
+      sb ++= "@attribute target {0,1,2}\n@data\n"
+      for (i <- 0 until nS) {
+        val vals = (0 until sz).map(t => ((i * 7 + t * 3) % 11) - 4.5)
+        sb ++= vals.mkString(",") + "," + (i % 3) + "\n"
+      }
+      val f = java.nio.file.Files.createTempFile("graft_arff", ".arff")
+      f.toFile.deleteOnExit()
+      java.nio.file.Files.writeString(f, sb.toString)
+      graft.sources.Arff.load(s, f.toString)
+        .select(col("series_id"), col("label"),
+          posexplode(expr("transform(ts, x -> x[0])")).as(Seq("t", "v")))
+        .select(col("series_id"), col("t"), col("v"), col("label"))
+    }),
+
+    "ucr_txt_roundtrip" -> ((s, dir) => {
+      val nS = 16
+      val sz = 12
+      val sb = new StringBuilder
+      for (i <- 0 until nS) {
+        val vals = (0 until sz).map(t => ((i * 7 + t * 3) % 11) - 4.5)
+        sb ++= (i % 3).toString + " " + vals.mkString(" ") + "\n"
+      }
+      val f = java.nio.file.Files.createTempFile("graft_ucr", ".txt")
+      f.toFile.deleteOnExit()
+      java.nio.file.Files.writeString(f, sb.toString)
+      graft.sources.Datasets.UcrUea.loadTxt(s, f.toString)
+        .select(col("series_id"), col("label"),
+          posexplode(col("values")).as(Seq("t", "v")))
+        .select(col("series_id"), col("t"), col("v"), col("label"))
+    }),
+
     // ---------------- bundled dataset tier (SURVEY §2.1) -------------
     // 1-NN euclidean classify on the bundled Trace fixture — exercises
     // CachedDatasets.loadDataset with a full DuckDB oracle (absolute
@@ -5409,6 +5452,18 @@ object SparkEntry {
     "ts_kmeans" -> kmeansTraceSql(10),
     "ts_kmeans_best2" -> kmeansBest2TraceSql(10, 4),
     "ts_kmeans_dtw" -> kmeansDtwTraceSql(2, 16, 2, 16),
+    "arff_roundtrip" ->
+      """SELECT s.s AS series_id, CAST(t.t AS INT) AS t,
+        |  CAST(((s.s * 7 + t.t * 3) % 11) - 4.5 AS DOUBLE) AS v,
+        |  CAST(s.s % 3 AS VARCHAR) AS label
+        |FROM (SELECT unnest(generate_series(0, 15)) AS s) s,
+        |     (SELECT unnest(generate_series(0, 11)) AS t) t""".stripMargin,
+    "ucr_txt_roundtrip" ->
+      """SELECT s.s AS series_id, CAST(t.t AS INT) AS t,
+        |  CAST(((s.s * 7 + t.t * 3) % 11) - 4.5 AS DOUBLE) AS v,
+        |  CAST(s.s % 3 AS BIGINT) AS label
+        |FROM (SELECT unnest(generate_series(0, 15)) AS s) s,
+        |     (SELECT unnest(generate_series(0, 11)) AS t) t""".stripMargin,
     // hour buckets align with date_trunc (tumbling 1h windows at epoch)
     "ts_stream_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,

@@ -1036,6 +1036,28 @@ object SparkEntry {
         .select(col("series_id"), col("t"), col("v"), col("label"))
     }),
 
+    // The tslearn dim-major text codec ("v v v|w w w",
+    // utils.py:219-291) through the REAL loadTimeSeriesTxt path
+    // (spark.read.text → parseSeriesLine → time-major transpose) on a
+    // d=2 formula document.
+    "ts_txt_roundtrip" -> ((s, dir) => {
+      val nS = 12
+      val sz = 10
+      val sb = new StringBuilder
+      for (i <- 0 until nS) {
+        def v(dIdx: Int, t: Int) = ((i * 5 + t * 3 + dIdx * 7) % 13) - 6.5
+        sb ++= (0 until sz).map(v(0, _)).mkString(" ") + "|" +
+          (0 until sz).map(v(1, _)).mkString(" ") + "\n"
+      }
+      val f = java.nio.file.Files.createTempFile("graft_ts", ".txt")
+      f.toFile.deleteOnExit()
+      java.nio.file.Files.writeString(f, sb.toString)
+      TSModel.loadTimeSeriesTxt(s, f.toString)
+        .select(col("series_id"), posexplode(col("ts")).as(Seq("t", "vs")))
+        .select(col("series_id"), col("t"),
+          element_at(col("vs"), 1).as("d0"), element_at(col("vs"), 2).as("d1"))
+    }),
+
     // ---------------- bundled dataset tier (SURVEY §2.1) -------------
     // 1-NN euclidean classify on the bundled Trace fixture — exercises
     // CachedDatasets.loadDataset with a full DuckDB oracle (absolute
@@ -5464,6 +5486,12 @@ object SparkEntry {
         |  CAST(s.s % 3 AS BIGINT) AS label
         |FROM (SELECT unnest(generate_series(0, 15)) AS s) s,
         |     (SELECT unnest(generate_series(0, 11)) AS t) t""".stripMargin,
+    "ts_txt_roundtrip" ->
+      """SELECT s.s AS series_id, CAST(t.t AS INT) AS t,
+        |  CAST(((s.s * 5 + t.t * 3) % 13) - 6.5 AS DOUBLE) AS d0,
+        |  CAST(((s.s * 5 + t.t * 3 + 7) % 13) - 6.5 AS DOUBLE) AS d1
+        |FROM (SELECT unnest(generate_series(0, 11)) AS s) s,
+        |     (SELECT unnest(generate_series(0, 9)) AS t) t""".stripMargin,
     // hour buckets align with date_trunc (tumbling 1h windows at epoch)
     "ts_stream_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,

@@ -640,6 +640,40 @@ object SparkEntry {
           round(col("feat")(2) * lit(n * 256)).cast("long").as("edge_sum"))
     }),
 
+    // AIFF branch of the audio decoder (decodeAudio reads 8-bit AIFF as
+    // SIGNED PCM — the WAV row exercises the unsigned branch): formula
+    // samples encoded through the REAL javax.sound AIFF writer
+    // in-query, decoded back through extractFeatures; signed byte v
+    // maps to px = (v+128)/256 with v+128 = (u+128) mod 256 for the
+    // formula's unsigned u — integer-exact against the mod replay.
+    "aiff_audio_stats" -> ((s, dir) => {
+      val n = 64
+      val mkAiff = udf((id: Long) => {
+        val data = Array.tabulate(n)(t => ((id * 6151 + t * 769) % 256).toByte)
+        val fmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          8000f, 8, 1, 1, 8000f, true)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+        out.toByteArray
+      })
+      val media = docs(s, dir).select(col("doc_id").cast("long"))
+        .where(col("doc_id") < 64)
+        .select(col("doc_id").as("media_id"), lit("audio").as("kind"),
+          mkAiff(col("doc_id")).as("payload"),
+          struct(lit(null).cast("int").as("width"),
+            lit(null).cast("int").as("height"),
+            lit(8000).as("sample_rate"),
+            lit(null).cast("int").as("n_frames")).as("meta"))
+      graft.sources.Multimodal.extractFeatures(media)
+        .select(col("media_id"),
+          round(col("feat")(0) * lit(n * 256)).cast("long").as("sample_sum"),
+          round(col("feat")(2) * lit(n * 256)).cast("long").as("edge_sum"))
+    }),
+
     // ---------------- dedup II / similarity (oracle where portable) ---
     // Through the size-routed front door: at test SF the count guard
     // routes to the exact triangle (oracle-matchable); past exactLimit
@@ -5461,6 +5495,23 @@ object SparkEntry {
         |)
         |SELECT doc_id AS media_id, CAST(sum(v) AS BIGINT) AS sample_sum,
         |  CAST(sum(CASE WHEN pv IS NULL THEN 0 ELSE abs(v - pv) END) AS BIGINT)
+        |    AS edge_sum
+        |FROM e GROUP BY 1""".stripMargin,
+
+    // signed-byte shift: m = (u + 128) mod 256; edges invariant to the
+    // constant shift so |Δm| = |Δv|
+    "aiff_audio_stats" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+        |sm AS (
+        |  SELECT doc_id, g.t,
+        |    (((doc_id * 6151 + g.t * 769) % 256) + 128) % 256 AS m
+        |  FROM ids, (SELECT unnest(generate_series(0, 63)) AS t) g
+        |), e AS (
+        |  SELECT doc_id, t, m, lag(m) OVER (PARTITION BY doc_id ORDER BY t) AS pm
+        |  FROM sm
+        |)
+        |SELECT doc_id AS media_id, CAST(sum(m) AS BIGINT) AS sample_sum,
+        |  CAST(sum(CASE WHEN pm IS NULL THEN 0 ELSE abs(m - pm) END) AS BIGINT)
         |    AS edge_sum
         |FROM e GROUP BY 1""".stripMargin,
 

@@ -674,6 +674,86 @@ object SparkEntry {
           round(col("feat")(2) * lit(n * 256)).cast("long").as("edge_sum"))
     }),
 
+    // 16-bit branch of the audio decoder (bytesPerSample == 2, signed
+    // little-endian): px = (s/32768 + 1)/2 = (s + 32768)/65536 —
+    // dyadic, so 64-sample float sums stay exact and the integer
+    // formula replays. Covers the (hi << 8) | lo assembly the 8-bit
+    // rows never touch.
+    "wav16_audio_stats" -> ((s, dir) => {
+      val n = 64
+      val mkWav16 = udf((id: Long) => {
+        val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+          .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+          .putInt(16).putShort(1).putShort(1) // PCM, mono
+          .putInt(8000).putInt(16000).putShort(2).putShort(16) // 16-bit
+          .put("data".getBytes("US-ASCII")).putInt(2 * n)
+        var t = 0
+        while (t < n) {
+          val u = ((id * 48871 + t * 6151) % 65536).toInt
+          bb.putShort((u - 32768).toShort)
+          t += 1
+        }
+        bb.array()
+      })
+      val media = docs(s, dir).select(col("doc_id").cast("long"))
+        .where(col("doc_id") < 64)
+        .select(col("doc_id").as("media_id"), lit("audio").as("kind"),
+          mkWav16(col("doc_id")).as("payload"),
+          struct(lit(null).cast("int").as("width"),
+            lit(null).cast("int").as("height"),
+            lit(8000).as("sample_rate"),
+            lit(null).cast("int").as("n_frames")).as("meta"))
+      graft.sources.Multimodal.extractFeatures(media)
+        .select(col("media_id"),
+          round(col("feat")(0) * lit(n.toLong * 65536L)).cast("long").as("sample_sum"),
+          round(col("feat")(2) * lit(n.toLong * 65536L)).cast("long").as("edge_sum"))
+    }),
+
+    // 24-bit BMP byte parser (decodeBmp24: header fields, BGR order,
+    // bottom-up rows — the one image branch with no driver row): 8×8
+    // formula raster, equal BGR so the float luminance is v ± 1e-5 and
+    // the rounded integer sums replay exactly. Width 8 ⇒ rowBytes 24 is
+    // already 4-byte aligned, isolating the bottom-up row logic.
+    "img_bmp_stats" -> ((s, dir) => {
+      val w = 8
+      val h = 8
+      val n = w * h
+      val mkBmp = udf((id: Long) => {
+        val rowBytes = w * 3
+        val bb = java.nio.ByteBuffer.allocate(54 + rowBytes * h)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * h)
+          .putInt(0).putInt(54)
+          .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+          .putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835)
+          .putInt(0).putInt(0)
+        var r = 0
+        while (r < h) {
+          var x = 0
+          while (x < w) {
+            val v = ((id * 31 + (r * w + x) * 7) % 256).toByte
+            bb.put(v).put(v).put(v)
+            x += 1
+          }
+          r += 1
+        }
+        bb.array()
+      })
+      val media = docs(s, dir).select(col("doc_id").cast("long"))
+        .where(col("doc_id") < 64)
+        .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+          mkBmp(col("doc_id")).as("payload"),
+          struct(lit(w).as("width"), lit(h).as("height"),
+            lit(null).cast("int").as("sample_rate"),
+            lit(null).cast("int").as("n_frames")).as("meta"))
+      graft.sources.Multimodal.extractFeatures(media)
+        .select(col("media_id"),
+          round(col("feat")(0) * lit(n * 255)).cast("long").as("sample_sum"),
+          round(col("feat")(2) * lit(n * 255)).cast("long").as("edge_sum"))
+    }),
+
     // ---------------- dedup II / similarity (oracle where portable) ---
     // Through the size-routed front door: at test SF the count guard
     // routes to the exact triangle (oracle-matchable); past exactLimit
@@ -5505,6 +5585,39 @@ object SparkEntry {
         |sm AS (
         |  SELECT doc_id, g.t,
         |    (((doc_id * 6151 + g.t * 769) % 256) + 128) % 256 AS m
+        |  FROM ids, (SELECT unnest(generate_series(0, 63)) AS t) g
+        |), e AS (
+        |  SELECT doc_id, t, m, lag(m) OVER (PARTITION BY doc_id ORDER BY t) AS pm
+        |  FROM sm
+        |)
+        |SELECT doc_id AS media_id, CAST(sum(m) AS BIGINT) AS sample_sum,
+        |  CAST(sum(CASE WHEN pm IS NULL THEN 0 ELSE abs(m - pm) END) AS BIGINT)
+        |    AS edge_sum
+        |FROM e GROUP BY 1""".stripMargin,
+
+    // bottom-up rows: the decoded row-major pixel k maps to file cell
+    // (7 − k/8)·8 + (k mod 8); sums replay the formula over that order
+    "img_bmp_stats" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+        |px AS (
+        |  SELECT doc_id, k.k,
+        |    (doc_id * 31 + ((7 - k.k // 8) * 8 + (k.k % 8)) * 7) % 256 AS m
+        |  FROM ids, (SELECT unnest(generate_series(0, 63)) AS k) k
+        |), e AS (
+        |  SELECT doc_id, k, m, lag(m) OVER (PARTITION BY doc_id ORDER BY k) AS pm
+        |  FROM px
+        |)
+        |SELECT doc_id AS media_id, CAST(sum(m) AS BIGINT) AS sample_sum,
+        |  CAST(sum(CASE WHEN pm IS NULL THEN 0 ELSE abs(m - pm) END) AS BIGINT)
+        |    AS edge_sum
+        |FROM e GROUP BY 1""".stripMargin,
+
+    // m = u (the engine writes s = u − 32768; decode maps back to
+    // (s + 32768) = u); edges shift-invariant
+    "wav16_audio_stats" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+        |sm AS (
+        |  SELECT doc_id, g.t, (doc_id * 48871 + g.t * 6151) % 65536 AS m
         |  FROM ids, (SELECT unnest(generate_series(0, 63)) AS t) g
         |), e AS (
         |  SELECT doc_id, t, m, lag(m) OVER (PARTITION BY doc_id ORDER BY t) AS pm

@@ -754,6 +754,23 @@ object SparkEntry {
           round(col("feat")(2) * lit(n * 255)).cast("long").as("edge_sum"))
     }),
 
+    // Video frame-sampling plan (Multimodal.sampleFrames — every
+    // stride-th frame index, n_frames=0 guard): the video modality's
+    // Spark-side plumbing (the decode itself is stubbed, container
+    // codecs have no JDK reader). n_frames = 1 + id mod 50, stride 7.
+    "vid_frame_plan" -> ((s, dir) => {
+      val media = docs(s, dir).select(col("doc_id").cast("long"))
+        .where(col("doc_id") < 64)
+        .select(col("doc_id").as("media_id"), lit("video").as("kind"),
+          lit(Array[Byte]()).as("payload"),
+          struct(lit(null).cast("int").as("width"),
+            lit(null).cast("int").as("height"),
+            lit(null).cast("int").as("sample_rate"),
+            (lit(1) + pmod(col("doc_id"), lit(50))).cast("int").as("n_frames")).as("meta"))
+      graft.sources.Multimodal.sampleFrames(media, stride = 7)
+        .select(col("media_id"), col("frame_idx"))
+    }),
+
     // ---------------- dedup II / similarity (oracle where portable) ---
     // Through the size-routed front door: at test SF the count guard
     // routes to the exact triangle (oracle-matchable); past exactLimit
@@ -5594,6 +5611,13 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN pm IS NULL THEN 0 ELSE abs(m - pm) END) AS BIGINT)
         |    AS edge_sum
         |FROM e GROUP BY 1""".stripMargin,
+
+    "vid_frame_plan" ->
+      """SELECT doc_id AS media_id, CAST(f.f AS INT) AS frame_idx
+        |FROM documents, LATERAL (
+        |  SELECT unnest(generate_series(0, CAST(1 + doc_id % 50 AS INT) - 1, 7)) AS f
+        |) f
+        |WHERE doc_id < 64""".stripMargin,
 
     // bottom-up rows: the decoded row-major pixel k maps to file cell
     // (7 − k/8)·8 + (k mod 8); sums replay the formula over that order

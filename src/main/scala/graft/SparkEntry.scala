@@ -754,6 +754,31 @@ object SparkEntry {
           round(col("feat")(2) * lit(n * 255)).cast("long").as("edge_sum"))
     }),
 
+    // Nearest-neighbor resize between decode and featurization
+    // (Multimodal.resizedFeatures — the fixed-raster normalization
+    // step): 8×8 PGM formula raster → 5×5, so the oracle replays the
+    // kernel's source-index mapping least(7, y·8/5) per output cell.
+    "img_resize_stats" -> ((s, dir) => {
+      val w = 8
+      val h = 8
+      val mkPgm = udf((id: Long) => {
+        val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+        val px = Array.tabulate(w * h)(t => ((id * 7919 + t * 104729) % 256).toByte)
+        header ++ px
+      })
+      val media = docs(s, dir).select(col("doc_id").cast("long"))
+        .where(col("doc_id") < 64)
+        .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+          mkPgm(col("doc_id")).as("payload"),
+          struct(lit(w).as("width"), lit(h).as("height"),
+            lit(null).cast("int").as("sample_rate"),
+            lit(null).cast("int").as("n_frames")).as("meta"))
+      graft.sources.Multimodal.resizedFeatures(media, outW = 5, outH = 5)
+        .select(col("media_id"),
+          round(col("feat")(0) * lit(25 * 255)).cast("long").as("pixel_sum"),
+          round(col("feat")(2) * lit(25 * 255)).cast("long").as("edge_sum"))
+    }),
+
     // Video frame-sampling plan (Multimodal.sampleFrames — every
     // stride-th frame index, n_frames=0 guard): the video modality's
     // Spark-side plumbing (the decode itself is stubbed, container
@@ -5608,6 +5633,27 @@ object SparkEntry {
         |  FROM sm
         |)
         |SELECT doc_id AS media_id, CAST(sum(m) AS BIGINT) AS sample_sum,
+        |  CAST(sum(CASE WHEN pm IS NULL THEN 0 ELSE abs(m - pm) END) AS BIGINT)
+        |    AS edge_sum
+        |FROM e GROUP BY 1""".stripMargin,
+
+    // output cell (x, y) reads source pixel (least(7, x·8/5),
+    // least(7, y·8/5)); edges run row-major over the 5×5 result
+    "img_resize_stats" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+        |px AS (
+        |  SELECT doc_id, y.y * 5 + x.x AS k,
+        |    (doc_id * 7919 +
+        |     (LEAST(7, (y.y * 8) // 5) * 8 + LEAST(7, (x.x * 8) // 5)) * 104729)
+        |      % 256 AS m
+        |  FROM ids,
+        |       (SELECT unnest(generate_series(0, 4)) AS y) y,
+        |       (SELECT unnest(generate_series(0, 4)) AS x) x
+        |), e AS (
+        |  SELECT doc_id, k, m, lag(m) OVER (PARTITION BY doc_id ORDER BY k) AS pm
+        |  FROM px
+        |)
+        |SELECT doc_id AS media_id, CAST(sum(m) AS BIGINT) AS pixel_sum,
         |  CAST(sum(CASE WHEN pm IS NULL THEN 0 ELSE abs(m - pm) END) AS BIGINT)
         |    AS edge_sum
         |FROM e GROUP BY 1""".stripMargin,

@@ -248,6 +248,40 @@ object Multimodal {
       }.toDF("media_id", "kind", "feat")
   }
 
+  /** [[extractFeatures]] with a nearest-neighbor resize between decode
+    * and the grayscale stats — the fixed-raster normalization step of a
+    * multimodal training pipeline (every input resized to (outW, outH)
+    * before featurization). Same mapPartitions batching; stub payloads
+    * resize from their meta dimensions like any other raster. */
+  def resizedFeatures(df: DataFrame, outW: Int, outH: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col("media_id").cast("long"), col("kind"),
+      col("payload"), col("meta.width"), col("meta.height"))
+    rows.as[(Long, String, Array[Byte], Option[Int], Option[Int])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, payload, w, h) =>
+          val r = decode(payload).getOrElse {
+            val w0 = w.getOrElse(8)
+            val h0 = h.getOrElse(8)
+            Raster(decodeStub(payload, w0, h0), w0, h0)
+          }
+          val px = resizeNearest(r, outW, outH).px
+          val mean = px.sum / px.length
+          var varAcc = 0.0f
+          var edge = 0.0f
+          var i = 0
+          while (i < px.length) {
+            varAcc += (px(i) - mean) * (px(i) - mean)
+            if (i > 0) edge += math.abs(px(i) - px(i - 1))
+            i += 1
+          }
+          (id, kind,
+            Array(mean, math.sqrt((varAcc / px.length).toDouble).toFloat, edge / px.length))
+        }
+      }.toDF("media_id", "kind", "feat")
+  }
+
   /** Frame-sampling plan for video rows: every `stride`-th frame index up
     * to n_frames — pure column math, no decode. */
   def sampleFrames(df: DataFrame, stride: Int): DataFrame =

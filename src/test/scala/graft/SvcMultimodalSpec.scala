@@ -181,6 +181,31 @@ class SvcMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: resizedFeatures at native dims == extractFeatures") {
+    import spark.implicits._
+    val mkPgm = (id: Long) => {
+      val header = "P5\n4 4\n255\n".getBytes("US-ASCII")
+      header ++ Array.tabulate(16)(t => ((id * 37 + t * 11) % 256).toByte)
+    }
+    val media = (0L until 6L).map(i => (i, "image", mkPgm(i),
+      (Some(4), Some(4), None: Option[Int], None: Option[Int])))
+      .toDF("media_id", "kind", "payload", "m")
+      .select(col("media_id"), col("kind"), col("payload"),
+        struct(col("m._1").as("width"), col("m._2").as("height"),
+          col("m._3").as("sample_rate"), col("m._4").as("n_frames")).as("meta"))
+    val a = Multimodal.extractFeatures(media)
+      .select("media_id", "feat").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b = Multimodal.resizedFeatures(media, 4, 4)
+      .select("media_id", "feat").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(a == b, "resize to native dims must be a no-op before featurization")
+    // and an actual downscale changes the pixel count it averages over
+    val c = Multimodal.resizedFeatures(media, 2, 2)
+      .select("media_id", "feat").collect()
+    assert(c.length == 6)
+  }
+
   test("multimodal: frame sampling plan") {
     val media = Multimodal.synthetic(spark, 9, seed = 3)
     val frames = Multimodal.sampleFrames(media, stride = 10).collect()

@@ -19,6 +19,13 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
+    // Self-describing input record: if the driver re-generates testdata
+    // with a drifted schema (it has — TIMESTAMP(NANOS) vs TIMESTAMP(US)
+    // across rounds), the artifact should say what was actually read.
+    Seq("events", "documents", "embeddings").foreach { t =>
+      scala.util.Try(System.err.println(s"[bench] $t schema: " +
+        spark.read.parquet(s"$sfDir/$t.parquet").schema.simpleString))
+    }
     // Optional dev-only knobs (the driver passes neither): query-name
     // args restrict the run; SPARK_GRAFT_REPEAT=N times each query N
     // times and prints every run, separating one-time plan/codegen cost
@@ -60,7 +67,12 @@ object Bench {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); err = None; true }
         catch { case t: Throwable =>
-          err = Some(t.getClass.getSimpleName)
+          // Keep the MESSAGE, not just the class: round 8's artifact
+          // recorded bare "ExtendedAnalysisException" 54 times and the
+          // actual cause (a transiently re-generated events.parquet)
+          // was undiagnosable from it.
+          err = Some(t.getClass.getSimpleName + ": " +
+            Option(t.getMessage).getOrElse("").replace('\n', ' '))
           System.err.println(s"[bench] $name FAILED: $t")
           false
         }
@@ -72,10 +84,18 @@ object Bench {
     }
     // A failed query must be visible in the JSON (err field), not just a
     // suspiciously fast wall-time.
+    // JSON string escape for error messages (they can contain anything).
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    } + "\""
+    def fmt(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, (v, err)) =>
-      val sec = if (v.isInfinity) "null" else v.toString // no successful run
+      val sec = if (v.isInfinity) "null" else fmt(v) // no successful run
       err match {
-        case Some(e) => s"\"" + k + "\":{\"sec\":" + sec + ",\"err\":\"" + e + "\"}"
+        case Some(e) => s"\"" + k + "\":{\"sec\":" + sec + ",\"err\":" + jq(e.take(60)) + "}"
         case None    => s"\"" + k + "\":" + sec
       }
     }.mkString("{", ",", "}")
@@ -83,7 +103,21 @@ object Bench {
       if (results.nonEmpty) results.values.map(_._1).filterNot(_.isInfinity).sum else 0.0
     val nErr = results.values.count(_._2.isDefined)
     val load = loadavg() // 1-min load average at END of run
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"loadavg":$load,"loadavg_start":$loadStart,"load_warning":$loadWarn,"repeat":$repeat,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$nErr,"loadavg":$load,"loadavg_start":$loadStart,"load_warning":$loadWarn,"repeat":$repeat,"sf":"$sfDir"}"""
+    // The driver captures only the LAST ~2000 chars of stdout, so a
+    // 124-query line never survives whole (every BENCH_r*.json so far has
+    // parsed:null). Persist the full record to a file, print it for
+    // humans, then print a COMPACT line LAST — top slowest queries +
+    // error details — sized to fit entirely inside the tail window.
+    scala.util.Try(java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), fullLine + "\n"))
+    println(fullLine)
+    val slow = results.toSeq.filterNot(_._2._1.isInfinity)
+      .sortBy(-_._2._1).take(12)
+      .map { case (k, (v, _)) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
+    val errDetail = results.toSeq.collect { case (k, (_, Some(e))) => k -> e }
+      .take(4).map { case (k, e) => s"\"$k\":" + jq(e.take(160)) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$slow,"queries_note":"top12 of ${results.size}; full map in BENCH_LOCAL.json","errors":$nErr,"query_errors":$errDetail,"loadavg":$load,"loadavg_start":$loadStart,"load_warning":$loadWarn,"repeat":$repeat,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2073,16 +2073,16 @@ object SparkEntry {
     // differs from the batch ts_sessionize query's > rule at the exact
     // boundary) are oracle signal.
     "ts_stream_hourly" -> ((s, dir) => {
-      val events = s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", col("ts").cast("timestamp"))
+      val events = ev(s, dir)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
       graft.streaming.StreamingOps.hourlyCounts(events)
         .select((unix_micros(col("hour")) / 1000000L).cast("long").as("hour_epoch"),
           col("event_type"), col("n"), round(col("sum_v"), 2).as("sum_v"))
     }),
 
     "ts_stream_sessionize" -> ((s, dir) => {
-      val events = s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", col("ts").cast("timestamp"))
+      val events = ev(s, dir)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
       graft.streaming.StreamingOps.sessionize(events)
         .select(col("user_id"), unix_micros(col("session_start")).as("session_start_us"),
           col("n_events"), col("duration_ms"))
@@ -2104,8 +2104,8 @@ object SparkEntry {
     // operator's own.
     "ts_stream_early_classify" -> ((s, dir) => {
       import s.implicits._
-      val events = s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", col("ts").cast("timestamp"))
+      val events = ev(s, dir)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
         .select(col("user_id"), col("ts"), col("value"), col("event_type"))
         .as[graft.streaming.StreamingOps.Event]
       val k = 50.0

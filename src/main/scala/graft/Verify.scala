@@ -18,12 +18,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Input-schema banner: testdata is driver-regenerated per round and
+    // has drifted before (round 8: every events-derived dump failed with
+    // an AnalysisException the artifact couldn't explain).
+    Seq("events", "documents", "embeddings", "lineitem").foreach { t =>
+      scala.util.Try(System.err.println(s"[verify] $t schema: " +
+        spark.read.parquet(s"$sfDir/$t.parquet").schema.simpleString))
+    }
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures(name) = e.getClass.getName + ": " +
+          Option(e.getMessage).getOrElse("")
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -42,6 +52,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Full failure detail next to the dumps, so a red round is
+    // diagnosable from artifacts alone (not just a missing parquet).
+    Files.writeString(Paths.get(s"$outDir/dump_errors.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }
+        .mkString("{", ",", "}"))
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} dump FAILURES — see $outDir/dump_errors.json")
     spark.stop()
   }
 }

@@ -39,13 +39,70 @@ object TSModel {
     * TIMESTAMP (µs precision, `unix_micros`). Both match the DuckDB
     * oracle's `epoch_ns(ts) // 1000` clock. */
   def eventsWithTsUs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // The generator has re-written this table with drifting schemas
+    // across rounds (TIMESTAMP(NANOS) → ns-as-long, TIMESTAMP(US) →
+    // TIMESTAMP_NTZ, …); round 8 went red on a variant this reader
+    // didn't absorb. Normalize DEFENSIVELY: resolve every expected
+    // column case-insensitively (with synonyms), and convert any
+    // plausible physical `ts` type to the canonical µs clock.
+    def resolve(wanted: String, synonyms: Seq[String]): Option[String] = {
+      val names = raw.schema.fieldNames
+      val lower = names.map(n => n.toLowerCase -> n).toMap
+      (wanted +: synonyms).iterator.flatMap(s => lower.get(s.toLowerCase))
+        .nextOption()
+    }
+    val tsName = resolve("ts", Seq("timestamp", "event_ts", "event_time", "time"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"events.parquet has no recognizable timestamp column; schema = ${raw.schema.simpleString}"))
+    val renames = Seq(
+      "event_id" -> Seq("id", "eventid"),
+      "user_id" -> Seq("userid", "uid", "user"),
+      "event_type" -> Seq("type", "eventtype"),
+      "value" -> Seq("val", "v", "amount"),
+      "props" -> Seq("properties", "payload"))
+    var ev = if (tsName == "ts") raw else raw.withColumnRenamed(tsName, "ts")
+    renames.foreach { case (canon, syns) =>
+      resolve(canon, syns).filter(_ != canon)
+        .foreach(actual => ev = ev.withColumnRenamed(actual, canon))
+    }
     // TIMESTAMP_NTZ (what parquet timestamp[us] reads as) needs a cast
     // before unix_micros; session TZ is UTC so the cast is instant-exact.
+    // Integer/float clocks get their unit detected by magnitude — epoch
+    // 2020s is ~1.7e18 ns / 1.7e15 µs / 1.7e12 ms / 1.7e9 s, four
+    // decades apart, so a per-row CASE (codegen'd, no extra job) is
+    // unambiguous.
+    // Integer clocks: branch by magnitude but COMPUTE integrally — a
+    // 1.7e18 ns value cast to double has a 256 ns ulp, which would break
+    // the integer-exact oracle clock (DuckDB epoch_ns // 1000).
+    def byMagnitudeIntegral(c: org.apache.spark.sql.Column) = {
+      val l = c.cast(LongType)
+      when(abs(l) >= 100000000000000000L, expr("CAST(ts AS BIGINT) div 1000"))
+        .when(abs(l) >= 100000000000000L, l)
+        .when(abs(l) >= 100000000000L, l * 1000L)
+        .otherwise(l * 1000000L)
+    }
+    // Fractional clocks (seconds-as-double etc.): precision was already
+    // bounded by the writer; double math is as good as it gets.
+    def byMagnitudeFractional(c: org.apache.spark.sql.Column) = {
+      val d = c.cast(DoubleType)
+      def toUs(x: org.apache.spark.sql.Column) = round(x).cast(LongType)
+      when(abs(d) >= 1e17, toUs(d / 1e3))
+        .when(abs(d) >= 1e14, toUs(d))
+        .when(abs(d) >= 1e11, toUs(d * 1e3))
+        .otherwise(toUs(d * 1e6))
+    }
     val tsUs = ev.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-      case _ => unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      // ns-as-long (nanosAsLong=true) is the historical drift case; the
+      // magnitude branch also absorbs a genuine µs/ms/s int64 column.
+      case LongType | IntegerType => byMagnitudeIntegral(col("ts"))
+      case DoubleType | FloatType => byMagnitudeFractional(col("ts"))
+      case _: DecimalType => byMagnitudeFractional(col("ts"))
+      case StringType => unix_micros(col("ts").cast(TimestampType))
+      case DateType => unix_micros(col("ts").cast(TimestampType))
+      case _ => unix_micros(col("ts").cast(TimestampType))
     }
     ev.withColumn("ts_us", tsUs)
   }

@@ -119,4 +119,38 @@ class ModelSpec extends AnyFunSuite {
       .select("label_orig").as[String].collect()
     assert(backb.toSeq == Seq("-1", "2", "-1"))
   }
+
+  test("eventsWithTsUs absorbs generator schema drift (round-8 regression)") {
+    // The driver re-generates events.parquet per round and its physical
+    // schema has drifted (round 8 went red on every events-derived
+    // query). The reader must normalize: any plausible ts physical type
+    // and common column-name variants all land on the same µs clock.
+    import org.apache.spark.sql.types._
+    val canonDir = java.nio.file.Files.createTempDirectory("evdrift").toString
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 10:15:30.123456"), 7L, "click", 1.5, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-03-02 23:59:59.999999"), 8L, "view", 2.5, "{}"))
+    val canon = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    canon.write.mode("overwrite").parquet(s"$canonDir/events.parquet")
+    val want = TSModel.eventsWithTsUs(spark, canonDir)
+      .select("event_id", "ts_us").orderBy("event_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(want.map(_._2).forall(us => us > 1700000000000000L && us < 1800000000000000L))
+
+    def check(tag: String, expected: Seq[(Long, Long)] = want)(
+        mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      val d = java.nio.file.Files.createTempDirectory(s"evdrift_$tag").toString
+      mk(canon).write.mode("overwrite").parquet(s"$d/events.parquet")
+      val got = TSModel.eventsWithTsUs(spark, d)
+        .select("event_id", "ts_us").orderBy("event_id")
+        .as[(Long, Long)].collect().toSeq
+      assert(got == expected, s"variant $tag drifted: $got != $expected")
+    }
+    check("i64_us")(df => df.withColumn("ts", unix_micros(col("ts"))))
+    // a ms-resolution clock genuinely loses the sub-ms part
+    check("i64_ms", want.map { case (id, us) => (id, us / 1000 * 1000) })(
+      df => df.withColumn("ts", expr("unix_micros(ts) div 1000")))
+    check("dbl_s")(df => df.withColumn("ts", unix_micros(col("ts")) / lit(1e6)))
+    check("renamed")(df => df.toDF("id", "timestamp", "userid", "type", "val", "payload"))
+  }
 }

@@ -527,6 +527,14 @@ object SparkEntry {
     "doc_length_buckets" -> ((s, dir) =>
       graft.operators.TextAnalysis.lengthBuckets(docs(s, dir), bucketSz = 16)),
 
+    // Greedy sequence packing — docs concatenated into 256-token
+    // context windows, per-source streams, doc_id order; the one
+    // sequential dependency (running fill with reset) lives inside a
+    // source-local partition run, everything across sources is
+    // parallel. Oracle: the same scan as a per-source recursive CTE.
+    "doc_pack_greedy" -> ((s, dir) =>
+      graft.operators.TextAnalysis.packSequences(docs(s, dir), ctxLen = 256)),
+
     "doc_tokens_bpe" -> ((s, dir) => {
       import graft.operators.TextAnalysis._
       docs(s, dir).select(col("doc_id"), bpeishTokenCount(col("text")).as("n_bpe"))
@@ -1145,6 +1153,21 @@ object SparkEntry {
         rows.map(r => r.slice(sIdx * dsub, sIdx * dsub + dsub)))
       graft.operators.Ann.ivfPqTopK(cands, queries, k = 5, centroids,
         nprobe = 4, codebooks)
+        .select(col("query_id"), col("rank"), col("cand_id"),
+          (round(col("d2"), 4) + lit(0.0)).as("d2"))
+    }),
+
+    // Scalar (int8) quantization ANN — the SQ sibling of PQ: per-vector
+    // min/max affine byte grid, no codebook, encode + asymmetric
+    // scoring all built-in expressions (one WholeStageCodegen span).
+    // The scored side carries only (id, vmin, vmax, codes) — the 4×
+    // in-memory-index compression at 100 TB.
+    "emb_ann_sq8" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val queries = e.where(col("vec_id") < 10)
+      val cands = e.where(col("vec_id") >= 10)
+      graft.operators.Ann.sqTopK(cands, queries, k = 5)
         .select(col("query_id"), col("rank"), col("cand_id"),
           (round(col("d2"), 4) + lit(0.0)).as("d2"))
     }),
@@ -6163,6 +6186,34 @@ object SparkEntry {
         |  round(d2, 4) + 0.0 AS d2
         |FROM topk WHERE rank <= 5""".stripMargin,
 
+    // emb_ann_sq8: per-vector affine byte grid replayed per dimension —
+    // code_i = floor((v_i − vmin)·255/(vmax − vmin)), decode to
+    // vmin + code_i·(vmax − vmin)/255, ADC sum of squared diffs vs the
+    // exact query floats.
+    "emb_ann_sq8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |enc AS (
+        |  SELECT vec_id, list_min(v) AS vmin, list_max(v) AS vmax, v
+        |  FROM e WHERE vec_id >= 10
+        |), dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |adc AS (
+        |  SELECT q.vec_id AS query_id, enc.vec_id AS cand_id,
+        |    sum(pow(q.v[dims.i] - (enc.vmin +
+        |      (CASE WHEN enc.vmax = enc.vmin THEN 0
+        |        ELSE floor((enc.v[dims.i] - enc.vmin) * 255.0 / (enc.vmax - enc.vmin)) END)
+        |      * (enc.vmax - enc.vmin) / 255.0), 2)) AS d2
+        |  FROM e q, enc, dims
+        |  WHERE q.vec_id < 10
+        |  GROUP BY 1, 2
+        |), topk AS (
+        |  SELECT query_id, cand_id, d2,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY d2, cand_id) AS rank
+        |  FROM adc
+        |)
+        |SELECT query_id, CAST(rank AS INT) AS rank, cand_id,
+        |  round(d2, 4) + 0.0 AS d2
+        |FROM topk WHERE rank <= 5""".stripMargin,
+
     // emb_ann_lsh: the 16 formula hyperplanes replayed in SQL — bit
     // h = [Σ_i hp(h,i)·v_i ≥ 0], 4-bit band codes, equi-join on
     // (band, code), exact cosine on surviving pairs.
@@ -6604,6 +6655,32 @@ object SparkEntry {
         |  count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // doc_pack_greedy: the greedy fill-with-reset scan is not
+    // window-expressible (the running total resets), so the oracle
+    // replays it as a per-source recursive CTE over the same doc_id
+    // order: fill = off + tk; a doc joins the pack iff fill + tk ≤ 256,
+    // else starts the next pack at offset 0. A doc longer than the
+    // window keeps its own pack (it can only enter at fill = 0).
+    "doc_pack_greedy" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tk,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), p AS (
+        |  SELECT source, doc_id, tk, rn,
+        |    CAST(0 AS BIGINT) AS pack_seq, CAST(0 AS BIGINT) AS token_offset
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.source, t.doc_id, t.tk, t.rn,
+        |    CASE WHEN p.token_offset + p.tk + t.tk <= 256
+        |      THEN p.pack_seq ELSE p.pack_seq + 1 END,
+        |    CASE WHEN p.token_offset + p.tk + t.tk <= 256
+        |      THEN p.token_offset + p.tk ELSE CAST(0 AS BIGINT) END
+        |  FROM t JOIN p ON t.source = p.source AND t.rn = p.rn + 1
+        |)
+        |SELECT source, doc_id, tk, pack_seq, token_offset FROM p""".stripMargin,
 
     "emb_dedup_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)

@@ -104,6 +104,44 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Scalar (int8) quantization — the SQ sibling of PQ: a per-vector
+    * min/max affine grid, one byte per dimension (64 floats → 64 small
+    * ints + two floats, a 4× in-memory-index compression). Unlike PQ
+    * there is no codebook to train or broadcast; encode is a pure
+    * per-row expression chain (whole-stage codegen, zero shuffle, no
+    * UDF). code_i = floor((v_i − vmin) · 255 / (vmax − vmin)), with a
+    * constant-vector guard. Reconstruction for asymmetric scoring:
+    * v̂_i = vmin + code_i · (vmax − vmin)/255. */
+  def sqEncode(df: DataFrame, idCol: String = "vec_id", vecCol: String = "v"): DataFrame =
+    df.select(col(idCol), array_min(col(vecCol)).as("vmin"),
+        array_max(col(vecCol)).as("vmax"), col(vecCol).as("sq_v"))
+      .select(col(idCol), col("vmin"), col("vmax"),
+        transform(col("sq_v"), x =>
+          when(col("vmax") === col("vmin"), lit(0))
+            .otherwise(floor((x - col("vmin")) * lit(255.0) /
+              (col("vmax") - col("vmin"))).cast("int"))).as("codes"))
+
+  /** SQ ANN with asymmetric distance: exact query floats vs decoded
+    * candidate codes — the scored side of the join carries only
+    * (id, vmin, vmax, codes). Entirely built-in expressions
+    * (zip_with + aggregate), so the whole scan stays inside one
+    * WholeStageCodegen span. */
+  def sqTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+             idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    val enc = sqEncode(candidates, idCol, vecCol)
+    val scale = (col("vmax") - col("vmin")) / lit(255.0)
+    val d2 = aggregate(
+      zip_with(col("qv"), col("codes"), (qi, c) => {
+        val diff = qi - (col("vmin") + c * scale); diff * diff
+      }),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = enc.crossJoin(broadcast(queries.select(
+        col(idCol).as("query_id"), col(vecCol).as("qv"))))
+      .select(col("query_id"), col(idCol).as("cand_id"), d2.as("d2"))
+    val w = Window.partitionBy("query_id").orderBy(col("d2").asc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** IVF-PQ — the standard industrial ANN composition (coarse cells
     * prune the scan to nprobe inverted lists; PQ codes compress the
     * scanned payload to m ints): the scored relation carries ONLY

@@ -106,6 +106,45 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("rank"))
   }
 
+  /** Greedy sequence packing — the step between the cleaned corpus and
+    * the trainer: concatenate documents into fixed-size context windows
+    * so the token stream has minimal padding. Packing domain = `source`
+    * (keeps provenance-local context, and makes the op embarrassingly
+    * parallel across sources). Within a source, docs are visited in
+    * doc_id order and greedily fill the current pack; a doc that would
+    * overflow `ctxLen` starts a new pack (a doc longer than ctxLen gets
+    * a pack of its own — the trainer's chunker splits it downstream).
+    *
+    * Scale shape: ONE shuffle (hash by source), then a streaming
+    * per-partition scan with O(1) state — sortWithinPartitions gives
+    * each task its sources as contiguous runs, so no task ever holds a
+    * source's docs in memory and the output is independent of the
+    * partition count. This is exactly how production packing runs at
+    * 100 TB: the only sequential dependency is within a (source-local)
+    * run, everything across sources is parallel. */
+  def packSequences(docs: DataFrame, ctxLen: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("source"), col("doc_id").cast("long"),
+        tokenCount(col("text")).cast("long").as("tk"))
+      .as[(String, Long, Long)]
+      .repartition(col("source"))
+      .sortWithinPartitions("source", "doc_id")
+      .mapPartitions { it =>
+        var cur: String = null
+        var pack = 0L
+        var fill = 0L
+        it.map { case (src, id, tk) =>
+          if (src != cur) { cur = src; pack = 0L; fill = 0L }
+          else if (fill > 0L && fill + tk > ctxLen) { pack += 1; fill = 0L }
+          val off = fill
+          fill += tk
+          (src, id, tk, pack, off)
+        }
+      }
+      .toDF("source", "doc_id", "tk", "pack_seq", "token_offset")
+  }
+
   /** Token-length histogram — the sequence-packing planner's input
     * (how much mass sits in each context-length bucket): bucket =
     * tokens / bucketSz, per-bucket doc count + token mass. One

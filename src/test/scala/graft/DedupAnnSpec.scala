@@ -289,6 +289,82 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(b == Set((0, 2L, 4L), (1, 1L, 18L)))
   }
 
+  test("sequence packing: greedy fill, oversize isolation, partition independence") {
+    import graft.operators.TextAnalysis
+    def doc(id: Long, src: String, tk: Int) = (id, src, Seq.fill(tk)("w").mkString(" "))
+    val docsDf = Seq(
+      doc(1, "s", 100), doc(2, "s", 100), doc(3, "s", 100),
+      doc(4, "s", 300), doc(5, "s", 10),
+      doc(6, "t", 256), doc(7, "t", 1)
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.packSequences(docsDf, ctxLen = 256)
+      .select("doc_id", "pack_seq", "token_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // s: [1,2] fill 200 | [3] | [4 oversize alone] | [5]; t: [6 exactly full] | [7]
+    assert(got == Seq((1L, 0L, 0L), (2L, 0L, 100L), (3L, 1L, 0L),
+      (4L, 2L, 0L), (5L, 3L, 0L), (6L, 0L, 0L), (7L, 1L, 0L)))
+    // invariants on real data: within a pack, offsets are the running
+    // token sum and the fill only exceeds ctxLen for a lone oversized doc
+    val real = TextAnalysis.packSequences(
+      spark.read.parquet(s"$sf/documents.parquet"), ctxLen = 256)
+    val packs = real.groupBy("source", "pack_seq")
+      .agg(sum("tk").as("fill"), count(lit(1)).as("n"),
+        min("token_offset").as("off0"),
+        max(col("token_offset") + col("tk")).as("endMax"))
+      .collect()
+    packs.foreach { r =>
+      assert(r.getAs[Long]("off0") == 0L)
+      assert(r.getAs[Long]("fill") == r.getAs[Long]("endMax"))
+      assert(r.getAs[Long]("fill") <= 256 || r.getAs[Long]("n") == 1L)
+    }
+    // output is independent of the cluster's partitioning
+    val p2 = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    val again = TextAnalysis.packSequences(
+      spark.read.parquet(s"$sf/documents.parquet"), ctxLen = 256)
+      .select("doc_id", "pack_seq", "token_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    spark.conf.set("spark.sql.shuffle.partitions", p2)
+    assert(again == real.select("doc_id", "pack_seq", "token_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq)
+  }
+
+  test("SQ8: codes bounded, reconstruction within one grid step, top-1 == brute") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val enc = Ann.sqEncode(e)
+    val rows = enc.select("vec_id", "vmin", "vmax", "codes")
+      .as[(Long, Double, Double, Seq[Int])].collect()
+    val orig = e.as[(Long, Seq[Double])].collect().toMap
+    rows.foreach { case (id, vmin, vmax, codes) =>
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      val step = (vmax - vmin) / 255.0
+      codes.zip(orig(id)).foreach { case (c, x) =>
+        assert(math.abs(x - (vmin + c * step)) <= step + 1e-12)
+      }
+    }
+    // constant-vector guard
+    val const = Seq((99L, Seq.fill(4)(2.5))).toDF("vec_id", "v")
+    assert(Ann.sqEncode(const).select("codes").as[Seq[Int]].head == Seq(0, 0, 0, 0))
+    // quantized top-1 matches exact brute-force top-1 (64-dim grid error
+    // is far below the data's inter-point spacing)
+    val queries = e.where(col("vec_id") < 5)
+    val cands = e.where(col("vec_id") >= 5)
+    val sq1 = Ann.sqTopK(cands, queries, k = 1)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
+    val brute = cands.crossJoin(broadcast(
+        queries.select(col("vec_id").as("query_id"), col("v").as("qv"))))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        aggregate(zip_with(col("qv"), col("v"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d2"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("d2").asc, col("cand_id").asc)))
+      .where(col("rank") === 1)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
+    assert(sq1 == brute)
+  }
+
   test("stratified sample: quota semantics, determinism, default stratum") {
     import graft.operators.TextAnalysis
     val docs = (0L until 400L).map(i =>

@@ -535,6 +535,13 @@ object SparkEntry {
     "doc_pack_greedy" -> ((s, dir) =>
       graft.operators.TextAnalysis.packSequences(docs(s, dir), ctxLen = 256)),
 
+    // C4-style duplicate-span removal with reassembly: a 10-token span
+    // seen in several docs survives only in the lowest-doc_id one; every
+    // doc's text is rebuilt from its surviving spans in order (emitted
+    // as md5 so the relation stays narrow at corpus scale).
+    "doc_span_dedup" -> ((s, dir) =>
+      graft.operators.TextAnalysis.spanDedup(docs(s, dir), spanTokens = 10)),
+
     "doc_tokens_bpe" -> ((s, dir) => {
       import graft.operators.TextAnalysis._
       docs(s, dir).select(col("doc_id"), bpeishTokenCount(col("text")).as("n_bpe"))
@@ -1159,9 +1166,10 @@ object SparkEntry {
 
     // Scalar (int8) quantization ANN — the SQ sibling of PQ: per-vector
     // min/max affine byte grid, no codebook, encode + asymmetric
-    // scoring all built-in expressions (one WholeStageCodegen span).
-    // The scored side carries only (id, vmin, vmax, codes) — the 4×
-    // in-memory-index compression at 100 TB.
+    // scoring all built-in expressions (no UDF; no exchange beyond the
+    // top-k window — plan-locked). The scored side carries only
+    // (id, vmin, vmax, codes) — the 4× in-memory-index compression at
+    // 100 TB.
     "emb_ann_sq8" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -6681,6 +6689,33 @@ object SparkEntry {
         |  FROM t JOIN p ON t.source = p.source AND t.rn = p.rn + 1
         |)
         |SELECT source, doc_id, tk, pack_seq, token_offset FROM p""".stripMargin,
+
+    // doc_span_dedup: tumbling 10-token spans, cross-doc duplicates
+    // survive only in the min-doc_id keeper, texts reassembled from the
+    // surviving spans in position order and compared as md5.
+    "doc_span_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sp AS (
+        |  SELECT doc_id, g.i AS pos,
+        |    array_to_string(ws[(g.i * 10 + 1):(g.i * 10 + 10)], ' ') AS span
+        |  FROM w, (SELECT unnest(generate_series(0, 31)) AS i) g
+        |  WHERE g.i < ceil(len(ws) / 10.0)
+        |), keepers AS (
+        |  SELECT span, min(doc_id) AS keeper FROM sp GROUP BY 1
+        |), kept AS (
+        |  SELECT sp.doc_id, sp.pos, sp.span
+        |  FROM sp JOIN keepers USING (span) WHERE sp.doc_id = keepers.keeper
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(span, ' ' ORDER BY pos) AS t
+        |  FROM kept GROUP BY 1
+        |), base AS (
+        |  SELECT doc_id, CAST(ceil(len(ws) / 10.0) AS BIGINT) AS n_spans FROM w
+        |)
+        |SELECT b.doc_id, b.n_spans,
+        |  b.n_spans - coalesce(a.n_kept, 0) AS n_removed,
+        |  md5(coalesce(a.t, '')) AS text_md5
+        |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "emb_dedup_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)

@@ -124,8 +124,9 @@ object Ann {
   /** SQ ANN with asymmetric distance: exact query floats vs decoded
     * candidate codes — the scored side of the join carries only
     * (id, vmin, vmax, codes). Entirely built-in expressions
-    * (zip_with + aggregate), so the whole scan stays inside one
-    * WholeStageCodegen span. */
+    * (zip_with + aggregate): no UDF boxing, no broadcast state, and the
+    * encode+score scan adds no exchange beyond the final top-k window
+    * (plan-locked in PlanAuditSpec). */
   def sqTopK(candidates: DataFrame, queries: DataFrame, k: Int,
              idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
     val enc = sqEncode(candidates, idCol, vecCol)

@@ -106,6 +106,47 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("rank"))
   }
 
+  /** Corpus-level duplicate-span removal with text reassembly — the C4
+    * "remove duplicated spans, keep one occurrence" cleanup (Raffel et
+    * al. 2020 §2.2 do it over three-sentence spans; this corpus has no
+    * sentence boundaries, so the unit is a tumbling `spanTokens`-token
+    * window). A span seen in more than one document survives only in
+    * the lowest-doc_id document; every other document loses it and its
+    * text is reassembled from the surviving spans in order.
+    *
+    * Scale shape: explode to (doc, pos, span) → ONE map-side-combinable
+    * groupBy(span) for the document frequency + keeper → one shuffle
+    * join back on span → ONE groupBy(doc) reassembly whose per-group
+    * state is the doc's own spans (bounded by doc length, never by
+    * corpus size). A pathologically hot span concentrates its COPIES on
+    * one reducer in the join — the same exposure as the shingle joins,
+    * bounded here because a doc contributes a span position at most
+    * once per occurrence and the join's build side is one row per
+    * distinct span. Output keeps the rewritten text as an md5 so the
+    * result relation stays narrow at any corpus size. */
+  def spanDedup(docs: DataFrame, spanTokens: Int = 10): DataFrame = {
+    val words = split(col("text"), " ")
+    val nSpans = ceil(size(words) / lit(spanTokens.toDouble)).cast("int")
+    val spans = docs.select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), nSpans - 1),
+          i => array_join(slice(words, i * spanTokens + 1, lit(spanTokens)), " ")))
+        .as(Seq("pos", "span")))
+    val dfreq = spans.groupBy("span")
+      .agg(min("doc_id").as("keeper"))
+    val kept = spans.join(dfreq, "span")
+      .where(col("doc_id") === col("keeper"))
+    val reassembled = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("span")))),
+        x => x.getField("span")), " ").as("text_dedup"))
+    docs.select(col("doc_id"), nSpans.cast("long").as("n_spans"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        (col("n_spans") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        md5(coalesce(col("text_dedup"), lit("")).cast("binary")).as("text_md5"))
+  }
+
   /** Greedy sequence packing — the step between the cleaned corpus and
     * the trainer: concatenate documents into fixed-size context windows
     * so the token stream has minimal padding. Packing domain = `source`

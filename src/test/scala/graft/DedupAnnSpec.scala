@@ -289,6 +289,31 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(b == Set((0, 2L, 4L), (1, 1L, 18L)))
   }
 
+  test("span dedup: cross-doc spans survive only in keeper, reassembly exact") {
+    import graft.operators.TextAnalysis
+    // spans of 2 tokens; "x y" appears in docs 1 and 2 -> doc 2 loses it
+    val docsDf = Seq(
+      (1L, "x y a b"),          // spans: "x y", "a b"
+      (2L, "x y c d"),          // spans: "x y"(dup, removed), "c d"
+      (3L, "e f g")             // spans: "e f", "g" (trailing partial)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.spanDedup(docsDf, spanTokens = 2)
+      .select("doc_id", "n_spans", "n_removed", "text_md5")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    def m(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(got(0) == ((1L, 2L, 0L, m("x y a b"))))
+    assert(got(1) == ((2L, 2L, 1L, m("c d"))))
+    assert(got(2) == ((3L, 2L, 0L, m("e f g"))))
+    // real corpus: spans conserved (kept + removed = total), some removal
+    val real = TextAnalysis.spanDedup(
+      spark.read.parquet(s"$sf/documents.parquet"), spanTokens = 10)
+    val agg = real.agg(sum("n_spans"), sum("n_removed")).as[(Long, Long)].head
+    assert(agg._1 > 0 && agg._2 >= 0 && agg._2 < agg._1)
+  }
+
   test("sequence packing: greedy fill, oversize isolation, partition independence") {
     import graft.operators.TextAnalysis
     def doc(id: Long, src: String, tk: Int) = (id, src, Seq.fill(tk)("w").mkString(" "))

@@ -167,4 +167,41 @@ class PlanAuditSpec extends AnyFunSuite {
     // scoring 10⁹ probes must not shuffle anything
     assert(!p.contains("Exchange"), s"exchange leaked into Nystrom predict:\n$p")
   }
+
+  test("sequence packing: exactly one exchange (hash by source), pruned scan") {
+    val p = plan("doc_pack_greedy")
+    // the design is ONE shuffle + a streaming per-partition scan; a
+    // second exchange would mean the mapPartitions state machine no
+    // longer sits on the source-hashed, locally-sorted stream
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"packing must shuffle exactly once (hash by source):\n$p")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("source") && read.contains("doc_id") && read.contains("text"))
+  }
+
+  test("SQ8 ANN: encode+ADC stay codegen'd expressions, queries broadcast") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val p = graft.operators.Ann.sqTopK(
+        e.where(col("vec_id") >= 10), e.where(col("vec_id") < 10), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"queries side must broadcast:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      s"SQ scoring must be built-in expressions, not a UDF:\n$p")
+    // one exchange total: the final per-query top-k partitioning — the
+    // encode+score scan itself must stay a pure map over the candidates
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"SQ scan must add no exchange beyond the top-k window:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      "top-k lost its partial group-limit pushdown")
+  }
+
+  test("span dedup: both groupBys partial; no window over the corpus") {
+    val p = plan("doc_span_dedup")
+    assert(p.contains("partial_"), "span df lost map-side partial aggregation")
+    // reassembly must be a grouped agg (state bounded by one doc's
+    // spans), never a corpus-wide Window sort
+    assert(!p.contains("Window"), s"unexpected window in span dedup:\n$p")
+  }
 }

@@ -23,8 +23,10 @@ object SparkEntry {
     * TIMESTAMP schemas across rounds); see TSModel.eventsWithTsUs. */
   private def ev(s: SparkSession, dir: String) = TSModel.eventsWithTsUs(s, dir)
   private def li(s: SparkSession, dir: String) = s.read.parquet(s"$dir/lineitem.parquet")
-  private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
-  private def emb(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
+  // Schema-normalizing readers (generator drift guard — see
+  // TSModel.normalizeColumns; round 8 went red on an events variant)
+  private def docs(s: SparkSession, dir: String) = TSModel.documents(s, dir)
+  private def emb(s: SparkSession, dir: String) = TSModel.embeddings(s, dir)
 
   /** (user_id, t [1-based], n, value) — canonical exploded series view of
     * the events table; one window, no extra shuffle beyond the partition

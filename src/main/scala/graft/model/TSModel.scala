@@ -38,6 +38,39 @@ object TSModel {
     * TIMESTAMP(NANOS) (read ns-as-long, integer-div to µs) or a plain
     * TIMESTAMP (µs precision, `unix_micros`). Both match the DuckDB
     * oracle's `epoch_ns(ts) // 1000` clock. */
+  /** Case-insensitive column normalizer with synonyms — the generic
+    * drift guard behind the events/documents/embeddings readers (the
+    * driver re-generates testdata per round and its schemas have
+    * drifted; round 8 went red on a variant). First match per
+    * canonical name wins; already-canonical frames pass through
+    * untouched. */
+  def normalizeColumns(df: DataFrame, spec: Seq[(String, Seq[String])]): DataFrame = {
+    val lower = df.schema.fieldNames.map(n => n.toLowerCase -> n).toMap
+    spec.foldLeft(df) { case (d, (canon, syns)) =>
+      (canon +: syns).iterator.flatMap(s => lower.get(s.toLowerCase))
+        .nextOption().filter(_ != canon)
+        .fold(d)(actual => d.withColumnRenamed(actual, canon))
+    }
+  }
+
+  /** documents.parquet with canonical (doc_id, text, lang, source,
+    * n_chars) column names regardless of generator drift. */
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeColumns(spark.read.parquet(s"$sfDir/documents.parquet"), Seq(
+      "doc_id" -> Seq("id", "docid", "document_id"),
+      "text" -> Seq("content", "body", "document"),
+      "lang" -> Seq("language"),
+      "source" -> Seq("domain", "src", "origin"),
+      "n_chars" -> Seq("nchars", "len", "length")))
+
+  /** embeddings.parquet with canonical (vec_id, embedding, label)
+    * column names regardless of generator drift. */
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeColumns(spark.read.parquet(s"$sfDir/embeddings.parquet"), Seq(
+      "vec_id" -> Seq("id", "vecid", "embedding_id"),
+      "embedding" -> Seq("vec", "vector", "emb"),
+      "label" -> Seq("y", "cls", "class")))
+
   def eventsWithTsUs(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -48,26 +81,16 @@ object TSModel {
     // didn't absorb. Normalize DEFENSIVELY: resolve every expected
     // column case-insensitively (with synonyms), and convert any
     // plausible physical `ts` type to the canonical µs clock.
-    def resolve(wanted: String, synonyms: Seq[String]): Option[String] = {
-      val names = raw.schema.fieldNames
-      val lower = names.map(n => n.toLowerCase -> n).toMap
-      (wanted +: synonyms).iterator.flatMap(s => lower.get(s.toLowerCase))
-        .nextOption()
-    }
-    val tsName = resolve("ts", Seq("timestamp", "event_ts", "event_time", "time"))
-      .getOrElse(throw new IllegalArgumentException(
-        s"events.parquet has no recognizable timestamp column; schema = ${raw.schema.simpleString}"))
-    val renames = Seq(
+    val ev = normalizeColumns(raw, Seq(
+      "ts" -> Seq("timestamp", "event_ts", "event_time", "time"),
       "event_id" -> Seq("id", "eventid"),
       "user_id" -> Seq("userid", "uid", "user"),
       "event_type" -> Seq("type", "eventtype"),
       "value" -> Seq("val", "v", "amount"),
-      "props" -> Seq("properties", "payload"))
-    var ev = if (tsName == "ts") raw else raw.withColumnRenamed(tsName, "ts")
-    renames.foreach { case (canon, syns) =>
-      resolve(canon, syns).filter(_ != canon)
-        .foreach(actual => ev = ev.withColumnRenamed(actual, canon))
-    }
+      "props" -> Seq("properties", "payload")))
+    if (!ev.schema.fieldNames.contains("ts"))
+      throw new IllegalArgumentException(
+        s"events.parquet has no recognizable timestamp column; schema = ${raw.schema.simpleString}")
     // TIMESTAMP_NTZ (what parquet timestamp[us] reads as) needs a cast
     // before unix_micros; session TZ is UTC so the cast is instant-exact.
     // Integer/float clocks get their unit detected by magnitude — epoch

@@ -153,4 +153,23 @@ class ModelSpec extends AnyFunSuite {
     check("dbl_s")(df => df.withColumn("ts", unix_micros(col("ts")) / lit(1e6)))
     check("renamed")(df => df.toDF("id", "timestamp", "userid", "type", "val", "payload"))
   }
+
+  test("documents/embeddings readers absorb column-name drift") {
+    val d = java.nio.file.Files.createTempDirectory("tabdrift").toString
+    Seq((1L, "hello world", "en", "web", 11L))
+      .toDF("ID", "content", "language", "domain", "len")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val doc = TSModel.documents(spark, d)
+    assert(doc.columns.toSet == Set("doc_id", "text", "lang", "source", "n_chars"))
+    assert(doc.select("text").as[String].head == "hello world")
+    Seq((7L, Array(1.0f, 2.0f), 3))
+      .toDF("vecid", "vector", "y")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val em = TSModel.embeddings(spark, d)
+    assert(em.columns.toSet == Set("vec_id", "embedding", "label"))
+    assert(em.select("vec_id").as[Long].head == 7L)
+    // canonical schemas pass through untouched
+    val realDocs = TSModel.documents(spark, "/root/testdata/sf0.001")
+    assert(realDocs.columns.contains("doc_id") && realDocs.count() > 0)
+  }
 }

@@ -2127,6 +2127,16 @@ object SparkEntry {
         d.where(col("doc_id") >= 10), d.where(col("doc_id") < 10), k = 3)
     }),
 
+    // Streaming minhash-LSH near-dup detection (StreamingOps
+    // .dedupNearMinhash — per-row signatures + flatMapGroupsWithState
+    // min-id band-bucket state) run in batch mode: the operator's own
+    // state-update loop is the driver signal. Batch mode = one big
+    // micro-batch, so every non-min doc of a band bucket emits
+    // (doc, band, bucket_min) — exactly the per-band window oracle.
+    "doc_stream_neardup" -> ((s, dir) =>
+      graft.streaming.StreamingOps.dedupNearMinhash(docs(s, dir), portable = true)
+        .toDF().select(col("doc_id"), col("band"), col("dup_of"))),
+
     // Streaming early-classification predict (StreamingOps.earlyClassify
     // — the flatMapGroupsWithState prefix loop) in batch mode with a
     // pinned relational classifier: label = [prefix mean > 50],
@@ -2259,6 +2269,41 @@ object SparkEntry {
        |)
        |SELECT doc_a, doc_b, round(m / 64.0, 4) AS est_jaccard
        |FROM cand WHERE m / 64.0 >= 0.35""".stripMargin
+  }
+
+  /** DuckDB oracle for doc_stream_neardup: the same portable signature
+    * replay as minhashOracleSql, then per band a window min over the
+    * band's 4 signature slots — batch-mode flatMapGroupsWithState
+    * processes each bucket in doc_id order with min-id state, so every
+    * non-min doc of a bucket emits (doc, band, bucket min). */
+  private def streamNeardupOracleSql: String = {
+    val p = graft.operators.Dedup.MinhashP
+    val coeffs = graft.operators.Dedup.minhashCoeffs(64, 42L)
+    val sigCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * x + $b) % $p) AS mh_$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until 16).map { band =>
+      val cols = (0 until 4).map(r => s"mh_${band * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $band AS band, min(doc_id) OVER (PARTITION BY $cols) AS dup_of FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH words AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(w[j:j+2], ' ') AS sh
+       |  FROM words, (SELECT unnest(generate_series(1, 1000)) AS j) g
+       |  WHERE j <= len(w) - 2
+       |), base AS (
+       |  SELECT doc_id,
+       |    CAST(CONCAT('0x', substring(md5(sh), 1, 15)) AS BIGINT) % $p AS x
+       |  FROM sh
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM base GROUP BY 1
+       |), hits AS (
+       |  $bandSelects
+       |)
+       |SELECT doc_id, band, dup_of FROM hits WHERE doc_id != dup_of""".stripMargin
   }
 
   /** DuckDB oracle for doc_dedup_clusters: the SAME thresholded minhash
@@ -6020,6 +6065,7 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin),
 
     "doc_minhash_pairs" -> minhashOracleSql,
+    "doc_stream_neardup" -> streamNeardupOracleSql,
     "doc_dedup_clusters" -> dedupClustersOracleSql,
     "doc_ngram_topk" ->
       """WITH words AS (

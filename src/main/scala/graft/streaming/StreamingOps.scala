@@ -95,6 +95,92 @@ object StreamingOps {
       .select(col("doc_id"), col("n_shared"))
   }
 
+  case class BandHit(doc_id: Long, band: Int, dup_of: Long)
+
+  /** Per-row MinHash signature as pure expressions, in two stages — the
+    * streaming-legal form of Dedup.minhashSignatures (whose explode +
+    * min-agg is a stateful aggregation, and Structured Streaming cannot
+    * chain an aggregation into flatMapGroupsWithState). Same math
+    * bit-for-bit: sig_j = min over word-k-shingles of (a_j·x + b_j)
+    * mod p with x = baseHash(shingle) mod p; a_j, x < p = 2³¹−1, so
+    * a_j·x fits a Long. Cost per doc: shingles × numHashes
+    * multiply-mods, row-local, no shuffle.
+    *
+    * Stage 1: per-row array of base shingle hashes (mod p). MUST be
+    * projected as a real column (its own select) before feeding
+    * [[rowSignatureFromHashes]] — a Column referenced inside an HOF
+    * lambda is INLINED by Catalyst, so passing this expression directly
+    * into the 64 per-permutation minima re-runs the md5 of every
+    * shingle 64× (measured: 93 s inlined → ~3 s warm staged on 5 k
+    * docs at sf0.1). */
+  def rowShingleHashes(textCol: org.apache.spark.sql.Column, k: Int = 3,
+                       portable: Boolean = false): org.apache.spark.sql.Column = {
+    val p = graft.operators.Dedup.MinhashP
+    val w = split(lower(textCol), " ")
+    val shArr = transform(sequence(lit(0), greatest(size(w) - k, lit(0))),
+      i => array_join(slice(w, i + 1, lit(k)), " "))
+    transform(shArr, s =>
+      pmod(if (portable) graft.operators.Dedup.md5Hash60(s) else xxhash64(s), lit(p)))
+  }
+
+  /** Stage 2: the numHashes per-permutation minima over an ATTRIBUTE
+    * column of base hashes (see [[rowShingleHashes]]). */
+  def rowSignatureFromHashes(xsCol: org.apache.spark.sql.Column,
+                             numHashes: Int = 64, seed: Long = 42L): org.apache.spark.sql.Column = {
+    val p = graft.operators.Dedup.MinhashP
+    val coeffs = graft.operators.Dedup.minhashCoeffs(numHashes, seed)
+    array(coeffs.map { case (a, b) =>
+      array_min(transform(xsCol, x => pmod(x * lit(a) + lit(b), lit(p))))
+    }.toIndexedSeq: _*)
+  }
+
+  /** Streaming near-duplicate detection at ingest — the streaming twin
+    * of Dedup.minhashLsh's banding stage: per-row signatures (stateless,
+    * see rowShingleHashes / rowSignatureFromHashes), LSH band codes as the state key, and one
+    * `flatMapGroupsWithState` keeping ONE Long per (band, bucket): the
+    * lowest doc_id seen so far. A doc landing in a non-empty bucket
+    * emits (doc_id, band, dup_of = that holder) — the ingest-time
+    * "probably seen before" signal, before any expensive verification.
+    * Docs in each micro-batch are processed in doc_id order so the
+    * operator is deterministic (batch mode ≡ one big micro-batch: every
+    * non-min doc of a bucket pairs with the bucket min). State is one
+    * Long per distinct (band, bucket) — production bounds it with a
+    * state-store TTL; the group sort is bounded by the bucket's rows in
+    * ONE micro-batch, not the stream's history. */
+  def dedupNearMinhash(docs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+                       shingleK: Int = 3, seed: Long = 42L,
+                       portable: Boolean = false): Dataset[BandHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numHashes / bands
+    // two selects on purpose: xs must be an attribute when the 64
+    // minima reference it (see rowShingleHashes — HOF lambda inlining)
+    val sig = docs.select(col("doc_id").cast("long").as("doc_id"),
+        rowShingleHashes(col("text"), shingleK, portable).as("xs"))
+      .select(col("doc_id"),
+        rowSignatureFromHashes(col("xs"), numHashes, seed).as("sig"))
+    val banded = sig.select(col("doc_id"), posexplode(
+        array((0 until bands).map(b =>
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("string")): _*))
+        .as(Seq("band", "bucket")))
+      .as[(Long, Int, String)]
+    banded.groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[Long, BandHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((band, _), it, state: GroupState[Long]) =>
+          val ids = it.map(_._1).toArray.sorted
+          var minSeen = state.getOption.getOrElse(Long.MaxValue)
+          val out = Vector.newBuilder[BandHit]
+          ids.foreach { d =>
+            if (minSeen != Long.MaxValue && d != minSeen)
+              out += BandHit(d, band, minSeen)
+            if (d < minSeen) minSeen = d
+          }
+          if (minSeen != Long.MaxValue) state.update(minSeen)
+          out.result().iterator
+      }
+  }
+
   case class MpPoint(user_id: Long, seq: Long, value: Double)
   case class MpValue(user_id: Long, i: Long, mp: Double)
 

@@ -81,6 +81,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && !streamed.map(_._1).contains(1L))
   }
 
+  test("streaming minhash near-dup flags cross-batch duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    // the per-row signature expression must equal the batch aggregation
+    val docsDf = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "the quick brown fox jumps over the lazy dog today"),  // near-dup of 0
+      (2L, "completely different text with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val rowSig = docsDf.select(col("doc_id"),
+        StreamingOps.rowShingleHashes(col("text"), portable = true).as("xs"))
+      .select(col("doc_id"), StreamingOps.rowSignatureFromHashes(col("xs")).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val aggSig = graft.operators.Dedup.minhashSignatures(
+        graft.operators.Dedup.shingles(docsDf, 3, dedupe = false),
+        portable = true)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(rowSig == aggSig, "row-expression signature drifted from the batch agg")
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.dedupNearMinhash(
+        input.toDF().toDF("doc_id", "text"), portable = true)
+      .writeStream.format("memory").queryName("neardup").outputMode("append").start()
+    input.addData((0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different text with no overlap at all here"))
+    q.processAllAvailable()
+    val firstBatch = spark.table("neardup").as[StreamingOps.BandHit].collect()
+    // nothing collides between docs 0 and 2
+    assert(firstBatch.isEmpty)
+    input.addData((1L, "the quick brown fox jumps over the lazy dog today"))
+    q.processAllAvailable()
+    val hits = spark.table("neardup").as[StreamingOps.BandHit].collect()
+    q.stop()
+    // doc 1 shares most shingles with doc 0 -> at least one band collides
+    // ACROSS batches (state held the bucket min from batch 1)
+    assert(hits.nonEmpty && hits.forall(h => h.doc_id == 1L && h.dup_of == 0L),
+      s"unexpected hits: ${hits.toSeq}")
+  }
+
   test("streaming exact dedup keeps first doc per content hash") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp, String)]

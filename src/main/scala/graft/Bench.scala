@@ -43,13 +43,13 @@ object Bench {
     // a re-run.
     val loadStart = loadavg()
     val loadWarn = loadStart > 3.0
-    // Self-healing under external load: a tainted start defaults to
-    // repeat=2 so the recorded per-query minima come from warm re-runs
-    // instead of the record merely self-flagging as suspect. An explicit
-    // SPARK_GRAFT_REPEAT always wins.
+    // Default repeat=2: this host shows external load spikes MID-run
+    // too (not just at start), and per-query minima over two runs are
+    // the cheapest insurance — r8/r9 records at repeat=1 carried 20-50%
+    // noise inflation. An explicit SPARK_GRAFT_REPEAT always wins.
     val repeat = math.max(1,
       scala.util.Try(sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt)).toOption.flatten
-        .getOrElse(if (loadWarn) 2 else 1))
+        .getOrElse(2))
     if (loadWarn)
       System.err.println(
         f"[bench] WARNING: start loadavg $loadStart%.2f > 3 — external VM " +

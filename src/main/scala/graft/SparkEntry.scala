@@ -537,6 +537,14 @@ object SparkEntry {
     "doc_pack_greedy" -> ((s, dir) =>
       graft.operators.TextAnalysis.packSequences(docs(s, dir), ctxLen = 256)),
 
+    // In-corpus bigram LM scoring (the CCNet-style perplexity quality
+    // filter, no external model): add-0.5-smoothed bigram MLE, per-doc
+    // mean log-probability. Count tables are vocabulary-bounded.
+    "doc_lm_score" -> ((s, dir) =>
+      graft.operators.TextAnalysis.lmScore(docs(s, dir), k = 0.5)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("lm_score"), 4).as("lm_score"))),
+
     // C4-style duplicate-span removal with reassembly: a 10-token span
     // seen in several docs survives only in the lowest-doc_id one; every
     // doc's text is rebuilt from its surviving spans in order (emitted
@@ -6737,6 +6745,27 @@ object SparkEntry {
         |  FROM t JOIN p ON t.source = p.source AND t.rn = p.rn + 1
         |)
         |SELECT source, doc_id, tk, pack_seq, token_offset FROM p""".stripMargin,
+
+    // doc_lm_score: the smoothed bigram LM replayed relationally —
+    // same unigram/bigram count tables, same add-k formula, ln both
+    // engines; V = count of distinct unigrams.
+    "doc_lm_score" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |uni AS (
+        |  SELECT u.w1, count(*) AS c1 FROM (
+        |    SELECT unnest(ws) AS w1 FROM w) u GROUP BY 1
+        |), v AS (SELECT count(*) AS v FROM uni),
+        |bg AS (
+        |  SELECT doc_id, ws[g.i] AS w1, ws[g.i + 1] AS w2
+        |  FROM w, (SELECT unnest(generate_series(1, 200)) AS i) g
+        |  WHERE g.i <= len(ws) - 1
+        |), bi AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+        |)
+        |SELECT bg.doc_id, count(*) AS n_bigrams,
+        |  round(avg(ln((bi.c12 + 0.5) / (uni.c1 + 0.5 * v.v))), 4) AS lm_score
+        |FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1), v
+        |GROUP BY 1""".stripMargin,
 
     // doc_span_dedup: tumbling 10-token spans, cross-doc duplicates
     // survive only in the min-doc_id keeper, texts reassembled from the

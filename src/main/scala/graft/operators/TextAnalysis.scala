@@ -106,6 +106,43 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("rank"))
   }
 
+  /** In-corpus bigram language-model scoring — the CCNet/LLaMA-pipeline
+    * "LM quality filter" computed from the corpus itself (no external
+    * model): score(doc) = mean over positions i ≥ 2 of
+    * ln P(w_i | w_{i−1}) with add-k-smoothed bigram MLE
+    * P(w2|w1) = (C(w1,w2) + k) / (C(w1) + k·V), V = distinct unigrams.
+    * Low scores = improbable word sequences (gibberish, boilerplate
+    * soup) — the standard perplexity-filter signal.
+    *
+    * Scale shape: one pass builds the count tables (two map-side-
+    * combinable groupBys; both are one row per DISTINCT gram, so their
+    * size is vocabulary-bounded, not corpus-bounded), then each doc's
+    * bigrams join those aggregated tables — join skew is bounded by the
+    * hottest gram's OCCURRENCES (doc side), never squared, and the
+    * per-doc mean is a bounded grouped agg. Docs with < 2 words are
+    * excluded (no bigram events). */
+  def lmScore(docs: DataFrame, k: Double = 0.5): DataFrame = {
+    val base = docs.select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+    val bigrams = base.where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(0), size(col("w")) - 2),
+        i => struct(col("w")(i).as("w1"), col("w")(i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // localCheckpoint: the unigram table feeds both the V count below
+    // and the per-doc join — without it the corpus is scanned twice
+    val uniCounts = base.select(explode(col("w")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+      .localCheckpoint()
+    val vocab = uniCounts.count() // one value: the smoothing denominator
+    val biCounts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    bigrams
+      .join(biCounts, Seq("w1", "w2"))
+      .join(uniCounts, Seq("w1"))
+      .select(col("doc_id"),
+        log((col("c12") + lit(k)) / (col("c1") + lit(k * vocab))).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), avg("lp").as("lm_score"))
+  }
+
   /** Corpus-level duplicate-span removal with text reassembly — the C4
     * "remove duplicated spans, keep one occurrence" cleanup (Raffel et
     * al. 2020 §2.2 do it over three-sentence spans; this corpus has no

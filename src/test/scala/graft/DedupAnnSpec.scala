@@ -289,6 +289,22 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(b == Set((0, 2L, 4L), (1, 1L, 18L)))
   }
 
+  test("bigram LM score: hand-computed smoothed log-probs") {
+    import graft.operators.TextAnalysis
+    val docsDf = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(docsDf, k = 0.5)
+      .select("doc_id", "n_bigrams", "lm_score")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // C(a)=3 C(b)=3 C(c)=1, V=3; C(a,b)=3 C(b,a)=1 C(b,c)=1
+    val pAB = math.log(3.5 / 4.5); val pBA = math.log(1.5 / 4.5)
+    val pBC = math.log(1.5 / 4.5)
+    assert(got(0)._2 == 3L && math.abs(got(0)._3 - (pAB + pBA + pAB) / 3) < 1e-12)
+    assert(got(1)._2 == 2L && math.abs(got(1)._3 - (pAB + pBC) / 2) < 1e-12)
+    // a one-word doc has no bigram events and is excluded
+    val one = TextAnalysis.lmScore(Seq((9L, "solo")).toDF("doc_id", "text"))
+    assert(one.count() == 0)
+  }
+
   test("span dedup: cross-doc spans survive only in keeper, reassembly exact") {
     import graft.operators.TextAnalysis
     // spans of 2 tokens; "x y" appears in docs 1 and 2 -> doc 2 loses it

@@ -537,6 +537,20 @@ object SparkEntry {
     "doc_pack_greedy" -> ((s, dir) =>
       graft.operators.TextAnalysis.packSequences(docs(s, dir), ctxLen = 256)),
 
+    // One full-batch logistic gradient step of the LEARNED quality
+    // filter (fasttext-style hashed bag-of-words, label = [lang=en]):
+    // formula-pinned start weights so the whole step — σ scores,
+    // residuals, per-bucket gradient, update — replays in SQL. The
+    // trainable twin of the heuristic doc_quality signals.
+    "doc_quality_model_step" -> ((s, dir) => {
+      val d = 32
+      val w0 = Array.tabulate(d)(bk => ((3 * bk + 1) % 7 - 3) / 10.0)
+      graft.operators.TextAnalysis.qualityLogisticStep(
+          docs(s, dir), (col("lang") === "en").cast("double"),
+          w0, b = 0.1, eta = 0.5, d = d)
+        .select(col("bucket"), round(col("weight"), 6).as("weight"))
+    }),
+
     // In-corpus bigram LM scoring (the CCNet-style perplexity quality
     // filter, no external model): add-0.5-smoothed bigram MLE, per-doc
     // mean log-probability. Count tables are vocabulary-bounded.
@@ -2277,6 +2291,46 @@ object SparkEntry {
        |)
        |SELECT doc_a, doc_b, round(m / 64.0, 4) AS est_jaccard
        |FROM cand WHERE m / 64.0 >= 0.35""".stripMargin
+  }
+
+  /** DuckDB oracle for doc_quality_model_step: the hashed-BoW logistic
+    * gradient step fully relational — same portable md5 word buckets,
+    * σ scores from the pinned start weights, per-bucket residual
+    * gradient, update. */
+  private def qualityStepOracleSql: String = {
+    val d = 32
+    val w0 = Array.tabulate(d)(bk => ((3 * bk + 1) % 7 - 3) / 10.0)
+    val values = (w0.zipWithIndex.map { case (wv, bk) => s"($bk, $wv)" }
+      :+ s"(-1, 0.1)").mkString(", ")
+    s"""WITH wt(bucket, wv) AS (SELECT * FROM (VALUES $values) v(bucket, wv)),
+       |docs0 AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |    string_split(lower(text), ' ') AS ws
+       |  FROM documents
+       |), tok AS (SELECT doc_id, unnest(ws) AS tk FROM docs0),
+       |feat AS (
+       |  SELECT doc_id,
+       |    CAST(CAST(CONCAT('0x', substring(md5(tk), 1, 15)) AS BIGINT) % $d AS INT) AS bucket,
+       |    CAST(count(*) AS DOUBLE) AS xb
+       |  FROM tok GROUP BY 1, 2
+       |), z AS (
+       |  SELECT d0.doc_id, d0.y, coalesce(sum(w2.wv * f.xb), 0) + 0.1 AS z
+       |  FROM docs0 d0
+       |  LEFT JOIN feat f ON f.doc_id = d0.doc_id
+       |  LEFT JOIN wt w2 ON w2.bucket = f.bucket
+       |  GROUP BY 1, 2
+       |), resid AS (SELECT doc_id, 1.0 / (1.0 + exp(-z)) - y AS r FROM z),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM documents),
+       |grads AS (
+       |  SELECT f.bucket, sum(f.xb * resid.r) / max(n.nn) AS g
+       |  FROM feat f JOIN resid ON resid.doc_id = f.doc_id, n
+       |  GROUP BY 1
+       |  UNION ALL
+       |  SELECT -1 AS bucket, sum(resid.r) / max(n.nn) AS g FROM resid, n
+       |)
+       |SELECT wt.bucket,
+       |  round(wt.wv - 0.5 * coalesce(grads.g, 0), 6) AS weight
+       |FROM wt LEFT JOIN grads ON grads.bucket = wt.bucket""".stripMargin
   }
 
   /** DuckDB oracle for doc_stream_neardup: the same portable signature
@@ -6074,6 +6128,7 @@ object SparkEntry {
 
     "doc_minhash_pairs" -> minhashOracleSql,
     "doc_stream_neardup" -> streamNeardupOracleSql,
+    "doc_quality_model_step" -> qualityStepOracleSql,
     "doc_dedup_clusters" -> dedupClustersOracleSql,
     "doc_ngram_topk" ->
       """WITH words AS (

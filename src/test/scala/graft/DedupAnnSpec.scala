@@ -289,6 +289,37 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(b == Set((0, 2L, 4L), (1, 1L, 18L)))
   }
 
+  test("learned quality filter: gradient step reduces loss, fit separates") {
+    import graft.operators.TextAnalysis
+    // separable toy corpus: "good" vocab vs "spam" vocab
+    val docsDf = (0 until 40).map { i =>
+      val good = i % 2 == 0
+      val words = if (good) Seq("insight", "method", "result", "analysis")
+                  else Seq("buy", "click", "free", "winner")
+      (i.toLong, (0 until 12).map(j => words((i + j) % 4)).mkString(" "),
+        if (good) "en" else "xx")
+    }.toDF("doc_id", "text", "lang")
+    val label = (col("lang") === "en").cast("double")
+    def logLoss(w: Array[Double], b: Double): Double = {
+      val p = TextAnalysis.qualityLogisticPredict(docsDf, w, b)
+        .join(docsDf.select(col("doc_id"), label.as("y")), "doc_id")
+        .select(col("p_quality"), col("y")).as[(Double, Double)].collect()
+      -p.map { case (pi, y) => y * math.log(pi) + (1 - y) * math.log(1 - pi) }.sum / p.length
+    }
+    val d = 16
+    val w0 = Array.fill(d)(0.0)
+    val stepped = TextAnalysis.qualityLogisticStep(docsDf, label, w0, 0.0, 0.5, d)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val w1 = Array.tabulate(d)(stepped(_))
+    assert(logLoss(w1, stepped(-1)) < logLoss(w0, 0.0), "one GD step must reduce log-loss")
+    val (wf, bf) = TextAnalysis.qualityLogisticFit(docsDf, label, d, eta = 0.5, iters = 30)
+    val preds = TextAnalysis.qualityLogisticPredict(docsDf, wf, bf)
+      .join(docsDf.select(col("doc_id"), label.as("y")), "doc_id")
+      .select(col("p_quality"), col("y")).as[(Double, Double)].collect()
+    val acc = preds.count { case (p, y) => (p >= 0.5) == (y == 1.0) }.toDouble / preds.length
+    assert(acc == 1.0, s"separable corpus must classify perfectly, got $acc")
+  }
+
   test("bigram LM score: hand-computed smoothed log-probs") {
     import graft.operators.TextAnalysis
     val docsDf = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")

@@ -537,6 +537,31 @@ object SparkEntry {
     "doc_pack_greedy" -> ((s, dir) =>
       graft.operators.TextAnalysis.packSequences(docs(s, dir), ctxLen = 256)),
 
+    // Model persistence round trip (GraftML save/load — bases.py's
+    // {hyper_params, model_params} package as metadata.json +
+    // arrays.parquet): a formula-pinned KMeansModel written through the
+    // REAL save path, re-read through the REAL load path, and emitted
+    // cell by cell against the formula in SQL. A serialization
+    // regression (dropped array row, reordered dims, precision loss,
+    // mangled hyper map) breaks the row. Same pattern as the loader
+    // round-trip rows (arff/ucr/ts txt).
+    "ml_persistence_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graftml_rt").toString
+      val centroids = Array.tabulate(2, 8)((c, t) => ((5 * c + 3 * t) % 11 - 5).toDouble)
+      val model = graft.ml.GraftML.KMeansModel(
+        Map("k" -> "2", "metric" -> "euclidean", "maxIter" -> "7"),
+        centroids, inertia = 2.5)
+      graft.ml.GraftML.save(s, model, tmp)
+      val loaded = graft.ml.GraftML.load(s, tmp)
+      val rows = loaded.arrays.flatMap { case (fam, key, vs) =>
+        vs.zipWithIndex.map { case (v, i) => (fam, key, i, v.toString) }
+      } ++
+        loaded.hyper.toSeq.map { case (k2, v) => ("hyper", k2, 0, v) } ++
+        loaded.scalars.toSeq.map { case (k2, v) => ("scalar", k2, 0, v) } :+
+        (("estimator", "name", 0, loaded.estimator))
+      s.createDataFrame(rows.toSeq).toDF("family", "key", "idx", "value")
+    }),
+
     // One full-batch logistic gradient step of the LEARNED quality
     // filter (fasttext-style hashed bag-of-words, label = [lang=en]):
     // formula-pinned start weights so the whole step — σ scores,
@@ -2291,6 +2316,21 @@ object SparkEntry {
        |)
        |SELECT doc_a, doc_b, round(m / 64.0, 4) AS est_jaccard
        |FROM cand WHERE m / 64.0 >= 0.35""".stripMargin
+  }
+
+  /** DuckDB oracle for ml_persistence_roundtrip: the formula model
+    * package as a VALUES list — built from the SAME Scala formula, so
+    * any save/load mutation shows as a cell mismatch. */
+  private def persistenceRoundtripOracleSql: String = {
+    val cells = (for {
+      c <- 0 until 2; t <- 0 until 8
+    } yield ("centroids", c.toString, t, ((5 * c + 3 * t) % 11 - 5).toDouble.toString)) ++
+      Seq(("hyper", "k", 0, "2"), ("hyper", "metric", 0, "euclidean"),
+        ("hyper", "maxIter", 0, "7"), ("scalar", "inertia", 0, "2.5"),
+        ("estimator", "name", 0, "TimeSeriesKMeans"))
+    val values = cells.map { case (f, k2, i, v) => s"('$f', '$k2', $i, '$v')" }
+      .mkString(", ")
+    s"SELECT * FROM (VALUES $values) v(family, key, idx, value)"
   }
 
   /** DuckDB oracle for doc_quality_model_step: the hashed-BoW logistic
@@ -6129,6 +6169,7 @@ object SparkEntry {
     "doc_minhash_pairs" -> minhashOracleSql,
     "doc_stream_neardup" -> streamNeardupOracleSql,
     "doc_quality_model_step" -> qualityStepOracleSql,
+    "ml_persistence_roundtrip" -> persistenceRoundtripOracleSql,
     "doc_dedup_clusters" -> dedupClustersOracleSql,
     "doc_ngram_topk" ->
       """WITH words AS (

@@ -537,6 +537,15 @@ object SparkEntry {
     "doc_pack_greedy" -> ((s, dir) =>
       graft.operators.TextAnalysis.packSequences(docs(s, dir), ctxLen = 256)),
 
+    // The STREAMING packer's own flatMapGroupsWithState loop run in
+    // batch mode (one big micro-batch = docs in id order per source) —
+    // element-for-element the batch operator, so it shares its
+    // recursive-CTE oracle; cross-batch pack continuation is
+    // StreamingSpec's job.
+    "doc_stream_pack" -> ((s, dir) =>
+      graft.streaming.StreamingOps.packSequences(docs(s, dir), ctxLen = 256)
+        .toDF()),
+
     // Model persistence round trip (GraftML save/load — bases.py's
     // {hyper_params, model_params} package as metadata.json +
     // arrays.parquet): a formula-pinned KMeansModel written through the
@@ -2317,6 +2326,28 @@ object SparkEntry {
        |SELECT doc_a, doc_b, round(m / 64.0, 4) AS est_jaccard
        |FROM cand WHERE m / 64.0 >= 0.35""".stripMargin
   }
+
+  /** Shared oracle for doc_pack_greedy AND doc_stream_pack (batch-mode
+    * streaming packer == batch packer element-for-element). */
+  private def packGreedyOracleSql: String =
+    """WITH RECURSIVE t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tk,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), p AS (
+        |  SELECT source, doc_id, tk, rn,
+        |    CAST(0 AS BIGINT) AS pack_seq, CAST(0 AS BIGINT) AS token_offset
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.source, t.doc_id, t.tk, t.rn,
+        |    CASE WHEN p.token_offset + p.tk + t.tk <= 256
+        |      THEN p.pack_seq ELSE p.pack_seq + 1 END,
+        |    CASE WHEN p.token_offset + p.tk + t.tk <= 256
+        |      THEN p.token_offset + p.tk ELSE CAST(0 AS BIGINT) END
+        |  FROM t JOIN p ON t.source = p.source AND t.rn = p.rn + 1
+        |)
+        |SELECT source, doc_id, tk, pack_seq, token_offset FROM p""".stripMargin
 
   /** DuckDB oracle for ml_persistence_roundtrip: the formula model
     * package as a VALUES list — built from the SAME Scala formula, so
@@ -6822,25 +6853,9 @@ object SparkEntry {
     // order: fill = off + tk; a doc joins the pack iff fill + tk ≤ 256,
     // else starts the next pack at offset 0. A doc longer than the
     // window keeps its own pack (it can only enter at fill = 0).
-    "doc_pack_greedy" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT source, doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tk,
-        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-        |  FROM documents
-        |), p AS (
-        |  SELECT source, doc_id, tk, rn,
-        |    CAST(0 AS BIGINT) AS pack_seq, CAST(0 AS BIGINT) AS token_offset
-        |  FROM t WHERE rn = 1
-        |  UNION ALL
-        |  SELECT t.source, t.doc_id, t.tk, t.rn,
-        |    CASE WHEN p.token_offset + p.tk + t.tk <= 256
-        |      THEN p.pack_seq ELSE p.pack_seq + 1 END,
-        |    CASE WHEN p.token_offset + p.tk + t.tk <= 256
-        |      THEN p.token_offset + p.tk ELSE CAST(0 AS BIGINT) END
-        |  FROM t JOIN p ON t.source = p.source AND t.rn = p.rn + 1
-        |)
-        |SELECT source, doc_id, tk, pack_seq, token_offset FROM p""".stripMargin,
+    "doc_pack_greedy" -> packGreedyOracleSql,
+    "doc_stream_pack" -> packGreedyOracleSql,
+
 
     // doc_lm_score: the smoothed bigram LM replayed relationally —
     // same unigram/bigram count tables, same add-k formula, ln both

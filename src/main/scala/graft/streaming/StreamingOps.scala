@@ -181,6 +181,40 @@ object StreamingOps {
       }
   }
 
+  case class PackAssign(source: String, doc_id: Long, tk: Long,
+                        pack_seq: Long, token_offset: Long)
+
+  /** Streaming sequence packing — continuous training-shard building at
+    * ingest: the streaming twin of TextAnalysis.packSequences. One
+    * flatMapGroupsWithState per source stream whose state is just
+    * (current pack, current fill) — a doc arriving in a later
+    * micro-batch keeps filling the pack the previous batch left open
+    * (exactly what a continuous shard writer wants), and batch mode
+    * (one big micro-batch, docs processed in doc_id order) is
+    * element-for-element the batch operator. State: two Longs per
+    * source. */
+  def packSequences(docs: DataFrame, ctxLen: Int): Dataset[PackAssign] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("source"), col("doc_id").cast("long").as("doc_id"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("tk"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), PackAssign](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (src, it, state: GroupState[(Long, Long)]) =>
+          var (pack, fill) = state.getOption.getOrElse((0L, 0L))
+          val out = it.toArray.sortBy(_._2).map { case (_, id, tk) =>
+            if (fill > 0L && fill + tk > ctxLen) { pack += 1; fill = 0L }
+            val off = fill
+            fill += tk
+            PackAssign(src, id, tk, pack, off)
+          }
+          state.update((pack, fill))
+          out.iterator
+      }
+  }
+
   case class MpPoint(user_id: Long, seq: Long, value: Double)
   case class MpValue(user_id: Long, i: Long, mp: Double)
 

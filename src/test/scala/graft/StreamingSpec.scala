@@ -81,6 +81,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && !streamed.map(_._1).contains(1L))
   }
 
+  test("streaming packing keeps packs open across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    def doc(id: Long, tk: Int) = (id, "s", Seq.fill(tk)("w").mkString(" "))
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.packSequences(
+        input.toDF().toDF("doc_id", "source", "text"), ctxLen = 100)
+      .writeStream.format("memory").queryName("packs").outputMode("append").start()
+    input.addData(doc(1, 40), doc(2, 40))   // pack 0, fill 80
+    q.processAllAvailable()
+    input.addData(doc(3, 15), doc(4, 30))   // 3 joins pack 0 (95); 4 opens pack 1
+    q.processAllAvailable()
+    val got = spark.table("packs").as[StreamingOps.PackAssign].collect()
+      .map(p => p.doc_id -> ((p.pack_seq, p.token_offset))).toMap
+    q.stop()
+    assert(got == Map(1L -> ((0L, 0L)), 2L -> ((0L, 40L)),
+      3L -> ((0L, 80L)), 4L -> ((1L, 0L))), s"got $got")
+    // batch mode == the batch operator, element for element
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val batchOp = graft.operators.TextAnalysis.packSequences(docsDf, 256)
+      .select("source", "doc_id", "tk", "pack_seq", "token_offset")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    val streamOp = StreamingOps.packSequences(docsDf, 256)
+      .toDF().select("source", "doc_id", "tk", "pack_seq", "token_offset")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(batchOp == streamOp)
+  }
+
   test("streaming minhash near-dup flags cross-batch duplicates") {
     implicit val sqlCtx = spark.sqlContext
     // the per-row signature expression must equal the batch aggregation

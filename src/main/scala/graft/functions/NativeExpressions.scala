@@ -89,6 +89,31 @@ object NativeOps {
     math.sqrt(s)
   }
 
+  /** One-pass MinHash signature over an array of shingle strings: for
+    * each shingle, the 60-bit portable md5 base hash mod p, then the
+    * running minimum of (a_j·x + b_j) mod p for every permutation j —
+    * the fused form of rowShingleHashes + rowSignatureFromHashes
+    * (interpreted HOF lambdas cost ~64 closure calls per shingle; this
+    * is one tight primitive loop). Base hash is non-negative, a_j,
+    * x < p = 2³¹−1, so products fit a Long and % equals pmod. */
+  def minhashSig(sh: ArrayData, as: Array[Long], bs: Array[Long], p: Long): ArrayData = {
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = sh.numElements()
+    var i = 0
+    while (i < n) {
+      val x = md5Hash60(sh.getUTF8String(i)) % p
+      var j = 0
+      while (j < k) {
+        val h = (as(j) * x + bs(j)) % p
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(mins)
+  }
+
   def lbKeogh(q: ArrayData, lo: ArrayData, hi: ArrayData): Double = {
     val qa = q.toDoubleArray()
     val la = lo.toDoubleArray()
@@ -213,7 +238,46 @@ case class Md5Hash60Expression(child: Expression)
     copy(child = c)
 }
 
+/** Fused portable MinHash signature of an ARRAY<STRING> shingle column
+  * (see [[NativeOps.minhashSig]]): numHashes per-permutation minima in
+  * one primitive pass, bit-identical to the staged HOF form (and so to
+  * the DuckDB oracle's md5 replay). Coefficient arrays ride along as
+  * codegen reference objects. */
+case class MinhashSigExpression(child: Expression, numHashes: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private val p: Long = graft.operators.Dedup.MinhashP
+  @transient private lazy val coeffs = graft.operators.Dedup.minhashCoeffs(numHashes, seed)
+  @transient private lazy val as: Array[Long] = coeffs.map(_._1)
+  @transient private lazy val bs: Array[Long] = coeffs.map(_._2)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig_native requires ARRAY<STRING>, got ${other.sql}")
+    }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
+  override def prettyName: String = "minhash_sig_native"
+  override protected def nullSafeEval(sh: Any): Any =
+    NativeOps.minhashSig(sh.asInstanceOf[ArrayData], as, bs, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("mhAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("mhBs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, sh =>
+      s"${ev.value} = graft.functions.NativeOps.minhashSig($sh, $asRef, $bsRef, ${p}L);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object NativeExpressions {
+  /** Fused portable MinHash signature of an ARRAY<STRING> column. */
+  def minhashSigNative(sh: Column, numHashes: Int = 64, seed: Long = 42L): Column =
+    GraftColumnBridge.column(MinhashSigExpression(
+      GraftColumnBridge.expression(sh), numHashes, seed))
+
   /** DTW as a native expression; radius < 0 = unconstrained. */
   def dtwNative(a: Column, b: Column, radius: Int = -1): Column =
     GraftColumnBridge.column(DtwExpression(

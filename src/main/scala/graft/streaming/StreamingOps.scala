@@ -113,13 +113,18 @@ object StreamingOps {
     * into the 64 per-permutation minima re-runs the md5 of every
     * shingle 64× (measured: 93 s inlined → ~3 s warm staged on 5 k
     * docs at sf0.1). */
+  /** Per-row word-k-shingle array (same construction as Dedup.shingles
+    * with dedupe=false, as an expression). */
+  def shingleArr(textCol: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    val w = split(lower(textCol), " ")
+    transform(sequence(lit(0), greatest(size(w) - k, lit(0))),
+      i => array_join(slice(w, i + 1, lit(k)), " "))
+  }
+
   def rowShingleHashes(textCol: org.apache.spark.sql.Column, k: Int = 3,
                        portable: Boolean = false): org.apache.spark.sql.Column = {
     val p = graft.operators.Dedup.MinhashP
-    val w = split(lower(textCol), " ")
-    val shArr = transform(sequence(lit(0), greatest(size(w) - k, lit(0))),
-      i => array_join(slice(w, i + 1, lit(k)), " "))
-    transform(shArr, s =>
+    transform(shingleArr(textCol, k), s =>
       pmod(if (portable) graft.operators.Dedup.md5Hash60(s) else xxhash64(s), lit(p)))
   }
 
@@ -153,12 +158,23 @@ object StreamingOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val rowsPerBand = numHashes / bands
-    // two selects on purpose: xs must be an attribute when the 64
-    // minima reference it (see rowShingleHashes — HOF lambda inlining)
-    val sig = docs.select(col("doc_id").cast("long").as("doc_id"),
-        rowShingleHashes(col("text"), shingleK, portable).as("xs"))
-      .select(col("doc_id"),
-        rowSignatureFromHashes(col("xs"), numHashes, seed).as("sig"))
+    // portable mode: the fused native expression (one primitive pass,
+    // codegen'd — bit-identical to the staged HOF form and the DuckDB
+    // oracle). xxhash mode keeps the staged HOFs: two selects on
+    // purpose, xs must be an attribute when the 64 minima reference it
+    // (HOF lambda inlining).
+    val sig =
+      if (portable)
+        docs.select(col("doc_id").cast("long").as("doc_id"),
+            shingleArr(col("text"), shingleK).as("shs"))
+          .select(col("doc_id"),
+            graft.functions.NativeExpressions.minhashSigNative(
+              col("shs"), numHashes, seed).as("sig"))
+      else
+        docs.select(col("doc_id").cast("long").as("doc_id"),
+            rowShingleHashes(col("text"), shingleK, portable).as("xs"))
+          .select(col("doc_id"),
+            rowSignatureFromHashes(col("xs"), numHashes, seed).as("sig"))
     val banded = sig.select(col("doc_id"), posexplode(
         array((0 until bands).map(b =>
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("string")): _*))

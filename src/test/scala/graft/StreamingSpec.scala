@@ -120,6 +120,13 @@ class StreamingSpec extends AnyFunSuite {
         StreamingOps.rowShingleHashes(col("text"), portable = true).as("xs"))
       .select(col("doc_id"), StreamingOps.rowSignatureFromHashes(col("xs")).as("sig"))
       .as[(Long, Seq[Long])].collect().toMap
+    // the fused native expression must equal the staged HOF form
+    val nativeSig = docsDf.select(col("doc_id"),
+        StreamingOps.shingleArr(col("text"), 3).as("shs"))
+      .select(col("doc_id"),
+        graft.functions.NativeExpressions.minhashSigNative(col("shs")).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(nativeSig == rowSig, "native fused signature drifted from the HOF form")
     val aggSig = graft.operators.Dedup.minhashSignatures(
         graft.operators.Dedup.shingles(docsDf, 3, dedupe = false),
         portable = true)

@@ -357,6 +357,13 @@ object Dedup {
                  idCol: String = "doc_id", textCol: String = "text",
                  portable: Boolean = false, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // NOTE (measured, round 9): keeping the exploded UDAF here is
+    // deliberate — swapping in the fused per-row MinhashSigExpression
+    // (NativeExpressions.minhashSigNative, the streaming path's win)
+    // made THIS path ~60% slower (1.25 s → 2.05 s warm at sf0.1): the
+    // explode pipelines shingle construction + md5 through codegen row
+    // by row, while the per-row form materializes each doc's whole
+    // interpreted shingle array before the native loop sees it.
     // dedupe=false: per-permutation minima are multiset-invariant, so
     // the per-doc distinct (a full shuffle of every shingle row) is
     // pure overhead on this path.

@@ -395,16 +395,20 @@ object SparkEntry {
       // 3-gram in >maxDf docs — would make its inverted-index bucket
       // quadratic; capping bounds every bucket at maxDf² pairs.
       val maxDf = 100
-      val d = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("words"))
-        // <3-word docs have no 3-grams; unguarded, sequence(0, size−3)
-        // would go negative and slice(start=0) throws (oracle: j ≤ len−2)
-        .where(size(col("words")) >= 3)
-      // array_distinct BEFORE the explode dedupes per-doc shingles with
-      // no shuffle (a per-row .distinct() would be a full exchange).
+      // <3-word docs have no 3-grams (oracle: j ≤ len−2)
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+        .where(size(split(col("text"), " ")) >= 3)
+      // shingle construction + per-doc distinct + 60-bit portable hash
+      // in ONE native pass over the text bytes (ShingleHash60Expression
+      // — no intermediate shingle strings, no interpreted HOF chain);
+      // the checkpoint, the df-cap groupBy and the inverted-index join
+      // then all carry an 8-byte key instead of a ~20-byte string.
+      // Internal only — the output never exposes the shingle, so the
+      // oracle is unchanged (a 60-bit collision at 450 k distinct
+      // shingles is ~1e-7 and would only merge two index buckets).
       val raw = d.select(col("doc_id"),
-        array_distinct(transform(sequence(lit(0), size(col("words")) - 3),
-          i => array_join(slice(col("words"), i + 1, lit(3)), " "))).as("shs"))
-        .select(col("doc_id"), explode(col("shs")).as("sh"))
+        explode(graft.functions.NativeExpressions.shingleHash60Native(
+          col("text"), k = 3)).as("sh"))
       // df cap via Dedup.dfCapped: skew-immune groupBy df + broadcast
       // anti-join of the hot set (see its scaladoc; plan-locked in
       // PlanAuditSpec). localCheckpoint the RAW stream, not the capped

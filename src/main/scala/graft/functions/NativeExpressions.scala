@@ -89,6 +89,63 @@ object NativeOps {
     math.sqrt(s)
   }
 
+  /** One-pass word-k-shingle 60-bit hashes straight from the text
+    * bytes: split on single spaces (empties preserved, matching
+    * Spark/DuckDB split semantics), md5 each k-word window's joined
+    * bytes (identical to md5 of the array_join'd string — UTF-8 never
+    * embeds 0x20 in a multibyte sequence), optional per-doc distinct.
+    * No intermediate shingle strings, no interpreted HOF chain — the
+    * construction stage of the inverted-index pipelines in one
+    * primitive loop. Short texts (< k words) yield the single
+    * truncated window, mirroring greatest(size-k, 0). */
+  def shingleHash60(text: org.apache.spark.unsafe.types.UTF8String, k: Int,
+                    lowercase: Boolean, distinct: Boolean): ArrayData = {
+    val bytes = (if (lowercase) text.toLowerCase else text).getBytes
+    // word boundaries: indices of spaces
+    var nWords = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') nWords += 1; i += 1 }
+    val starts = new Array[Int](nWords + 1)
+    var w = 1
+    starts(0) = 0
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    starts(nWords) = bytes.length + 1 // sentinel: end of word j is starts(j+1)-1
+    val nSh = math.max(nWords - k, 0) + 1
+    val d = md5Local.get()
+    val out = new Array[Long](nSh)
+    var s = 0
+    while (s < nSh) {
+      // window [s, min(s+k, nWords)) joined with ' ' is EXACTLY the
+      // byte range from starts(s) to the end of word min(s+k,nWords)-1
+      val endWord = math.min(s + k, nWords)
+      val from = starts(s)
+      val until = starts(endWord) - 1 // strip trailing separator/sentinel
+      d.reset()
+      d.update(bytes, from, until - from)
+      val h = d.digest()
+      out(s) = (((h(0) & 0xffL) << 56) | ((h(1) & 0xffL) << 48) |
+        ((h(2) & 0xffL) << 40) | ((h(3) & 0xffL) << 32) |
+        ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
+        ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)) >>> 4
+      s += 1
+    }
+    if (!distinct) ArrayData.toArrayData(out)
+    else {
+      java.util.Arrays.sort(out)
+      var n = 0
+      var j = 0
+      while (j < out.length) {
+        if (j == 0 || out(j) != out(j - 1)) { out(n) = out(j); n += 1 }
+        j += 1
+      }
+      ArrayData.toArrayData(java.util.Arrays.copyOf(out, n))
+    }
+  }
+
   /** One-pass MinHash signature over an array of shingle strings: for
     * each shingle, the 60-bit portable md5 base hash mod p, then the
     * running minimum of (a_j·x + b_j) mod p for every permutation j —
@@ -238,6 +295,31 @@ case class Md5Hash60Expression(child: Expression)
     copy(child = c)
 }
 
+/** One-pass word-k-shingle 60-bit hash array of a STRING text column
+  * (see [[NativeOps.shingleHash60]]): the native construction stage of
+  * the inverted-index dedup pipelines. */
+case class ShingleHash60Expression(child: Expression, k: Int,
+                                   lowercase: Boolean, distinct: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingle_hash60_native requires a STRING child, got ${child.dataType.sql}")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
+  override def prettyName: String = "shingle_hash60_native"
+  override protected def nullSafeEval(s: Any): Any =
+    NativeOps.shingleHash60(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      k, lowercase, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.NativeOps.shingleHash60($s, $k, $lowercase, $distinct);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Fused portable MinHash signature of an ARRAY<STRING> shingle column
   * (see [[NativeOps.minhashSig]]): numHashes per-permutation minima in
   * one primitive pass, bit-identical to the staged HOF form (and so to
@@ -277,6 +359,12 @@ object NativeExpressions {
   def minhashSigNative(sh: Column, numHashes: Int = 64, seed: Long = 42L): Column =
     GraftColumnBridge.column(MinhashSigExpression(
       GraftColumnBridge.expression(sh), numHashes, seed))
+
+  /** Word-k-shingle 60-bit hashes of a STRING text column, one pass. */
+  def shingleHash60Native(text: Column, k: Int = 3, lowercase: Boolean = false,
+                          distinct: Boolean = true): Column =
+    GraftColumnBridge.column(ShingleHash60Expression(
+      GraftColumnBridge.expression(text), k, lowercase, distinct))
 
   /** DTW as a native expression; radius < 0 = unconstrained. */
   def dtwNative(a: Column, b: Column, radius: Int = -1): Column =

@@ -58,7 +58,14 @@ object Dedup {
     * when they clear the threshold, since containment is asymmetric. */
   def containmentPairs(docsDf: DataFrame, threshold: Double, k: Int = 3,
                        maxDf: Int = 100): DataFrame = {
-    val raw = shingles(docsDf, k)
+    // construction + per-doc distinct + 60-bit hash in one native pass
+    // (ShingleHash60Expression): same semantics as shingles(k) —
+    // lowercase, truncated window for short docs — but the index keys
+    // are 8-byte longs and no intermediate shingle strings exist. The
+    // containment VALUES are unchanged (counts of equal keys).
+    val raw = docsDf.select(col("doc_id"),
+      explode(graft.functions.NativeExpressions.shingleHash60Native(
+        col("text"), k, lowercase = true, distinct = true)).as("sh"))
     // localCheckpoint before dfCapped for the same reuse reasons as
     // doc_jaccard_pairs (hot-set groupBy + anti-join + both join sides)
     val capped = dfCapped(raw.localCheckpoint(), maxDf).select(col("doc_id"), col("sh"))

@@ -289,6 +289,35 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(b == Set((0, 2L, 4L), (1, 1L, 18L)))
   }
 
+  test("native shingle-hash pass == md5 of the HOF-built shingles") {
+    import graft.functions.NativeExpressions
+    // edge cases: short doc (truncated window), consecutive spaces
+    // (empty words), unicode, empty string, exact-k doc
+    val docsDf = Seq(
+      (1L, "The quick Brown fox jumps over"),
+      (2L, "ab"), (3L, ""), (4L, "x  y z"), (5L, "a b c"),
+      (6L, "naïve café über straße one two three")
+    ).toDF("doc_id", "text")
+    for (lc <- Seq(true, false)) {
+      val base = if (lc) lower(col("text")) else col("text")
+      val viaStrings = docsDf.select(col("doc_id"),
+          split(base, " ").as("w"))
+        .select(col("doc_id"), array_distinct(
+          transform(sequence(lit(0), greatest(size(col("w")) - 3, lit(0))),
+            i => array_join(slice(col("w"), i + 1, lit(3)), " "))).as("shs"))
+        .select(col("doc_id"), explode(col("shs")).as("s"))
+        .select(col("doc_id"), NativeExpressions.md5Hash60Native(col("s")).as("h"))
+        .as[(Long, Long)].collect().groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+      val native = docsDf.select(col("doc_id"),
+          explode(NativeExpressions.shingleHash60Native(
+            col("text"), 3, lowercase = lc, distinct = true)).as("h"))
+        .as[(Long, Long)].collect().groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+      assert(native == viaStrings, s"lowercase=$lc drifted")
+    }
+  }
+
   test("learned quality filter: gradient step reduces loss, fit separates") {
     import graft.operators.TextAnalysis
     // separable toy corpus: "good" vocab vs "spam" vocab

@@ -309,16 +309,24 @@ object Dedup {
   def minhashSignatures(sh: DataFrame, numHashes: Int = 64, seed: Long = 42L,
                         portable: Boolean = false): DataFrame = {
     val p = MinhashP
-    val coeffs = minhashCoeffs(numHashes, seed)
     val base = pmod(if (portable) md5Hash60(col("sh")) else xxhash64(col("sh")), lit(p))
-    // udaf on a plain groupBy (not typed groupByKey): skips the
-    // per-row tuple encode/decode of the Dataset conversion while
-    // keeping the single-buffer aggregation + map-side combine.
+    minhashSignaturesFromHashes(
+      sh.select(col("doc_id").cast("long").as("doc_id"), base.as("x")),
+      numHashes, seed)
+  }
+
+  /** Signature aggregation over pre-hashed base values `(doc_id, x)`
+    * with x already in [0, p). udaf on a plain groupBy (not typed
+    * groupByKey): skips the per-row tuple encode/decode of the Dataset
+    * conversion while keeping the single-buffer aggregation + map-side
+    * combine. */
+  def minhashSignaturesFromHashes(xs: DataFrame, numHashes: Int = 64,
+                                  seed: Long = 42L): DataFrame = {
+    val p = MinhashP
+    val coeffs = minhashCoeffs(numHashes, seed)
     val minAgg = udaf(new MinHashAgg(coeffs, p),
       org.apache.spark.sql.Encoders.scalaLong)
-    sh.select(col("doc_id").cast("long").as("doc_id"), base.as("x"))
-      .groupBy("doc_id")
-      .agg(minAgg(col("x")).as("sig"))
+    xs.groupBy("doc_id").agg(minAgg(col("x")).as("sig"))
   }
 
   /** Bucket-width cap shared by the banded candidate generators: a
@@ -364,22 +372,31 @@ object Dedup {
                  idCol: String = "doc_id", textCol: String = "text",
                  portable: Boolean = false, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // NOTE (measured, round 9): keeping the exploded UDAF here is
+    // NOTE (measured, round 9): the exploded UDAF shape here is
     // deliberate — swapping in the fused per-row MinhashSigExpression
-    // (NativeExpressions.minhashSigNative, the streaming path's win)
-    // made THIS path ~60% slower (1.25 s → 2.05 s warm at sf0.1): the
-    // explode pipelines shingle construction + md5 through codegen row
-    // by row, while the per-row form materializes each doc's whole
-    // interpreted shingle array before the native loop sees it.
-    // dedupe=false: per-permutation minima are multiset-invariant, so
-    // the per-doc distinct (a full shuffle of every shingle row) is
-    // pure overhead on this path.
+    // (the streaming path's win) made THIS path ~60% slower (1.25 s →
+    // 2.05 s warm at sf0.1): the explode pipelines hashing through
+    // codegen row by row, while the per-row form materializes each
+    // doc's whole signature before the next stage sees it. What DOES
+    // win is replacing the interpreted string-shingle construction
+    // with the native one-pass hash (ShingleHash60Expression,
+    // portable mode): same explode+UDAF shape, 8-byte rows, no
+    // intermediate strings.
+    // dedupe=false / distinct=false: per-permutation minima are
+    // multiset-invariant, so the per-doc distinct is pure overhead.
     // localCheckpoint, not cache: the signature table feeds the banding,
     // the bucket-cap count AND both verification joins of the lazily
     // returned result — a cache here is never unpersistable before the
     // caller materializes, so it would pin blocks for the session
-    val sig = minhashSignatures(shingles(df, shingleK, idCol, textCol, dedupe = false),
-      numHashes, seed, portable).localCheckpoint()
+    val sig = (if (portable)
+      minhashSignaturesFromHashes(
+        df.select(col(idCol).cast("long").as("doc_id"),
+            explode(graft.functions.NativeExpressions.shingleHash60Native(
+              col(textCol), shingleK, lowercase = true, distinct = false)).as("h"))
+          .select(col("doc_id"), pmod(col("h"), lit(MinhashP)).as("x")),
+        numHashes, seed)
+    else minhashSignatures(shingles(df, shingleK, idCol, textCol, dedupe = false),
+      numHashes, seed, portable)).localCheckpoint()
     // bucket key: the band slice hashed to 64 bits (narrow shuffle key) —
     // or the slice VALUE itself in portable mode, which an external SQL
     // oracle can reproduce as a plain list-equality join

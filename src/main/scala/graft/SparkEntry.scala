@@ -6872,7 +6872,7 @@ object SparkEntry {
         |), v AS (SELECT count(*) AS v FROM uni),
         |bg AS (
         |  SELECT doc_id, ws[g.i] AS w1, ws[g.i + 1] AS w2
-        |  FROM w, (SELECT unnest(generate_series(1, 200)) AS i) g
+        |  FROM w, (SELECT unnest(generate_series(1, (SELECT max(len(ws)) FROM w))) AS i) g
         |  WHERE g.i <= len(ws) - 1
         |), bi AS (
         |  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
@@ -6890,7 +6890,8 @@ object SparkEntry {
         |sp AS (
         |  SELECT doc_id, g.i AS pos,
         |    array_to_string(ws[(g.i * 10 + 1):(g.i * 10 + 10)], ' ') AS span
-        |  FROM w, (SELECT unnest(generate_series(0, 31)) AS i) g
+        |  FROM w, (SELECT unnest(generate_series(0,
+        |    (SELECT CAST(ceil(max(len(ws)) / 10.0) AS BIGINT) FROM w))) AS i) g
         |  WHERE g.i < ceil(len(ws) / 10.0)
         |), keepers AS (
         |  SELECT span, min(doc_id) AS keeper FROM sp GROUP BY 1

@@ -360,7 +360,20 @@ object NativeExpressions {
     GraftColumnBridge.column(MinhashSigExpression(
       GraftColumnBridge.expression(sh), numHashes, seed))
 
-  /** Word-k-shingle 60-bit hashes of a STRING text column, one pass. */
+  /** Word-k-shingle 60-bit hashes of a STRING text column, one pass.
+    *
+    * Scale bound (the 100 TB lens): the 60-bit keyspace gives a birthday
+    * expectation of ~n²/2^61 colliding shingle pairs — negligible at the
+    * ~450 k distinct shingles of sf0.1 (~1e-7) but ~40 expected
+    * collisions at the ~1e10 distinct shingles of a 100 TB corpus. A
+    * collision merges two inverted-index buckets, slightly inflating
+    * containment/Jaccard intersection counts vs string-keyed semantics
+    * (it can only ADD candidate pairs, never drop true ones — exactness
+    * of surviving pairs is unaffected where the score is recomputed).
+    * 60 bits (not 64) is kept for parity with the DuckDB-replayable
+    * MinHash/SimHash signature chain; a corpus past ~1e9 distinct
+    * shingles that needs string-exact bucketing should key the index on
+    * the shingle text itself and pay the wider shuffle. */
   def shingleHash60Native(text: Column, k: Int = 3, lowercase: Boolean = false,
                           distinct: Boolean = true): Column =
     GraftColumnBridge.column(ShingleHash60Expression(

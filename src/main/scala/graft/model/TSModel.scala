@@ -102,16 +102,22 @@ object TSModel {
     // the integer-exact oracle clock (DuckDB epoch_ns // 1000).
     def byMagnitudeIntegral(c: org.apache.spark.sql.Column) = {
       val l = c.cast(LongType)
-      when(abs(l) >= 100000000000000000L, expr("CAST(ts AS BIGINT) div 1000"))
+      // SQL `div` = exact integer division (truncating; == floor for the
+      // positive epoch clocks this absorbs) — built from the PASSED column,
+      // not a hard-coded name, so the helper is reusable.
+      val nsToUs = call_function("div", l, lit(1000L))
+      when(abs(l) >= 100000000000000000L, nsToUs)
         .when(abs(l) >= 100000000000000L, l)
         .when(abs(l) >= 100000000000L, l * 1000L)
         .otherwise(l * 1000000L)
     }
     // Fractional clocks (seconds-as-double etc.): precision was already
-    // bounded by the writer; double math is as good as it gets.
+    // bounded by the writer; double math is as good as it gets. Floor —
+    // not round — to match the canonical truncating clock (DuckDB
+    // epoch_ns // 1000 and the integral branch's div).
     def byMagnitudeFractional(c: org.apache.spark.sql.Column) = {
       val d = c.cast(DoubleType)
-      def toUs(x: org.apache.spark.sql.Column) = round(x).cast(LongType)
+      def toUs(x: org.apache.spark.sql.Column) = floor(x).cast(LongType)
       when(abs(d) >= 1e17, toUs(d / 1e3))
         .when(abs(d) >= 1e14, toUs(d))
         .when(abs(d) >= 1e11, toUs(d * 1e3))
@@ -122,7 +128,10 @@ object TSModel {
       // magnitude branch also absorbs a genuine µs/ms/s int64 column.
       case LongType | IntegerType => byMagnitudeIntegral(col("ts"))
       case DoubleType | FloatType => byMagnitudeFractional(col("ts"))
-      case _: DecimalType => byMagnitudeFractional(col("ts"))
+      // Decimal → exact integer path: decimal→long cast truncates the
+      // fraction exactly (no double ulp — a 1.7e18 ns value has a 256 ns
+      // double ulp that would break the integer-exact oracle clock).
+      case _: DecimalType => byMagnitudeIntegral(col("ts"))
       case StringType => unix_micros(col("ts").cast(TimestampType))
       case DateType => unix_micros(col("ts").cast(TimestampType))
       case _ => unix_micros(col("ts").cast(TimestampType))

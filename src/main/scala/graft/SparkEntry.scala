@@ -2265,6 +2265,32 @@ object SparkEntry {
           (round(col("dist"), 4) + lit(0.0)).as("dist"))
     }),
 
+    // The metric="softdtw" k-means END-TO-END fit (`kmeans.py:709-727`,
+    // `_update_centroids` softdtw branch) — the last estimator
+    // configuration without driver signal. Same deterministic contract
+    // as ts_kmeans_dtw: init="first" (seeds = series 0..k-1), fixed
+    // iteration count, and the centroid update in its oracle-replayable
+    // form: one fixed-η GD step per Lloyd iteration from the CURRENT
+    // center (barycenterSolver="gd" — the ts_softdtw_bary_step
+    // convention, b′ = b − η·Σ∇, chained inside the real fit loop).
+    // Oracle replays assignment (soft-min forward chains), the gradient
+    // (forward×backward path-split E matrix) and the GD update per
+    // iteration, then the final predict pass.
+    "ts_kmeans_softdtw" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .where(col("series_id") < 8)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(16)).as("values"))
+        .localCheckpoint()
+      val model = new graft.ml.TimeSeriesKMeans(k = 2, metric = "softdtw",
+        maxIter = 1, tol = -1.0, init = "first", gamma = 1.0,
+        barycenterMaxIter = 1, barycenterSolver = "gd",
+        barycenterEta = 0.05).fit(series)
+      model.predict(series)
+        .select(col("series_id"), col("cluster"),
+          (round(col("dist"), 4) + lit(0.0)).as("dist"))
+    }),
+
     // grabocka_params_to_shapelet_size_dict (shapelets.py:158-209): the
     // published shapelet count/length heuristic, with n_ts read off the
     // real corpus (ts_sz = 32, n_classes = 2, l = 1/8, r = 3) — the
@@ -4506,6 +4532,102 @@ object SparkEntry {
     sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
   }
 
+  /** DuckDB oracle for ts_kmeans_softdtw — the metric="softdtw" k-means
+    * fit (`kmeans.py:709-727`) with the oracle-replayable GD centroid
+    * update. Per Lloyd iteration: (a) assignment = soft-min forward
+    * chains ([[rowChainCtes]]) for every (user, centroid) pair, argmin
+    * over sqrt(max(0, −γ·lw)) with lowest-c ties (assignDs's strict <);
+    * (b) gradient of the ASSIGNED pair via the forward×backward
+    * path-split identity E = F·B/(k·F_total) (see
+    * [[softDtwGradOracleSql]]); (c) b′(c,t) = b(c,t) − η·Σ_users
+    * E(t,j)·2·(b_t − x_j) — the [[softDtwBaryStepOracleSql]] update
+    * chained from the CURRENT centroid. Final layer = the predict pass
+    * against b_iters. γ=1 is baked into lg = −Δ². */
+  private def kmeansSoftDtwTraceSql(iters: Int, sz: Int, k: Int,
+                                    nUsers: Int, eta: Double): String = {
+    val last = sz - 1
+    val sb = new StringBuilder(evCte + resampleZnormCte(sz))
+    sb ++= s"\n, rr AS (\n  SELECT user_id, j, val FROM r WHERE user_id < $nUsers\n)"
+    sb ++= s"\n, b0 AS (\n  SELECT CAST(user_id AS INT) AS c, j AS i, val AS bv" +
+      s" FROM rr WHERE user_id < $k\n)"
+    for (it <- 0 to iters) {
+      // (a) assignment chains vs b$it: pr = user, cd = centroid,
+      // i = centroid timestep (the gradient-side convention)
+      sb ++=
+        s"""
+           |, al$it AS (
+           |  SELECT rr.user_id AS pr, b.c AS cd, b.i, rr.j,
+           |    -(b.bv - rr.val) * (b.bv - rr.val) AS lg
+           |  FROM rr JOIN b$it b ON TRUE
+           |)""".stripMargin
+      sb ++= rowChainCtes(sz, s"al$it", s"a${it}f")
+      sb ++=
+        s"""
+           |, asg$it AS (
+           |  SELECT pr AS user_id, cd AS c, dist FROM (
+           |    SELECT pr, cd, sqrt(greatest(0.0, -1.0 * lw)) AS dist,
+           |      row_number() OVER (PARTITION BY pr
+           |        ORDER BY sqrt(greatest(0.0, -1.0 * lw)), cd) AS rn
+           |    FROM a${it}f$last WHERE j = $last)
+           |  WHERE rn = 1
+           |)""".stripMargin
+      if (it < iters) {
+        // (b) gradient chains restricted to the assigned pairs
+        sb ++=
+          s"""
+             |, gl$it AS (
+             |  SELECT l.pr, l.cd, l.i, l.j, l.lg FROM al$it l
+             |  JOIN asg$it a ON a.user_id = l.pr AND a.c = l.cd
+             |), glr$it AS (
+             |  SELECT pr, cd, $last - i AS i, $last - j AS j, lg FROM gl$it
+             |)""".stripMargin
+        sb ++= rowChainCtes(sz, s"gl$it", s"g${it}f")
+        sb ++= rowChainCtes(sz, s"glr$it", s"g${it}b")
+        val matf = (0 until sz)
+          .map(i => s"SELECT pr, cd, $i AS i, j, lw FROM g${it}f$i")
+          .mkString("\n  UNION ALL ")
+        val matb = (0 until sz)
+          .map(i => s"SELECT pr, cd, $i AS i, j, lw FROM g${it}b$i")
+          .mkString("\n  UNION ALL ")
+        sb ++=
+          s"""
+             |, mf$it AS (
+             |  $matf
+             |), mbr$it AS (
+             |  $matb
+             |), mb$it AS (
+             |  SELECT pr, cd, $last - i AS i, $last - j AS j, lw FROM mbr$it
+             |), gfin$it AS (
+             |  SELECT pr, cd, lw FROM g${it}f$last WHERE j = $last
+             |), e$it AS (
+             |  SELECT f.pr, f.cd, f.i, f.j,
+             |    exp(f.lw + b2.lw - l.lg - fn.lw) AS ev
+             |  FROM mf$it f
+             |  JOIN mb$it b2 ON b2.pr = f.pr AND b2.cd = f.cd
+             |    AND b2.i = f.i AND b2.j = f.j
+             |  JOIN gl$it l ON l.pr = f.pr AND l.cd = f.cd
+             |    AND l.i = f.i AND l.j = f.j
+             |  JOIN gfin$it fn ON fn.pr = f.pr AND fn.cd = f.cd
+             |), gsum$it AS (
+             |  SELECT e.cd AS c, e.i, sum(e.ev * 2.0 * (b.bv - x.val)) AS g
+             |  FROM e$it e
+             |  JOIN b$it b ON b.c = e.cd AND b.i = e.i
+             |  JOIN rr x ON x.user_id = e.pr AND x.j = e.j
+             |  GROUP BY 1, 2
+             |), b${it + 1} AS (
+             |  SELECT bb.c, bb.i, bb.bv - $eta * coalesce(g.g, 0.0) AS bv
+             |  FROM b$it bb LEFT JOIN gsum$it g ON g.c = bb.c AND g.i = bb.i
+             |)""".stripMargin
+      }
+    }
+    sb ++=
+      s"""
+         |SELECT user_id AS series_id, c AS cluster,
+         |  round(dist, 4) + 0.0 AS dist
+         |FROM asg$iters""".stripMargin
+    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+  }
+
   /** Shared CTE core of the sigma_gak / gamma_soft_dtw oracles
     * (`softdtw_variants.py:221-313`): exact k-th-smallest medians
     * (k = n/2, the reference's sorted[n//2] upper middle) of the
@@ -5923,6 +6045,7 @@ object SparkEntry {
     "ts_kmeans" -> kmeansTraceSql(10),
     "ts_kmeans_best2" -> kmeansBest2TraceSql(10, 4),
     "ts_kmeans_dtw" -> kmeansDtwTraceSql(2, 16, 2, 16),
+    "ts_kmeans_softdtw" -> kmeansSoftDtwTraceSql(1, 16, 2, 8, 0.05),
     "arff_roundtrip" ->
       """SELECT s.s AS series_id, CAST(t.t AS INT) AS t,
         |  CAST(((s.s * 7 + t.t * 3) % 11) - 4.5 AS DOUBLE) AS v,

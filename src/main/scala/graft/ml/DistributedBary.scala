@@ -210,6 +210,36 @@ object DistributedBary {
     present.map(cid => cid -> centers(cid)).toMap
   }
 
+  /** Soft-DTW barycenter update as `steps` FIXED-η gradient-descent steps
+    * from the CURRENT centers (the k-means `metric="softdtw"` update in
+    * its oracle-replayable form): b ← b − η·Σ_{x∈cluster} ∇_b softDTW(b, x),
+    * one distributed SoftDtwGradAgg pass per step evaluating all k
+    * clusters at once. The deterministic analog of the reference's
+    * `softdtw_barycenter(init=cluster_centers_[k])` L-BFGS solve
+    * (`softdtw.py:17-113` via `kmeans.py:709-727`) — same init
+    * convention (current center, not cluster mean), same sum-gradient,
+    * but a replayable fixed-step descent instead of a line search.
+    * Clusters with no members are absent from the result (caller
+    * reseeds, as with [[dbaByCluster]]). */
+  def softDtwGdByCluster(rows: Dataset[(Int, Array[Double])],
+                         init: Array[Array[Double]], gamma: Double,
+                         eta: Double, steps: Int): Map[Int, Array[Double]] = {
+    val centers = init.map(c => if (c == null) null else c.clone())
+    var present: Set[Int] = Set.empty
+    var it = 0
+    while (it < steps) {
+      val bufs = aggByCluster(rows, new SoftDtwGradAgg(centers, gamma))
+      present = bufs.keySet
+      bufs.foreach { case (cid, b) =>
+        val c = centers(cid)
+        var t = 0
+        while (t < c.length) { c(t) -= eta * b.grad(t); t += 1 }
+      }
+      it += 1
+    }
+    present.map(cid => cid -> centers(cid)).toMap
+  }
+
   /** Soft-DTW barycenters for every cluster at once: joint L-BFGS over the
     * concatenated centers (the objective separates per cluster, so one
     * distributed gradient pass evaluates all k). Mirrors

@@ -32,10 +32,16 @@ class TimeSeriesKMeans(
     val seed: Long = 0L,
     val gamma: Double = 1.0,
     val barycenterMaxIter: Int = 10,
-    val init: String = "k-means++") extends Serializable {
+    val init: String = "k-means++",
+    // softdtw centroid update: "lbfgs" = joint L-BFGS (reference-faithful
+    // solver); "gd" = barycenterMaxIter fixed-η GD steps from the current
+    // center — the deterministic, SQL-replayable variant (ts_kmeans_softdtw)
+    val barycenterSolver: String = "lbfgs",
+    val barycenterEta: Double = 0.05) extends Serializable {
 
   require(Seq("euclidean", "dtw", "softdtw").contains(metric), s"bad metric $metric")
   require(Seq("k-means++", "first").contains(init), s"bad init $init")
+  require(Seq("lbfgs", "gd").contains(barycenterSolver), s"bad solver $barycenterSolver")
 
   case class Model(centroids: Array[Array[Double]], inertia: Double) {
     /** Assign each series to its nearest centroid: single broadcast pass. */
@@ -131,6 +137,9 @@ class TimeSeriesKMeans(
         val updated: Map[Int, Array[Double]] = metric match {
           case "dtw" =>
             DistributedBary.dbaByCluster(rows, centroids, barycenterMaxIter)
+          case "softdtw" if barycenterSolver == "gd" =>
+            DistributedBary.softDtwGdByCluster(rows, centroids, gamma,
+              barycenterEta, barycenterMaxIter)
           case "softdtw" =>
             DistributedBary.softDtwByCluster(rows,
               centroids.indices.map(c => c -> centroids(c).length).toMap,

@@ -59,6 +59,35 @@ class ClusteringSpec extends AnyFunSuite {
     assert(java.lang.Double.isFinite(model.inertia))
   }
 
+  test("softdtw kmeans gd solver separates blobs; gd step matches kernel gradient") {
+    val df = blobs()
+    val model = new TimeSeriesKMeans(k = 2, metric = "softdtw", maxIter = 5,
+      barycenterMaxIter = 2, seed = 1, barycenterSolver = "gd",
+      barycenterEta = 0.01).fit(df)
+    val assigned = model.predict(df).join(df.select("series_id", "true_blob"), "series_id")
+    val purity = assigned.groupBy("cluster", "true_blob").count()
+      .groupBy("cluster").agg(max("count").as("m"))
+      .agg(sum("m")).head().getLong(0)
+    assert(purity == 20)
+    // one distributed GD step == the driver-side kernel gradient update
+    import graft.ml.DistributedBary
+    import graft.kernels.Kernels
+    val rows = df.select(col("true_blob").cast("int"), col("values").cast("array<double>"))
+      .as[(Int, Array[Double])]
+    val members = rows.collect()
+    val init = Array(members.find(_._1 == 0).get._2.clone(),
+      members.find(_._1 == 1).get._2.clone())
+    val eta = 0.05
+    val got = DistributedBary.softDtwGdByCluster(rows, init.map(_.clone()), 1.0, eta, 1)
+    (0 to 1).foreach { c =>
+      val grad = members.filter(_._1 == c).map(m =>
+        Kernels.softDtwGrad(Kernels.uni(init(c)), Kernels.uni(m._2), 1.0)._2.map(_(0)))
+        .reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+      val want = init(c).zip(grad).map { case (b, g) => b - eta * g }
+      got(c).zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9) }
+    }
+  }
+
   test("kshape separates blobs") {
     val df = blobs()
     val model = new KShape(k = 2, maxIter = 10, seed = 3).fit(df)

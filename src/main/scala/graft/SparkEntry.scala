@@ -2301,6 +2301,47 @@ object SparkEntry {
       graft.ml.Shapelets.grabockaParamsToShapeletSizes(
         nTs, tsSz = 32, nClasses = 2, l = 0.125, r = 3)
         .toSeq.sorted.toDF("shp_sz", "n_shapelets")
+    }),
+
+    // random_walks (`generators/generators.py:7-54`) through the
+    // PORTABLE generator: every Gaussian step a closed-form md5-keyed
+    // Box-Muller draw of (seed, series_id, t) — the §4.3 determinism
+    // contract as driver signal (the oracle replays the exact per-step
+    // draws and the running sum relationally; no RNG state anywhere).
+    "ts_random_walks" -> ((s, dir) =>
+      TSModel.randomWalksPortable(s, n = 8, sz = 16, mu = 0.1, std = 1.0,
+        seed = 42L)
+        .select(col("series_id"), posexplode(col("values")).as(Seq("t", "v")))
+        .select(col("series_id"), col("t"),
+          (round(col("v"), 4) + lit(0.0)).as("v"))),
+
+    // baseline_accuracy (`ucr_uea.py:85-133`) through the REAL CSV
+    // parser + the in-file typo-fix path (`datasets.py:56-76`): a
+    // formula-generated singleTrainTest.csv (blank cells where
+    // (i+j)%7=0, one deliberately typo'd dataset name repaired by
+    // inFileStringReplace, exactly the reference's baselines-fix
+    // chain) written to disk, parsed back by UcrUea.baselineAccuracy,
+    // and compared cell-by-cell against the formula in SQL.
+    "ucr_baseline_acc" -> ((s, dir) => {
+      import s.implicits._
+      val header = "," + (0 to 3).map(j => s"m_$j").mkString(",")
+      val body = (0 to 4).map { i =>
+        val name = if (i == 2) "DataSet_TYPO" else s"Dataset_$i"
+        name + "," + (0 to 3).map { j =>
+          if ((i + j) % 7 == 0) "" else (((i * 7 + j * 13) % 100) / 100.0).toString
+        }.mkString(",")
+      }
+      val tmp = java.nio.file.Files.createTempFile("baselines", ".csv")
+      java.nio.file.Files.writeString(tmp, (header +: body).mkString("\n"))
+      graft.sources.Datasets.UcrUea.inFileStringReplace(
+        tmp.toString, "DataSet_TYPO", "Dataset_2")
+      val acc = graft.sources.Datasets.UcrUea.baselineAccuracy(tmp.toString)
+      java.nio.file.Files.deleteIfExists(tmp)
+      acc.toSeq.flatMap { case (ds, ms) =>
+        ms.toSeq.map { case (m, a) => (ds, m, a) }
+      }.toDF("dataset", "method", "acc")
+        .select(col("dataset"), col("method"),
+          (round(col("acc"), 2) + lit(0.0)).as("acc"))
     })
   )
 
@@ -6046,6 +6087,37 @@ object SparkEntry {
     "ts_kmeans_best2" -> kmeansBest2TraceSql(10, 4),
     "ts_kmeans_dtw" -> kmeansDtwTraceSql(2, 16, 2, 16),
     "ts_kmeans_softdtw" -> kmeansSoftDtwTraceSql(1, 16, 2, 8, 0.05),
+
+    // ts_random_walks: the portable generator replayed exactly — same
+    // md5-keyed 60-bit uniforms (the minhash-oracle hex trick), same
+    // Box-Muller, same t-ordered running sum. No input tables at all.
+    "ts_random_walks" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 7)) AS series_id),
+        |steps AS (SELECT unnest(generate_series(0, 15)) AS t),
+        |d AS (
+        |  SELECT series_id, t,
+        |    CAST(CONCAT('0x', substring(md5('42:' || series_id || ':' || t || ':a'), 1, 15)) AS BIGINT) AS h1,
+        |    CAST(CONCAT('0x', substring(md5('42:' || series_id || ':' || t || ':b'), 1, 15)) AS BIGINT) AS h2
+        |  FROM ids, steps
+        |), g AS (
+        |  SELECT series_id, t,
+        |    0.1 + 1.0 * sqrt(-2.0 * ln((h1 + 1) / 1152921504606846976.0))
+        |      * cos(2 * pi() * h2 / 1152921504606846976.0) AS gv
+        |  FROM d
+        |)
+        |SELECT series_id, CAST(t AS INT) AS t,
+        |  round(sum(gv) OVER (PARTITION BY series_id ORDER BY t), 4) + 0.0 AS v
+        |FROM g""".stripMargin,
+
+    // ucr_baseline_acc: the CSV-fixture formula replayed directly —
+    // the Spark side must round-trip it through the real writer +
+    // typo-fix + parser without changing a cell.
+    "ucr_baseline_acc" ->
+      """WITH i AS (SELECT unnest(generate_series(0, 4)) AS i),
+        |j AS (SELECT unnest(generate_series(0, 3)) AS j)
+        |SELECT 'Dataset_' || i AS dataset, 'm_' || j AS method,
+        |  round(((i * 7 + j * 13) % 100) / 100.0, 2) + 0.0 AS acc
+        |FROM i, j WHERE (i + j) % 7 <> 0""".stripMargin,
     "arff_roundtrip" ->
       """SELECT s.s AS series_id, CAST(t.t AS INT) AS t,
         |  CAST(((s.s * 7 + t.t * 3) % 11) - 4.5 AS DOUBLE) AS v,

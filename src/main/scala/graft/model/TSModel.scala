@@ -252,6 +252,39 @@ object TSModel {
     }.toDF("series_id", "ts", "label")
   }
 
+  /** Portable random-walk generator — the SURVEY §4.3 determinism
+    * contract in its strongest form: every Gaussian step is a CLOSED-FORM
+    * function of (seed, series_id, t), not of sequential RNG state, so
+    * the result is bit-reproducible under ANY partitioning, retry, or
+    * re-ordering, and an external SQL engine can replay it exactly
+    * (ts_random_walks). Draws: two 60-bit md5-keyed uniforms → Box-Muller
+    * z = √(−2·ln u₁)·cos(2π·u₂); walk = running sum of mu + std·z, built
+    * per row with an `aggregate` HOF — pure built-in expressions, no UDF,
+    * no shuffle, no per-partition state. Same API surface as
+    * [[randomWalks]] (`generators/generators.py:7-54`), univariate. */
+  def randomWalksPortable(spark: SparkSession, n: Int, sz: Int,
+                          mu: Double = 0.0, std: Double = 1.0,
+                          seed: Long = 0L): DataFrame = {
+    val two60 = 1152921504606846976.0 // 2^60
+    def h(t: org.apache.spark.sql.Column, tag: String): org.apache.spark.sql.Column =
+      conv(substring(md5(concat_ws(":", lit(seed), col("series_id"),
+        t.cast("string"), lit(tag))), 1, 15), 16, 10).cast("long")
+    def gauss(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val u1 = (h(t, "a").cast("double") + 1.0) / two60 // (0, 1], ln-safe
+      val u2 = h(t, "b").cast("double") / two60
+      lit(mu) + lit(std) * sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
+    }
+    spark.range(n).select(col("id").as("series_id"))
+      .select(col("series_id"), aggregate(
+        sequence(lit(0), lit(sz - 1)),
+        struct(array().cast("array<double>").as("arr"), lit(0.0).as("acc")),
+        (st, t) => {
+          val nxt = st.getField("acc") + gauss(t)
+          struct(array_append(st.getField("arr"), nxt).as("arr"), nxt.as("acc"))
+        },
+        st => st.getField("arr")).as("values"))
+  }
+
   /** Seed-stable random-walk generator —
     * `/root/reference/tslearn/generators/generators.py:7-54`. Distributed:
     * spark.range + per-row deterministic RNG seeded by (seed, id) so

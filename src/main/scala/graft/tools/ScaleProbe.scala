@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
   * data → 16× wall).
   *
   * Usage: runMain graft.tools.ScaleProbe <srcSfDir> <scratchDir> <factors csv> [queries...]
+  *
+  * SPARK_GRAFT_SKEW=zipf switches the documents table from uniform
+  * replication to an ADVERSARIAL corpus (VERDICT r9 item 3): one domain
+  * owns 50 % of all docs (stresses sourceCap's salted two-window pass),
+  * a single hot 3-shingle appears in 30 % of docs (stresses the df-cap
+  * on the inverted-index pipelines), and 20 % of docs collapse into
+  * exact 64-cliques (quadratic true-pair mass — stresses bucket caps
+  * and span dedup). The salted/capped designs were built precisely for
+  * this shape and had never been measured against it.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -62,14 +71,44 @@ object ScaleProbe {
       }
     }
 
+    // min-of-N repeats per query (default 2): single-shot walls on this
+    // host carry 2-8x warm-up/GC/external-load noise (r10: a f=4 run
+    // measured 7x slower than the same query at f=16); the min over warm
+    // repeats is the usable scaling signal. SPARK_GRAFT_PROBE_REUSE=1
+    // skips re-writing a scratch dir that already exists.
+    val probeRepeat = math.max(1, scala.util.Try(
+      sys.env.get("SPARK_GRAFT_PROBE_REPEAT").map(_.toInt)).toOption.flatten.getOrElse(2))
+    val reuse = sys.env.get("SPARK_GRAFT_PROBE_REUSE").contains("1")
     factors.foreach { f =>
       val dir = s"$scratch/f$f"
+      if (reuse && java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$dir/documents.parquet"))) ()
+      else {
       val events = spark.read.parquet(s"$src/events.parquet")
       replicate(events, f, Seq("user_id"))
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
       val docs = spark.read.parquet(s"$src/documents.parquet")
-      replicate(docs, f, Seq("doc_id"))
-        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val docsRep = replicate(docs, f, Seq("doc_id"))
+      val docsOut =
+        if (sys.env.get("SPARK_GRAFT_SKEW").contains("zipf")) {
+          // bucket by doc_id so the adversarial shares survive any factor:
+          // 50 % hot domain, 30 % hot shingle, 20 % exact 64-cliques
+          // (clique id = doc_id div 320: two clique docs per 10-block).
+          val bucket = pmod(col("doc_id"), lit(10))
+          val clique = call_function("div", col("doc_id"), lit(320L))
+          val cliqueText = concat_ws(" ", transform(sequence(lit(0), lit(49)),
+            i => concat(lit("tok"), pmod(hash(clique * 53 + i), lit(1000)))))
+          docsRep
+            .withColumn("source",
+              when(pmod(col("doc_id"), lit(2)) === 0, lit("hot.example.com"))
+                .otherwise(col("source")))
+            .withColumn("text",
+              when(bucket < 3, concat(col("text"), lit(" zyx hot shingle")))
+                .when(bucket.between(3, 4), cliqueText)
+                .otherwise(col("text")))
+            .withColumn("n_chars", length(col("text")))
+        } else docsRep
+      docsOut.write.mode("overwrite").parquet(s"$dir/documents.parquet")
       val emb = spark.read.parquet(s"$src/embeddings.parquet")
       replicate(emb, f, Seq("vec_id"))
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
@@ -78,6 +117,7 @@ object ScaleProbe {
         "supplier").foreach { t =>
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      }
       }
 
       val results = queries.map { name =>
@@ -97,11 +137,15 @@ object ScaleProbe {
           }
           case n => graft.SparkEntry.queries(n)
         }
-        val t0 = System.nanoTime()
-        val n = scala.util.Try(fn(spark, dir).count()).getOrElse(-1L)
-        val sec = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[probe] f=$f $name%-24s $sec%8.2f s  rows=$n")
-        name -> sec
+        var best = Double.PositiveInfinity
+        var n = -1L
+        (1 to probeRepeat).foreach { _ =>
+          val t0 = System.nanoTime()
+          n = scala.util.Try(fn(spark, dir).count()).getOrElse(-1L)
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        }
+        System.err.println(f"[probe] f=$f $name%-24s $best%8.2f s  rows=$n")
+        name -> best
       }
       val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       val load = scala.util.Try(java.nio.file.Files

@@ -204,4 +204,23 @@ class PlanAuditSpec extends AnyFunSuite {
     // spans), never a corpus-wide Window sort
     assert(!p.contains("Window"), s"unexpected window in span dedup:\n$p")
   }
+
+  test("inverted-index joins leave AQE skew-join applicable (no manual repartition)") {
+    // AQE can only split a skewed join partition when the exchange was
+    // planner-inserted (ENSURE_REQUIREMENTS); a user repartition(col)
+    // pins the partitioning (REPARTITION_BY_COL) and AQE must respect
+    // it, defeating runtime skew splitting. The inverted-index
+    // pipelines rely on AQE as the residual defense for a hot shingle
+    // that slips under the df-cap — lock that none of them pin their
+    // shuffles. (packSequences' repartition(source) is deliberate and
+    // exempt: its per-source scan REQUIRES all rows of a source in one
+    // partition, and sourceCap's salting handles the hot-domain case.)
+    Seq("doc_jaccard_pairs", "doc_containment_pairs", "doc_minhash_pairs")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("REPARTITION_BY"),
+          s"$q pins a shuffle (REPARTITION_BY_*), which disables AQE skew-join:\n" +
+            p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+      }
+  }
 }

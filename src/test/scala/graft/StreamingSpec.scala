@@ -235,4 +235,74 @@ class StreamingSpec extends AnyFunSuite {
       assert(math.abs(got(i) - d) < 1e-9, s"window $i: ${got(i)} vs $d")
     }
   }
+
+  test("state growth over 50 batches: buckets flat under re-delivery, packs O(sources), watermark evicts") {
+    implicit val sqlCtx = spark.sqlContext
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    def stateBytes(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      Option(q.lastProgress).map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
+
+    // (1) dedupNearMinhash: 25 batches of fresh docs, then the SAME 25
+    // batches re-delivered — state is one Long per (band, bucket), so
+    // the re-delivery half must add ZERO state rows.
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = StreamingOps.dedupNearMinhash(in1.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sg_minhash").outputMode("append").start()
+    def docText(i: Long) = (0 until 12).map(w => s"tok${(i * 31 + w * 7) % 97}").mkString(" ")
+    var after25 = 0L
+    (0 until 50).foreach { b =>
+      val base = (b % 25) * 2L
+      in1.addData((base, docText(base)), (base + 1, docText(base + 1)))
+      q1.processAllAvailable()
+      if (b == 24) after25 = stateRows(q1)
+    }
+    val after50 = stateRows(q1)
+    val bytes50 = stateBytes(q1)
+    q1.stop()
+    assert(after25 > 0)
+    assert(after50 == after25,
+      s"re-delivered docs grew bucket state: $after25 -> $after50")
+    assert(after50 <= 16L * 50,
+      s"state rows $after50 exceed the bands x distinct-docs bound")
+    info(s"minhash buckets: $after50 state rows / $bytes50 B after 50 batches (flat from batch 25)")
+
+    // (2) packSequences: state is (pack, fill) per SOURCE — 50 batches
+    // over 3 rotating sources must end at exactly 3 state rows.
+    val in2 = MemoryStream[(Long, String, String)]
+    val q2 = StreamingOps.packSequences(
+        in2.toDF().toDF("doc_id", "source", "text"), ctxLen = 64)
+      .writeStream.format("memory").queryName("sg_pack").outputMode("append").start()
+    (0 until 50).foreach { b =>
+      in2.addData((b.toLong, s"src${b % 3}", "one two three four five"))
+      q2.processAllAvailable()
+    }
+    val packRows = stateRows(q2)
+    val packBytes = stateBytes(q2)
+    q2.stop()
+    assert(packRows == 3L, s"pack state should be one row per source, got $packRows")
+    info(s"pack state: $packRows rows / $packBytes B after 50 batches on 3 sources")
+
+    // (3) dedupExact: dropDuplicatesWithinWatermark MUST evict — event
+    // time advances 10 min per batch with a 1 h horizon, so the final
+    // state holds only the last ~hour of hashes, far below the 50
+    // distinct hashes ingested, and strictly below the running peak.
+    val in3 = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q3 = StreamingOps.dedupExact(in3.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("sg_dedup").outputMode("append").start()
+    var peak = 0L
+    (0 until 50).foreach { b =>
+      in3.addData((b.toLong, ts(b * 10), s"document body number $b"))
+      q3.processAllAvailable()
+      peak = math.max(peak, stateRows(q3))
+    }
+    val fin = stateRows(q3)
+    q3.stop()
+    // eviction reaches a steady state bounded by the horizon (~6 in-window
+    // hashes + commit lag), so the PEAK over the whole run — not just the
+    // final snapshot — must stay far below the 50 distinct hashes ingested
+    assert(fin < 20L, s"watermark failed to evict: $fin state rows after 50 batches")
+    assert(peak < 20L, s"state peaked at $peak rows — grew past the horizon bound")
+    info(s"dedupExact state: peak $peak rows, final $fin rows (1 h horizon, 10 min/batch)")
+  }
 }

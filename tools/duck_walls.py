@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Dev-only appendix harness (VERDICT r9 item 9): time every oracle SQL
+in DuckDB over the same parquet tables the Spark Bench reads, so the
+"within 2x of baseline" bar gains a real per-query denominator (the
+oracle harness already RUNS these queries for correctness; this records
+their walls).
+
+Usage: python3 tools/duck_walls.py <sfDir> <verifyOutDir> [outJson]
+
+Writes {"sf": ..., "repeat": N, "walls": {name: sec}} with min-of-N
+walls (default 2) to outJson (default DUCK_WALLS.json). A query whose
+oracle errors records null. NOTE the caveat recorded in the JSON: the
+oracle SQL replays kernels as relational DP chains (recursive CTEs,
+per-cell joins) — faithful semantics, not how a native engine would
+implement DTW — so per-query ratios are a sanity denominator for the
+RELATIONAL queries (aggregation, dedup, joins), not a kernel-speed
+comparison.
+"""
+import sys, os, json, time
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+REPEAT = int(os.environ.get("DUCK_REPEAT", "2"))
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    out_json = sys.argv[3] if len(sys.argv) > 3 else "DUCK_WALLS.json"
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    walls = {}
+    for name in sorted(oracle):
+        best = None
+        for _ in range(REPEAT):
+            t0 = time.time()
+            try:
+                con.execute(oracle[name]).fetchall()
+                w = time.time() - t0
+                best = w if best is None else min(best, w)
+            except Exception as e:
+                print(f"[duck] {name} ERROR: {e}", file=sys.stderr)
+                best = None
+                break
+        walls[name] = round(best, 3) if best is not None else None
+        print(f"[duck] {name:28s} {walls[name]}")
+    rec = {
+        "sf": sf_dir,
+        "repeat": REPEAT,
+        "note": ("DuckDB walls of the oracle SQL (single-threaded-ish, "
+                 "relational DP replays for kernel queries); denominator "
+                 "for relational queries, sanity bound for kernel chains"),
+        "walls": walls,
+    }
+    with open(out_json, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(f"wrote {out_json}: {sum(1 for v in walls.values() if v is not None)}"
+          f"/{len(walls)} timed")
+
+
+if __name__ == "__main__":
+    main()

@@ -2342,6 +2342,42 @@ object SparkEntry {
       }.toDF("dataset", "method", "acc")
         .select(col("dataset"), col("method"),
           (round(col("acc"), 2) + lit(0.0)).as("acc"))
+    }),
+
+    // BM25 retrieval (TextAnalysis.bm25TopK): top-5 docs for two
+    // 3-term queries derived deterministically from the corpus (terms
+    // ranked 1-3 and 4-6 by frequency, ties lexicographic). The query
+    // broadcast prunes the corpus before anything shuffles; the
+    // per-query top-k is the k-slot TopK buffer, not a window sort.
+    "doc_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val top6 = d.select(explode(split(lower(col("text")), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("term")).limit(6).collect().map(_.getString(0))
+      val qdf = Seq((0L, top6.slice(0, 3).toSeq), (1L, top6.slice(3, 6).toSeq))
+        .toDF("query_id", "terms")
+      graft.operators.TextAnalysis.bm25TopK(d, qdf, k = 5)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          (round(col("score"), 4) + lit(0.0)).as("score"))
+    }),
+
+    // Count-min-sketch heavy hitters (TextAnalysis.cmsSketch /
+    // cmsEstimate): the d×w sketch relation is 256 rows at ANY corpus
+    // size; estimates of the exact top-10 unigrams emitted next to
+    // their true counts (est ≥ true is the CMS guarantee, and the
+    // oracle replays the md5-keyed sketch bit-exactly).
+    "doc_cms_heavy" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val exact = d.select(explode(split(lower(col("text")), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("true_c"))
+        .orderBy(col("true_c").desc, col("term")).limit(10)
+        .localCheckpoint()
+      graft.operators.TextAnalysis.cmsEstimate(
+          graft.operators.TextAnalysis.cmsSketch(d).localCheckpoint(),
+          exact.select("term"))
+        .join(exact, "term")
+        .select(col("term"), col("true_c"), col("cms_est"))
     })
   )
 
@@ -6108,6 +6144,74 @@ object SparkEntry {
         |SELECT series_id, CAST(t AS INT) AS t,
         |  round(sum(gv) OVER (PARTITION BY series_id ORDER BY t), 4) + 0.0 AS v
         |FROM g""".stripMargin,
+
+    // doc_bm25_topk: Okapi BM25 replayed relationally — same query
+    // derivation (frequency ranks 1-6, ties lexicographic), same
+    // formula with the constants written as the same double
+    // expressions ((1.2 + 1.0), (1.0 - 0.75)) both engines evaluate
+    // identically, row_number (score DESC, doc_id) = TopK's
+    // (-score, id) ascending buffer order.
+    "doc_bm25_topk" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |tall AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+        |tc AS (SELECT term, count(*) AS c FROM tall GROUP BY 1),
+        |top6 AS (
+        |  SELECT term, rk FROM (
+        |    SELECT term, row_number() OVER (ORDER BY c DESC, term) AS rk FROM tc)
+        |  WHERE rk <= 6
+        |), qt AS (
+        |  SELECT CAST(CASE WHEN rk <= 3 THEN 0 ELSE 1 END AS BIGINT) AS query_id, term
+        |  FROM top6
+        |), stats AS (SELECT count(*) AS n, avg(len(ws)) AS avgdl FROM w),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM tall
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2
+        |), dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    sum(ln((CAST(s.n AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+        |      * (tf.tf * (1.2 + 1.0))
+        |      / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / s.avgdl))) AS score
+        |  FROM tf JOIN qt USING (term) JOIN dfq USING (term), stats s
+        |  GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS rank
+        |  FROM sc
+        |)
+        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+        |  round(score, 4) + 0.0 AS score
+        |FROM rk WHERE rank <= 5""".stripMargin,
+
+    // doc_cms_heavy: the count-min sketch replayed bit-exactly — same
+    // md5-keyed row hashes (the minhash-oracle hex trick), same d=4 ×
+    // w=64 grid, est = min over rows; true counts from the exact
+    // aggregation both engines run anyway.
+    "doc_cms_heavy" ->
+      """WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+        |tall AS (SELECT unnest(ws) AS term FROM w),
+        |tc AS (SELECT term, count(*) AS true_c FROM tall GROUP BY 1),
+        |top10 AS (
+        |  SELECT term, true_c FROM (
+        |    SELECT term, true_c,
+        |      row_number() OVER (ORDER BY true_c DESC, term) AS rk FROM tc)
+        |  WHERE rk <= 10
+        |), tcells AS (
+        |  SELECT t.term, r.r,
+        |    CAST(CONCAT('0x', substring(md5(r.r || ':' || t.term), 1, 15)) AS BIGINT) % 64 AS cell
+        |  FROM tc t, (SELECT unnest(generate_series(0, 3)) AS r) r
+        |), sketch AS (
+        |  SELECT x.r, x.cell, CAST(sum(t.true_c) AS BIGINT) AS c
+        |  FROM tcells x JOIN tc t USING (term) GROUP BY 1, 2
+        |), est AS (
+        |  SELECT x.term, min(s.c) AS cms_est
+        |  FROM tcells x JOIN sketch s ON s.r = x.r AND s.cell = x.cell
+        |  WHERE x.term IN (SELECT term FROM top10)
+        |  GROUP BY 1
+        |)
+        |SELECT top10.term, top10.true_c, est.cms_est
+        |FROM top10 JOIN est USING (term)""".stripMargin,
 
     // ucr_baseline_acc: the CSV-fixture formula replayed directly —
     // the Spark side must round-trip it through the real writer +

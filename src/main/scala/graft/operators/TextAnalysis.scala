@@ -393,4 +393,73 @@ object TextAnalysis {
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
+
+  /** BM25 retrieval of the top-k docs per query (Robertson-Sparck Jones
+    * "probabilistic relevance"; the standard quality-retrieval /
+    * seed-corpus-expansion step of data pipelines — e.g. importance
+    * resampling against a query set). Okapi formula per (query, doc):
+    * Σ_{t∈q} idf(t)·tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), idf =
+    * ln((N−df+0.5)/(df+0.5)+1).
+    *
+    * Scale shape: the query term set is TINY and broadcast — the first
+    * join prunes the exploded corpus to docs containing a query term
+    * before anything shuffles. df is one row per query term (broadcast
+    * back). The only corpus-scale exchanges are the (doc, term) tf
+    * groupBy and the (query, doc) score sum, both map-side-combinable,
+    * and the final per-query top-k is TopK.byKey's k-slot buffer (k
+    * rows per key per mapper cross the wire, no sort). `queries`:
+    * (query_id LONG, terms ARRAY<STRING>). */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 5,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val words = docs.select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+    val stats = words.agg(count(lit(1)).as("n"), avg(size(col("w"))).as("avgdl")).head()
+    val (nDocs, avgdl) = (stats.getLong(0), stats.getDouble(1))
+    val qt = queries.select(col("query_id"), explode(col("terms")).as("term")).distinct()
+    val tf = words
+      .select(col("doc_id"), size(col("w")).as("dl"), explode(col("w")).as("term"))
+      .join(broadcast(qt.select("term").distinct()), "term")
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      // feeds both the df aggregation and the scoring join — one scan
+      .localCheckpoint()
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "term").join(broadcast(qt), "term")
+      .select(col("query_id"), col("doc_id"),
+        (log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)))).as("s"))
+      .groupBy("query_id", "doc_id").agg(sum("s").as("score"))
+    TopK.byKey(scored.select(col("query_id"), col("doc_id"),
+        negate(col("score")).as("ns")), k, "query_id", "doc_id", "ns")
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        negate(col("ns")).as("score"))
+  }
+
+  /** Count-min sketch of the corpus unigram frequencies (Cormode &
+    * Muthukrishnan 2005) — the heavy-hitter primitive for vocabularies
+    * too large to count exactly in memory. `d` independent md5-keyed
+    * hash rows × `w` columns; the sketch relation is d·w rows AT ANY
+    * CORPUS SIZE (one map-side-combinable groupBy) — that fixed size is
+    * the whole 100 TB point. Portable hashing (md5 hex, the
+    * minhash-oracle trick) so an external engine replays the sketch
+    * bit-exactly. Returns (r, cell, c). */
+  def cmsSketch(docs: DataFrame, d: Int = 4, w: Int = 64): DataFrame =
+    docs.select(explode(split(lower(col("text")), " ")).as("term"))
+      .select(posexplode(transform(sequence(lit(0), lit(d - 1)),
+        r => pmod(conv(substring(md5(concat(r.cast("string"), lit(":"), col("term"))),
+          1, 15), 16, 10).cast("long"), lit(w.toLong)))).as(Seq("r", "cell")))
+      .groupBy("r", "cell").agg(count(lit(1)).as("c"))
+
+  /** Point-estimate terms against a CMS sketch: est(t) = min_r
+    * sketch(r, h_r(t)) — always ≥ the true count (the CMS guarantee;
+    * asserted by the driver row against exact counts). `terms`:
+    * (term STRING); sketch as produced by [[cmsSketch]] (broadcast —
+    * d·w rows). */
+  def cmsEstimate(sketch: DataFrame, terms: DataFrame,
+                  d: Int = 4, w: Int = 64): DataFrame =
+    terms.select(col("term"), posexplode(transform(sequence(lit(0), lit(d - 1)),
+        r => pmod(conv(substring(md5(concat(r.cast("string"), lit(":"), col("term"))),
+          1, 15), 16, 10).cast("long"), lit(w.toLong)))).as(Seq("r", "cell")))
+      .join(broadcast(sketch), Seq("r", "cell"))
+      .groupBy("term").agg(min("c").as("cms_est"))
 }

@@ -541,4 +541,48 @@ class DedupAnnSpec extends AnyFunSuite {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(m(2L) == expected2)
   }
+
+  test("BM25: hand-computed score, idf ordering, rarity beats frequency") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (0L, "apple banana apple cherry"),
+      (1L, "apple apple apple apple"),
+      (2L, "banana cherry durian fig"),
+      (3L, "fig fig grape grape")).toDF("doc_id", "text")
+    val queries = Seq((0L, Seq("apple", "durian"))).toDF("query_id", "terms")
+    val got = TextAnalysis.bm25TopK(docs, queries, k = 4)
+      .as[(Long, Int, Long, Double)].collect().map(r => r._3 -> ((r._2, r._4))).toMap
+    // hand BM25: N=4, avgdl=4, dl=4 -> length norm term = 1
+    def idf(df: Int) = math.log((4.0 - df + 0.5) / (df + 0.5) + 1.0)
+    def w(tf: Int) = tf * 2.2 / (tf + 1.2)
+    val s0 = idf(2) * w(2)            // doc 0: apple tf=2
+    val s1 = idf(2) * w(4)            // doc 1: apple tf=4
+    val s2 = idf(1) * w(1)            // doc 2: durian tf=1 (rare term)
+    assert(math.abs(got(0L)._2 - s0) < 1e-9)
+    assert(math.abs(got(1L)._2 - s1) < 1e-9)
+    assert(math.abs(got(2L)._2 - s2) < 1e-9)
+    // the single rare-term doc outranks both frequent-term docs
+    assert(got(2L)._1 == 1, s"rare term should rank first: $got")
+    assert(!got.contains(3L), "doc with no query term must not appear")
+  }
+
+  test("CMS: estimates >= true counts; exact when no cell collides") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (0L, "a a a b b c"),
+      (1L, "a b c d d d d")).toDF("doc_id", "text")
+    val sketch = TextAnalysis.cmsSketch(docs)
+    val terms = Seq("a", "b", "c", "d").toDF("term")
+    val est = TextAnalysis.cmsEstimate(sketch, terms)
+      .as[(String, Long)].collect().toMap
+    val truth = Map("a" -> 4L, "b" -> 3L, "c" -> 2L, "d" -> 4L)
+    truth.foreach { case (t, c) =>
+      assert(est(t) >= c, s"CMS underestimated $t: ${est(t)} < $c")
+    }
+    // 4 distinct terms in a 4x64 grid: w.h.p. some row has no collision
+    // for each term, so the min-over-rows estimate is exact
+    truth.foreach { case (t, c) => assert(est(t) == c, s"$t: ${est(t)} != $c") }
+    // the sketch relation is d*w-bounded regardless of corpus size
+    assert(sketch.count() <= 4L * 64)
+  }
 }

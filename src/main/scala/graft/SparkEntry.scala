@@ -2378,7 +2378,17 @@ object SparkEntry {
           exact.select("term"))
         .join(exact, "term")
         .select(col("term"), col("true_c"), col("cms_est"))
-    })
+    }),
+
+    // BPE merge-rule induction (TextAnalysis.bpeMerges): 3 training
+    // steps of Sennrich-style tokenizer learning on the corpus
+    // vocabulary. The oracle replays every step — pair statistics,
+    // lexicographic-tie argmax, and the greedy non-overlapping merge
+    // walk (recursive per-word position CTE) — and the next step's
+    // statistics run on the MERGED symbols, so a wrong merge anywhere
+    // cascades into a wrong best pair downstream.
+    "doc_bpe_merges" -> ((s, dir) =>
+      graft.operators.TextAnalysis.bpeMerges(docs(s, dir), steps = 3))
   )
 
   // =================================================================
@@ -4705,6 +4715,65 @@ object SparkEntry {
     sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
   }
 
+  /** DuckDB oracle for doc_bpe_merges — `steps` BPE training steps
+    * replayed relationally. Per step s: p$s counts every adjacent
+    * symbol pair of the previous symbol layer (overlapping included,
+    * frequency-weighted — the reference `get_stats`), best$s is the
+    * deterministic argmax (cnt DESC, l, r), and the merge APPLY is a
+    * recursive per-word position walk w$s (advance 2 over a matched
+    * pair, else 1 — greedy non-overlap, so "aaa"+(a,a) → ["aa","a"]),
+    * re-indexed into the next symbol layer s$s. */
+  private def bpeMergesOracleSql(steps: Int): String = {
+    val sb = new StringBuilder(
+      """WITH RECURSIVE vf AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |  GROUP BY 1
+        |), s0 AS (
+        |  SELECT word, g.i - 1 AS pos, substring(word, CAST(g.i AS INT), 1) AS sym
+        |  FROM vf, (SELECT unnest(generate_series(1, (SELECT max(len(word)) FROM vf))) AS i) g
+        |  WHERE g.i <= len(word)
+        |)""".stripMargin)
+    for (s <- 1 to steps) {
+      val prev = s - 1
+      sb ++=
+        s"""
+           |, p$s AS (
+           |  SELECT a.sym AS l, b.sym AS r, CAST(sum(v.freq) AS BIGINT) AS cnt
+           |  FROM s$prev a
+           |  JOIN s$prev b ON b.word = a.word AND b.pos = a.pos + 1
+           |  JOIN vf v ON v.word = a.word
+           |  GROUP BY 1, 2
+           |), best$s AS (
+           |  SELECT l, r, cnt FROM p$s ORDER BY cnt DESC, l, r LIMIT 1
+           |), w$s AS (
+           |  SELECT word, 0 AS pos FROM vf
+           |  UNION ALL
+           |  SELECT w.word,
+           |    w.pos + CASE WHEN a.sym = best.l AND b.sym = best.r THEN 2 ELSE 1 END
+           |  FROM w$s w
+           |  JOIN s$prev a ON a.word = w.word AND a.pos = w.pos
+           |  LEFT JOIN s$prev b ON b.word = w.word AND b.pos = w.pos + 1
+           |  CROSS JOIN best$s best
+           |), s$s AS (
+           |  SELECT w.word,
+           |    row_number() OVER (PARTITION BY w.word ORDER BY w.pos) - 1 AS pos,
+           |    CASE WHEN a.sym = best.l AND b.sym = best.r
+           |         THEN a.sym || b.sym ELSE a.sym END AS sym
+           |  FROM w$s w
+           |  JOIN s$prev a ON a.word = w.word AND a.pos = w.pos
+           |  LEFT JOIN s$prev b ON b.word = w.word AND b.pos = w.pos + 1
+           |  CROSS JOIN best$s best
+           |)""".stripMargin
+    }
+    sb ++= "\n" + (1 to steps).map(s =>
+        s"""SELECT $s AS step, l AS "left", r AS "right", cnt AS pair_count FROM best$s""")
+      .mkString("\nUNION ALL\n")
+    sb.toString
+      .replaceAll("(?m)^(WITH RECURSIVE |, )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+      .replaceAll(", (w\\d+) AS MATERIALIZED \\(", ", $1 AS (")
+  }
+
   /** Shared CTE core of the sigma_gak / gamma_soft_dtw oracles
     * (`softdtw_variants.py:221-313`): exact k-th-smallest medians
     * (k = n/2, the reference's sorted[n//2] upper middle) of the
@@ -6212,6 +6281,8 @@ object SparkEntry {
         |)
         |SELECT top10.term, top10.true_c, est.cms_est
         |FROM top10 JOIN est USING (term)""".stripMargin,
+
+    "doc_bpe_merges" -> bpeMergesOracleSql(3),
 
     // ucr_baseline_acc: the CSV-fixture formula replayed directly —
     // the Spark side must round-trip it through the real writer +

@@ -462,4 +462,71 @@ object TextAnalysis {
           1, 15), 16, 10).cast("long"), lit(w.toLong)))).as(Seq("r", "cell")))
       .join(broadcast(sketch), Seq("r", "cell"))
       .groupBy("term").agg(min("c").as("cms_est"))
+
+  /** Greedy left-to-right merge of ONE symbol pair (l, r) in a symbol
+    * array — the BPE apply step, as a pure `aggregate` HOF (no UDF):
+    * fold positions with (out, skip) state; a matched pair emits the
+    * concatenated symbol and skips its right half, so "aaa" + (a,a) →
+    * ["aa", "a"], never ["aa","aa"]. */
+  private def bpeMergeOnce(syms: Column, l: String, r: String): Column =
+    aggregate(
+      sequence(lit(0), size(syms) - 1),
+      struct(array().cast("array<string>").as("arr"), lit(false).as("skip")),
+      (st, i) => {
+        val cur = get(syms, i)
+        val nxt = get(syms, i + 1)
+        val isMerge = cur === lit(l) && nxt === lit(r)
+        when(st.getField("skip"),
+          struct(st.getField("arr").as("arr"), lit(false).as("skip")))
+          .otherwise(when(isMerge,
+            struct(array_append(st.getField("arr"), lit(l + r)).as("arr"),
+              lit(true).as("skip")))
+            .otherwise(
+              struct(array_append(st.getField("arr"), cur).as("arr"),
+                lit(false).as("skip"))))
+      },
+      st => st.getField("arr"))
+
+  /** BPE merge-rule induction (Sennrich et al. 2016) — tokenizer
+    * TRAINING on the corpus, `steps` merges. Faithful to the reference
+    * algorithm: pair statistics count every adjacent symbol pair
+    * (overlapping included, weighted by word frequency); the argmax
+    * pair (ties: lexicographic (left, right)) becomes the step's merge
+    * rule; applying a rule is greedy left-to-right non-overlapping.
+    *
+    * Scale shape — the 100 TB reason to do BPE this way: the corpus is
+    * touched ONCE (the distinct-word groupBy); every one of the
+    * `steps` iterations then runs on the VOCABULARY relation (one row
+    * per distinct word — bounded by the language, not the corpus),
+    * with one map-side-combinable pair-count aggregation + a
+    * TakeOrdered(1) per step and the merge applied as a codegen'd
+    * expression. No driver loop ever sees more than one row per step.
+    * Returns (step, left, right, pair_count). */
+  def bpeMerges(docs: DataFrame, steps: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))).as("syms"), col("freq"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (step <- 1 to steps) {
+      val best = vocab
+        .where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(transform(sequence(lit(0), size(col("syms")) - 2),
+          i => struct(get(col("syms"), i).as("l"), get(col("syms"), i + 1).as("r"))))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+        .head()
+      val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      out += ((step, l, r, cnt))
+      vocab = vocab.select(bpeMergeOnce(col("syms"), l, r).as("syms"), col("freq"))
+        .localCheckpoint()
+    }
+    out.toSeq.toDF("step", "left", "right", "pair_count")
+  }
 }

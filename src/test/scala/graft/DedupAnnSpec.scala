@@ -585,4 +585,21 @@ class DedupAnnSpec extends AnyFunSuite {
     // the sketch relation is d*w-bounded regardless of corpus size
     assert(sketch.count() <= 4L * 64)
   }
+
+  test("BPE merges: overlapping pair counts, greedy non-overlap apply, cascade") {
+    import graft.operators.TextAnalysis
+    // "aaab" x3 + "ab": pair stats step 1 (overlapping counted):
+    //   (a,a) = 2*3 = 6; (a,b) = 3 + 1 = 4  -> merge (a,a)
+    // apply greedy: "aaab" -> [aa, a, b] (NOT [aa, aa..]); "ab" -> [a, b]
+    // step 2 stats: (aa,a)=3, (a,b)=3+1=4... wait: [aa,a,b] has (aa,a)
+    //   and (a,b) -> (a,b) = 3 + 1 = 4 -> merge (a,b)
+    // step 3: [aa, ab] x3 + [ab]: (aa,ab) = 3 -> merge (aa,ab)
+    val docs = Seq(
+      (0L, "aaab aaab"),
+      (1L, "aaab ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, steps = 3)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1, "a", "a", 6L), (2, "a", "b", 4L), (3, "aa", "ab", 3L)),
+      s"got $got")
+  }
 }

@@ -1728,6 +1728,25 @@ object SparkEntry {
           (round(col("d2"), 4) + lit(0.0)).as("d2"))
     }),
 
+    // KernelKMeans with an RBF kernel (kmeans.py kernel_params routes
+    // any sklearn pairwise kernel; GAK is only the default) — the same
+    // fixed-iteration trace as ts_kernel_kmeans but the gram is a pure
+    // codegen'd zip_with/aggregate expression (no UDF at all), and the
+    // oracle's kernel is one grouped sum instead of a DP chain.
+    "ts_kernel_kmeans_rbf" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .where(col("series_id") < 12)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(16)).as("values"))
+        .localCheckpoint()
+      val km = new graft.ml.KernelKMeans(k = 3, maxIter = 4,
+        tol = Double.NegativeInfinity, init = "mod", kernel = "rbf",
+        gamma = 0.1)
+      km.fitAssign(series)
+        .select(col("series_id"), col("cluster"),
+          (round(col("d2"), 4) + lit(0.0)).as("d2"))
+    }),
+
     // KernelKMeans.predict (kmeans.py:407-457): held-out probes 12..19
     // against the model fitted on 0..11 — the kernel-trick new-point
     // assignment (broadcast training set + per-cluster mean kernel +
@@ -4883,6 +4902,31 @@ object SparkEntry {
     "-(a.val - b.val) * (a.val - b.val) / 2.0" +
       " - ln(2.0 - exp(-(a.val - b.val) * (a.val - b.val) / 2.0))"
 
+  /** DuckDB oracle for ts_kernel_kmeans_rbf — same fit trace as
+    * [[kernelKMeansTraceSql]] but the `fin` relation carries
+    * lw = −γ·Σ_t(x_t−y_t)² directly (k = exp(lw); self rows lw = 0, so
+    * the core CTEs' exp(ab − ½(aa+bb)) normalization is the identity
+    * and the diag pins to 1.0 exactly as the engine's union does). */
+  private def kernelKMeansRbfTraceSql(sz: Int, maxId: Int, k: Int,
+                                      iters: Int, gamma: Double): String = {
+    val sb = new StringBuilder(evCte + resampleZnormCte(sz))
+    sb ++=
+      s"""
+         |, fin AS (
+         |  SELECT x.user_id AS pr, y.user_id AS cd,
+         |    -$gamma * sum((x.val - y.val) * (x.val - y.val)) AS lw
+         |  FROM r x JOIN r y ON y.j = x.j
+         |  WHERE x.user_id < $maxId AND y.user_id < $maxId
+         |  GROUP BY 1, 2
+         |)""".stripMargin
+    sb ++= kernelKMeansCoreCtes(k, iters, "TRUE")
+    sb ++=
+      s"""
+         |SELECT l.id AS series_id, l.c AS cluster, round(d.d2, 4) + 0.0 AS d2
+         |FROM lab$iters l JOIN d_$iters d ON d.id = l.id AND d.c = l.c""".stripMargin
+    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+  }
+
   private def kernelKMeansTraceSql(sz: Int, maxId: Int, k: Int, iters: Int): String =
     sumProdChainSql(
       sz,
@@ -6001,6 +6045,7 @@ object SparkEntry {
       finalSql =
         """SELECT pr AS user_id, round(-1.0 * lw, 4) AS softdtw FROM fin""".stripMargin),
     "ts_kernel_kmeans" -> kernelKMeansTraceSql(16, 12, 3, 4),
+    "ts_kernel_kmeans_rbf" -> kernelKMeansRbfTraceSql(16, 12, 3, 4, 0.1),
     "ts_kernel_kmeans_predict" -> kernelKMeansPredictSql(16, 12, 20, 3, 4),
     "ts_svc_decision" -> svcDecisionOracleSql(16, 16),
     // ts_svr_predict: the SVC margin chain with β weights and bias —

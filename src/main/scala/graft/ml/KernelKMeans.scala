@@ -18,7 +18,37 @@ import graft.functions.TsFunctions
 class KernelKMeans(val k: Int, val maxIter: Int = 10, val tol: Double = 1e-6,
                    val sigma: Double = 1.0, val seed: Long = 0L,
                    val blocks: Int = 0,
-                   val init: String = "random") extends Serializable {
+                   val init: String = "random",
+                   // kernel: "gak" (reference default, sigma-parameterized)
+                   // or "rbf" (exp(-gamma*||x-y||^2), the sklearn
+                   // pairwise-kernel route of kmeans.py kernel_params;
+                   // equal lengths required). rbf's gram is a pure
+                   // codegen'd zip_with/aggregate expression - no UDF.
+                   val kernel: String = "gak",
+                   val gamma: Double = 1.0) extends Serializable {
+
+  require(Seq("gak", "rbf").contains(kernel), s"bad kernel $kernel")
+
+  /** Pairwise kernel as a Column expression (the gram build). */
+  private def kernelExpr(a: org.apache.spark.sql.Column,
+                         b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    kernel match {
+      case "rbf" => exp(lit(-gamma) * aggregate(
+        zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+      case _ => TsFunctions.gakUdf(a, b, lit(sigma))
+    }
+
+  /** The same kernel as a driver-side scalar (Model.predict path). */
+  private[ml] def kernelScalar(x: Array[Double], y: Array[Double]): Double =
+    kernel match {
+      case "rbf" =>
+        var ssd = 0.0
+        var t = 0
+        while (t < x.length) { val d = x(t) - y(t); ssd += d * d; t += 1 }
+        math.exp(-gamma * ssd)
+      case _ => graft.kernels.Kernels.gak(
+        graft.kernels.Kernels.uni(x), graft.kernels.Kernels.uni(y), sigma)
+    }
 
   /** New-point assignment: kernel-trick distance to each fitted cluster
     * using the stored training series/labels (`kmeans.py:407-457`
@@ -44,15 +74,15 @@ class KernelKMeans(val k: Int, val maxIter: Int = 10, val tol: Double = 1e-6,
           s"set, or switch to a landmark/Nystrom model " +
           s"(TimeSeriesSVC.fitNystrom) for predict at this scale.")
       val spark = df.sparkSession
-      val s = sigma
       val t3 = term3
       val bc = spark.sparkContext.broadcast(assignments)
+      val kf = kernelScalar _
       val f = udf((v: scala.collection.Seq[Double]) => {
-        val x = graft.kernels.Kernels.uni(v.toArray)
+        val x = v.toArray
         val sums = scala.collection.mutable.Map[Int, Double]().withDefaultValue(0.0)
         val counts = scala.collection.mutable.Map[Int, Int]().withDefaultValue(0)
         bc.value.foreach { case (_, tv, c) =>
-          sums(c) += graft.kernels.Kernels.gak(x, graft.kernels.Kernels.uni(tv), s)
+          sums(c) += kf(x, tv)
           counts(c) += 1
         }
         t3.keys.toSeq.sorted.map { c =>
@@ -92,11 +122,9 @@ class KernelKMeans(val k: Int, val maxIter: Int = 10, val tol: Double = 1e-6,
     // the gram family is no longer capped at broadcast-sized inputs.
     val pairs =
       if (blocks > 0)
-        Cdist.selfCrossBlocked(df, (a, b) => TsFunctions.gakUdf(a, b, lit(sigma)),
-          blocks, computeDiagonal = false)
+        Cdist.selfCrossBlocked(df, kernelExpr, blocks, computeDiagonal = false)
       else
-        Cdist.selfCross(df, (a, b) => TsFunctions.gakUdf(a, b, lit(sigma)),
-          computeDiagonal = false)
+        Cdist.selfCross(df, kernelExpr, computeDiagonal = false)
     // localCheckpoint, not cache: the gram feeds two join branches in
     // EVERY iteration — a cache substitutes the scan but leaves the full
     // lineage in each round's analyzed plan (re-planned per iteration,

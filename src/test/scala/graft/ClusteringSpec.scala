@@ -88,6 +88,32 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("rbf kernel kmeans: blob partition is a fixed point; predict == fit") {
+    // interleave ids so init="mod" (id % 2) starts AT the true blob
+    // partition: with a correct rbf kernel-trick distance that
+    // partition is a fixed point of Lloyd (within-blob kernel >>
+    // cross-blob at this gamma), so any drift = a distance bug.
+    // (A mixed symmetric init can legitimately collapse kernel k-means
+    // — that's an init property, not a kernel one; the semantic trace
+    // is driver signal via ts_kernel_kmeans_rbf.)
+    val raw = blobs()
+    val df = raw.select(((col("series_id") % 10) * 2 + col("true_blob")).as("series_id"),
+      col("values"), col("true_blob"))
+    val km = new KernelKMeans(k = 2, maxIter = 10, init = "mod",
+      kernel = "rbf", gamma = 0.05)
+    val assigned = km.fitAssign(df).join(df.select("series_id", "true_blob"), "series_id")
+      .collect()
+    assigned.foreach { r =>
+      assert(r.getAs[Int]("cluster") == r.getAs[Int]("true_blob"),
+        s"row $r drifted from the blob partition")
+    }
+    // predict on the training rows reproduces the fit assignment
+    val model = km.fitModel(df)
+    val fitLab = km.fit(df).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val predLab = model.predict(df).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fitLab == predLab)
+  }
+
   test("kshape separates blobs") {
     val df = blobs()
     val model = new KShape(k = 2, maxIter = 10, seed = 3).fit(df)

@@ -2399,6 +2399,22 @@ object SparkEntry {
         .select(col("term"), col("true_c"), col("cms_est"))
     }),
 
+    // HyperLogLog distinct-word count (TextAnalysis.hllSketch /
+    // hllEstimate): the register relation is 64 rows at any
+    // cardinality; estimate emitted beside the exact countDistinct
+    // both engines also run, and the oracle replays registers +
+    // estimate formula (incl. the linear-counting branch) bit-exactly.
+    "doc_hll_distinct" -> ((s, dir) => {
+      val words = docs(s, dir)
+        .select(explode(split(lower(col("text")), " ")).as("term"))
+      val exact = words.agg(countDistinct("term").as("n_exact"))
+      graft.operators.TextAnalysis.hllEstimate(
+          graft.operators.TextAnalysis.hllSketch(words))
+        .crossJoin(exact)
+        .select(col("n_exact"),
+          (round(col("hll_est"), 4) + lit(0.0)).as("hll_est"))
+    }),
+
     // BPE merge-rule induction (TextAnalysis.bpeMerges): 3 training
     // steps of Sennrich-style tokenizer learning on the corpus
     // vocabulary. The oracle replays every step — pair statistics,
@@ -6328,6 +6344,36 @@ object SparkEntry {
         |FROM top10 JOIN est USING (term)""".stripMargin,
 
     "doc_bpe_merges" -> bpeMergesOracleSql(3),
+
+    // doc_hll_distinct: HLL replayed bit-exactly — same md5 60-bit
+    // hash, p=6 index/suffix split, bin()-length ranks (identical
+    // no-leading-zeros semantics both engines), same alpha and
+    // linear-counting correction written as the same double exprs.
+    "doc_hll_distinct" ->
+      """WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |hs AS (
+        |  SELECT CAST(CONCAT('0x', substring(md5(term), 1, 15)) AS BIGINT) AS h FROM w
+        |), regs AS (
+        |  SELECT h % 64 AS idx,
+        |    max(CASE WHEN h // 64 = 0 THEN 55
+        |             ELSE 55 - length(bin(h // 64)) END) AS m_j
+        |  FROM hs GROUP BY 1
+        |), filled AS (
+        |  SELECT g.i AS idx, coalesce(r.m_j, 0) AS m_j
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS i) g
+        |  LEFT JOIN regs r ON r.idx = g.i
+        |), agg AS (
+        |  SELECT sum(pow(2.0, -m_j)) AS s,
+        |         sum(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS v
+        |  FROM filled
+        |), ex AS (SELECT count(DISTINCT term) AS n_exact FROM w)
+        |SELECT ex.n_exact,
+        |  round(CASE WHEN (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0 / agg.s
+        |                  <= 2.5 * 64.0 AND agg.v > 0
+        |        THEN 64.0 * ln(64.0 / agg.v)
+        |        ELSE (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0 / agg.s
+        |        END, 4) + 0.0 AS hll_est
+        |FROM ex, agg""".stripMargin,
 
     // ucr_baseline_acc: the CSV-fixture formula replayed directly —
     // the Spark side must round-trip it through the real writer +

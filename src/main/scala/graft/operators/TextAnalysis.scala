@@ -463,6 +463,48 @@ object TextAnalysis {
       .join(broadcast(sketch), Seq("r", "cell"))
       .groupBy("term").agg(min("c").as("cms_est"))
 
+  /** HyperLogLog registers for a STRING item column (Flajolet et al.
+    * 2007) — the distinct-count primitive for key spaces too large to
+    * countDistinct exactly. 2^p registers; register = max over items of
+    * (leading zeros of the hash suffix + 1). The register relation is
+    * ≤ 2^p rows AT ANY CARDINALITY (one map-side-combinable max
+    * groupBy); portable md5 hashing so an external engine replays the
+    * registers bit-exactly. 60-bit hash: p index bits + a (60−p)-bit
+    * suffix whose bit length comes off `bin()` (identical no-leading-
+    * zeros semantics in Spark and DuckDB). Returns (idx, m_j). */
+  def hllSketch(items: DataFrame, itemCol: String = "term", p: Int = 6): DataFrame = {
+    val m = 1L << p
+    val w = 60 - p
+    val h = conv(substring(md5(col(itemCol)), 1, 15), 16, 10).cast("long")
+    val suffix = shiftright(h, p)
+    val rank = when(suffix === 0, lit(w + 1))
+      .otherwise(lit(w + 1) - length(bin(suffix)))
+    items.select(pmod(h, lit(m)).as("idx"), rank.as("rank"))
+      .groupBy("idx").agg(max("rank").as("m_j"))
+  }
+
+  /** The HLL cardinality estimate from a register relation: E =
+    * α_m·m²/Σ 2^(−M_j) with empty registers filled in (M = 0) and the
+    * standard small-range linear-counting correction (E ≤ 2.5 m with
+    * V > 0 empty registers → m·ln(m/V)). One row out. */
+  def hllEstimate(registers: DataFrame, p: Int = 6): DataFrame = {
+    val spark = registers.sparkSession
+    val m = 1L << p
+    val full = spark.range(m).select(col("id").as("idx"))
+      .join(broadcast(registers), Seq("idx"), "left")
+      .select(coalesce(col("m_j"), lit(0L)).as("m_j"))
+    full.agg(
+        sum(pow(lit(2.0), -col("m_j"))).as("s"),
+        sum(when(col("m_j") === 0, 1L).otherwise(0L)).as("v"))
+      .select(
+        when(
+          lit((0.7213 / (1.0 + 1.079 / m)) * m * m) / col("s") <= lit(2.5 * m)
+            && col("v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+          .otherwise(lit((0.7213 / (1.0 + 1.079 / m)) * m * m) / col("s"))
+          .as("hll_est"))
+  }
+
   /** Greedy left-to-right merge of ONE symbol pair (l, r) in a symbol
     * array — the BPE apply step, as a pure `aggregate` HOF (no UDF):
     * fold positions with (out, skip) state; a matched pair emits the

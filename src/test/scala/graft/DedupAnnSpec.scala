@@ -586,6 +586,26 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(sketch.count() <= 4L * 64)
   }
 
+  test("HLL: estimate within the m=64 error bound across cardinalities") {
+    import graft.operators.TextAnalysis
+    // standard error for m=64 is 1.04/sqrt(64) = 13%; allow 3 sigma
+    Seq(50, 500, 5000).foreach { n =>
+      val items = spark.range(n).selectExpr("concat('item_', id) AS term")
+      val est = TextAnalysis.hllEstimate(TextAnalysis.hllSketch(items))
+        .head().getDouble(0)
+      assert(math.abs(est - n) / n < 3 * 1.04 / 8,
+        s"n=$n est=$est off by ${math.abs(est - n) / n}")
+      // duplicates must not move the estimate (registers are maxes)
+      val dup = items.union(items).union(items)
+      val est2 = TextAnalysis.hllEstimate(TextAnalysis.hllSketch(dup))
+        .head().getDouble(0)
+      assert(est2 == est, s"duplicates moved the HLL estimate: $est -> $est2")
+    }
+    // the register relation is 2^p-bounded at any cardinality
+    assert(TextAnalysis.hllSketch(
+      spark.range(100000).selectExpr("concat('x', id) AS term")).count() <= 64)
+  }
+
   test("BPE merges: overlapping pair counts, greedy non-overlap apply, cascade") {
     import graft.operators.TextAnalysis
     // "aaab" x3 + "ab": pair stats step 1 (overlapping counted):

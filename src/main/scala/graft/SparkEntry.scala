@@ -2399,6 +2399,17 @@ object SparkEntry {
         .select(col("term"), col("true_c"), col("cms_est"))
     }),
 
+    // DSIR importance weights (TextAnalysis.importanceWeights): every
+    // doc scored by its hashed-BoW log-likelihood ratio against the
+    // lang='en' target model vs the raw-corpus model — the principled
+    // importance-resampling signal. All docs emitted (no top-k cutoff,
+    // so float ties can't flip the row set).
+    "doc_importance_weights" -> ((s, dir) =>
+      graft.operators.TextAnalysis.importanceWeights(
+          docs(s, dir), col("lang") === "en")
+        .select(col("doc_id"), col("n_tokens"),
+          (round(col("logw"), 4) + lit(0.0)).as("logw"))),
+
     // HyperLogLog distinct-word count (TextAnalysis.hllSketch /
     // hllEstimate): the register relation is 64 rows at any
     // cardinality; estimate emitted beside the exact countDistinct
@@ -6344,6 +6355,40 @@ object SparkEntry {
         |FROM top10 JOIN est USING (term)""".stripMargin,
 
     "doc_bpe_merges" -> bpeMergesOracleSql(3),
+
+    // doc_importance_weights: the DSIR log-ratio replayed — same md5
+    // word buckets (the quality-filter trick), same add-0.5 smoothing
+    // over d=32 buckets, per-doc Σ xb·lr off the same (doc, bucket)
+    // count relation.
+    "doc_importance_weights" ->
+      """WITH docs0 AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+        |    string_split(lower(text), ' ') AS ws
+        |  FROM documents
+        |), tok AS (SELECT doc_id, is_t, unnest(ws) AS tk FROM docs0),
+        |feat AS (
+        |  SELECT doc_id, max(is_t) AS is_t,
+        |    CAST(CAST(CONCAT('0x', substring(md5(tk), 1, 15)) AS BIGINT) % 32 AS INT) AS bucket,
+        |    count(*) AS xb
+        |  FROM tok GROUP BY 1, 3
+        |), raw AS (SELECT bucket, CAST(sum(xb) AS BIGINT) AS cr FROM feat GROUP BY 1),
+        |tgt AS (SELECT bucket, CAST(sum(xb) AS BIGINT) AS ct FROM feat WHERE is_t = 1 GROUP BY 1),
+        |tots AS (
+        |  SELECT (SELECT CAST(sum(cr) AS DOUBLE) FROM raw) AS tr,
+        |         (SELECT CAST(sum(ct) AS DOUBLE) FROM tgt) AS tt
+        |), ratios AS (
+        |  SELECT g.i AS bucket,
+        |    ln((coalesce(t.ct, 0) + 0.5) / (tots.tt + 0.5 * 32)) -
+        |    ln((coalesce(r.cr, 0) + 0.5) / (tots.tr + 0.5 * 32)) AS lr
+        |  FROM (SELECT unnest(generate_series(0, 31)) AS i) g
+        |  LEFT JOIN raw r ON r.bucket = g.i
+        |  LEFT JOIN tgt t ON t.bucket = g.i
+        |  CROSS JOIN tots
+        |)
+        |SELECT f.doc_id, CAST(sum(f.xb) AS BIGINT) AS n_tokens,
+        |  round(sum(f.xb * ratios.lr), 4) + 0.0 AS logw
+        |FROM feat f JOIN ratios ON ratios.bucket = f.bucket
+        |GROUP BY 1""".stripMargin,
 
     // doc_hll_distinct: HLL replayed bit-exactly — same md5 60-bit
     // hash, p=6 index/suffix split, bin()-length ranks (identical

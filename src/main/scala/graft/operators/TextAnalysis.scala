@@ -463,6 +463,45 @@ object TextAnalysis {
       .join(broadcast(sketch), Seq("r", "cell"))
       .groupBy("term").agg(min("c").as("cms_est"))
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") over hashed
+    * bag-of-words features: logw(doc) = Σ_tokens ln p_target(bucket) −
+    * ln p_raw(bucket), with add-k smoothed bucket unigram models
+    * estimated from the corpus itself (target = rows matching
+    * `targetPred`; raw = all rows). High logw = looks like the target
+    * domain — the principled "sample toward Wikipedia-like text"
+    * pipeline step.
+    *
+    * Scale shape: both models are d-row bucket tables (two map-side-
+    * combinable groupBys over the exploded corpus), broadcast back as a
+    * d-row log-ratio table; per-doc scoring is a (doc, bucket) count
+    * aggregation joined to that broadcast — no corpus-scale shuffle
+    * beyond the two groupBys. Returns (doc_id, n_tokens, logw). */
+  def importanceWeights(docs: DataFrame, targetPred: Column, d: Int = 32,
+                        smooth: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    val tok = docs
+      .select(col("doc_id"), targetPred.as("is_target"),
+        hashedBowBuckets(col("text"), d).as("bks"))
+      .select(col("doc_id"), col("is_target"), explode(col("bks")).as("bucket"))
+    val feat = tok.groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("xb"), first(col("is_target")).as("is_target"))
+      .localCheckpoint() // feeds both count tables and the scoring join
+    val raw = feat.groupBy("bucket").agg(sum("xb").as("cr"))
+    val tgt = feat.where(col("is_target")).groupBy("bucket").agg(sum("xb").as("ct"))
+    val totR = raw.agg(sum("cr")).head().getLong(0)
+    val totT = tgt.agg(sum("ct")).head().getLong(0)
+    val ratios = spark.range(d).select(col("id").cast("int").as("bucket"))
+      .join(broadcast(raw), Seq("bucket"), "left")
+      .join(broadcast(tgt), Seq("bucket"), "left")
+      .select(col("bucket"),
+        (log((coalesce(col("ct"), lit(0L)) + smooth) / (totT + smooth * d)) -
+          log((coalesce(col("cr"), lit(0L)) + smooth) / (totR + smooth * d))).as("lr"))
+    feat.join(broadcast(ratios), "bucket")
+      .groupBy("doc_id")
+      .agg(sum("xb").as("n_tokens"), sum(col("xb") * col("lr")).as("logw"))
+  }
+
   /** HyperLogLog registers for a STRING item column (Flajolet et al.
     * 2007) — the distinct-count primitive for key spaces too large to
     * countDistinct exactly. 2^p registers; register = max over items of

@@ -586,6 +586,23 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(sketch.count() <= 4L * 64)
   }
 
+  test("DSIR importance weights: target-like docs score higher than off-target") {
+    import graft.operators.TextAnalysis
+    // target vocabulary {alpha..delta} vs off-target {uno..quatro}:
+    // docs made of target words must get positive logw, off-target
+    // negative, and a mixed doc must land between them.
+    val docs = Seq(
+      (0L, "alpha beta gamma delta alpha beta", true),
+      (1L, "alpha delta beta gamma gamma", true),
+      (2L, "uno dos tres quatro uno dos", false),
+      (3L, "alpha uno beta dos", false)).toDF("doc_id", "text", "is_t")
+    val w = TextAnalysis.importanceWeights(docs, col("is_t"), d = 32)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(w(0L) > 0 && w(1L) > 0, s"target docs should score positive: $w")
+    assert(w(2L) < 0, s"off-target doc should score negative: $w")
+    assert(w(3L) > w(2L) && w(3L) < w(0L), s"mixed doc should sit between: $w")
+  }
+
   test("HLL: estimate within the m=64 error bound across cardinalities") {
     import graft.operators.TextAnalysis
     // standard error for m=64 is 1.04/sqrt(64) = 13%; allow 3 sigma

@@ -205,6 +205,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"unexpected window in span dedup:\n$p")
   }
 
+  test("sketch/retrieval family: broadcasts + partial aggs, no corpus-scale windows") {
+    // BM25: query-term and df tables broadcast; tf/score groupBys keep
+    // map-side partials; no Window over the corpus
+    val bm = plan("doc_bm25_topk")
+    assert(bm.contains("BroadcastHashJoin"), "BM25 lost its query-term broadcast")
+    assert(bm.contains("partial_"), "BM25 lost map-side partial aggregation")
+    assert(!bm.contains("Window"), s"BM25 regressed to a window sort:\n$bm")
+    // CMS / HLL / DSIR: fixed-size summary relations broadcast back,
+    // corpus aggregations partial
+    Seq("doc_cms_heavy", "doc_hll_distinct", "doc_importance_weights").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q lost map-side partial aggregation")
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q lost its summary-relation broadcast:\n$p")
+      assert(!p.toLowerCase.contains("scalaudf"), s"$q uses a UDF:\n$p")
+    }
+  }
+
   test("inverted-index joins leave AQE skew-join applicable (no manual repartition)") {
     // AQE can only split a skewed join partition when the exchange was
     // planner-inserted (ENSURE_REQUIREMENTS); a user repartition(col)

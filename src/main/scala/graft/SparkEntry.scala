@@ -2399,6 +2399,22 @@ object SparkEntry {
         .select(col("term"), col("true_c"), col("cms_est"))
     }),
 
+    // Composed corpus-curation pipeline: exact-dedup keepers ∩ length
+    // floor ∩ positive DSIR importance — three green operators chained
+    // into the one selection pass a real curation run ships. Oracle
+    // composes the same three relational stages.
+    "doc_pipeline_select" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val keepers = graft.operators.Dedup.exact(d)
+        .select(col("keep_id").as("doc_id"))
+      val w = graft.operators.TextAnalysis.importanceWeights(
+        d, col("lang") === "en")
+      d.select(col("doc_id")).join(keepers, "doc_id").join(w, "doc_id")
+        .where(col("n_tokens") >= 20 && col("logw") > 0)
+        .select(col("doc_id"), col("n_tokens"),
+          (round(col("logw"), 4) + lit(0.0)).as("logw"))
+    }),
+
     // DSIR importance weights (TextAnalysis.importanceWeights): every
     // doc scored by its hashed-BoW log-likelihood ratio against the
     // lang='en' target model vs the raw-corpus model — the principled
@@ -4761,6 +4777,40 @@ object SparkEntry {
     sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
   }
 
+  /** Shared CTE chain of the DSIR oracles: hashed-BoW bucket models
+    * (target = lang 'en' vs raw), add-0.5 smoothed log ratios, and the
+    * per-doc weighted sum as `dw(doc_id, n_tokens, logw)`. */
+  private val importanceWeightsCtes: String =
+    """WITH docs0 AS (
+      |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+      |    string_split(lower(text), ' ') AS ws
+      |  FROM documents
+      |), tok AS (SELECT doc_id, is_t, unnest(ws) AS tk FROM docs0),
+      |feat AS (
+      |  SELECT doc_id, max(is_t) AS is_t,
+      |    CAST(CAST(CONCAT('0x', substring(md5(tk), 1, 15)) AS BIGINT) % 32 AS INT) AS bucket,
+      |    count(*) AS xb
+      |  FROM tok GROUP BY 1, 3
+      |), raw AS (SELECT bucket, CAST(sum(xb) AS BIGINT) AS cr FROM feat GROUP BY 1),
+      |tgt AS (SELECT bucket, CAST(sum(xb) AS BIGINT) AS ct FROM feat WHERE is_t = 1 GROUP BY 1),
+      |tots AS (
+      |  SELECT (SELECT CAST(sum(cr) AS DOUBLE) FROM raw) AS tr,
+      |         (SELECT CAST(sum(ct) AS DOUBLE) FROM tgt) AS tt
+      |), ratios AS (
+      |  SELECT g.i AS bucket,
+      |    ln((coalesce(t.ct, 0) + 0.5) / (tots.tt + 0.5 * 32)) -
+      |    ln((coalesce(r.cr, 0) + 0.5) / (tots.tr + 0.5 * 32)) AS lr
+      |  FROM (SELECT unnest(generate_series(0, 31)) AS i) g
+      |  LEFT JOIN raw r ON r.bucket = g.i
+      |  LEFT JOIN tgt t ON t.bucket = g.i
+      |  CROSS JOIN tots
+      |), dw AS (
+      |  SELECT f.doc_id, CAST(sum(f.xb) AS BIGINT) AS n_tokens,
+      |    sum(f.xb * ratios.lr) AS logw
+      |  FROM feat f JOIN ratios ON ratios.bucket = f.bucket
+      |  GROUP BY 1
+      |)""".stripMargin
+
   /** DuckDB oracle for doc_bpe_merges — `steps` BPE training steps
     * replayed relationally. Per step s: p$s counts every adjacent
     * symbol pair of the previous symbol layer (overlapping included,
@@ -6360,35 +6410,19 @@ object SparkEntry {
     // word buckets (the quality-filter trick), same add-0.5 smoothing
     // over d=32 buckets, per-doc Σ xb·lr off the same (doc, bucket)
     // count relation.
-    "doc_importance_weights" ->
-      """WITH docs0 AS (
-        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
-        |    string_split(lower(text), ' ') AS ws
-        |  FROM documents
-        |), tok AS (SELECT doc_id, is_t, unnest(ws) AS tk FROM docs0),
-        |feat AS (
-        |  SELECT doc_id, max(is_t) AS is_t,
-        |    CAST(CAST(CONCAT('0x', substring(md5(tk), 1, 15)) AS BIGINT) % 32 AS INT) AS bucket,
-        |    count(*) AS xb
-        |  FROM tok GROUP BY 1, 3
-        |), raw AS (SELECT bucket, CAST(sum(xb) AS BIGINT) AS cr FROM feat GROUP BY 1),
-        |tgt AS (SELECT bucket, CAST(sum(xb) AS BIGINT) AS ct FROM feat WHERE is_t = 1 GROUP BY 1),
-        |tots AS (
-        |  SELECT (SELECT CAST(sum(cr) AS DOUBLE) FROM raw) AS tr,
-        |         (SELECT CAST(sum(ct) AS DOUBLE) FROM tgt) AS tt
-        |), ratios AS (
-        |  SELECT g.i AS bucket,
-        |    ln((coalesce(t.ct, 0) + 0.5) / (tots.tt + 0.5 * 32)) -
-        |    ln((coalesce(r.cr, 0) + 0.5) / (tots.tr + 0.5 * 32)) AS lr
-        |  FROM (SELECT unnest(generate_series(0, 31)) AS i) g
-        |  LEFT JOIN raw r ON r.bucket = g.i
-        |  LEFT JOIN tgt t ON t.bucket = g.i
-        |  CROSS JOIN tots
-        |)
-        |SELECT f.doc_id, CAST(sum(f.xb) AS BIGINT) AS n_tokens,
-        |  round(sum(f.xb * ratios.lr), 4) + 0.0 AS logw
-        |FROM feat f JOIN ratios ON ratios.bucket = f.bucket
-        |GROUP BY 1""".stripMargin,
+    "doc_importance_weights" -> (importanceWeightsCtes +
+      """
+        |SELECT doc_id, n_tokens, round(logw, 4) + 0.0 AS logw
+        |FROM dw""".stripMargin),
+
+    // doc_pipeline_select: the same DSIR chain composed with the
+    // exact-dedup keeper set and the length floor.
+    "doc_pipeline_select" -> (importanceWeightsCtes +
+      """
+        |, keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+        |SELECT dw.doc_id, dw.n_tokens, round(dw.logw, 4) + 0.0 AS logw
+        |FROM dw JOIN keep USING (doc_id)
+        |WHERE dw.n_tokens >= 20 AND dw.logw > 0""".stripMargin),
 
     // doc_hll_distinct: HLL replayed bit-exactly — same md5 60-bit
     // hash, p=6 index/suffix split, bin()-length ranks (identical

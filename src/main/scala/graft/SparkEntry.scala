@@ -2442,6 +2442,38 @@ object SparkEntry {
           (round(col("hll_est"), 4) + lit(0.0)).as("hll_est"))
     }),
 
+    // Streaming sketch twins, batch-run through the REAL
+    // mapGroupsWithState paths (the ts_stream_* convention): state is
+    // one Long per register / per cell — the sketch's fixed size IS
+    // the streaming bound. Outputs equal the batch sketch rows, so the
+    // oracles are shared.
+    "doc_stream_hll" -> ((s, dir) => {
+      import s.implicits._
+      val words = docs(s, dir)
+        .select(explode(split(lower(col("text")), " ")).as("term"))
+      val exact = words.agg(countDistinct("term").as("n_exact"))
+      val regs = graft.streaming.StreamingOps.hllRegisters(words)
+        .toDF("idx", "m_j")
+      graft.operators.TextAnalysis.hllEstimate(regs)
+        .crossJoin(exact)
+        .select(col("n_exact"),
+          (round(col("hll_est"), 4) + lit(0.0)).as("hll_est"))
+    }),
+    "doc_stream_cms" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val exact = d.select(explode(split(lower(col("text")), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("true_c"))
+        .orderBy(col("true_c").desc, col("term")).limit(10)
+        .localCheckpoint()
+      val sketch = graft.streaming.StreamingOps.cmsCells(d)
+        .toDF("r", "cell", "c")
+      graft.operators.TextAnalysis.cmsEstimate(
+          sketch.localCheckpoint(), exact.select("term"))
+        .join(exact, "term")
+        .select(col("term"), col("true_c"), col("cms_est"))
+    }),
+
     // BPE merge-rule induction (TextAnalysis.bpeMerges): 3 training
     // steps of Sennrich-style tokenizer learning on the corpus
     // vocabulary. The oracle replays every step — pair statistics,
@@ -4777,6 +4809,61 @@ object SparkEntry {
     sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
   }
 
+  /** DuckDB oracle shared by doc_cms_heavy and doc_stream_cms (the
+    * streaming cells path is cell-total-equal to the batch sketch). */
+  private val cmsHeavyOracleSql: String =
+    """WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+        |tall AS (SELECT unnest(ws) AS term FROM w),
+        |tc AS (SELECT term, count(*) AS true_c FROM tall GROUP BY 1),
+        |top10 AS (
+        |  SELECT term, true_c FROM (
+        |    SELECT term, true_c,
+        |      row_number() OVER (ORDER BY true_c DESC, term) AS rk FROM tc)
+        |  WHERE rk <= 10
+        |), tcells AS (
+        |  SELECT t.term, r.r,
+        |    CAST(CONCAT('0x', substring(md5(r.r || ':' || t.term), 1, 15)) AS BIGINT) % 64 AS cell
+        |  FROM tc t, (SELECT unnest(generate_series(0, 3)) AS r) r
+        |), sketch AS (
+        |  SELECT x.r, x.cell, CAST(sum(t.true_c) AS BIGINT) AS c
+        |  FROM tcells x JOIN tc t USING (term) GROUP BY 1, 2
+        |), est AS (
+        |  SELECT x.term, min(s.c) AS cms_est
+        |  FROM tcells x JOIN sketch s ON s.r = x.r AND s.cell = x.cell
+        |  WHERE x.term IN (SELECT term FROM top10)
+        |  GROUP BY 1
+        |)
+        |SELECT top10.term, top10.true_c, est.cms_est
+        |FROM top10 JOIN est USING (term)""".stripMargin
+
+  /** DuckDB oracle shared by doc_hll_distinct and doc_stream_hll (the
+    * streaming register path is max-equal to the batch sketch). */
+  private val hllDistinctOracleSql: String =
+    """WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |hs AS (
+        |  SELECT CAST(CONCAT('0x', substring(md5(term), 1, 15)) AS BIGINT) AS h FROM w
+        |), regs AS (
+        |  SELECT h % 64 AS idx,
+        |    max(CASE WHEN h // 64 = 0 THEN 55
+        |             ELSE 55 - length(bin(h // 64)) END) AS m_j
+        |  FROM hs GROUP BY 1
+        |), filled AS (
+        |  SELECT g.i AS idx, coalesce(r.m_j, 0) AS m_j
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS i) g
+        |  LEFT JOIN regs r ON r.idx = g.i
+        |), agg AS (
+        |  SELECT sum(pow(2.0, -m_j)) AS s,
+        |         sum(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS v
+        |  FROM filled
+        |), ex AS (SELECT count(DISTINCT term) AS n_exact FROM w)
+        |SELECT ex.n_exact,
+        |  round(CASE WHEN (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0 / agg.s
+        |                  <= 2.5 * 64.0 AND agg.v > 0
+        |        THEN 64.0 * ln(64.0 / agg.v)
+        |        ELSE (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0 / agg.s
+        |        END, 4) + 0.0 AS hll_est
+        |FROM ex, agg""".stripMargin
+
   /** Shared CTE chain of the DSIR oracles: hashed-BoW bucket models
     * (target = lang 'en' vs raw), add-0.5 smoothed log ratios, and the
     * per-doc weighted sum as `dw(doc_id, n_tokens, logw)`. */
@@ -6379,30 +6466,9 @@ object SparkEntry {
     // md5-keyed row hashes (the minhash-oracle hex trick), same d=4 ×
     // w=64 grid, est = min over rows; true counts from the exact
     // aggregation both engines run anyway.
-    "doc_cms_heavy" ->
-      """WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
-        |tall AS (SELECT unnest(ws) AS term FROM w),
-        |tc AS (SELECT term, count(*) AS true_c FROM tall GROUP BY 1),
-        |top10 AS (
-        |  SELECT term, true_c FROM (
-        |    SELECT term, true_c,
-        |      row_number() OVER (ORDER BY true_c DESC, term) AS rk FROM tc)
-        |  WHERE rk <= 10
-        |), tcells AS (
-        |  SELECT t.term, r.r,
-        |    CAST(CONCAT('0x', substring(md5(r.r || ':' || t.term), 1, 15)) AS BIGINT) % 64 AS cell
-        |  FROM tc t, (SELECT unnest(generate_series(0, 3)) AS r) r
-        |), sketch AS (
-        |  SELECT x.r, x.cell, CAST(sum(t.true_c) AS BIGINT) AS c
-        |  FROM tcells x JOIN tc t USING (term) GROUP BY 1, 2
-        |), est AS (
-        |  SELECT x.term, min(s.c) AS cms_est
-        |  FROM tcells x JOIN sketch s ON s.r = x.r AND s.cell = x.cell
-        |  WHERE x.term IN (SELECT term FROM top10)
-        |  GROUP BY 1
-        |)
-        |SELECT top10.term, top10.true_c, est.cms_est
-        |FROM top10 JOIN est USING (term)""".stripMargin,
+    "doc_cms_heavy" -> cmsHeavyOracleSql,
+    "doc_stream_cms" -> cmsHeavyOracleSql,
+    "doc_stream_hll" -> hllDistinctOracleSql,
 
     "doc_bpe_merges" -> bpeMergesOracleSql(3),
 
@@ -6428,31 +6494,7 @@ object SparkEntry {
     // hash, p=6 index/suffix split, bin()-length ranks (identical
     // no-leading-zeros semantics both engines), same alpha and
     // linear-counting correction written as the same double exprs.
-    "doc_hll_distinct" ->
-      """WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents),
-        |hs AS (
-        |  SELECT CAST(CONCAT('0x', substring(md5(term), 1, 15)) AS BIGINT) AS h FROM w
-        |), regs AS (
-        |  SELECT h % 64 AS idx,
-        |    max(CASE WHEN h // 64 = 0 THEN 55
-        |             ELSE 55 - length(bin(h // 64)) END) AS m_j
-        |  FROM hs GROUP BY 1
-        |), filled AS (
-        |  SELECT g.i AS idx, coalesce(r.m_j, 0) AS m_j
-        |  FROM (SELECT unnest(generate_series(0, 63)) AS i) g
-        |  LEFT JOIN regs r ON r.idx = g.i
-        |), agg AS (
-        |  SELECT sum(pow(2.0, -m_j)) AS s,
-        |         sum(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS v
-        |  FROM filled
-        |), ex AS (SELECT count(DISTINCT term) AS n_exact FROM w)
-        |SELECT ex.n_exact,
-        |  round(CASE WHEN (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0 / agg.s
-        |                  <= 2.5 * 64.0 AND agg.v > 0
-        |        THEN 64.0 * ln(64.0 / agg.v)
-        |        ELSE (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0 / agg.s
-        |        END, 4) + 0.0 AS hll_est
-        |FROM ex, agg""".stripMargin,
+    "doc_hll_distinct" -> hllDistinctOracleSql,
 
     // ucr_baseline_acc: the CSV-fixture formula replayed directly —
     // the Spark side must round-trip it through the real writer +

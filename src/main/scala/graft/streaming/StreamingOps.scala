@@ -335,4 +335,58 @@ object StreamingOps {
           }
       }
   }
+
+  /** Streaming HyperLogLog registers — continuous distinct counting at
+    * ingest: one `mapGroupsWithState` keyed by register index whose
+    * state is ONE Long (the running max rank). State is ≤ 2^p rows at
+    * ANY stream length — the sketch's fixed size IS the streaming
+    * bound; no watermark needed because the state never grows. Batch
+    * mode (one micro-batch) is row-for-row TextAnalysis.hllSketch
+    * (registers are maxes, so per-batch maxes fold associatively).
+    * Emits the updated (idx, m_j) per register per batch. */
+  def hllRegisters(items: DataFrame, itemCol: String = "term",
+                   p: Int = 6): Dataset[(Long, Long)] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val m = 1L << p
+    val w = 60 - p
+    val h = conv(substring(md5(col(itemCol)), 1, 15), 16, 10).cast("long")
+    val suffix = shiftright(h, p)
+    val rank = when(suffix === 0, lit(w + 1))
+      .otherwise(lit(w + 1) - length(bin(suffix)))
+    items.select(pmod(h, lit(m)).as("idx"), rank.as("rank"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+        (idx: Long, batch: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          var mx = state.getOption.getOrElse(0L)
+          batch.foreach { case (_, r) => if (r > mx) mx = r }
+          state.update(mx)
+          (idx, mx)
+      }
+  }
+
+  /** Streaming count-min-sketch cells — continuous heavy-hitter
+    * counting at ingest: `mapGroupsWithState` keyed by (row, cell),
+    * state = ONE Long (the running count). ≤ d·w state rows at any
+    * stream length. Batch mode equals TextAnalysis.cmsSketch's cell
+    * totals (counts fold associatively). Emits (r, cell, c) per
+    * touched cell per batch. */
+  def cmsCells(docs: DataFrame, d: Int = 4, w: Int = 64,
+               textCol: String = "text"): Dataset[(Int, Long, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(explode(split(lower(col(textCol)), " ")).as("term"))
+      .select(posexplode(transform(sequence(lit(0), lit(d - 1)),
+        r => pmod(conv(substring(md5(concat(r.cast("string"), lit(":"), col("term"))),
+          1, 15), 16, 10).cast("long"), lit(w.toLong)))).as(Seq("r", "cell")))
+      .as[(Int, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .mapGroupsWithState[Long, (Int, Long, Long)](GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), batch: Iterator[(Int, Long)], state: GroupState[Long]) =>
+          val c = state.getOption.getOrElse(0L) + batch.size
+          state.update(c)
+          (key._1, key._2, c)
+      }
+  }
 }

@@ -236,6 +236,49 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming HLL / CMS: cross-batch state equals batch sketch, state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    // HLL: two batches of items; final registers == batch operator on the union
+    val allItems = (0 until 300).map(i => Tuple1(s"item_$i"))
+    val batchRegs = graft.operators.TextAnalysis.hllSketch(
+        allItems.toDF("term"))
+      .as[(Long, Long)].collect().toMap
+    val in1 = MemoryStream[Tuple1[String]]
+    val q1 = StreamingOps.hllRegisters(in1.toDF().toDF("term"))
+      .toDF("idx", "m_j")
+      .writeStream.format("memory").queryName("shll").outputMode("update").start()
+    in1.addData(allItems.take(150): _*)
+    q1.processAllAvailable()
+    in1.addData(allItems.drop(150): _*)
+    q1.processAllAvailable()
+    val streamRegs = spark.table("shll").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    val rows1 = Option(q1.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    q1.stop()
+    assert(streamRegs == batchRegs, "streaming registers diverge from batch sketch")
+    assert(rows1 <= 64L, s"HLL state exceeded 2^p: $rows1")
+
+    // CMS: cell totals across two batches == batch sketch of the union
+    val docsAll = (0 until 40).map(i => (i.toLong, s"w${i % 7} w${i % 11} common"))
+    val batchCells = graft.operators.TextAnalysis.cmsSketch(
+        docsAll.toDF("doc_id", "text"))
+      .as[(Int, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = StreamingOps.cmsCells(in2.toDF().toDF("doc_id", "text"))
+      .toDF("r", "cell", "c")
+      .writeStream.format("memory").queryName("scms").outputMode("update").start()
+    in2.addData(docsAll.take(20): _*)
+    q2.processAllAvailable()
+    in2.addData(docsAll.drop(20): _*)
+    q2.processAllAvailable()
+    val streamCells = spark.table("scms").as[(Int, Long, Long)].collect()
+      .groupBy(t => (t._1, t._2)).map { case (k, vs) => k -> vs.map(_._3).max }
+    val rows2 = Option(q2.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    q2.stop()
+    assert(streamCells == batchCells, "streaming CMS cells diverge from batch sketch")
+    assert(rows2 <= 4L * 64, s"CMS state exceeded d*w: $rows2")
+  }
+
   test("state growth over 50 batches: buckets flat under re-delivery, packs O(sources), watermark evicts") {
     implicit val sqlCtx = spark.sqlContext
     def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =

@@ -2442,6 +2442,19 @@ object SparkEntry {
           (round(col("hll_est"), 4) + lit(0.0)).as("hll_est"))
     }),
 
+    // SemDeDup (Dedup.semDedup): semantic dedup in embedding space —
+    // cluster (8 broadcast seeds, the emb_kmeans_assign convention),
+    // compare ONLY within clusters, drop any vector with cosine ≥ 0.4
+    // to a lower-id cluster-mate. Pair mass bounded by Σ|cluster|²,
+    // never n².
+    "emb_semdedup" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("values"))
+      val seeds = e.where(col("vec_id") < 8).orderBy("vec_id")
+        .collect().map(_.getSeq[Double](1).toArray)
+      graft.operators.Dedup.semDedup(emb(s, dir), seeds, threshold = 0.4)
+    }),
+
     // Streaming sketch twins, batch-run through the REAL
     // mapGroupsWithState paths (the ts_stream_* convention): state is
     // one Long per register / per cell — the sketch's fixed size IS
@@ -7498,6 +7511,29 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin,
+
+    // emb_semdedup: cluster assignment (the emb_kmeans_assign chain),
+    // within-cluster lower-id cosine rule replayed directly.
+    "emb_semdedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |seeds AS (SELECT vec_id AS cell, v AS sv FROM e WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, seeds.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_distance(e.v, seeds.sv) ASC, seeds.cell ASC) AS rn
+        |    FROM e, seeds)
+        |  WHERE rn = 1
+        |), vv AS (
+        |  SELECT e.vec_id, asg.cell, e.v FROM e JOIN asg USING (vec_id)
+        |), dups AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM vv a JOIN vv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        |)
+        |SELECT vv.vec_id, CAST(vv.cell AS INT) AS cell,
+        |  coalesce(d.vec_id IS NOT NULL, FALSE) AS is_dup
+        |FROM vv LEFT JOIN dups d ON d.vec_id = vv.vec_id""".stripMargin,
 
     "emb_kmeans_assign" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),

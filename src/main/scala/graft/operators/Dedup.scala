@@ -530,6 +530,43 @@ object Dedup {
       .where(col("cos") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): embedding-space
+    * dedup that catches paraphrases exact/MinHash dedup can't. Cluster
+    * the embeddings (one broadcast-seed assignment pass), then compare
+    * pairs ONLY within a cluster; a vector is a semantic duplicate if
+    * it has cosine ≥ `threshold` with any lower-id vector of its
+    * cluster (the deterministic keeper rule). Returns
+    * (vec_id, cell, is_dup) for every vector.
+    *
+    * Scale shape — the paper's own design point: the within-cluster
+    * equi-join bounds pair mass to Σ|cluster|² instead of n²; with
+    * k ≈ √n clusters that is ~n^1.5 candidate pairs, and the cosine is
+    * the codegen'd native expression. The cell join shuffles by cell —
+    * AQE skew-join splits an over-full cell (no manual repartition,
+    * per the plan-lock convention). */
+  def semDedup(df: DataFrame, seeds: Array[Array[Double]],
+               threshold: Double, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val e = df.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), x => x.cast("double")).as("values"))
+    val assign = graft.ml.TimeSeriesKMeans.assign(
+        e.select(col("vec_id").as("series_id"), col("values")),
+        seeds, "euclidean", 0.0)
+      .select(col("series_id").as("vec_id"), col("cluster").as("cell"))
+    val v = e.join(assign, "vec_id").localCheckpoint()
+    val a = v.select(col("cell"), col("vec_id").as("va"), col("values").as("xa"))
+    val b = v.select(col("cell"), col("vec_id").as("vb"), col("values").as("xb"))
+    val dups = a.join(b, "cell").where(col("va") < col("vb"))
+      .where(graft.functions.NativeExpressions.cosineNative(
+        col("xa"), col("xb")) >= threshold)
+      .select(col("vb").as("vec_id")).distinct()
+    v.select(col("vec_id"), col("cell"))
+      .join(dups.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
   /** Size-routed front door for cosine near-dup: EXACT brute triangle
     * under `exactLimit` rows, IVF cell-bucketed candidates past it —
     * the same guard-and-fallback split as knnDtwPruned /

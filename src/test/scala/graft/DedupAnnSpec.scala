@@ -586,6 +586,26 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(sketch.count() <= 4L * 64)
   }
 
+  test("SemDeDup: lower-id keeper rule, cross-cluster pairs never compared") {
+    import graft.operators.Dedup
+    // cluster A near (1,0): ids 0 (seed), 2, 3 are near-identical ->
+    // 2 and 3 dup against 0. cluster B near (0,1): ids 1 (seed), 4
+    // identical -> 4 dups against 1. id 5 near A but orthogonal-ish
+    // direction: same cell, low cosine -> kept.
+    val vs = Seq(
+      (0L, Array(1.0, 0.02)), (1L, Array(0.02, 1.0)),
+      (2L, Array(0.99, 0.03)), (3L, Array(0.98, 0.01)),
+      (4L, Array(0.02, 1.0)), (5L, Array(0.6, -0.75)))
+    val df = vs.toDF("vec_id", "embedding")
+    val seeds = Array(vs(0)._2, vs(1)._2)
+    val got = Dedup.semDedup(df, seeds, threshold = 0.9)
+      .as[(Long, Int, Boolean)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(0L)._2 == false && got(1L)._2 == false, s"seeds are keepers: $got")
+    assert(got(2L) == ((0, true)) && got(3L) == ((0, true)), s"A dups: $got")
+    assert(got(4L) == ((1, true)), s"B dup: $got")
+    assert(got(5L)._2 == false, s"low-cosine cluster-mate kept: $got")
+  }
+
   test("DSIR importance weights: target-like docs score higher than off-target") {
     import graft.operators.TextAnalysis
     // target vocabulary {alpha..delta} vs off-target {uno..quatro}:

@@ -356,6 +356,17 @@ object StreamingOps {
       .otherwise(lit(w + 1) - length(bin(suffix)))
     items.select(pmod(h, lit(m)).as("idx"), rank.as("rank"))
       .as[(Long, Long)]
+      // mapGroupsWithState has NO map-side partial aggregation — without
+      // this pre-fold the exchange carries every token row to 2^p
+      // reducers. Per-partition max first: ≤ 2^p rows per partition
+      // cross the wire (the batch sketch's partial-agg shape, by hand).
+      .mapPartitions { it =>
+        val mx = scala.collection.mutable.HashMap.empty[Long, Long]
+        it.foreach { case (idx, r) =>
+          if (r > mx.getOrElse(idx, 0L)) mx(idx) = r
+        }
+        mx.iterator
+      }
       .groupByKey(_._1)
       .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
         (idx: Long, batch: Iterator[(Long, Long)], state: GroupState[Long]) =>
@@ -377,14 +388,36 @@ object StreamingOps {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(explode(split(lower(col(textCol)), " ")).as("term"))
-      .select(posexplode(transform(sequence(lit(0), lit(d - 1)),
-        r => pmod(conv(substring(md5(concat(r.cast("string"), lit(":"), col("term"))),
-          1, 15), 16, 10).cast("long"), lit(w.toLong)))).as(Seq("r", "cell")))
-      .as[(Int, Long)]
+      .as[String]
+      // two partial-aggs by hand (mapGroupsWithState has no map-side
+      // combine of its own): fold TERM counts per partition first, so
+      // the d md5 hashes run per distinct-term-per-partition instead of
+      // per occurrence (the batch cmsSketch's count-table trick,
+      // measured 2.6x there), then fold the hashed (r, cell) counts so
+      // ≤ d·w rows per partition cross the stateful exchange.
+      // NativeOps.md5Hash60 of "r:term" is bit-identical to the
+      // pmod(conv(substring(md5(concat(r, ':', term)))..)) expression.
+      .mapPartitions { it =>
+        val tc = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { t => tc(t) = tc.getOrElse(t, 0L) + 1L }
+        val cells = scala.collection.mutable.HashMap.empty[(Int, Long), Long]
+        tc.foreach { case (term, n) =>
+          var r = 0
+          while (r < d) {
+            val h = graft.functions.NativeOps.md5Hash60(
+              org.apache.spark.unsafe.types.UTF8String.fromString(r + ":" + term))
+            val cell = h % w
+            cells((r, cell)) = cells.getOrElse((r, cell), 0L) + n
+            r += 1
+          }
+        }
+        cells.iterator.map { case ((r, c), n) => (r, c, n) }
+      }
       .groupByKey(t => (t._1, t._2))
       .mapGroupsWithState[Long, (Int, Long, Long)](GroupStateTimeout.NoTimeout) {
-        (key: (Int, Long), batch: Iterator[(Int, Long)], state: GroupState[Long]) =>
-          val c = state.getOption.getOrElse(0L) + batch.size
+        (key: (Int, Long), batch: Iterator[(Int, Long, Long)], state: GroupState[Long]) =>
+          var c = state.getOption.getOrElse(0L)
+          batch.foreach(c += _._3)
           state.update(c)
           (key._1, key._2, c)
       }

@@ -2442,6 +2442,48 @@ object SparkEntry {
           (round(col("hll_est"), 4) + lit(0.0)).as("hll_est"))
     }),
 
+    // Document topic clustering (hashed-BoW features → the SAME
+    // TimeSeriesKMeans euclidean Lloyd loop that serves series): the
+    // cluster-balanced-sampling building block of curation pipelines.
+    // init="first" (seeds = docs 0..3's feature vectors) keeps the full
+    // 2-iteration fit + predict replayable.
+    "doc_kmeans_topics" -> ((s, dir) => {
+      val ta = graft.operators.TextAnalysis
+      val feats = docs(s, dir)
+        .select(col("doc_id"), ta.hashedBowBuckets(col("text"), 32).as("bks"))
+        .select(col("doc_id").as("series_id"),
+          ta.hashedBowFromBuckets(col("bks"), 32).as("values"))
+        .localCheckpoint()
+      val model = new graft.ml.TimeSeriesKMeans(k = 4, metric = "euclidean",
+        maxIter = 2, tol = -1.0, init = "first").fit(feats)
+      model.predict(feats)
+        .select(col("series_id").as("doc_id"), col("cluster"),
+          (round(col("dist"), 4) + lit(0.0)).as("dist"))
+    }),
+
+    // Cluster-balanced sampling: at most 25 docs per topic cluster
+    // (lowest doc_ids — deterministic), via the k-slot TopK buffer
+    // rather than a corpus-wide window. The "cap every topic" step
+    // that keeps a dominant topic from flooding a training mix.
+    "doc_cluster_sample" -> ((s, dir) => {
+      val ta = graft.operators.TextAnalysis
+      val feats = docs(s, dir)
+        .select(col("doc_id"), ta.hashedBowBuckets(col("text"), 32).as("bks"))
+        .select(col("doc_id").as("series_id"),
+          ta.hashedBowFromBuckets(col("bks"), 32).as("values"))
+        .localCheckpoint()
+      val model = new graft.ml.TimeSeriesKMeans(k = 4, metric = "euclidean",
+        maxIter = 2, tol = -1.0, init = "first").fit(feats)
+      val assigned = model.predict(feats)
+        .select(col("cluster"), col("series_id").as("doc_id"))
+      graft.operators.TopK.byKey(
+          assigned.select(col("cluster"), col("doc_id"),
+            col("doc_id").cast("double").as("ord")),
+          25, "cluster", "doc_id", "ord")
+        .select(col("cluster").cast("int").as("cluster"), col("rank"),
+          col("doc_id"))
+    }),
+
     // SemDeDup (Dedup.semDedup): semantic dedup in embedding space —
     // cluster (8 broadcast seeds, the emb_kmeans_assign convention),
     // compare ONLY within clusters, drop any vector with cosine ≥ 0.4
@@ -4876,6 +4918,54 @@ object SparkEntry {
         |        ELSE (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0 / agg.s
         |        END, 4) + 0.0 AS hll_est
         |FROM ex, agg""".stripMargin
+
+  /** Shared CTE chain of the doc-topic-clustering oracles: dense
+    * hashed-BoW feature rows r(user_id, j, val), seeds = docs 0..k−1,
+    * `iters` euclidean Lloyd rounds (argmin with the engine's
+    * (d2, cell) tie-break; centroid = per-bucket mean), and the final
+    * predict layer as `fin(user_id, cell, d2)`. */
+  private def kmeansTopicsCtes(iters: Int, k: Int, d: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH docs0 AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+         |tok AS (SELECT doc_id, unnest(ws) AS tk FROM docs0),
+         |feat0 AS (
+         |  SELECT doc_id,
+         |    CAST(CAST(CONCAT('0x', substring(md5(tk), 1, 15)) AS BIGINT) % $d AS INT) AS j,
+         |    CAST(count(*) AS DOUBLE) AS val
+         |  FROM tok GROUP BY 1, 2
+         |), r AS (
+         |  SELECT dd.doc_id AS user_id, g.j, coalesce(f.val, 0.0) AS val
+         |  FROM (SELECT DISTINCT doc_id FROM docs0) dd
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${d - 1})) AS j) g
+         |  LEFT JOIN feat0 f ON f.doc_id = dd.doc_id AND f.j = g.j
+         |), c0 AS (
+         |  SELECT CAST(user_id AS INT) AS cell, j, val AS c FROM r WHERE user_id < $k
+         |)""".stripMargin)
+    def assignCte(name: String, prev: String) =
+      s"""
+         |, $name AS (
+         |  SELECT user_id, cell, d2 FROM (
+         |    SELECT r.user_id, c.cell,
+         |      sum((r.val - c.c) * (r.val - c.c)) AS d2,
+         |      row_number() OVER (PARTITION BY r.user_id
+         |        ORDER BY sum((r.val - c.c) * (r.val - c.c)), c.cell) AS rn
+         |    FROM r JOIN $prev c ON c.j = r.j
+         |    GROUP BY 1, 2)
+         |  WHERE rn = 1
+         |)""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++= assignCte(s"a$i", s"c${i - 1}")
+      sb ++=
+        s"""
+           |, c$i AS (
+           |  SELECT a.cell, r.j, avg(r.val) AS c
+           |  FROM r JOIN a$i a ON a.user_id = r.user_id
+           |  GROUP BY 1, 2
+           |)""".stripMargin
+    }
+    sb ++= assignCte("fin", s"c$iters")
+    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+  }
 
   /** Shared CTE chain of the DSIR oracles: hashed-BoW bucket models
     * (target = lang 'en' vs raw), add-0.5 smoothed log ratios, and the
@@ -7511,6 +7601,22 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin,
+
+    // doc_kmeans_topics / doc_cluster_sample: the hashed-BoW euclidean
+    // Lloyd trace (seeds = docs 0..3), then predict / per-cluster cap.
+    "doc_kmeans_topics" -> (kmeansTopicsCtes(2, 4, 32) +
+      """
+        |SELECT user_id AS doc_id, cell AS cluster,
+        |  round(sqrt(d2), 4) + 0.0 AS dist
+        |FROM fin""".stripMargin),
+    "doc_cluster_sample" -> (kmeansTopicsCtes(2, 4, 32) +
+      """
+        |SELECT CAST(cell AS INT) AS cluster, CAST(rn AS INT) AS rank,
+        |  user_id AS doc_id
+        |FROM (SELECT cell, user_id,
+        |        row_number() OVER (PARTITION BY cell ORDER BY user_id) AS rn
+        |      FROM fin)
+        |WHERE rn <= 25""".stripMargin),
 
     // emb_semdedup: cluster assignment (the emb_kmeans_assign chain),
     // within-cluster lower-id cosine rule replayed directly.

@@ -2399,6 +2399,22 @@ object SparkEntry {
         .select(col("term"), col("true_c"), col("cms_est"))
     }),
 
+    // The SERVE half of the DSIR split: the d-bucket log-ratio model is
+    // trained batch-side (importanceModel), frozen, and applied by the
+    // STATELESS ingest scorer — batch-run through the real streaming
+    // code path (the contamination convention). Same output contract as
+    // doc_importance_weights, so the oracle is shared.
+    "doc_stream_importance" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (_, ratiosDf) = graft.operators.TextAnalysis.importanceModel(
+        d, col("lang") === "en")
+      val ratios = new Array[Double](32)
+      ratiosDf.collect().foreach(r => ratios(r.getInt(0)) = r.getDouble(1))
+      graft.streaming.StreamingOps.importanceAtIngest(d, ratios)
+        .select(col("doc_id"), col("n_tokens"),
+          (round(col("logw"), 4) + lit(0.0)).as("logw"))
+    }),
+
     // Composed corpus-curation pipeline: exact-dedup keepers ∩ length
     // floor ∩ positive DSIR importance — three green operators chained
     // into the one selection pass a real curation run ships. Oracle
@@ -6580,6 +6596,10 @@ object SparkEntry {
     // over d=32 buckets, per-doc Σ xb·lr off the same (doc, bucket)
     // count relation.
     "doc_importance_weights" -> (importanceWeightsCtes +
+      """
+        |SELECT doc_id, n_tokens, round(logw, 4) + 0.0 AS logw
+        |FROM dw""".stripMargin),
+    "doc_stream_importance" -> (importanceWeightsCtes +
       """
         |SELECT doc_id, n_tokens, round(logw, 4) + 0.0 AS logw
         |FROM dw""".stripMargin),

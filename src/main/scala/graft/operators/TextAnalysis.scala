@@ -483,6 +483,18 @@ object TextAnalysis {
     * beyond the two groupBys. Returns (doc_id, n_tokens, logw). */
   def importanceWeights(docs: DataFrame, targetPred: Column, d: Int = 32,
                         smooth: Double = 0.5): DataFrame = {
+    val (feat, ratios) = importanceModel(docs, targetPred, d, smooth)
+    feat.join(broadcast(ratios), "bucket")
+      .groupBy("doc_id")
+      .agg(sum("xb").as("n_tokens"), sum(col("xb") * col("lr")).as("logw"))
+  }
+
+  /** The TRAIN half of the DSIR split: the (doc, bucket) count relation
+    * and the d-row log-ratio model — collect the latter to freeze it
+    * into [[graft.streaming.StreamingOps.importanceAtIngest]]'s
+    * stateless serve-side scorer. */
+  def importanceModel(docs: DataFrame, targetPred: Column, d: Int = 32,
+                      smooth: Double = 0.5): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     val tok = docs
       .select(col("doc_id"), targetPred.as("is_target"),
@@ -501,9 +513,7 @@ object TextAnalysis {
       .select(col("bucket"),
         (log((coalesce(col("ct"), lit(0L)) + smooth) / (totT + smooth * d)) -
           log((coalesce(col("cr"), lit(0L)) + smooth) / (totR + smooth * d))).as("lr"))
-    feat.join(broadcast(ratios), "bucket")
-      .groupBy("doc_id")
-      .agg(sum("xb").as("n_tokens"), sum(col("xb") * col("lr")).as("logw"))
+    (feat, ratios)
   }
 
   /** HyperLogLog registers for a STRING item column (Flajolet et al.

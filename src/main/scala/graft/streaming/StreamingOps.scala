@@ -336,6 +336,26 @@ object StreamingOps {
       }
   }
 
+  /** Ingest-time DSIR scoring — the SERVE side of the
+    * importance-resampling split: the d-bucket log-ratio model is
+    * trained batch-side (TextAnalysis.importanceWeights' ratios) and
+    * FROZEN into this stateless per-row scorer — no state store, no
+    * watermark, the same shape as [[contamination]]. Histogram-then-
+    * fold in bucket order so the per-doc sum matches the batch
+    * operator's per-bucket aggregation. */
+  def importanceAtIngest(docs: DataFrame, ratios: Array[Double],
+                         d: Int = 32): DataFrame = {
+    val ta = graft.operators.TextAnalysis
+    val lrs = typedLit(ratios)
+    docs
+      .select(col("doc_id"), ta.hashedBowBuckets(col("text"), d).as("bks"))
+      .select(col("doc_id"), ta.hashedBowFromBuckets(col("bks"), d).as("hist"),
+        size(col("bks")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        aggregate(zip_with(col("hist"), lrs, (x, l) => x * l),
+          lit(0.0), (acc, x) => acc + x).as("logw"))
+  }
+
   /** Streaming HyperLogLog registers — continuous distinct counting at
     * ingest: one `mapGroupsWithState` keyed by register index whose
     * state is ONE Long (the running max rank). State is ≤ 2^p rows at

@@ -236,6 +236,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("ingest DSIR scoring: frozen model over a stream equals the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val docsAll = Seq(
+      (0L, "alpha beta gamma alpha", "en"), (1L, "uno dos tres quatro", "fr"),
+      (2L, "alpha beta dos", "en"), (3L, "gamma gamma alpha beta", "fr"))
+    val batchDf = docsAll.toDF("doc_id", "text", "lang")
+    val batch = graft.operators.TextAnalysis
+      .importanceWeights(batchDf, col("lang") === "en")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val (_, ratiosDf) = graft.operators.TextAnalysis.importanceModel(
+      batchDf, col("lang") === "en")
+    val ratios = new Array[Double](32)
+    ratiosDf.collect().foreach(r => ratios(r.getInt(0)) = r.getDouble(1))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.importanceAtIngest(
+        in.toDF().toDF("doc_id", "text"), ratios)
+      .writeStream.format("memory").queryName("singest").outputMode("append").start()
+    in.addData(docsAll.take(2).map(d => (d._1, d._2)): _*)
+    q.processAllAvailable()
+    in.addData(docsAll.drop(2).map(d => (d._1, d._2)): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("singest").as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val progress = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    q.stop()
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (id, (n, w)) =>
+      assert(n == batch(id)._1)
+      assert(math.abs(w - batch(id)._2) < 1e-9,
+        s"doc $id: stream $w vs batch ${batch(id)._2}")
+    }
+    assert(progress == 0L, "ingest scorer must be stateless")
+  }
+
   test("streaming HLL / CMS: cross-batch state equals batch sketch, state bounded") {
     implicit val sqlCtx = spark.sqlContext
     // HLL: two batches of items; final registers == batch operator on the union

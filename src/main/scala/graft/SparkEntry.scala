@@ -2302,7 +2302,7 @@ object SparkEntry {
           TsFunctions.resampleZnormUdf(col("values"), lit(16)).as("values"))
         .localCheckpoint()
       val model = new graft.ml.TimeSeriesKMeans(k = 2, metric = "softdtw",
-        maxIter = 1, tol = -1.0, init = "first", gamma = 1.0,
+        maxIter = 2, tol = -1.0, init = "first", gamma = 1.0,
         barycenterMaxIter = 1, barycenterSolver = "gd",
         barycenterEta = 0.05).fit(series)
       model.predict(series)
@@ -6519,7 +6519,7 @@ object SparkEntry {
     "ts_kmeans" -> kmeansTraceSql(10),
     "ts_kmeans_best2" -> kmeansBest2TraceSql(10, 4),
     "ts_kmeans_dtw" -> kmeansDtwTraceSql(2, 16, 2, 16),
-    "ts_kmeans_softdtw" -> kmeansSoftDtwTraceSql(1, 16, 2, 8, 0.05),
+    "ts_kmeans_softdtw" -> kmeansSoftDtwTraceSql(2, 16, 2, 8, 0.05),
 
     // ts_random_walks: the portable generator replayed exactly — same
     // md5-keyed 60-bit uniforms (the minhash-oracle hex trick), same

@@ -1006,6 +1006,19 @@ object SparkEntry {
         d.where(col("doc_id") >= 10), d.where(col("doc_id") < 10), k = 3)
     }),
 
+    // Bloom-filter decontamination (TextAnalysis.bloomBits /
+    // bloomContamination): the membership-sketch variant of
+    // doc_contamination — the eval set compressed into an m-bounded
+    // bit relation; a shingle flags iff ALL k of its positions are
+    // set (false positives only, deterministic, oracle-replayed).
+    "doc_bloom_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bits = graft.operators.TextAnalysis.bloomBits(
+        d.where(col("doc_id") < 10), m = 65536)
+      graft.operators.TextAnalysis.bloomContamination(
+        d.where(col("doc_id") >= 10), bits.localCheckpoint(), m = 65536)
+    }),
+
     // Near-dup clusters: minhash pairs → connected components (min-label
     // propagation), singletons mapping to themselves — the step that
     // turns a pair list into "keep one doc per cluster".
@@ -6924,6 +6937,34 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY df DESC, ngram) AS INT) AS rank,
         |  ngram, df
         |FROM df ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
+    // doc_bloom_contamination: same shingle CTEs as doc_contamination,
+    // bit positions via the md5 hex trick, ALL-k-positions-set rule.
+    "doc_bloom_contamination" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[j:j+2], ' ') AS sh
+        |  FROM words, (SELECT unnest(generate_series(1, 1000)) AS j) g
+        |  WHERE j <= len(w) - 2
+        |), ev AS (
+        |  SELECT DISTINCT sh FROM sh WHERE doc_id < 10
+        |), bits AS (
+        |  SELECT DISTINCT
+        |    CAST(CONCAT('0x', substring(md5(r.r || ':' || ev.sh), 1, 15)) AS BIGINT) % 65536 AS pos
+        |  FROM ev, (SELECT unnest(generate_series(0, 2)) AS r) r
+        |), probes AS (
+        |  SELECT s.doc_id, s.sh,
+        |    CAST(CONCAT('0x', substring(md5(r.r || ':' || s.sh), 1, 15)) AS BIGINT) % 65536 AS pos
+        |  FROM sh s, (SELECT unnest(generate_series(0, 2)) AS r) r
+        |  WHERE s.doc_id >= 10
+        |), hits AS (
+        |  SELECT p.doc_id, p.sh, count(*) AS h
+        |  FROM probes p JOIN bits b ON b.pos = p.pos
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_id, count(*) AS n_maybe
+        |FROM hits WHERE h = 3 GROUP BY 1""".stripMargin,
+
     "doc_contamination" ->
       """WITH words AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents

@@ -467,6 +467,42 @@ object TextAnalysis {
       .join(broadcast(sketch), Seq("r", "cell"))
       .groupBy("term").agg(min("c").as("cms_est"))
 
+  /** Bloom-filter bit positions of an eval set's distinct shingles —
+    * the MEMBERSHIP sketch completing the CMS (counts) / HLL
+    * (cardinality) trio: `kHashes` md5-keyed positions per shingle,
+    * deduplicated, ≤ `m` rows no matter how many shingles went in. At
+    * benchmark-suite scale the exact shingle set broadcasts fine
+    * (contamination); when the eval side is itself huge, this m-bounded
+    * bit relation is what you broadcast instead. */
+  def bloomBits(evalDocs: DataFrame, m: Int = 1024, kHashes: Int = 3,
+                shingleK: Int = 3): DataFrame =
+    Dedup.shingles(evalDocs, shingleK).select(col("sh")).distinct()
+      .select(explode(transform(sequence(lit(0), lit(kHashes - 1)),
+        r => pmod(Dedup.md5Hash60(concat(r.cast("string"), lit(":"), col("sh"))),
+          lit(m.toLong)))).as("pos"))
+      .distinct()
+
+  /** Bloom-filter decontamination: a corpus shingle "maybe matches" the
+    * eval set iff ALL `kHashes` of its bit positions are set (classic
+    * false-positive-only semantics — never drops a true leak). One
+    * broadcast equi-join on the bit position + two grouped counts;
+    * returns (doc_id, n_maybe) for docs with ≥ 1 maybe-shared shingle.
+    * FP rate at defaults: (1−e^(−kn/m))^k with the usual k·n/m
+    * trade-off; the driver row replays the same hashes so FPs are
+    * deterministic and oracle-checked, not flaky. */
+  def bloomContamination(corpus: DataFrame, bits: DataFrame,
+                         m: Int = 1024, kHashes: Int = 3,
+                         shingleK: Int = 3): DataFrame =
+    Dedup.shingles(corpus, shingleK)
+      .select(col("doc_id"), col("sh"),
+        explode(transform(sequence(lit(0), lit(kHashes - 1)),
+          r => pmod(Dedup.md5Hash60(concat(r.cast("string"), lit(":"), col("sh"))),
+            lit(m.toLong)))).as("pos"))
+      .join(broadcast(bits), "pos")
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("hits"))
+      .where(col("hits") === kHashes)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_maybe"))
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling") over hashed
     * bag-of-words features: logw(doc) = Σ_tokens ln p_target(bucket) −

@@ -586,6 +586,31 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(sketch.count() <= 4L * 64)
   }
 
+  test("Bloom contamination: superset of exact — a true leak is never missed") {
+    import graft.operators.TextAnalysis
+    val evalDocs = Seq(
+      (100L, "the quick brown fox jumps high"),
+      (101L, "lorem ipsum dolor sit amet")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "a sentence with the quick brown fox inside it"),
+      (1L, "nothing in common here at all"),
+      (2L, "lorem ipsum dolor sit amet copied verbatim"),
+      (3L, "short one")).toDF("doc_id", "text")
+    val exact = TextAnalysis.contamination(corpus, evalDocs, k = 3)
+      .as[(Long, Long)].collect().toMap
+    val bloom = TextAnalysis.bloomContamination(corpus,
+        TextAnalysis.bloomBits(evalDocs, m = 65536), m = 65536)
+      .as[(Long, Long)].collect().toMap
+    // membership sketch: false positives only — every exact leak appears
+    // with at least its exact shared count
+    exact.foreach { case (id, n) =>
+      assert(bloom.contains(id), s"bloom missed leaked doc $id")
+      assert(bloom(id) >= n, s"doc $id: bloom ${bloom(id)} < exact $n")
+    }
+    assert(!bloom.contains(1L) && !bloom.contains(3L),
+      s"clean docs false-flagged at m=65536 on a 10-shingle eval set: $bloom")
+  }
+
   test("SemDeDup: lower-id keeper rule, cross-cluster pairs never compared") {
     import graft.operators.Dedup
     // cluster A near (1,0): ids 0 (seed), 2, 3 are near-identical ->

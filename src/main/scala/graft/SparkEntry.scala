@@ -1006,6 +1006,20 @@ object SparkEntry {
         d.where(col("doc_id") >= 10), d.where(col("doc_id") < 10), k = 3)
     }),
 
+    // Deterministic hash-mod sampling: keep a doc iff
+    // md5("salt:" || doc_id) mod 100 < rate — the stateless,
+    // partition-independent, re-run-stable uniform sample (the scale
+    // answer to reservoir sampling: no state, no coordination, any
+    // executor can decide membership locally; rerunning over re-split
+    // inputs keeps the EXACT same sample).
+    "doc_sample_hash" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          pmod(graft.operators.Dedup.md5Hash60(
+            concat(lit("s1:"), col("doc_id").cast("string"))), lit(100L))
+            .as("bucket"))
+        .where(col("bucket") < 10)),
+
     // Bloom-filter decontamination (TextAnalysis.bloomBits /
     // bloomContamination): the membership-sketch variant of
     // doc_contamination — the eval set compressed into an m-bounded
@@ -6937,6 +6951,12 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY df DESC, ngram) AS INT) AS rank,
         |  ngram, df
         |FROM df ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
+    "doc_sample_hash" ->
+      """SELECT doc_id,
+        |  CAST(CONCAT('0x', substring(md5('s1:' || doc_id), 1, 15)) AS BIGINT) % 100 AS bucket
+        |FROM documents
+        |WHERE CAST(CONCAT('0x', substring(md5('s1:' || doc_id), 1, 15)) AS BIGINT) % 100 < 10""".stripMargin,
+
     // doc_bloom_contamination: same shingle CTEs as doc_contamination,
     // bit positions via the md5 hex trick, ALL-k-positions-set rule.
     "doc_bloom_contamination" ->

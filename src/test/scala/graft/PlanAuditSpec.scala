@@ -223,6 +223,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("semdedup/bloom: equi-joins + broadcasts, no nested-loop pair blowup") {
+    val p = plan("emb_semdedup")
+    // the within-cluster pair join MUST be an equi-join on cell —
+    // a nested-loop here is the n² blowup the clustering exists to avoid
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"semdedup pair join lost its cell equi-join:\n$p")
+    assert(!p.contains("REPARTITION_BY"), "semdedup pinned a shuffle (AQE skew split disabled)")
+    val b = plan("doc_bloom_contamination")
+    assert(b.contains("BroadcastHashJoin"), "bloom bits lost their broadcast")
+    assert(b.contains("partial_"), "bloom counts lost map-side partial agg")
+  }
+
   test("inverted-index joins leave AQE skew-join applicable (no manual repartition)") {
     // AQE can only split a skewed join partition when the exchange was
     // planner-inserted (ENSURE_REQUIREMENTS); a user repartition(col)

@@ -1006,6 +1006,24 @@ object SparkEntry {
         d.where(col("doc_id") >= 10), d.where(col("doc_id") < 10), k = 3)
     }),
 
+    // JSONL corpus round trip through the REAL sink + source (the
+    // interchange format LLM corpora actually ship in): write the
+    // documents table as JSON lines with df.write.json, read it back
+    // with an explicit schema via spark.read.json, emit the re-read
+    // rows (text as md5 to stay narrow) — any escaping / codec / type
+    // drift in either direction breaks the oracle, which reads the
+    // ORIGINAL parquet.
+    "doc_jsonl_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("jsonl_rt").toString
+      docs(s, dir).select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .write.mode("overwrite").json(tmp)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING")
+      s.read.schema(schema).json(tmp)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
+          col("lang"), col("source"))
+    }),
+
     // Deterministic hash-mod sampling: keep a doc iff
     // md5("salt:" || doc_id) mod 100 < rate — the stateless,
     // partition-independent, re-run-stable uniform sample (the scale
@@ -6951,6 +6969,9 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY df DESC, ngram) AS INT) AS rank,
         |  ngram, df
         |FROM df ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
+    "doc_jsonl_roundtrip" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang, source FROM documents""",
+
     "doc_sample_hash" ->
       """SELECT doc_id,
         |  CAST(CONCAT('0x', substring(md5('s1:' || doc_id), 1, 15)) AS BIGINT) % 100 AS bucket

@@ -1024,6 +1024,22 @@ object SparkEntry {
           col("lang"), col("source"))
     }),
 
+    // Same contract for CSV (the other interchange format): write with
+    // header + full quoting, read back with explicit schema,
+    // multiLine + escaped quotes on both sides.
+    "doc_csv_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("csv_rt").toString
+      docs(s, dir).select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .write.mode("overwrite").option("header", "true")
+        .option("escape", "\"").csv(tmp)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING")
+      s.read.schema(schema).option("header", "true")
+        .option("escape", "\"").option("multiLine", "true").csv(tmp)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
+          col("lang"), col("source"))
+    }),
+
     // Deterministic hash-mod sampling: keep a doc iff
     // md5("salt:" || doc_id) mod 100 < rate — the stateless,
     // partition-independent, re-run-stable uniform sample (the scale
@@ -6970,6 +6986,8 @@ object SparkEntry {
         |  ngram, df
         |FROM df ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
     "doc_jsonl_roundtrip" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang, source FROM documents""",
+    "doc_csv_roundtrip" ->
       """SELECT doc_id, md5(text) AS text_md5, lang, source FROM documents""",
 
     "doc_sample_hash" ->

@@ -172,4 +172,24 @@ class ModelSpec extends AnyFunSuite {
     val realDocs = TSModel.documents(spark, "/root/testdata/sf0.001")
     assert(realDocs.columns.contains("doc_id") && realDocs.count() > 0)
   }
+
+  test("portable random walks: bit-identical under any partitioning (§4.3 contract)") {
+    def walks(parts: Int): Map[Long, Seq[Double]] =
+      TSModel.randomWalksPortable(spark, n = 32, sz = 16, mu = 0.1,
+          std = 1.0, seed = 7L)
+        .repartition(parts)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val a = walks(1)
+    val b = walks(13)
+    assert(a.keySet == b.keySet && a.keySet.size == 32)
+    a.foreach { case (id, vs) =>
+      assert(vs == b(id), s"series $id differs across partitionings")
+    }
+    // seed changes everything; same seed reproduces bit-exactly
+    val c = walks(1)
+    a.foreach { case (id, vs) => assert(vs == c(id)) }
+    val other = TSModel.randomWalksPortable(spark, 32, 16, 0.1, 1.0, 8L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(other(0L) != a(0L))
+  }
 }

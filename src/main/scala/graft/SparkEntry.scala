@@ -1006,6 +1006,22 @@ object SparkEntry {
         d.where(col("doc_id") >= 10), d.where(col("doc_id") < 10), k = 3)
     }),
 
+    // Training-mix allocation (TextAnalysis.mixAllocate): water-fill a
+    // 60 %-of-corpus token budget over sources, weights = doc counts,
+    // caps = each source's own token mass. Small sources saturate and
+    // the surplus redistributes — the oracle replays the sort,
+    // prefix-sum and breakpoint arithmetic exactly.
+    "doc_mix_allocate" -> ((s, dir) => {
+      val per = docs(s, dir).groupBy("source")
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("cap"),
+          count(lit(1)).cast("double").as("w"))
+        .localCheckpoint()
+      val budget = math.floor(0.6 * per.agg(sum("cap")).head().getLong(0)).toLong
+      graft.operators.TextAnalysis.mixAllocate(per, budget)
+        .select(col("source"), col("cap"),
+          (round(col("alloc"), 4) + lit(0.0)).as("alloc"))
+    }),
+
     // JSONL corpus round trip through the REAL sink + source (the
     // interchange format LLM corpora actually ship in): write the
     // documents table as JSON lines with df.write.json, read it back
@@ -6985,6 +7001,35 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY df DESC, ngram) AS INT) AS rank,
         |  ngram, df
         |FROM df ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
+    // doc_mix_allocate: the water-filling arithmetic replayed — same
+    // ratio sort (cap/w, source), exclusive prefix sums, first-fitting
+    // water level, min(cap, lambda*w).
+    "doc_mix_allocate" ->
+      """WITH per AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS cap,
+        |    CAST(count(*) AS DOUBLE) AS w
+        |  FROM documents GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(floor(0.6 * CAST(sum(cap) AS DOUBLE)) AS BIGINT) AS t,
+        |    sum(w) AS wt
+        |  FROM per
+        |), ranked AS (
+        |  SELECT source, cap, w, cap / w AS r,
+        |    CAST(coalesce(sum(cap) OVER (ORDER BY cap / w, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cprev,
+        |    tot.wt - coalesce(sum(w) OVER (ORDER BY cap / w, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wprev
+        |  FROM per, tot
+        |), lam AS (
+        |  SELECT (tot.t - cprev) / wprev AS l
+        |  FROM ranked, tot
+        |  WHERE (tot.t - cprev) / wprev <= r
+        |  ORDER BY r, source LIMIT 1
+        |)
+        |SELECT ranked.source, ranked.cap,
+        |  round(least(CAST(ranked.cap AS DOUBLE), lam.l * ranked.w), 4) + 0.0 AS alloc
+        |FROM ranked, lam""".stripMargin,
+
     "doc_jsonl_roundtrip" ->
       """SELECT doc_id, md5(text) AS text_md5, lang, source FROM documents""",
     "doc_csv_roundtrip" ->

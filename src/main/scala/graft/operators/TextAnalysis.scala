@@ -467,6 +467,35 @@ object TextAnalysis {
       .join(broadcast(sketch), Seq("r", "cell"))
       .groupBy("term").agg(min("c").as("cms_est"))
 
+  /** Training-mix token allocation by water-filling: give every source
+    * a_s = min(cap_s, λ·w_s) with the water level λ chosen so
+    * Σ a_s = budget — the standard capped-proportional mix planner
+    * (sources too small to absorb their weighted share saturate; the
+    * surplus redistributes over the rest). Closed form, not iterative:
+    * sort by cap/w ascending, prefix-sum, and the first row whose
+    * candidate level (budget − C_prev)/W_remaining fits under its own
+    * ratio gives λ. Runs entirely on the per-SOURCE aggregate relation
+    * (one row per source — planning over aggregates, never raw data;
+    * the tiny window sort is over sources, not docs).
+    * `perSource`: (source, cap LONG, w DOUBLE). Returns
+    * (source, cap, alloc). */
+  def mixAllocate(perSource: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wTot = perSource.agg(sum("w")).head().getDouble(0)
+    val winExcl = Window.orderBy(col("r"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perSource.withColumn("r", col("cap") / col("w"))
+      .withColumn("cprev", coalesce(sum("cap").over(winExcl), lit(0L)))
+      .withColumn("wprev", lit(wTot) - coalesce(sum("w").over(winExcl), lit(0.0)))
+      .withColumn("lam_k", (lit(budget) - col("cprev")) / col("wprev"))
+      .localCheckpoint() // one row per source; read twice below
+    val lambda = ranked.where(col("lam_k") <= col("r"))
+      .orderBy(col("r"), col("source")).limit(1)
+      .select("lam_k").head().getDouble(0)
+    ranked.select(col("source"), col("cap"),
+      least(col("cap").cast("double"), lit(lambda) * col("w")).as("alloc"))
+  }
+
   /** Bloom-filter bit positions of an eval set's distinct shingles —
     * the MEMBERSHIP sketch completing the CMS (counts) / HLL
     * (cardinality) trio: `kHashes` md5-keyed positions per shingle,

@@ -586,6 +586,33 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(sketch.count() <= 4L * 64)
   }
 
+  test("mix allocation: sums to budget, respects caps, saturates small sources") {
+    import graft.operators.TextAnalysis
+    // caps 100/50/10, weights 1/1/1, budget 110:
+    // ratio order: c(10) < b(50) < a(100); c saturates (10), remaining
+    // 100 over w=2 -> lambda=50 -> b saturates exactly (50), a gets 50.
+    val per = Seq(("a", 100L, 1.0), ("b", 50L, 1.0), ("c", 10L, 1.0))
+      .toDF("source", "cap", "w")
+    val got = TextAnalysis.mixAllocate(per, 110L)
+      .as[(String, Long, Double)].collect().map(t => t._1 -> t._3).toMap
+    assert(got == Map("a" -> 50.0, "b" -> 50.0, "c" -> 10.0), s"got $got")
+    // weighted case: caps 100/100, weights 3/1, budget 80 -> no caps hit,
+    // lambda=20 -> 60/20
+    val per2 = Seq(("x", 100L, 3.0), ("y", 100L, 1.0)).toDF("source", "cap", "w")
+    val got2 = TextAnalysis.mixAllocate(per2, 80L)
+      .as[(String, Long, Double)].collect().map(t => t._1 -> t._3).toMap
+    assert(got2 == Map("x" -> 60.0, "y" -> 20.0), s"got $got2")
+    // invariant on real data: allocations sum to the budget
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val per3 = docsDf.groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("cap"),
+        count(lit(1)).cast("double").as("w"))
+    val budget = math.floor(0.6 * per3.agg(sum("cap")).head().getLong(0)).toLong
+    val total = TextAnalysis.mixAllocate(per3, budget)
+      .agg(sum("alloc")).head().getDouble(0)
+    assert(math.abs(total - budget) < 1e-6, s"sum $total != budget $budget")
+  }
+
   test("Bloom contamination: superset of exact — a true leak is never missed") {
     import graft.operators.TextAnalysis
     val evalDocs = Seq(

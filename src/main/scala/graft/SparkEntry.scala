@@ -365,6 +365,25 @@ object SparkEntry {
         .select(col("user_id"), col("i"), round(col("mp"), 4).as("mp"))
     }),
 
+    // Discord discovery: the TOP anomalous window per series = argmax
+    // of the matrix profile (ties lowest i) — what a user actually
+    // runs the profile FOR. One min_by aggregation over the profile
+    // rows; no window over the corpus.
+    "ts_discord" -> ((s, dir) => {
+      val m = 8
+      TsFunctions.register(s)
+      TSModel.eventsToSeries(s, dir)
+        .where(size(col("values")) >= m * 2)
+        .select(col("series_id").as("user_id"),
+          posexplode(TsFunctions.matrixProfileUdf(col("values"), lit(m), lit(false)))
+            .as(Seq("i", "mp")))
+        .groupBy("user_id")
+        .agg(min_by(struct(col("i"), col("mp")),
+          struct(negate(col("mp")), col("i"))).as("d"))
+        .select(col("user_id"), col("d.i").as("i"),
+          round(col("d.mp"), 4).as("mp"))
+    }),
+
     // z-normalized matrix profile — the reference DEFAULT
     // (MatrixProfile(scale=True), matrix_profile.py): every window
     // z-normed (population σ, var ≤ 0 → 1) before the band-excluded
@@ -5060,6 +5079,27 @@ object SparkEntry {
     sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
   }
 
+  /** Shared CTE chain of the raw (scale=false) matrix-profile oracles:
+    * band-excluded pairwise window distances as `dists(user_id, i, j, d)`
+    * over users with >= 16 points, m = 8, exclusion 2. */
+  private val matrixProfileRawCtes: String = evCte +
+    """
+      |, eligible AS (SELECT user_id FROM v GROUP BY 1 HAVING count(*) >= 16)
+      |, pos AS (
+      |  SELECT v.user_id, v.t - 1 AS i, v.value FROM v JOIN eligible USING (user_id)
+      |), seg AS (
+      |  SELECT user_id, t - 1 AS i FROM v JOIN eligible USING (user_id)
+      |  WHERE t - 1 <= n - 8)
+      |, dists AS (
+      |  SELECT a.user_id, a.i AS i, b.i AS j,
+      |    sqrt(sum((pa.value - pb.value) * (pa.value - pb.value))) AS d
+      |  FROM seg a
+      |  JOIN seg b ON a.user_id = b.user_id AND abs(a.i - b.i) > 2
+      |  JOIN pos pa ON pa.user_id = a.user_id AND pa.i BETWEEN a.i AND a.i + 7
+      |  JOIN pos pb ON pb.user_id = b.user_id AND pb.i = b.i + (pa.i - a.i)
+      |  GROUP BY 1, 2, 3
+      |)""".stripMargin
+
   /** Shared CTE chain of the DSIR oracles: hashed-BoW bucket models
     * (target = lang 'en' vs raw), add-0.5 smoothed log ratios, and the
     * per-doc weighted sum as `dw(doc_id, n_tokens, logw)`. */
@@ -7440,25 +7480,22 @@ object SparkEntry {
         |  max(ts_us) - min(ts_us) AS duration_us
         |FROM s GROUP BY 1, 2""".stripMargin,
 
-    "ts_matrix_profile" -> (evCte +
+    "ts_matrix_profile" -> (matrixProfileRawCtes +
       """
-        |, eligible AS (SELECT user_id FROM v GROUP BY 1 HAVING count(*) >= 16)
-        |, pos AS (
-        |  SELECT v.user_id, v.t - 1 AS i, v.value FROM v JOIN eligible USING (user_id)
-        |), seg AS (
-        |  SELECT user_id, t - 1 AS i FROM v JOIN eligible USING (user_id)
-        |  WHERE t - 1 <= n - 8)
-        |, dists AS (
-        |  SELECT a.user_id, a.i AS i, b.i AS j,
-        |    sqrt(sum((pa.value - pb.value) * (pa.value - pb.value))) AS d
-        |  FROM seg a
-        |  JOIN seg b ON a.user_id = b.user_id AND abs(a.i - b.i) > 2
-        |  JOIN pos pa ON pa.user_id = a.user_id AND pa.i BETWEEN a.i AND a.i + 7
-        |  JOIN pos pb ON pb.user_id = b.user_id AND pb.i = b.i + (pa.i - a.i)
-        |  GROUP BY 1, 2, 3
-        |)
         |SELECT user_id, i, round(min(d), 4) AS mp
         |FROM dists GROUP BY 1, 2""".stripMargin),
+
+    // ts_discord: the top anomalous window per series — argmax of the
+    // SAME raw matrix profile (ties: lowest i), the classic discord
+    // discovery application.
+    "ts_discord" -> (matrixProfileRawCtes +
+      """
+        |, mp AS (SELECT user_id, i, min(d) AS mp FROM dists GROUP BY 1, 2)
+        |SELECT user_id, i, round(mp, 4) AS mp FROM (
+        |  SELECT user_id, i, mp,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY mp DESC, i) AS rn
+        |  FROM mp)
+        |WHERE rn = 1""".stripMargin),
 
     // per-window z-norm (kernel scaleMeanVariance: avg(x²)−avg(x)² var,
     // var ≤ 0 → sd 1) ahead of the same band-excluded pair min

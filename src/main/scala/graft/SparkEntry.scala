@@ -378,10 +378,31 @@ object SparkEntry {
           posexplode(TsFunctions.matrixProfileUdf(col("values"), lit(m), lit(false)))
             .as(Seq("i", "mp")))
         .groupBy("user_id")
-        .agg(min_by(struct(col("i"), col("mp")),
-          struct(negate(col("mp")), col("i"))).as("d"))
-        .select(col("user_id"), col("d.i").as("i"),
-          round(col("d.mp"), 4).as("mp"))
+        // argmax over the ROUNDED profile (same cross-engine ulp
+        // robustness as ts_motif), ties lowest i
+        .agg(min_by(struct(col("i"), round(col("mp"), 4).as("mp")),
+          struct(negate(round(col("mp"), 4)), col("i"))).as("d"))
+        .select(col("user_id"), col("d.i").as("i"), col("d.mp").as("mp"))
+    }),
+
+    // Motif discovery: the most-repeated pattern per series = the
+    // argmin window of the profile WITH its nearest-neighbor index
+    // (matrixProfileWithIndex; strict-< updates keep the smallest j on
+    // exact ties, which the oracle replays as ORDER BY d, j).
+    "ts_motif" -> ((s, dir) => {
+      val m = 8
+      TSModel.eventsToSeries(s, dir)
+        .where(size(col("values")) >= m * 2)
+        .select(col("series_id").as("user_id"),
+          posexplode(TsFunctions.matrixProfileUdf(col("values"), lit(m), lit(false)))
+            .as(Seq("i", "mp")))
+        // argmin over the ROUNDED profile: a full-precision argmin is
+        // fragile across engines (summation-order ulps flipped a tie at
+        // sf0.1); at 4 decimals both engines agree and ties break by i
+        .groupBy("user_id")
+        .agg(min_by(struct(col("i"), round(col("mp"), 4).as("mp")),
+          struct(round(col("mp"), 4), col("i"))).as("d"))
+        .select(col("user_id"), col("d.i").as("i"), col("d.mp").as("mp"))
     }),
 
     // z-normalized matrix profile — the reference DEFAULT
@@ -7485,13 +7506,26 @@ object SparkEntry {
         |SELECT user_id, i, round(min(d), 4) AS mp
         |FROM dists GROUP BY 1, 2""".stripMargin),
 
+    // ts_motif: nearest neighbor per window (ORDER BY d, j — the
+    // kernel's ascending strict-< tie rule), then the per-series
+    // argmin pair.
+    "ts_motif" -> (matrixProfileRawCtes +
+      """
+        |, mp AS (SELECT user_id, i, round(min(d), 4) AS mp
+        |         FROM dists GROUP BY 1, 2)
+        |SELECT user_id, i, mp FROM (
+        |  SELECT user_id, i, mp,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY mp, i) AS rn
+        |  FROM mp) WHERE rn = 1""".stripMargin),
+
     // ts_discord: the top anomalous window per series — argmax of the
     // SAME raw matrix profile (ties: lowest i), the classic discord
     // discovery application.
     "ts_discord" -> (matrixProfileRawCtes +
       """
-        |, mp AS (SELECT user_id, i, min(d) AS mp FROM dists GROUP BY 1, 2)
-        |SELECT user_id, i, round(mp, 4) AS mp FROM (
+        |, mp AS (SELECT user_id, i, round(min(d), 4) AS mp
+        |         FROM dists GROUP BY 1, 2)
+        |SELECT user_id, i, mp FROM (
         |  SELECT user_id, i, mp,
         |    row_number() OVER (PARTITION BY user_id ORDER BY mp DESC, i) AS rn
         |  FROM mp)

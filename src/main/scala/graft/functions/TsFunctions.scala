@@ -164,6 +164,9 @@ object TsFunctions {
         })._1.length)
   val matrixProfileUdf: UserDefinedFunction =
     udf((s: S, m: Int, scale: Boolean) => Kernels.matrixProfile(s.toArray, m, scale))
+  val matrixProfileIdxUdf: UserDefinedFunction =
+    udf((s: S, m: Int, scale: Boolean) =>
+      Kernels.matrixProfileWithIndex(s.toArray, m, scale))
   val saxUdf: UserDefinedFunction =
     udf((s: S, nSeg: Int, alpha: Int) => Sax.sax(uniTs(s), nSeg, alpha).map(_(0)))
   val saxMindistUdf: UserDefinedFunction =

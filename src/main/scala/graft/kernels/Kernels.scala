@@ -614,6 +614,36 @@ object Kernels {
     out
   }
 
+  /** [[matrixProfile]] WITH the profile INDEX: out(i) = (mp_i, j_i)
+    * where j_i is the nearest band-excluded neighbor window (strict-<
+    * update order keeps the SMALLEST j among exact ties — the
+    * deterministic contract the motif oracle replays). */
+  def matrixProfileWithIndex(ts: Array[Double], m: Int,
+                             scale: Boolean = false): Array[(Double, Int)] = {
+    val raw = slidingSegments(ts, m)
+    val segs =
+      if (scale) raw.map(s => scaleMeanVariance(uni(s)).map(_(0)))
+      else raw
+    val n = segs.length
+    val band = math.ceil(m / 4.0).toInt
+    val best = Array.fill(n)(Inf)
+    val idx = Array.fill(n)(-1)
+    var i = 0
+    while (i < n) {
+      var j = i + band + 1
+      while (j < n) {
+        var s = 0.0; var k = 0
+        while (k < m) { val df = segs(i)(k) - segs(j)(k); s += df * df; k += 1 }
+        val dist = math.sqrt(s)
+        if (dist < best(i)) { best(i) = dist; idx(i) = j }
+        if (dist < best(j)) { best(j) = dist; idx(j) = i }
+        j += 1
+      }
+      i += 1
+    }
+    Array.tabulate(n)(t => (best(t), idx(t)))
+  }
+
   // ------------------------------------------------------------- stats
 
   def mean(xs: Array[Double]): Double = { var s = 0.0; var i = 0; while (i < xs.length) { s += xs(i); i += 1 }; s / xs.length }

@@ -193,6 +193,30 @@ class KernelsSpec extends AnyFunSuite {
     mp.zip(expected).foreach { case (got, exp) => assert(approx(got, exp, 1e-6), s"$got vs $exp") }
   }
 
+  test("matrix profile with index: values match, index is the true nearest neighbor") {
+    val rng = new scala.util.Random(11)
+    val series = Array.tabulate(40)(t => math.sin(t * 0.5) + 0.1 * rng.nextGaussian())
+    val m = 4
+    val band = math.ceil(m / 4.0).toInt
+    val withIdx = Kernels.matrixProfileWithIndex(series, m, scale = false)
+    val mp = Kernels.matrixProfile(series, m, scale = false)
+    assert(withIdx.length == mp.length)
+    withIdx.zipWithIndex.foreach { case ((d, j), i) =>
+      assert(d == mp(i), s"window $i: value ${d} != profile ${mp(i)}")
+      // brute-force nearest neighbor (smallest j among exact ties)
+      val cands = (0 until mp.length).filter(jj => math.abs(jj - i) > band)
+        .map { jj =>
+          val dd = math.sqrt((0 until m).map(k =>
+            math.pow(series(i + k) - series(jj + k), 2)).sum)
+          (dd, jj)
+        }
+      val bestD = cands.map(_._1).min
+      val bestJ = cands.filter(_._1 == bestD).map(_._2).min
+      assert(j == bestJ, s"window $i: idx $j != brute $bestJ")
+      assert(math.abs(d - bestD) < 1e-9)
+    }
+  }
+
   test("ncc: autocorrelation peaks at zero shift with value 1") {
     val s = uni(1.0, 2.0, 3.0, 2.0, 1.0, 0.5)
     val cc = Ncc.normalizedCc(s, s)

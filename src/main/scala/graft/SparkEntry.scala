@@ -28,6 +28,18 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String) = TSModel.documents(s, dir)
   private def emb(s: SparkSession, dir: String) = TSModel.embeddings(s, dir)
 
+  /** Best-effort recursive delete of a scratch directory the query
+    * itself created (sink round trips) — failures are ignored so a
+    * locked file can never fail a query. */
+  private def deleteRecursively(path: String): Unit = {
+    def loop(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(loop)
+      f.delete(): Unit
+    }
+    try loop(new java.io.File(path)) catch { case _: Exception => () }
+  }
+
   /** (user_id, t [1-based], n, value) — canonical exploded series view of
     * the events table; one window, no extra shuffle beyond the partition
     * by user. */
@@ -386,23 +398,25 @@ object SparkEntry {
     }),
 
     // Motif discovery: the most-repeated pattern per series = the
-    // argmin window of the profile WITH its nearest-neighbor index
-    // (matrixProfileWithIndex; strict-< updates keep the smallest j on
-    // exact ties, which the oracle replays as ORDER BY d, j).
+    // argmin window of the profile WITH its nearest-neighbor index j
+    // (matrixProfileWithIndex at decimals=4: distances compared ROUNDED
+    // — a full-precision argmin-j is fragile across engines, same ulp
+    // story as the i tie-break — and strict-< updates keep the smallest
+    // j on rounded ties, which the oracle replays as ORDER BY d, j).
     "ts_motif" -> ((s, dir) => {
       val m = 8
       TSModel.eventsToSeries(s, dir)
         .where(size(col("values")) >= m * 2)
         .select(col("series_id").as("user_id"),
-          posexplode(TsFunctions.matrixProfileUdf(col("values"), lit(m), lit(false)))
-            .as(Seq("i", "mp")))
-        // argmin over the ROUNDED profile: a full-precision argmin is
-        // fragile across engines (summation-order ulps flipped a tie at
-        // sf0.1); at 4 decimals both engines agree and ties break by i
+          posexplode(TsFunctions.matrixProfileIdxUdf(
+            col("values"), lit(m), lit(false), lit(4)))
+            .as(Seq("i", "p")))
+        // mp is already rounded by the kernel; ties across i break lowest-i
         .groupBy("user_id")
-        .agg(min_by(struct(col("i"), round(col("mp"), 4).as("mp")),
-          struct(round(col("mp"), 4), col("i"))).as("d"))
-        .select(col("user_id"), col("d.i").as("i"), col("d.mp").as("mp"))
+        .agg(min_by(struct(col("i"), col("p._1").as("mp"), col("p._2").as("j")),
+          struct(col("p._1"), col("i"))).as("d"))
+        .select(col("user_id"), col("d.i").as("i"), col("d.mp").as("mp"),
+          col("d.j").cast("int").as("j"))
     }),
 
     // z-normalized matrix profile — the reference DEFAULT
@@ -1075,9 +1089,14 @@ object SparkEntry {
         .write.mode("overwrite").json(tmp)
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "doc_id BIGINT, text STRING, lang STRING, source STRING")
-      s.read.schema(schema).json(tmp)
+      // localCheckpoint materializes the re-read rows so the corpus-sized
+      // temp copy can be deleted NOW instead of accumulating per run.
+      val out = s.read.schema(schema).json(tmp)
         .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
           col("lang"), col("source"))
+        .localCheckpoint()
+      deleteRecursively(tmp)
+      out
     }),
 
     // Same contract for CSV (the other interchange format): write with
@@ -1090,10 +1109,13 @@ object SparkEntry {
         .option("escape", "\"").csv(tmp)
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "doc_id BIGINT, text STRING, lang STRING, source STRING")
-      s.read.schema(schema).option("header", "true")
+      val out = s.read.schema(schema).option("header", "true")
         .option("escape", "\"").option("multiLine", "true").csv(tmp)
         .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
           col("lang"), col("source"))
+        .localCheckpoint()
+      deleteRecursively(tmp)
+      out
     }),
 
     // Deterministic hash-mod sampling: keep a doc iff
@@ -7506,17 +7528,20 @@ object SparkEntry {
         |SELECT user_id, i, round(min(d), 4) AS mp
         |FROM dists GROUP BY 1, 2""".stripMargin),
 
-    // ts_motif: nearest neighbor per window (ORDER BY d, j — the
-    // kernel's ascending strict-< tie rule), then the per-series
-    // argmin pair.
+    // ts_motif: nearest neighbor per window with its index j
+    // (ORDER BY round(d,4), j — the kernel compares ROUNDED distances
+    // with strict-<, keeping the smallest j on rounded ties), then the
+    // per-series argmin pair (ties: lowest i).
     "ts_motif" -> (matrixProfileRawCtes +
       """
-        |, mp AS (SELECT user_id, i, round(min(d), 4) AS mp
-        |         FROM dists GROUP BY 1, 2)
-        |SELECT user_id, i, mp FROM (
-        |  SELECT user_id, i, mp,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY mp, i) AS rn
-        |  FROM mp) WHERE rn = 1""".stripMargin),
+        |, nn AS (SELECT user_id, i, j, round(d, 4) AS mp,
+        |    row_number() OVER (PARTITION BY user_id, i
+        |      ORDER BY round(d, 4), j) AS rn
+        |  FROM dists)
+        |SELECT user_id, i, mp, j FROM (
+        |  SELECT user_id, i, mp, CAST(j AS INT) AS j,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY mp, i) AS rn2
+        |  FROM nn WHERE rn = 1) WHERE rn2 = 1""".stripMargin),
 
     // ts_discord: the top anomalous window per series — argmax of the
     // SAME raw matrix profile (ties: lowest i), the classic discord

@@ -165,8 +165,8 @@ object TsFunctions {
   val matrixProfileUdf: UserDefinedFunction =
     udf((s: S, m: Int, scale: Boolean) => Kernels.matrixProfile(s.toArray, m, scale))
   val matrixProfileIdxUdf: UserDefinedFunction =
-    udf((s: S, m: Int, scale: Boolean) =>
-      Kernels.matrixProfileWithIndex(s.toArray, m, scale))
+    udf((s: S, m: Int, scale: Boolean, decimals: Int) =>
+      Kernels.matrixProfileWithIndex(s.toArray, m, scale, decimals))
   val saxUdf: UserDefinedFunction =
     udf((s: S, nSeg: Int, alpha: Int) => Sax.sax(uniTs(s), nSeg, alpha).map(_(0)))
   val saxMindistUdf: UserDefinedFunction =

@@ -617,13 +617,26 @@ object Kernels {
   /** [[matrixProfile]] WITH the profile INDEX: out(i) = (mp_i, j_i)
     * where j_i is the nearest band-excluded neighbor window (strict-<
     * update order keeps the SMALLEST j among exact ties — the
-    * deterministic contract the motif oracle replays). */
+    * deterministic contract the motif oracle replays).
+    *
+    * `decimals >= 0` compares distances ROUNDED to that many decimals
+    * (Spark `round` semantics, HALF_UP over the decimal rendering):
+    * a full-precision argmin-j is fragile across engines — two
+    * neighbors agreeing at 4 decimals can order either way on
+    * summation ulps — so the driver-signal query rounds BEFORE the
+    * strict-< comparison, making the kept j exactly the SQL
+    * `ORDER BY round(d, decimals), j` row. */
   def matrixProfileWithIndex(ts: Array[Double], m: Int,
-                             scale: Boolean = false): Array[(Double, Int)] = {
+                             scale: Boolean = false,
+                             decimals: Int = -1): Array[(Double, Int)] = {
     val raw = slidingSegments(ts, m)
     val segs =
       if (scale) raw.map(s => scaleMeanVariance(uni(s)).map(_(0)))
       else raw
+    def rnd(x: Double): Double =
+      if (decimals < 0 || !java.lang.Double.isFinite(x)) x
+      else java.math.BigDecimal.valueOf(x)
+        .setScale(decimals, java.math.RoundingMode.HALF_UP).doubleValue()
     val n = segs.length
     val band = math.ceil(m / 4.0).toInt
     val best = Array.fill(n)(Inf)
@@ -634,7 +647,7 @@ object Kernels {
       while (j < n) {
         var s = 0.0; var k = 0
         while (k < m) { val df = segs(i)(k) - segs(j)(k); s += df * df; k += 1 }
-        val dist = math.sqrt(s)
+        val dist = rnd(math.sqrt(s))
         if (dist < best(i)) { best(i) = dist; idx(i) = j }
         if (dist < best(j)) { best(j) = dist; idx(j) = i }
         j += 1

@@ -123,15 +123,26 @@ object TSModel {
         .when(abs(d) >= 1e11, toUs(d * 1e3))
         .otherwise(toUs(d * 1e6))
     }
+    // Decimal clocks: scale in DECIMAL arithmetic (exact multiply) BEFORE
+    // truncating to long — casting to long first would drop the fraction
+    // of e.g. a DECIMAL(20,6) seconds clock (1700000000.123456 → whole
+    // seconds) and lose all sub-second precision. Only the branch
+    // dispatch uses the truncated magnitude; the ns/µs branches may cast
+    // directly (their fraction is sub-µs and truncates away regardless).
+    def byMagnitudeDecimal(c: org.apache.spark.sql.Column) = {
+      val l = c.cast(LongType)
+      val nsToUs = call_function("div", l, lit(1000L))
+      when(abs(l) >= 100000000000000000L, nsToUs)
+        .when(abs(l) >= 100000000000000L, l)
+        .when(abs(l) >= 100000000000L, (c * lit(1000L)).cast(LongType))
+        .otherwise((c * lit(1000000L)).cast(LongType))
+    }
     val tsUs = ev.schema("ts").dataType match {
       // ns-as-long (nanosAsLong=true) is the historical drift case; the
       // magnitude branch also absorbs a genuine µs/ms/s int64 column.
       case LongType | IntegerType => byMagnitudeIntegral(col("ts"))
       case DoubleType | FloatType => byMagnitudeFractional(col("ts"))
-      // Decimal → exact integer path: decimal→long cast truncates the
-      // fraction exactly (no double ulp — a 1.7e18 ns value has a 256 ns
-      // double ulp that would break the integer-exact oracle clock).
-      case _: DecimalType => byMagnitudeIntegral(col("ts"))
+      case _: DecimalType => byMagnitudeDecimal(col("ts"))
       case StringType => unix_micros(col("ts").cast(TimestampType))
       case DateType => unix_micros(col("ts").cast(TimestampType))
       case _ => unix_micros(col("ts").cast(TimestampType))

@@ -481,7 +481,14 @@ object TextAnalysis {
     * (source, cap, alloc). */
   def mixAllocate(perSource: DataFrame, budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wTot = perSource.agg(sum("w")).head().getDouble(0)
+    val tot = perSource.agg(sum("w"), sum("cap")).head()
+    val wTot = tot.getDouble(0)
+    // budget ≥ Σcap: every source saturates at its cap and no breakpoint
+    // row satisfies lam_k ≤ r (the .head() below would throw) — the
+    // water level is above every source's ceiling.
+    if (budget >= tot.getLong(1))
+      return perSource.select(col("source"), col("cap"),
+        col("cap").cast("double").as("alloc"))
     val winExcl = Window.orderBy(col("r"), col("source"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val ranked = perSource.withColumn("r", col("cap") / col("w"))
@@ -674,6 +681,10 @@ object TextAnalysis {
     var vocab = docs
       .select(explode(split(lower(col("text")), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
+      // split() yields "" for consecutive/leading spaces; an empty word
+      // would make sequence(1, 0) produce the descending [1, 0] → two
+      // empty symbols and a phantom ("","") pair carrying its frequency.
+      .where(length(col("word")) > 0)
       .select(transform(sequence(lit(1), length(col("word"))),
         i => col("word").substr(i, lit(1))).as("syms"), col("freq"))
       .localCheckpoint()

@@ -151,6 +151,13 @@ class ModelSpec extends AnyFunSuite {
     check("i64_ms", want.map { case (id, us) => (id, us / 1000 * 1000) })(
       df => df.withColumn("ts", expr("unix_micros(ts) div 1000")))
     check("dbl_s")(df => df.withColumn("ts", unix_micros(col("ts")) / lit(1e6)))
+    // fractional DECIMAL seconds must keep sub-second precision: the
+    // scale-up happens in exact decimal arithmetic BEFORE the long cast
+    // (a long-cast-first path truncates 1709288130.123456 → .000000)
+    check("dec_s")(df => df.withColumn("ts",
+      (unix_micros(col("ts")) / lit(1e6)).cast("decimal(20,6)")))
+    check("dec_ms")(df => df.withColumn("ts",
+      (unix_micros(col("ts")) / lit(1e3)).cast("decimal(20,3)")))
     check("renamed")(df => df.toDF("id", "timestamp", "userid", "type", "val", "payload"))
   }
 

@@ -1948,6 +1948,34 @@ object SparkEntry {
           (round(col("prediction"), 4) + lit(0.0)).as("prediction"))
     }),
 
+    // One SMO working-set iteration (svm.py:44-57's libsvm solve) as
+    // pure DataFrame algebra over the distributed normalized-GAK gram:
+    // error pass, first-order i* selection, second-order (WSS2) j*
+    // selection, analytic two-α update + Platt bias recompute — the
+    // solver INTERNALS as driver signal (the full solve stays golden).
+    // Duals start at the formula α(id) = ((id·7+3) mod 10)/10, labels
+    // y = ±1 by id parity, C = 1, b = 0.
+    "ts_svc_smo_step" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .where(col("series_id") < 12)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(16)).as("values"))
+        .localCheckpoint()
+      val pairs = graft.operators.Cdist.selfCross(series,
+        (a, b) => TsFunctions.gakUdf(a, b, lit(1.0)), computeDiagonal = false)
+      val gram = pairs.union(series.select(col("series_id").as("left_id"),
+        col("series_id").as("right_id"), lit(1.0)))
+      val labeled = series.select(col("series_id").as("id"),
+        when(col("series_id") % 2 === 0, 1.0).otherwise(-1.0).as("y"),
+        (((col("series_id") * 7 + 3) % 10) / lit(10.0)).as("a"))
+      graft.ml.TimeSeriesSVC.smoStep(gram, labeled, b0 = 0.0, cReg = 1.0)
+        .select(col("id"), col("i_id"), col("j_id"),
+          (round(col("ai_new"), 4) + lit(0.0)).as("ai_new"),
+          (round(col("aj_new"), 4) + lit(0.0)).as("aj_new"),
+          (round(col("b_new"), 4) + lit(0.0)).as("b_new"),
+          (round(col("f_after"), 4) + lit(0.0)).as("f_after"))
+    }),
+
     // ------- MLP forward pass (neural_network/neural_network.py:108) -
     // First driver signal for the MLP family. The L-BFGS fit is a
     // driver solve (not replayable), but the FORWARD pass is pure
@@ -6491,6 +6519,95 @@ object SparkEntry {
     "ts_kernel_kmeans_rbf" -> kernelKMeansRbfTraceSql(16, 12, 3, 4, 0.1),
     "ts_kernel_kmeans_predict" -> kernelKMeansPredictSql(16, 12, 20, 3, 4),
     "ts_svc_decision" -> svcDecisionOracleSql(16, 16),
+    // ts_svc_smo_step: one SMO working-set iteration replayed off the
+    // normalized-GAK gram chain — error sum, rounded first-order i* /
+    // second-order j* argmax (ties → smallest id, as the engine's
+    // max_by(round, −id)), box-clipped two-α update, Platt b1/b2.
+    "ts_svc_smo_step" -> sumProdChainSql(
+      16,
+      lgSql = gakLgSql,
+      selfPairs = false,
+      allPairsMaxId = 12,
+      finalSql =
+        """, gram AS (
+          |  SELECT ab.pr AS i, ab.cd AS j,
+          |    CASE WHEN ab.pr = ab.cd THEN 1.0
+          |         ELSE exp(ab.lw - 0.5 * (aa.lw + bb.lw)) END AS kv
+          |  FROM fin ab
+          |  JOIN fin aa ON aa.pr = ab.pr AND aa.cd = ab.pr
+          |  JOIN fin bb ON bb.pr = ab.cd AND bb.cd = ab.cd
+          |), lab AS (
+          |  SELECT i AS id,
+          |    CASE WHEN i % 2 = 0 THEN 1.0 ELSE -1.0 END AS y,
+          |    ((i * 7 + 3) % 10) / 10.0 AS a
+          |  FROM (SELECT DISTINCT pr AS i FROM fin)
+          |), err AS (
+          |  SELECT ef.id, ef.f0, l.y, l.a, ef.f0 - l.y AS e
+          |  FROM (SELECT g.j AS id, sum(l.a * l.y * g.kv) + 0.0 AS f0
+          |        FROM gram g JOIN lab l ON l.id = g.i GROUP BY 1) ef
+          |  JOIN lab l ON l.id = ef.id
+          |), irow AS (
+          |  SELECT id AS i_id, e AS e_i, a AS a_i, y AS y_i FROM err
+          |  WHERE (y > 0 AND a < 1.0) OR (y < 0 AND a > 0)
+          |  ORDER BY round(-y * e, 4) DESC, id LIMIT 1
+          |), jrow AS (
+          |  SELECT c.id AS j_id, c.e AS e_j, c.a AS a_j, c.y AS y_j,
+          |    i.i_id, i.e_i, i.a_i, i.y_i,
+          |    kii.kv AS k_ii, kjj.kv AS k_jj, kij.kv AS k_ij
+          |  FROM err c
+          |  CROSS JOIN irow i
+          |  JOIN gram kii ON kii.i = i.i_id AND kii.j = i.i_id
+          |  JOIN gram kjj ON kjj.i = c.id AND kjj.j = c.id
+          |  JOIN gram kij ON kij.i = i.i_id AND kij.j = c.id
+          |  WHERE ((c.y > 0 AND c.a > 0) OR (c.y < 0 AND c.a < 1.0))
+          |    AND c.id <> i.i_id
+          |  ORDER BY round(CASE
+          |      WHEN kii.kv + kjj.kv - 2 * kij.kv > 1e-12
+          |      THEN (i.e_i - c.e) * (i.e_i - c.e)
+          |           / (kii.kv + kjj.kv - 2 * kij.kv)
+          |      ELSE 0.0 END, 4) DESC, c.id
+          |  LIMIT 1
+          |), upd2 AS (
+          |  SELECT *,
+          |    (eta2 < -1e-12 AND lo < hi AND abs(aj_try - a_j) > 1e-5) AS changed
+          |  FROM (SELECT *,
+          |      least(hi, greatest(lo, a_j - y_j * (e_i - e_j) / eta2)) AS aj_try
+          |    FROM (SELECT *,
+          |        CASE WHEN y_i <> y_j THEN greatest(0.0, a_j - a_i)
+          |             ELSE greatest(0.0, a_i + a_j - 1.0) END AS lo,
+          |        CASE WHEN y_i <> y_j THEN least(1.0, 1.0 + a_j - a_i)
+          |             ELSE least(1.0, a_i + a_j) END AS hi,
+          |        2.0 * k_ij - k_ii - k_jj AS eta2
+          |      FROM jrow))
+          |), upd4 AS (
+          |  SELECT *, a_i + y_i * y_j * (a_j - aj_new) AS ai_new
+          |  FROM (SELECT *,
+          |      CASE WHEN changed THEN aj_try ELSE a_j END AS aj_new
+          |    FROM upd2)
+          |), upd AS (
+          |  SELECT *,
+          |    CASE WHEN NOT changed THEN 0.0
+          |         WHEN ai_new > 0 AND ai_new < 1.0 THEN b1
+          |         WHEN aj_new > 0 AND aj_new < 1.0 THEN b2
+          |         ELSE (b1 + b2) / 2 END AS b_new
+          |  FROM (SELECT *,
+          |      0.0 - e_i - y_i * (ai_new - a_i) * k_ii
+          |          - y_j * (aj_new - a_j) * k_ij AS b1,
+          |      0.0 - e_j - y_i * (ai_new - a_i) * k_ij
+          |          - y_j * (aj_new - a_j) * k_jj AS b2
+          |    FROM upd4)
+          |)
+          |SELECT e.id AS id, u.i_id, u.j_id,
+          |  round(u.ai_new, 4) + 0.0 AS ai_new,
+          |  round(u.aj_new, 4) + 0.0 AS aj_new,
+          |  round(u.b_new, 4) + 0.0 AS b_new,
+          |  round(e.f0 + u.y_i * (u.ai_new - u.a_i) * ki.kv
+          |             + u.y_j * (u.aj_new - u.a_j) * kj.kv
+          |             + u.b_new, 4) + 0.0 AS f_after
+          |FROM err e
+          |CROSS JOIN upd u
+          |JOIN gram ki ON ki.i = u.i_id AND ki.j = e.id
+          |JOIN gram kj ON kj.i = u.j_id AND kj.j = e.id""".stripMargin),
     // ts_svr_predict: the SVC margin chain with β weights and bias —
     // f(x) = b + Σⱼ βⱼ·normalizedGAK(x, svⱼ) over probes 8..15 × SVs 0..7.
     "ts_svr_predict" -> sumProdChainSql(

@@ -139,6 +139,105 @@ object TimeSeriesSVC {
     (alpha, b)
   }
 
+  /** One deterministic SMO working-set iteration (`svm.py:44-57`'s
+    * libsvm delegation; §7.4 watch item) as pure DataFrame algebra over
+    * the distributed gram — the gram never leaves the cluster; only the
+    * selected 1-row pair does:
+    *   1. errors  E_t = Σ_j α_j·y_j·K(j,t) + b − y_t  (one grouped sum)
+    *   2. i* = argmax over I_up of −y·E  (first-order KKT violation;
+    *      compared ROUNDED to `decimals`, ties → smallest id — the
+    *      cross-engine determinism contract of every argmin row)
+    *   3. j* = argmax over I_low of (E_i−E_j)²/η with
+    *      η = K_ii + K_jj − 2·K_ij  (libsvm's second-order working-set
+    *      gain; same rounded tie rule)
+    *   4. the analytic two-α update with [L,H] box clipping and Platt's
+    *      b1/b2 bias recompute; η ≥ 0, L ≥ H or a sub-1e-5 α move leave
+    *      the state unchanged (the solver's skip conditions).
+    * Output: one row per training id with the POST-step decision value
+    * f_after and (i_id, j_id, ai_new, aj_new, b_new) as constant
+    * columns. `gram` must hold every ordered pair INCLUDING the
+    * diagonal as (left_id, right_id, dist); `labeled` is (id, y, a). */
+  def smoStep(gram0: DataFrame, labeled: DataFrame, b0: Double, cReg: Double,
+              decimals: Int = 4): DataFrame = {
+    val gram = gram0.localCheckpoint() // scanned by 4 branches below
+    val cRegL = lit(cReg)
+    val ay = labeled.select(col("id").as("left_id"), (col("a") * col("y")).as("ay"))
+    val err = gram.join(broadcast(ay), "left_id")
+      .groupBy("right_id").agg(sum(col("ay") * col("dist")).as("s"))
+      .select(col("right_id").as("id"), (col("s") + lit(b0)).as("f0"))
+      .join(broadcast(labeled), "id")
+      .withColumn("e", col("f0") - col("y"))
+      .localCheckpoint()
+    val iRow = err
+      .where((col("y") > 0 && col("a") < cRegL) || (col("y") < 0 && col("a") > 0))
+      .agg(max_by(struct(col("id"), col("e"), col("a"), col("y")),
+        struct(round(-col("y") * col("e"), decimals), -col("id"))).as("s"))
+      .select(col("s.id").as("i_id"), col("s.e").as("e_i"),
+        col("s.a").as("a_i"), col("s.y").as("y_i"))
+    val jCand = err
+      .where((col("y") > 0 && col("a") > 0) || (col("y") < 0 && col("a") < cRegL))
+      .crossJoin(broadcast(iRow))
+      .where(col("id") =!= col("i_id"))
+    val diag = gram.where(col("left_id") === col("right_id"))
+      .select(col("left_id"), col("dist"))
+    val jRow = gram.select(col("left_id"), col("right_id"), col("dist").as("k_ij"))
+      .join(broadcast(jCand),
+        col("left_id") === col("i_id") && col("right_id") === col("id"))
+      .join(broadcast(diag.toDF("dj_id", "k_jj")), col("id") === col("dj_id"))
+      .join(broadcast(diag.toDF("di_id", "k_ii")), col("i_id") === col("di_id"))
+      .withColumn("eta", col("k_ii") + col("k_jj") - lit(2.0) * col("k_ij"))
+      .withColumn("gain", when(col("eta") > 1e-12,
+        (col("e_i") - col("e")) * (col("e_i") - col("e")) / col("eta"))
+        .otherwise(lit(0.0)))
+      .agg(max_by(struct(col("id").as("j_id"), col("e").as("e_j"),
+          col("a").as("a_j"), col("y").as("y_j"),
+          col("k_ii"), col("k_jj"), col("k_ij"),
+          col("i_id"), col("e_i"), col("a_i"), col("y_i")),
+        struct(round(col("gain"), decimals), -col("id"))).as("s"))
+      .select(col("s.*"))
+    val upd = jRow
+      .withColumn("lo", when(col("y_i") =!= col("y_j"),
+          greatest(lit(0.0), col("a_j") - col("a_i")))
+        .otherwise(greatest(lit(0.0), col("a_i") + col("a_j") - cRegL)))
+      .withColumn("hi", when(col("y_i") =!= col("y_j"),
+          least(cRegL, cRegL + col("a_j") - col("a_i")))
+        .otherwise(least(cRegL, col("a_i") + col("a_j"))))
+      .withColumn("eta2", lit(2.0) * col("k_ij") - col("k_ii") - col("k_jj"))
+      .withColumn("aj_try", least(col("hi"), greatest(col("lo"),
+        col("a_j") - col("y_j") * (col("e_i") - col("e_j")) / col("eta2"))))
+      .withColumn("changed", col("eta2") < -1e-12 && col("lo") < col("hi") &&
+        abs(col("aj_try") - col("a_j")) > 1e-5)
+      .withColumn("aj_new", when(col("changed"), col("aj_try")).otherwise(col("a_j")))
+      .withColumn("ai_new", col("a_i") +
+        col("y_i") * col("y_j") * (col("a_j") - col("aj_new")))
+      .withColumn("b1", lit(b0) - col("e_i")
+        - col("y_i") * (col("ai_new") - col("a_i")) * col("k_ii")
+        - col("y_j") * (col("aj_new") - col("a_j")) * col("k_ij"))
+      .withColumn("b2", lit(b0) - col("e_j")
+        - col("y_i") * (col("ai_new") - col("a_i")) * col("k_ij")
+        - col("y_j") * (col("aj_new") - col("a_j")) * col("k_jj"))
+      .withColumn("b_new", when(!col("changed"), lit(b0))
+        .when(col("ai_new") > 0 && col("ai_new") < cRegL, col("b1"))
+        .when(col("aj_new") > 0 && col("aj_new") < cRegL, col("b2"))
+        .otherwise((col("b1") + col("b2")) / 2))
+      .select(col("i_id"), col("j_id"), col("y_i"), col("y_j"),
+        col("a_i"), col("a_j"), col("ai_new"), col("aj_new"), col("b_new"))
+      .localCheckpoint() // 1 row, read by two gram lookups + the final join
+    val ki = gram.join(broadcast(upd.select(col("i_id").as("gi"))),
+        col("left_id") === col("gi"))
+      .select(col("right_id").as("id"), col("dist").as("k_i"))
+    val kj = gram.join(broadcast(upd.select(col("j_id").as("gj"))),
+        col("left_id") === col("gj"))
+      .select(col("right_id").as("id"), col("dist").as("k_j"))
+    err.join(ki, "id").join(kj, "id").crossJoin(broadcast(upd))
+      .select(col("id"), col("i_id"), col("j_id"),
+        col("ai_new"), col("aj_new"), col("b_new"),
+        (col("f0")
+          + col("y_i") * (col("ai_new") - col("a_i")) * col("k_i")
+          + col("y_j") * (col("aj_new") - col("a_j")) * col("k_j")
+          + (col("b_new") - lit(b0))).as("f_after"))
+  }
+
   case class BinaryModel(ids: Array[Long], alphaY: Array[Double], b: Double)
   case class Model(classes: Array[String], binaries: Map[(Int, Int), BinaryModel],
                    sigma: Double, trainIds: Array[Long]) {

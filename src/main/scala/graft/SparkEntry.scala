@@ -1997,6 +1997,30 @@ object SparkEntry {
           (round(col("prediction"), 4) + lit(0.0)).as("prediction"))
     }),
 
+    // One full-batch gradient step of the same tanh net
+    // (TimeSeriesMLPRegressor.gradStep — the distributed twin of one
+    // L-BFGS objective evaluation): forward, backprop, fixed-η=0.5
+    // update, starting from the ts_mlp_forward formula weights with
+    // target(id) = ((id·13+7) mod 21 − 10)/10. Output = the post-step
+    // PARAMETER relation (h·d + 2h + 1 = 73 rows at any corpus size).
+    "ts_mlp_step" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(16)).as("values"),
+          ((((col("series_id") * 13 + 7) % 21) - 10) / lit(10.0)).as("target"))
+      val w1 = s.range(4).select(col("id").as("h"))
+        .crossJoin(s.range(16).select(col("id").as("i")))
+        .withColumn("w", (((col("h") * 31 + col("i") * 17 + 7) % 23) - 11) / lit(25.0))
+      val b1 = s.range(4).select(col("id").as("h"),
+        ((col("id") - 1.5) / 10.0).as("b"))
+      val w2 = s.range(4).select(col("id").as("h"),
+        ((((col("id") * 13 + 5) % 11) - 5) / lit(10.0)).as("w"))
+      graft.ml.TimeSeriesMLPRegressor.gradStep(series, w1, b1, w2,
+          b2 = 0.1, eta = 0.5)
+        .select(col("param"), col("idx1"), col("idx2"),
+          (round(col("value"), 6) + lit(0.0)).as("value"))
+    }),
+
     // ---------------- ragged variable-length driver rows -------------
     // LCSS on RAW lengths (sz1≠sz2 through the int DP) — with
     // ts_dtw_ragged_pairs, ts_sax / ts_sax_mindist_pairs (already raw-
@@ -6645,6 +6669,59 @@ object SparkEntry {
         |  round(0.1 + sum((((h * 13 + 5) % 11) - 5) / 10.0 * a), 4) + 0.0
         |    AS prediction
         |FROM hid GROUP BY 1""".stripMargin),
+
+    // ts_mlp_step: one full-batch gradient step replayed — forward
+    // tanh pass, residual/n, the three grouped-sum gradients (gW1 is
+    // the exploded outer product), η=0.5 update of every parameter.
+    "ts_mlp_step" -> (evCte + resampleZnormCte(16) +
+      """
+        |, w1 AS (
+        |  SELECT h.h, i.i, (((h.h * 31 + i.i * 17 + 7) % 23) - 11) / 25.0 AS w
+        |  FROM (SELECT unnest(generate_series(0, 3)) AS h) h,
+        |       (SELECT unnest(generate_series(0, 15)) AS i) i
+        |), b1 AS (
+        |  SELECT unnest(generate_series(0, 3)) AS h
+        |), b1v AS (SELECT h, (h - 1.5) / 10.0 AS b FROM b1
+        |), w2 AS (
+        |  SELECT h, (((h * 13 + 5) % 11) - 5) / 10.0 AS w FROM b1
+        |), tgt AS (
+        |  SELECT DISTINCT user_id AS sid,
+        |    ((user_id * 13 + 7) % 21 - 10) / 10.0 AS y
+        |  FROM r
+        |), nn AS (SELECT count(*) AS n FROM tgt
+        |), act AS (
+        |  SELECT s.sid, s.h,
+        |    (exp(2.0 * (s.s + b1v.b)) - 1.0) / (exp(2.0 * (s.s + b1v.b)) + 1.0) AS a
+        |  FROM (SELECT r.user_id AS sid, w1.h, sum(w1.w * r.val) AS s
+        |        FROM r JOIN w1 ON w1.i = r.j GROUP BY 1, 2) s
+        |  JOIN b1v ON b1v.h = s.h
+        |), resid AS (
+        |  SELECT p.sid, (p.p - t.y) / nn.n AS gp
+        |  FROM (SELECT a.sid, sum(w2.w * a.a) + 0.1 AS p
+        |        FROM act a JOIN w2 ON w2.h = a.h GROUP BY 1) p
+        |  JOIN tgt t ON t.sid = p.sid CROSS JOIN nn
+        |), gw2 AS (
+        |  SELECT a.h, sum(a.a * rs.gp) AS g
+        |  FROM act a JOIN resid rs ON rs.sid = a.sid GROUP BY 1
+        |), gb2 AS (SELECT sum(gp) AS g FROM resid
+        |), gz AS (
+        |  SELECT a.sid, a.h, rs.gp * w2.w * (1.0 - a.a * a.a) AS gz
+        |  FROM act a JOIN resid rs ON rs.sid = a.sid JOIN w2 ON w2.h = a.h
+        |), gw1 AS (
+        |  SELECT g.h, x.j AS i, sum(g.gz * x.val) AS g
+        |  FROM gz g JOIN r x ON x.user_id = g.sid GROUP BY 1, 2
+        |), gb1 AS (SELECT h, sum(gz) AS g FROM gz GROUP BY 1)
+        |SELECT 'w1' AS param, CAST(w1.h AS INT) AS idx1,
+        |  CAST(w1.i AS INT) AS idx2, round(w1.w - 0.5 * gw1.g, 6) + 0.0 AS value
+        |FROM w1 JOIN gw1 ON gw1.h = w1.h AND gw1.i = w1.i
+        |UNION ALL
+        |SELECT 'b1', CAST(b1v.h AS INT), -1, round(b1v.b - 0.5 * gb1.g, 6) + 0.0
+        |FROM b1v JOIN gb1 ON gb1.h = b1v.h
+        |UNION ALL
+        |SELECT 'w2', CAST(w2.h AS INT), -1, round(w2.w - 0.5 * gw2.g, 6) + 0.0
+        |FROM w2 JOIN gw2 ON gw2.h = w2.h
+        |UNION ALL
+        |SELECT 'b2', -1, -1, round(0.1 - 0.5 * g, 6) + 0.0 FROM gb2""".stripMargin),
 
     // ts_sigma_gak: exact k-th-smallest medians over the same bounded
     // sample (k = n/2, the reference's sorted[n//2] upper middle).

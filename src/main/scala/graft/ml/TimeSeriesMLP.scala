@@ -72,6 +72,61 @@ object TimeSeriesMLPRegressor {
     }
   }
 
+  /** One full-batch gradient step of the squared-loss tanh net as pure
+    * DataFrame algebra — the distributed twin of one `calculate` call in
+    * [[fit]]'s L-BFGS objective (forward, backward, fixed-η update; no
+    * L2 term). Scale shape: every gradient is a grouped sum over the
+    * exploded features, so the RESULT relation has h·d + 2h + 1 rows no
+    * matter how many series went in — the same d-bounded-output design
+    * as the hashed-BoW quality-filter step.
+    *
+    * Inputs: `df` = (series_id, values ARRAY<DOUBLE>, target DOUBLE);
+    * weight relations `w1`(h, i, w), `b1`(h, b), `w2`(h, w) — tiny,
+    * broadcast everywhere. Output: (param, idx1, idx2, value) — the
+    * POST-step parameters (idx = −1 where unused). */
+  def gradStep(df: DataFrame, w1: DataFrame, b1: DataFrame, w2: DataFrame,
+               b2: Double, eta: Double): DataFrame = {
+    val n = df.count().toDouble
+    val xv = df.select(col("series_id").as("sid"), col("target"),
+      posexplode(col("values")).as(Seq("i", "x"))).localCheckpoint()
+    // forward: a(sid,h) = tanh(b1_h + Σ_i w1[h][i]·x_i)
+    val act = xv.join(broadcast(w1), Seq("i"))
+      .groupBy(col("sid"), col("h"))
+      .agg(sum(col("w") * col("x")).as("s"))
+      .join(broadcast(b1), Seq("h"))
+      .withColumn("a", tanh(col("s") + col("b")))
+      .select("sid", "h", "a")
+      .localCheckpoint() // read by pred, gW2 and gZ
+    val w2r = w2.select(col("h"), col("w").as("w2"))
+    val resid = act.join(broadcast(w2r), Seq("h"))
+      .groupBy("sid").agg((sum(col("w2") * col("a")) + lit(b2)).as("pred"))
+      .join(df.select(col("series_id").as("sid"), col("target")), "sid")
+      .select(col("sid"), ((col("pred") - col("target")) / lit(n)).as("gp"))
+      .localCheckpoint()
+    val gW2 = act.join(resid, "sid")
+      .groupBy("h").agg(sum(col("a") * col("gp")).as("g"))
+    val gB2 = resid.agg(sum("gp").as("g"))
+    // backward through tanh: gz(sid,h) = gp·w2_h·(1 − a²)
+    val gz = act.join(resid, "sid").join(broadcast(w2r), Seq("h"))
+      .select(col("sid"), col("h"),
+        (col("gp") * col("w2") * (lit(1.0) - col("a") * col("a"))).as("gz"))
+    val gW1 = gz.join(xv.select("sid", "i", "x"), "sid")
+      .groupBy("h", "i").agg(sum(col("gz") * col("x")).as("g"))
+    val gB1 = gz.groupBy("h").agg(sum("gz").as("g"))
+    val etaL = lit(eta)
+    w1.join(gW1, Seq("h", "i"))
+      .select(lit("w1").as("param"), col("h").cast("int").as("idx1"),
+        col("i").cast("int").as("idx2"), (col("w") - etaL * col("g")).as("value"))
+      .unionAll(b1.join(gB1, Seq("h"))
+        .select(lit("b1"), col("h").cast("int"), lit(-1),
+          col("b") - etaL * col("g")))
+      .unionAll(w2.join(gW2, Seq("h"))
+        .select(lit("w2"), col("h").cast("int"), lit(-1),
+          col("w") - etaL * col("g")))
+      .unionAll(gB2.select(lit("b2"), lit(-1), lit(-1),
+        lit(b2) - etaL * col("g")))
+  }
+
   /** Fit on (series_id, values, target DOUBLE). `alpha` is the L2 penalty
     * (sklearn's default 1e-4). */
   def fit(df: DataFrame, hidden: Int = 32, maxIter: Int = 200,

@@ -493,6 +493,89 @@ object GraftML {
     model.saveNested(path)
   }
 
+  /** Import a model package written by the REFERENCE library's own
+    * `to_json` (`bases/bases.py:212-224`: a single JSON object
+    * `{"hyper_params": get_params(), "model_params": {attr_: nested
+    * lists}}`, numpy arrays listified) into a GraftML [[Model]], so a
+    * migrating user can load real tslearn artifacts directly and keep
+    * predicting. The package does NOT record its class (the reference's
+    * `from_json` is a classmethod of the target estimator), so the
+    * caller names it — mirroring `TimeSeriesKMeans.from_json(path)`.
+    *
+    * Supported: the centroid models ("TimeSeriesKMeans", "KShape") with
+    * univariate centers; `cluster_centers_` is (n_clusters, sz, d=1)
+    * with the reference's trailing-NaN padding stripped per centroid
+    * (ts_size semantics, `utils.py:386-424`). Hyper names map to the
+    * GraftML spelling (n_clusters→k, max_iter→maxIter, n_init→nInit,
+    * random_state→seed); unknown hypers are carried through verbatim. */
+  def importTslearnJson(spark: SparkSession, path: String,
+                        estimator: String): Model = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    // Python's json.dump writes float('nan') as the bare token NaN —
+    // invalid JSON that Jackson rejects; normalize to null (num() below
+    // maps null back to Double.NaN, which is what the padding means).
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      .replaceAll("\\bNaN\\b", "null")
+    val j = JsonMethods.parse(text)
+    def sval(v: JValue): Option[String] = v match {
+      case JString(s) => Some(s)
+      case JInt(i) => Some(i.toString)
+      case JLong(l) => Some(l.toString)
+      case JDouble(d) => Some(d.toString)
+      case JDecimal(d) => Some(d.toString)
+      case JBool(b) => Some(b.toString)
+      case _ => None // null / nested → not a scalar hyper
+    }
+    val rawHyper: Map[String, String] = (j \ "hyper_params") match {
+      case JObject(fs) => fs.flatMap { case (k, v) => sval(v).map(k -> _) }.toMap
+      case _ => Map.empty
+    }
+    val renames = Map("n_clusters" -> "k", "max_iter" -> "maxIter",
+      "n_init" -> "nInit", "random_state" -> "seed",
+      "max_iter_barycenter" -> "barycenterMaxIter")
+    val hyper = rawHyper.map { case (k, v) => renames.getOrElse(k, k) -> v }
+    def num(v: JValue): Double = v match {
+      case JDouble(d) => d
+      case JInt(i) => i.toDouble
+      case JLong(l) => l.toDouble
+      case JDecimal(d) => d.toDouble
+      case _ => Double.NaN
+    }
+    val mp = j \ "model_params"
+    val centroids: Array[Array[Double]] = (mp \ "cluster_centers_") match {
+      case JArray(cs) =>
+        cs.map {
+          case JArray(ts) =>
+            val frames = ts.map {
+              case JArray(ds) => ds.map(num).toArray // (sz, d) frame
+              case scalar => Array(num(scalar)) // (n, sz) tolerance
+            }.toArray
+            require(frames.forall(_.length == 1),
+              s"only univariate centers supported (d=${frames.map(_.length).max})")
+            // strip the reference's trailing-NaN padding (ts_size)
+            val flat = frames.map(_(0))
+            val sz = {
+              var e = flat.length
+              while (e > 0 && flat(e - 1).isNaN) e -= 1
+              e
+            }
+            flat.take(sz)
+          case _ => throw new IllegalArgumentException(
+            "cluster_centers_ entries must be arrays")
+        }.toArray
+      case _ => throw new IllegalArgumentException(
+        s"model_params.cluster_centers_ missing in $path")
+    }
+    val inertia = num(mp \ "inertia_") // absent → NaN, as unknown
+    estimator match {
+      case "TimeSeriesKMeans" => KMeansModel(hyper, centroids, inertia)
+      case "KShape" => KShapeModel(hyper, centroids, inertia)
+      case other => throw new IllegalArgumentException(
+        s"tslearn-json import supports TimeSeriesKMeans/KShape, got '$other'")
+    }
+  }
+
   def load(spark: SparkSession, path: String): Model = {
     import spark.implicits._
     import org.json4s._

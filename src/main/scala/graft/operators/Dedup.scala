@@ -89,6 +89,68 @@ object Dedup {
       .where(col("containment") >= threshold)
   }
 
+  /** Sketch-then-verify containment (VERDICT r10 "what's wrong" #2 —
+    * the one pair emitter without a cheap pre-filter). Phase 1 runs the
+    * inverted-index join over a 1/`sampleMod` MODHASH sample of shingle
+    * space (keep sh where sh mod sampleMod = 0 — consistent across
+    * docs, so a pair's sampled intersection count estimates |∩| scaled
+    * by the sample rate); a pair becomes a candidate when its sampled
+    * estimate could still clear `threshold` in EITHER direction under a
+    * `slack` guard. Phase 2 recounts candidates EXACTLY from the two
+    * docs' full capped shingle-hash arrays (native array_intersect —
+    * per-candidate O(sz), no index join).
+    *
+    * Cost shape: the index join — the output-bound part that costs
+    * ~10 µs/pair × Σbucket² — runs over a sampleMod× smaller index, so
+    * its emitted-pair mass drops ~sampleMod× for near-dup-heavy corpora
+    * while true candidates survive; the exact verify is linear in
+    * candidates, not in shared-shingle mass. The prune is
+    * PROBABILISTIC: a true pair whose sampled estimate dips below
+    * threshold·slack is lost (short docs carry the most variance) —
+    * recall vs the exact [[containmentPairs]] is measured in
+    * SCALEPROBE.md; the exact path remains the oracle. */
+  def containmentPairsSketched(docsDf: DataFrame, threshold: Double,
+                               k: Int = 3, maxDf: Int = 100,
+                               sampleMod: Int = 8,
+                               slack: Double = 0.5): DataFrame = {
+    val raw = docsDf.select(col("doc_id"),
+      explode(graft.functions.NativeExpressions.shingleHash60Native(
+        col("text"), k, lowercase = true, distinct = true)).as("sh"))
+    val capped = dfCapped(raw.localCheckpoint(), maxDf)
+      .select(col("doc_id"), col("sh")).localCheckpoint()
+    // full per-doc arrays + sizes for the verify phase (doc-local agg)
+    val arrs = capped.groupBy("doc_id")
+      .agg(collect_list(col("sh")).as("shs"), count(lit(1)).as("sz"))
+      .localCheckpoint()
+    // phase 1: candidate pairs off the sampled index
+    val sampled = capped.where(pmod(col("sh"), lit(sampleMod.toLong)) === 0)
+      .localCheckpoint()
+    val sSizes = sampled.groupBy("doc_id").agg(count(lit(1)).as("ssz"))
+    val cands = sampled.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(sampled.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("sinter"))
+      .join(sSizes.select(col("doc_id").as("doc_a"), col("ssz").as("ssz_a")), "doc_a")
+      .join(sSizes.select(col("doc_id").as("doc_b"), col("ssz").as("ssz_b")), "doc_b")
+      .where(col("sinter") >=
+        lit(slack * threshold) * least(col("ssz_a"), col("ssz_b")))
+      .select("doc_a", "doc_b")
+    // phase 2: exact recount per candidate
+    val ver = cands
+      .join(arrs.select(col("doc_id").as("doc_a"),
+        col("shs").as("shs_a"), col("sz").as("sz_a")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"),
+        col("shs").as("shs_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .localCheckpoint()
+    ver.select(col("doc_a"), col("doc_b"),
+        (col("inter") / col("sz_a")).as("containment"))
+      .union(ver.select(col("doc_b"), col("doc_a"),
+        (col("inter") / col("sz_b")).as("containment")))
+      .where(col("containment") >= threshold)
+  }
+
   /** Doc-frequency cap over a (doc_id, sh) shingle stream — drops
     * shingles present in more than `maxDf` docs (stop-word n-grams)
     * before an inverted-index join, bounding every index bucket at

@@ -23,20 +23,13 @@ object MatrixProfileDist {
   private[operators] def blockMinima(ts: Array[Double], m: Int, band: Int,
                                      b0: Int, b1: Int): Array[Double] = {
     val n = ts.length - m + 1
+    // min over SQUARED distances (same argmin — sqrt is monotone), one
+    // sqrt per output at the very end instead of one per cell: the
+    // per-cell sqrt was the measured hot instruction in the 100k probe.
     val out = Array.fill(b1 - b0)(Double.PositiveInfinity)
-    // diagonal offset d: pairs (i, i+d), d > band — handles BOTH sides of
-    // each block row because d runs over all offsets with i+d in range,
-    // and for j < i we use the same diagonal from the smaller index:
-    // (j, j+d) with j+d ∈ block.
-    var d = band + 1
-    while (d < n) {
-      // roll i over the range where either endpoint of the pair lies in
-      // the block: i ∈ [max(0, b0−d), min(n−d, b1)) covers (i∈block) and
-      // (i+d∈block) pairs in one sweep
-      val lo = math.max(0, b0 - d)
-      val hi = math.min(n - d, b1)
+    // One rolling sweep over i ∈ [lo, hi): O(m) init, O(1) per step.
+    def sweep(d: Int, lo: Int, hi: Int): Unit = {
       if (lo < hi) {
-        // O(m) init at the sweep start, O(1) per step after
         var sq = 0.0
         var k = 0
         while (k < m) {
@@ -46,10 +39,9 @@ object MatrixProfileDist {
         }
         var i = lo
         while (i < hi) {
-          val dist = math.sqrt(math.max(0.0, sq))
-          if (i >= b0 && i < b1 && dist < out(i - b0)) out(i - b0) = dist
+          if (i >= b0 && i < b1 && sq < out(i - b0)) out(i - b0) = sq
           val j = i + d
-          if (j >= b0 && j < b1 && dist < out(j - b0)) out(j - b0) = dist
+          if (j >= b0 && j < b1 && sq < out(j - b0)) out(j - b0) = sq
           // roll to (i+1, j+1)
           if (i + 1 < hi) {
             val dOld = ts(i) - ts(j)
@@ -59,7 +51,29 @@ object MatrixProfileDist {
           i += 1
         }
       }
+    }
+    // diagonal offset d: pairs (i, i+d), d > band — handles BOTH sides of
+    // each block row because d runs over all offsets with i+d in range,
+    // and for j < i we use the same diagonal from the smaller index:
+    // (j, j+d) with j+d ∈ block. Per diagonal the useful i-ranges are
+    // j∈block → [b0−d, b1−d) and i∈block → [b0, b1): when the diagonal
+    // is wider than the block (d > b1−b0) the two are DISJOINT and must
+    // be swept separately — a single bridged sweep pays O(d) per
+    // diagonal, i.e. O(n²) per BLOCK and O(n³/B) total, the defect the
+    // round-11 1M-point probe caught (the probe hung for >13 min where
+    // the split form finishes in seconds).
+    var d = band + 1
+    while (d < n) {
+      val lo1 = math.max(0, b0 - d); val hi1 = math.min(n - d, b1 - d)
+      val lo2 = b0; val hi2 = math.min(n - d, b1)
+      if (hi1 >= lo2) sweep(d, lo1, math.max(hi1, hi2))
+      else { sweep(d, lo1, hi1); sweep(d, lo2, hi2) }
       d += 1
+    }
+    var t = 0
+    while (t < out.length) {
+      out(t) = math.sqrt(math.max(0.0, out(t)))
+      t += 1
     }
     out
   }

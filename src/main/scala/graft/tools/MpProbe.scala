@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only probe (not part of the driver contract): walls and ns/cell
+  * of the distributed long-series matrix profile
+  * (`operators.MatrixProfileDist`) at 100 k / 1 M points — the operator
+  * whose 100× story was design-argued but never measured at target
+  * shape (spec inputs are ≤ 512 points). Also cross-checks equality
+  * against the local kernel at a size the O(n²·m) kernel can still do.
+  *
+  * Run: SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.MpProbe"
+  */
+object MpProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def walk(n: Int, seed: Long): Array[Double] = {
+      val rng = new scala.util.Random(seed)
+      val ts = new Array[Double](n)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += rng.nextGaussian(); ts(i) = acc; i += 1 }
+      ts
+    }
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // ---- parity vs the local kernel at a kernel-feasible size ----
+    {
+      val n = 8192; val m = 64
+      val ts = walk(n + m - 1, 7L)
+      val (local, tLoc) = time(graft.kernels.Kernels.matrixProfile(ts, m))
+      val (dist, tDist) = time {
+        graft.operators.MatrixProfileDist.matrixProfile(spark, ts, m, blockSize = 1024)
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      }
+      val maxDiff = local.indices.map(i => math.abs(local(i) - dist(i))).max
+      println(f"[mpprobe] parity n=$n m=$m: maxAbsDiff=$maxDiff%.3e " +
+        f"local=$tLoc%.2f s dist=$tDist%.2f s (kernel is O(n2·m); dist O(n2))")
+    }
+
+    // ---- scale walls (min of 2) ----
+    for ((n, m, bs) <- Seq(
+        (100000, 64, 16384), (100000, 256, 16384),
+        (1000000, 256, 65536), (1000000, 256, 16384), (1000000, 256, 8192))) {
+      val ts = walk(n + m - 1, 11L)
+      def run(): Long = graft.operators.MatrixProfileDist
+        .matrixProfile(spark, ts, m, blockSize = bs).count()
+      val (_, t1) = time(run())
+      val (cnt, t2) = time(run())
+      val wall = math.min(t1, t2)
+      val cells = n.toLong * n / 2
+      println(f"[mpprobe] n=$n%,d m=$m block=$bs: wall=$wall%.2f s " +
+        f"(runs $t1%.2f/$t2%.2f), rows=$cnt, ~cells=${cells}%,d, " +
+        f"${wall * 1e9 / cells}%.3f ns/cell")
+    }
+    spark.stop()
+  }
+}

@@ -135,6 +135,11 @@ object ScaleProbe {
               tol = Double.NegativeInfinity, sigma = 1.0, init = "mod",
               blocks = 16).fitAssign(series)
           }
+          // sketch-then-verify containment A/B twin of doc_containment_pairs
+          // (same threshold/k/maxDf; exact path stays the oracle)
+          case "op_containment_sketched" => (sp, d) =>
+            graft.operators.Dedup.containmentPairsSketched(
+              graft.model.TSModel.documents(sp, d), threshold = 0.6)
           case n => graft.SparkEntry.queries(n)
         }
         var best = Double.PositiveInfinity

@@ -118,4 +118,52 @@ class GraftMLSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("tslearn to_json package import (bases.py:212-224 schema)") {
+    // A package exactly as the reference writes it: get_params() hypers
+    // (nulls and non-scalars included), cluster_centers_ as (n, sz, d=1)
+    // nested lists with one center carrying trailing-NaN padding (the
+    // ragged encoding of utils.py:212-215), inertia_ as a model param.
+    val fixture =
+      """{"hyper_params": {"n_clusters": 2, "max_iter": 50, "tol": 1e-06,
+        |  "n_init": 1, "metric": "dtw", "max_iter_barycenter": 100,
+        |  "metric_params": null, "n_jobs": null, "dtype": "float64",
+        |  "random_state": 7, "init": "k-means++", "verbose": 0},
+        | "model_params": {
+        |  "cluster_centers_": [
+        |    [[0.0], [0.5], [1.0], [1.5]],
+        |    [[5.0], [5.5], [6.0], [NaN]]],
+        |  "inertia_": 0.125, "n_iter_": 3}}""".stripMargin
+    val f = java.nio.file.Files.createTempFile("tslearn_km", ".json")
+    java.nio.file.Files.writeString(f, fixture)
+    val m = GraftML.importTslearnJson(spark, f.toString, "TimeSeriesKMeans")
+    assert(m.estimator == "TimeSeriesKMeans")
+    // hyper renames applied; unknown scalars carried through; nulls dropped
+    assert(m.hyper("k") == "2" && m.hyper("maxIter") == "50" &&
+      m.hyper("nInit") == "1" && m.hyper("seed") == "7" &&
+      m.hyper("metric") == "dtw" && m.hyper("init") == "k-means++")
+    assert(!m.hyper.contains("metric_params") && !m.hyper.contains("n_jobs"))
+    assert(m.scalars("inertia").toDouble == 0.125)
+    // NaN padding stripped from the second center (ts_size semantics)
+    val arrs = m.arrays.filter(_._1 == "centroids").sortBy(_._2.toInt)
+    assert(arrs(0)._3.toSeq == Seq(0.0, 0.5, 1.0, 1.5))
+    assert(arrs(1)._3.toSeq == Seq(5.0, 5.5, 6.0))
+    // the imported model predicts: nearest-centroid assignment
+    val data = Seq(
+      (0L, Array(0.1, 0.4, 1.1, 1.4)),
+      (1L, Array(5.1, 5.6, 5.9, 5.8))).toDF("series_id", "values")
+    val assigned = m.transform(data).orderBy("series_id")
+      .select("cluster").as[Int].collect()
+    assert(assigned.toSeq == Seq(0, 1))
+    // and round-trips through the native persistence layout
+    val dir = java.nio.file.Files.createTempDirectory("tslearn_import").toString
+    GraftML.save(spark, m, dir)
+    val re = GraftML.load(spark, dir)
+    assert(re.transform(data).orderBy("series_id").select("cluster")
+      .as[Int].collect().toSeq == Seq(0, 1))
+    // KShape route dispatches too
+    val ks = GraftML.importTslearnJson(spark, f.toString, "KShape")
+    assert(ks.estimator == "KShape")
+    java.nio.file.Files.delete(f)
+  }
 }

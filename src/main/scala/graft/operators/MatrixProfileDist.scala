@@ -87,12 +87,16 @@ object MatrixProfileDist {
     val band = math.ceil(m / 4.0).toInt
     val bc = spark.sparkContext.broadcast(ts)
     val nBlocks = (n + blockSize - 1) / blockSize
-    spark.range(nBlocks)
-      .repartition(math.min(nBlocks, spark.sparkContext.defaultParallelism * 2))
-      .as[Long]
+    // parallelize's contiguous slicing puts EXACTLY ⌈blocks/slices⌉
+    // blocks in every task — `repartition(k)` round-robins each input
+    // row from a RANDOM start, which at block counts near the core
+    // count lands 2-3 blocks on some tasks and none on others (measured
+    // as a ~2× straggler tail in the round-11 1M-point probe).
+    spark.sparkContext
+      .parallelize(0 until nBlocks, math.min(nBlocks, spark.sparkContext.defaultParallelism * 2))
       .flatMap { blk =>
-        val b0 = (blk * blockSize).toInt
-        val b1 = math.min(n, b0 + blockSize).toInt
+        val b0 = blk * blockSize
+        val b1 = math.min(n, b0 + blockSize)
         val mins = blockMinima(bc.value, m, band, b0, b1)
         (b0 until b1).iterator.map(i => (i, mins(i - b0)))
       }

@@ -344,16 +344,18 @@ object StreamingOps {
     * fold in bucket order so the per-doc sum matches the batch
     * operator's per-bucket aggregation. */
   def importanceAtIngest(docs: DataFrame, ratios: Array[Double],
-                         d: Int = 32): DataFrame = {
+                         d: Int = 32,
+                         passthrough: Seq[String] = Nil): DataFrame = {
     val ta = graft.operators.TextAnalysis
     val lrs = typedLit(ratios)
+    val pt = passthrough.map(col)
     docs
-      .select(col("doc_id"), ta.hashedBowBuckets(col("text"), d).as("bks"))
-      .select(col("doc_id"), ta.hashedBowFromBuckets(col("bks"), d).as("hist"),
-        size(col("bks")).cast("long").as("n_tokens"))
-      .select(col("doc_id"), col("n_tokens"),
+      .select(col("doc_id") +: ta.hashedBowBuckets(col("text"), d).as("bks") +: pt: _*)
+      .select(col("doc_id") +: ta.hashedBowFromBuckets(col("bks"), d).as("hist") +:
+        size(col("bks")).cast("long").as("n_tokens") +: pt: _*)
+      .select(col("doc_id") +: col("n_tokens") +:
         aggregate(zip_with(col("hist"), lrs, (x, l) => x * l),
-          lit(0.0), (acc, x) => acc + x).as("logw"))
+          lit(0.0), (acc, x) => acc + x).as("logw") +: pt: _*)
   }
 
   /** Streaming HyperLogLog registers — continuous distinct counting at

@@ -711,4 +711,25 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got == Seq((1, "a", "a", 6L), (2, "a", "b", 4L), (3, "aa", "ab", 3L)),
       s"got $got")
   }
+
+  test("sketched containment: emitted pairs are exact, recall holds vs the exact join") {
+    // The sketch prunes CANDIDATES only; phase 2 recounts every
+    // surviving pair from the full capped shingle arrays, so any pair
+    // the sketched path emits must carry the SAME containment value the
+    // exact inverted-index join computes — the sketch can lose pairs
+    // (sampling variance on short docs), never corrupt or invent them.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = toMap(Dedup.containmentPairs(docs, threshold = 0.6))
+    val sk = toMap(Dedup.containmentPairsSketched(docs, threshold = 0.6))
+    assert(exact.nonEmpty, "fixture should contain containment pairs")
+    sk.foreach { case (pair, c) =>
+      assert(exact.contains(pair), s"sketched emitted non-exact pair $pair")
+      assert(math.abs(exact(pair) - c) < 1e-12, s"value drift on $pair")
+    }
+    val recall = sk.size.toDouble / exact.size
+    assert(recall >= 0.8, s"sketched recall $recall over ${exact.size} true pairs")
+    info(f"sketched containment recall $recall%.3f over ${exact.size} exact pairs")
+  }
 }

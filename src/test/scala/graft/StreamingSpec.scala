@@ -383,4 +383,76 @@ class StreamingSpec extends AnyFunSuite {
     assert(peak < 20L, s"state peaked at $peak rows — grew past the horizon bound")
     info(s"dedupExact state: peak $peak rows, final $fin rows (1 h horizon, 10 min/batch)")
   }
+
+  test("500-batch composed ingest soak: score → filter → {near-dup, pack}") {
+    // The composed-pipeline story (previously per-operator only): ONE
+    // source stream through ingest DSIR scoring (stateless) → curation
+    // filter → BOTH stateful consumers — continuous sequence packing and
+    // minhash near-dup — for 500 real micro-batches. Asserts state stays
+    // bounded (packs = one row per source; buckets flat once the
+    // recycled text pool is fully seen) and the packing output is
+    // element-for-element the BATCH operator run over the same kept docs.
+    implicit val sqlCtx = spark.sqlContext
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    val ratios = Array.tabulate(32)(i => (i % 5 - 2) * 0.1)
+    val in = MemoryStream[(Long, String, String)]
+    val docsDf = in.toDF().toDF("doc_id", "source", "text")
+    val kept = StreamingOps.importanceAtIngest(docsDf, ratios, d = 32,
+        passthrough = Seq("source", "text"))
+      .where(col("logw") > -0.05)
+    val packQ = StreamingOps.packSequences(kept, ctxLen = 32)
+      .writeStream.format("memory").queryName("soak_pack").outputMode("append").start()
+    val dupQ = StreamingOps.dedupNearMinhash(kept.select(col("doc_id"), col("text")))
+      .writeStream.format("memory").queryName("soak_dup").outputMode("append").start()
+    val pool = (0 until 40).map(p =>
+      (0 until 10).map(w => s"tok${(p * 13 + w * 7) % 61}").mkString(" "))
+    val all = scala.collection.mutable.ArrayBuffer[(Long, String, String)]()
+    var dupStateMid = -1L
+    val t0 = System.nanoTime()
+    (0 until 500).foreach { b =>
+      val row = (b.toLong, s"src${b % 4}", pool(b % 40))
+      all += row
+      in.addData(row)
+      packQ.processAllAvailable()
+      dupQ.processAllAvailable()
+      if (b == 249) dupStateMid = stateRows(dupQ)
+    }
+    val soakSecs = (System.nanoTime() - t0) / 1e9
+    val packState = stateRows(packQ)
+    val dupState = stateRows(dupQ)
+    packQ.stop(); dupQ.stop()
+    // state bounds: packs exactly one (pack, fill) row per source; dup
+    // buckets ≤ bands × distinct signatures and FLAT over the second
+    // half (every text re-delivered from the 40-doc pool)
+    assert(packState == 4L, s"pack state rows: $packState (want one per source)")
+    assert(dupState <= 16L * 40, s"bucket state $dupState exceeds bands×pool")
+    assert(dupState == dupStateMid,
+      s"bucket state grew in the re-delivery half: $dupStateMid -> $dupState")
+    // output equivalence: streaming packs == the batch operator over the
+    // same curated docs (ids arrive in increasing order, so the
+    // streaming visit order matches the batch sortWithinPartitions)
+    val allDf = all.toSeq.toDF("doc_id", "source", "text")
+    val keptBatch = StreamingOps.importanceAtIngest(allDf, ratios, d = 32,
+        passthrough = Seq("source", "text"))
+      .where(col("logw") > -0.05)
+    val wantPacks = graft.operators.TextAnalysis.packSequences(keptBatch, 32)
+      .orderBy("source", "doc_id").collect().toSeq
+    val gotPacks = spark.table("soak_pack")
+      .select("source", "doc_id", "tk", "pack_seq", "token_offset")
+      .orderBy("source", "doc_id").collect().toSeq
+    assert(gotPacks == wantPacks, "streaming packs diverge from the batch operator")
+    // near-dup: every kept re-delivery of a pool text collides with the
+    // pool-min doc in ALL 16 bands (identical signature)
+    val keptRows = keptBatch.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nDupDocs = keptRows.groupBy(_._2).values.map(_.size - 1).sum
+    val hits = spark.table("soak_dup").count()
+    assert(hits >= 16L * nDupDocs,
+      s"expected ≥ ${16 * nDupDocs} band hits for $nDupDocs re-deliveries, got $hits")
+    val kps = gotPacks.size
+    info(f"soak: 500 micro-batches in $soakSecs%.1f s " +
+      f"(${500 / soakSecs}%.1f batch/s), $kps pack rows, $hits dup hits, " +
+      s"state: pack=$packState dup=$dupState (flat from batch 250)")
+  }
 }

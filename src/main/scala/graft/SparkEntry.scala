@@ -496,6 +496,17 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"),
           round(col("containment"), 4).as("containment"))),
 
+    // Sketch-then-verify containment (the scale path: candidate pairs
+    // off a 1/8 modhash sample of shingle space, exact recount only for
+    // survivors). DETERMINISTIC given the md5 hash, so the whole
+    // pipeline — sample, slack bound, exact recount — replays in SQL;
+    // the emitted values are exact by construction (phase 2 recounts
+    // from the full capped arrays), only recall is probabilistic.
+    "doc_containment_sketched" -> ((s, dir) =>
+      graft.operators.Dedup.containmentPairsSketched(docs(s, dir), threshold = 0.6)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("containment"), 4).as("containment"))),
+
     // ---------------- text analysis (training-data ops) --------------
     "doc_stats" -> ((s, dir) => {
       docs(s, dir).select(
@@ -7836,6 +7847,54 @@ object SparkEntry {
         |  round(CAST(inter AS DOUBLE) / sa.sz, 4) AS containment
         |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
         |WHERE CAST(inter AS DOUBLE) / sa.sz >= 0.6""".stripMargin,
+
+    // containmentPairsSketched replay: same shingle machinery but on the
+    // 60-bit md5 hash (15 hex chars == the engine's big-endian first 8
+    // bytes >>> 4), df-cap 100, 1/8 modhash candidate sample with slack
+    // 0.5·threshold against the smaller sampled size, then the exact
+    // per-candidate recount — both directions, >= 0.6.
+    "doc_containment_sketched" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |), sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(CONCAT('0x', substring(md5(array_to_string(w[j:j+2], ' ')), 1, 15)) AS BIGINT) AS sh
+        |  FROM words, (SELECT unnest(generate_series(1, 1000)) AS j) g
+        |  WHERE j <= greatest(len(w) - 2, 1)
+        |), sh AS (
+        |  SELECT doc_id, sh FROM (
+        |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0
+        |  ) WHERE df <= 100
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+        |), samp AS (
+        |  SELECT doc_id, sh FROM sh WHERE sh % 8 = 0
+        |), ssizes AS (
+        |  SELECT doc_id, count(*) AS ssz FROM samp GROUP BY 1
+        |), cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS sinter
+        |  FROM samp a JOIN samp b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), candf AS (
+        |  SELECT doc_a, doc_b FROM cand
+        |  JOIN ssizes sa ON sa.doc_id = doc_a
+        |  JOIN ssizes sb ON sb.doc_id = doc_b
+        |  WHERE sinter >= 0.3 * least(sa.ssz, sb.ssz)
+        |), inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS i
+        |  FROM candf c
+        |  JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+        |  GROUP BY 1, 2
+        |), dirs AS (
+        |  SELECT i.doc_a, i.doc_b, CAST(i.i AS DOUBLE) / sa.sz AS c
+        |  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+        |  UNION ALL
+        |  SELECT i.doc_b, i.doc_a, CAST(i.i AS DOUBLE) / sb.sz AS c
+        |  FROM inter i JOIN sizes sb ON sb.doc_id = i.doc_b
+        |)
+        |SELECT doc_a, doc_b, round(c, 4) AS containment
+        |FROM dirs WHERE c >= 0.6""".stripMargin,
 
     "doc_stats" ->
       """SELECT doc_id, lang, length(text) AS n_chars_m,

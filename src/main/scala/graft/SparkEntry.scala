@@ -631,6 +631,7 @@ object SparkEntry {
         centroids, inertia = 2.5)
       graft.ml.GraftML.save(s, model, tmp)
       val loaded = graft.ml.GraftML.load(s, tmp)
+      deleteRecursively(tmp) // model is driver-resident after load
       val rows = loaded.arrays.flatMap { case (fam, key, vs) =>
         vs.zipWithIndex.map { case (v, i) => (fam, key, i, v.toString) }
       } ++

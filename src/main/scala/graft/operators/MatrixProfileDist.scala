@@ -78,6 +78,54 @@ object MatrixProfileDist {
     out
   }
 
+  /** Cross-tile minima kernel shared by the tiled (no-broadcast) path.
+    * Tile A holds subsequences [aIdx0, aIdx0+aLen) with values `va`
+    * (aLen+m-1 points); tile B likewise, with bIdx0 >= aIdx0. Sweeps
+    * every global diagonal g = j−i > band that intersects the tile
+    * pair with the same O(1) rolling squared-distance update as
+    * [[blockMinima]], returning per-row SQUARED minima for both tiles
+    * (PositiveInfinity where the pair contributes nothing — e.g. the
+    * band-excluded corner of adjacent tiles). Self pairs (aIdx0 ==
+    * bIdx0) fall out naturally: only g > band sweeps run and each
+    * update feeds both sides of the pair. */
+  private[operators] def tileMinima(va: Array[Double], aIdx0: Long, aLen: Int,
+                                    vb: Array[Double], bIdx0: Long, bLen: Int,
+                                    m: Int, band: Int): (Array[Double], Array[Double]) = {
+    val minsA = Array.fill(aLen)(Double.PositiveInfinity)
+    val minsB = Array.fill(bLen)(Double.PositiveInfinity)
+    val delta = bIdx0 - aIdx0 // >= 0 by contract
+    // offset o = jj - ii (tile-local); global diagonal g = delta + o
+    var g = math.max(band + 1, delta - (aLen - 1))
+    val gMax = delta + (bLen - 1)
+    while (g <= gMax) {
+      val o = (g - delta).toInt
+      val lo = math.max(0, -o)
+      val hi = math.min(aLen, bLen - o)
+      if (lo < hi) {
+        var sq = 0.0
+        var k = 0
+        while (k < m) {
+          val df = va(lo + k) - vb(lo + o + k)
+          sq += df * df
+          k += 1
+        }
+        var ii = lo
+        while (ii < hi) {
+          if (sq < minsA(ii)) minsA(ii) = sq
+          if (sq < minsB(ii + o)) minsB(ii + o) = sq
+          if (ii + 1 < hi) {
+            val dOld = va(ii) - vb(ii + o)
+            val dNew = va(ii + m) - vb(ii + o + m)
+            sq += dNew * dNew - dOld * dOld
+          }
+          ii += 1
+        }
+      }
+      g += 1
+    }
+    (minsA, minsB)
+  }
+
   /** (i, mp) rows for every subsequence start of the broadcast series. */
   def matrixProfile(spark: SparkSession, ts: Array[Double], m: Int,
                     blockSize: Int = 65536): DataFrame = {
@@ -101,5 +149,77 @@ object MatrixProfileDist {
         (b0 until b1).iterator.map(i => (i, mins(i - b0)))
       }
       .toDF("i", "mp")
+  }
+
+  /** Tiled matrix profile over a DISTRIBUTED series — the path past the
+    * broadcast bound (the array form tops out where 8 B/point stops
+    * broadcasting, ~1 G points). Input is a DataFrame of
+    * (idx: Long, v: Double) rows, idx contiguous from 0; no single node
+    * ever holds the series.
+    *
+    * SCAMP-style decomposition: subsequence space splits into
+    * `blockSize`-wide tiles; every tile PAIR (bi <= bj) is one task that
+    * pulls just its two segments (blockSize+m−1 points each), sweeps the
+    * pair's diagonals with the same O(1) rolling update, and emits
+    * per-row partial minima; a final groupBy(idx).min + sqrt folds the
+    * (n/B) partials per row. Costs vs the broadcast form: segments move
+    * through one shuffle replicated (n/B)× — total (n²/B + n·m) values
+    * on the wire — and the partial-min fold shuffles n·(n/B) rows
+    * (map-side combined), in exchange for O(blockSize) peak memory per
+    * task and no driver/broadcast bottleneck. Pick blockSize so
+    * n/blockSize ≈ 4× total cores; bigger tiles cut replication
+    * quadratically in exchange for per-task memory. */
+  def matrixProfileTiled(spark: SparkSession, series: DataFrame, m: Int,
+                         blockSize: Int = 65536): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val b = blockSize
+    val nPoints = series.agg(max(col("idx"))).head().getLong(0) + 1
+    require(nPoints >= 2L * m, "series shorter than two windows")
+    val n = nPoints - m + 1 // subsequence count
+    val band = math.ceil(m / 4.0).toInt
+    val nBlocks = ((n + b - 1) / b).toInt
+    // each VALUE feeds the segment of its own block and, when it sits in
+    // the first m-1 positions of a block, the previous block's overlap
+    val ext = m - 1
+    val segs = series
+      .select(col("idx"), col("v"), explode(array(
+        floor(col("idx") / b).cast("long"),
+        when(pmod(col("idx"), lit(b.toLong)) < ext,
+          floor(col("idx") / b).cast("long") - 1))).as("seg"))
+      .where(col("seg").isNotNull && col("seg") >= 0 && col("seg") < nBlocks)
+      .groupBy("seg")
+      .agg(sort_array(collect_list(struct(col("idx"), col("v")))).as("pts"))
+      .select(col("seg"),
+        transform(col("pts"), p => p.getField("v")).as("vals"))
+    // tile-pair relation: (bi, bj) with bi <= bj — tiny (nBlocks² rows)
+    val pairs = spark.range(nBlocks).select(col("id").as("bi"))
+      .crossJoin(spark.range(nBlocks).select(col("id").as("bj")))
+      .where(col("bj") >= col("bi"))
+      .repartition(spark.sparkContext.defaultParallelism * 2)
+    pairs
+      .join(segs.select(col("seg").as("bi"), col("vals").as("va")), "bi")
+      .join(segs.select(col("seg").as("bj"), col("vals").as("vb")), "bj")
+      .select(col("bi"), col("bj"), col("va"), col("vb"))
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .flatMap { case (bi, bj, va, vb) =>
+        val a0 = bi * b; val aLen = (math.min(n, a0 + b) - a0).toInt
+        val b0 = bj * b; val bLen = (math.min(n, b0 + b) - b0).toInt
+        val (ma, mb) = tileMinima(va, a0, aLen, vb, b0, bLen, m, band)
+        // self pairs: ma holds each in-tile pair's smaller index, mb its
+        // larger — merge element-wise before the infinity filter
+        if (bi == bj)
+          (0 until aLen).iterator
+            .map(ii => (a0 + ii, math.min(ma(ii), mb(ii))))
+            .filter(!_._2.isInfinity)
+        else
+          (0 until aLen).iterator
+            .filter(ii => !ma(ii).isInfinity).map(ii => (a0 + ii, ma(ii))) ++
+          (0 until bLen).iterator
+            .filter(jj => !mb(jj).isInfinity).map(jj => (b0 + jj, mb(jj)))
+      }
+      .toDF("i", "sq")
+      .groupBy("i")
+      .agg(sqrt(greatest(min(col("sq")), lit(0.0))).as("mp"))
   }
 }

@@ -64,6 +64,42 @@ object MpProbe {
         f"(runs $t1%.2f/$t2%.2f), rows=$cnt, ~cells=${cells}%,d, " +
         f"${wall * 1e9 / cells}%.3f ns/cell")
     }
+    // ---- tiled (no-broadcast) path: parity + the cost of generality ----
+    {
+      val n = 8192; val m = 64
+      val ts = walk(n + m - 1, 7L)
+      val local = graft.kernels.Kernels.matrixProfile(ts, m)
+      import spark.implicits._
+      val df = spark.createDataset(ts.toSeq.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }).toDF("idx", "v")
+        .repartition(32).cache()
+      df.count()
+      val (tiles, tT) = time {
+        graft.operators.MatrixProfileDist.matrixProfileTiled(spark, df, m, blockSize = 1024)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      }
+      val maxDiff = local.indices.map(i => math.abs(local(i) - tiles(i.toLong))).max
+      println(f"[mpprobe] tiled parity n=$n m=$m: maxAbsDiff=$maxDiff%.3e wall=$tT%.2f s")
+      df.unpersist()
+    }
+    for ((n, m, bs) <- Seq((1000000, 256, 32768), (1000000, 256, 16384))) {
+      val ts = walk(n + m - 1, 11L)
+      import spark.implicits._
+      val df = spark.createDataset(ts.toSeq.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }).toDF("idx", "v")
+        .repartition(64).cache()
+      df.count()
+      def run(): Long = graft.operators.MatrixProfileDist
+        .matrixProfileTiled(spark, df, m, blockSize = bs).count()
+      val (_, t1) = time(run())
+      val (cnt, t2) = time(run())
+      val wall = math.min(t1, t2)
+      val cells = n.toLong * n / 2
+      val nb = (n + bs - 1) / bs
+      println(f"[mpprobe] tiled n=$n%,d m=$m block=$bs tilePairs=${nb.toLong * (nb + 1) / 2}: " +
+        f"wall=$wall%.2f s (runs $t1%.2f/$t2%.2f), rows=$cnt, ${wall * 1e9 / cells}%.3f ns/cell")
+      df.unpersist()
+    }
     spark.stop()
   }
 }

@@ -377,6 +377,26 @@ object SparkEntry {
         .select(col("user_id"), col("i"), round(col("mp"), 4).as("mp"))
     }),
 
+    // The tiled NO-BROADCAST matrix profile (operators
+    // .MatrixProfileDist.matrixProfileTiled — the >1G-point scale path
+    // where the series itself is distributed) as driver signal: the
+    // smallest eligible user's series becomes an (idx, v) relation,
+    // blockSize=32 forces a real multi-tile decomposition (partial tail
+    // tile, band-excluded adjacent corners, the tile-pair shuffle), and
+    // the oracle replays the profile relationally for that one series.
+    "ts_matrix_profile_tiled" -> ((s, dir) => {
+      val m = 8
+      val series = TSModel.eventsToSeries(s, dir)
+        .where(size(col("values")) >= m * 2)
+      val uid = series.agg(min(col("series_id"))).head().getLong(0)
+      val vals = series.where(col("series_id") === uid)
+        .select(posexplode(col("values")).as(Seq("idx", "v")))
+        .select(col("idx").cast("long").as("idx"), col("v").cast("double").as("v"))
+      graft.operators.MatrixProfileDist.matrixProfileTiled(s, vals, m, blockSize = 32)
+        .select(lit(uid).as("user_id"), col("i"),
+          round(col("mp"), 4).as("mp"))
+    }),
+
     // Discord discovery: the TOP anomalous window per series = argmax
     // of the matrix profile (ties lowest i) — what a user actually
     // runs the profile FOR. One min_by aggregation over the profile
@@ -7731,6 +7751,31 @@ object SparkEntry {
 
     "ts_matrix_profile" -> (matrixProfileRawCtes +
       """
+        |SELECT user_id, i, round(min(d), 4) AS mp
+        |FROM dists GROUP BY 1, 2""".stripMargin),
+
+    // tiled path: identical profile semantics, restricted to the
+    // smallest eligible user (the engine side pins the same user), so
+    // DuckDB replays one series' O(n²) pair space instead of all users'
+    "ts_matrix_profile_tiled" -> (evCte +
+      """
+        |, eligible AS (SELECT user_id FROM v GROUP BY 1 HAVING count(*) >= 16)
+        |, pick AS (SELECT min(user_id) AS u FROM eligible)
+        |, pos AS (
+        |  SELECT v.user_id, v.t - 1 AS i, v.value
+        |  FROM v JOIN pick ON v.user_id = pick.u
+        |), seg AS (
+        |  SELECT user_id, t - 1 AS i FROM v JOIN pick ON v.user_id = pick.u
+        |  WHERE t - 1 <= n - 8)
+        |, dists AS (
+        |  SELECT a.user_id, a.i AS i, b.i AS j,
+        |    sqrt(sum((pa.value - pb.value) * (pa.value - pb.value))) AS d
+        |  FROM seg a
+        |  JOIN seg b ON a.user_id = b.user_id AND abs(a.i - b.i) > 2
+        |  JOIN pos pa ON pa.user_id = a.user_id AND pa.i BETWEEN a.i AND a.i + 7
+        |  JOIN pos pb ON pb.user_id = b.user_id AND pb.i = b.i + (pa.i - a.i)
+        |  GROUP BY 1, 2, 3
+        |)
         |SELECT user_id, i, round(min(d), 4) AS mp
         |FROM dists GROUP BY 1, 2""".stripMargin),
 

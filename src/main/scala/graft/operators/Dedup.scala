@@ -112,19 +112,22 @@ object Dedup {
   def containmentPairsSketched(docsDf: DataFrame, threshold: Double,
                                k: Int = 3, maxDf: Int = 100,
                                sampleMod: Int = 8,
-                               slack: Double = 0.5): DataFrame = {
+                               slack: Double = 0.5,
+                               // plan audits need the un-truncated lineage;
+                               // production keeps the checkpoints (reused
+                               // relations, cut re-execution)
+                               checkpoint: Boolean = true): DataFrame = {
+    def cp(df: DataFrame): DataFrame = if (checkpoint) df.localCheckpoint() else df
     val raw = docsDf.select(col("doc_id"),
       explode(graft.functions.NativeExpressions.shingleHash60Native(
         col("text"), k, lowercase = true, distinct = true)).as("sh"))
-    val capped = dfCapped(raw.localCheckpoint(), maxDf)
-      .select(col("doc_id"), col("sh")).localCheckpoint()
+    val capped = cp(dfCapped(cp(raw), maxDf)
+      .select(col("doc_id"), col("sh")))
     // full per-doc arrays + sizes for the verify phase (doc-local agg)
-    val arrs = capped.groupBy("doc_id")
-      .agg(collect_list(col("sh")).as("shs"), count(lit(1)).as("sz"))
-      .localCheckpoint()
+    val arrs = cp(capped.groupBy("doc_id")
+      .agg(collect_list(col("sh")).as("shs"), count(lit(1)).as("sz")))
     // phase 1: candidate pairs off the sampled index
-    val sampled = capped.where(pmod(col("sh"), lit(sampleMod.toLong)) === 0)
-      .localCheckpoint()
+    val sampled = cp(capped.where(pmod(col("sh"), lit(sampleMod.toLong)) === 0))
     val sSizes = sampled.groupBy("doc_id").agg(count(lit(1)).as("ssz"))
     val cands = sampled.select(col("doc_id").as("doc_a"), col("sh"))
       .join(sampled.select(col("doc_id").as("doc_b"), col("sh")), "sh")
@@ -143,10 +146,10 @@ object Dedup {
         col("shs").as("shs_b"), col("sz").as("sz_b")), "doc_b")
       .withColumn("inter",
         size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
-      .localCheckpoint()
-    ver.select(col("doc_a"), col("doc_b"),
+    val verCp = cp(ver)
+    verCp.select(col("doc_a"), col("doc_b"),
         (col("inter") / col("sz_a")).as("containment"))
-      .union(ver.select(col("doc_b"), col("doc_a"),
+      .union(verCp.select(col("doc_b"), col("doc_a"),
         (col("inter") / col("sz_b")).as("containment")))
       .where(col("containment") >= threshold)
   }

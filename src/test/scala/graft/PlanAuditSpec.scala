@@ -253,4 +253,42 @@ class PlanAuditSpec extends AnyFunSuite {
             p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
       }
   }
+
+  test("sketched containment: every join is an equi-join, partial aggs throughout") {
+    // Phase 1 (sampled index self-join) and phase 2 (candidate
+    // recount) must both stay equi-joins — a nested-loop anywhere
+    // reintroduces exactly the pair blowup the sketch exists to prune.
+    // checkpoint=false: production localCheckpoints truncate the
+    // visible lineage; the audit needs the whole plan.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.operators.Dedup
+      .containmentPairsSketched(docs, threshold = 0.6, checkpoint = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"sketched containment grew a non-equi join:\n$p")
+    assert(p.contains("partial_"),
+      "sampled-intersection groupBy lost map-side partial aggregation")
+    assert(!p.contains("REPARTITION_BY"),
+      "sketched containment pinned a shuffle (AQE skew split disabled)")
+  }
+
+  test("tiled matrix profile: segment joins are equi-joins; min fold is partial") {
+    import spark.implicits._
+    val ts = Array.tabulate(400)(t => math.sin(t * 0.2))
+    val df = spark.createDataset(ts.toSeq.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }).toDF("idx", "v")
+    val q = graft.operators.MatrixProfileDist.matrixProfileTiled(spark, df, 8, blockSize = 64)
+    val p = q.queryExecution.executedPlan.toString
+    // the ONLY tolerated nested-loop is the tiny tile-pair build
+    // (range × range); the SEGMENT joins — the relation carrying
+    // blockSize-wide arrays — must be equi-joins on the block id
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl <= 1, s"segment join degraded to a nested loop ($bnl found):\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in tiled MP plan:\n$p")
+    // the per-row min over tile partials must combine map-side: the
+    // shuffle carries one pre-reduced row per (row, task), not every
+    // tile partial
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      s"partial-min fold lost its map-side combine:\n$p")
+  }
 }

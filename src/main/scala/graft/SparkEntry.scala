@@ -1150,6 +1150,23 @@ object SparkEntry {
       out
     }),
 
+    // Same contract for ORC (the columnar interchange format big
+    // warehouses still speak): write → re-read through Spark's native
+    // vectorized ORC reader. Unlike JSONL/CSV the schema rides in the
+    // file, so the re-read asserts the WRITTEN footer schema survived
+    // the trip rather than trusting an explicit one.
+    "doc_orc_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("orc_rt").toString
+      docs(s, dir).select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .write.mode("overwrite").orc(tmp)
+      val out = s.read.orc(tmp)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
+          col("lang"), col("source"))
+        .localCheckpoint()
+      deleteRecursively(tmp)
+      out
+    }),
+
     // Deterministic hash-mod sampling: keep a doc iff
     // md5("salt:" || doc_id) mod 100 < rate — the stateless,
     // partition-independent, re-run-stable uniform sample (the scale
@@ -1163,6 +1180,77 @@ object SparkEntry {
             concat(lit("s1:"), col("doc_id").cast("string"))), lit(100L))
             .as("bucket"))
         .where(col("bucket") < 10)),
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis
+    // A-Res order): key_i = ln(u_i)/w_i with u_i a deterministic md5
+    // uniform and w_i the doc's token count; the k LARGEST keys are a
+    // weighted sample without replacement. Stateless and
+    // partition-independent like doc_sample_hash, but
+    // length-proportional — and the plan is a TakeOrdered top-k
+    // (per-partition heaps + driver merge of k rows), never a full
+    // corpus sort.
+    "doc_sample_weighted" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("double").as("w"),
+          graft.operators.Dedup.md5Hash60(
+            concat(lit("ws:"), col("doc_id").cast("string"))).as("h60"))
+        .withColumn("key",
+          log((col("h60").cast("double") + 1.0d) / math.pow(2.0, 60)) / col("w"))
+        .orderBy(col("key").desc, col("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), col("w").cast("long").as("n_tokens"),
+          (round(col("key"), 6) + lit(0.0)).as("key"))),
+
+    // PII redaction (TextAnalysis.piiRedact): emails, IPv4s and
+    // +-prefixed phone numbers swapped for typed placeholders with
+    // per-doc match counts. The corpus is synthetic word salad, so
+    // the PII is INJECTED in-query from doc_id (the formula-document
+    // convention: both engines derive the same augmented text; the
+    // Spark side must then push it through the REAL redaction
+    // operator — regex chain order and all). Every doc gains an
+    // email; even docs an IP; docs ≡0 (mod 3) a phone number.
+    "doc_pii_redact" -> ((s, dir) => {
+      val id = col("doc_id")
+      val aug = docs(s, dir).select(id,
+        concat(col("text"),
+          lit(" contact user"), id.cast("string"), lit("@mail.example.com"),
+          when(id % 2 === 0,
+            concat(lit(" from 10."), (id % 256).cast("string"), lit("."),
+              ((id * 7 + 3) % 256).cast("string"), lit(".25")))
+            .otherwise(lit("")),
+          when(id % 3 === 0,
+            concat(lit(" call +1415555"),
+              lpad((id % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("text"))
+      graft.operators.TextAnalysis.piiRedact(aug)
+        .select(id, col("n_email").cast("long").as("n_email"),
+          col("n_ip").cast("long").as("n_ip"),
+          col("n_phone").cast("long").as("n_phone"),
+          length(col("red")).cast("long").as("red_len"),
+          md5(col("red")).as("red_md5"))
+    }),
+
+    // The learned BPE tokenizer APPLIED (TextAnalysis.bpeEncode):
+    // after the same 3 merges doc_bpe_merges learns, every vocabulary
+    // word's final segmentation — encode is where a tokenizer earns
+    // its keep, and the whole apply loop stays on the
+    // vocabulary-bounded relation (the corpus is touched once; each
+    // merge pass is a codegen'd projection). The oracle replays the
+    // merge CASCADE and then reads the final symbol layer, so a wrong
+    // greedy walk anywhere shows up as a wrong segmentation here.
+    "doc_bpe_encode" -> ((s, dir) =>
+      graft.operators.TextAnalysis.bpeEncode(docs(s, dir), steps = 3)),
+
+    // The tokenizer SERVED (TextAnalysis.bpeTokenize): per-doc token
+    // counts under the learned merges — the vocabulary-bounded
+    // segmentation table broadcast against one corpus scan. This is
+    // the budget number the packing/histogram/mix planners consume;
+    // the oracle joins the replayed final symbol layer back onto the
+    // corpus words, so a wrong segmentation anywhere shifts some
+    // doc's count.
+    "doc_bpe_tokenize" -> ((s, dir) =>
+      graft.operators.TextAnalysis.bpeTokenize(docs(s, dir), steps = 3)),
 
     // Bloom-filter decontamination (TextAnalysis.bloomBits /
     // bloomContamination): the membership-sketch variant of
@@ -5269,7 +5357,44 @@ object SparkEntry {
     * recursive per-word position walk w$s (advance 2 over a matched
     * pair, else 1 — greedy non-overlap, so "aaa"+(a,a) → ["aa","a"]),
     * re-indexed into the next symbol layer s$s. */
-  private def bpeMergesOracleSql(steps: Int): String = {
+  private def bpeMergesOracleSql(steps: Int): String =
+    bpeOracleFinish(bpeOracleCtes(steps) + "\n" + (1 to steps).map(s =>
+        s"""SELECT $s AS step, l AS "left", r AS "right", cnt AS pair_count FROM best$s""")
+      .mkString("\nUNION ALL\n"))
+
+  /** DuckDB oracle for doc_bpe_encode — the same merge cascade, read
+    * out at the FINAL symbol layer: per word, the space-joined
+    * segmentation, its token count, and the word frequency. */
+  private def bpeEncodeOracleSql(steps: Int): String =
+    bpeOracleFinish(bpeOracleCtes(steps) +
+      s"""
+         |SELECT s.word, string_agg(s.sym, ' ' ORDER BY s.pos) AS enc,
+         |  count(*) AS n_tok, min(v.freq) AS freq
+         |FROM s$steps s JOIN vf v ON v.word = s.word
+         |GROUP BY s.word""".stripMargin)
+
+  /** DuckDB oracle for doc_bpe_tokenize — the replayed final symbol
+    * layer joined back onto the corpus words: per doc, total tokens
+    * under the learned merges and the word count. */
+  private def bpeTokenizeOracleSql(steps: Int): String =
+    bpeOracleFinish(bpeOracleCtes(steps) +
+      s"""
+         |, wt AS (
+         |  SELECT word, count(*) AS n_tok FROM s$steps GROUP BY word
+         |)
+         |SELECT d.doc_id, CAST(sum(wt.n_tok) AS BIGINT) AS n_tok,
+         |  count(*) AS n_words
+         |FROM (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+         |  FROM documents) d
+         |JOIN wt ON wt.word = d.word
+         |GROUP BY d.doc_id""".stripMargin)
+
+  private def bpeOracleFinish(sql: String): String = sql
+    .replaceAll("(?m)^(WITH RECURSIVE |, )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+    .replaceAll(", (w\\d+) AS MATERIALIZED \\(", ", $1 AS (")
+
+  private def bpeOracleCtes(steps: Int): String = {
     val sb = new StringBuilder(
       """WITH RECURSIVE vf AS (
         |  SELECT word, count(*) AS freq FROM (
@@ -5312,12 +5437,7 @@ object SparkEntry {
            |  CROSS JOIN best$s best
            |)""".stripMargin
     }
-    sb ++= "\n" + (1 to steps).map(s =>
-        s"""SELECT $s AS step, l AS "left", r AS "right", cnt AS pair_count FROM best$s""")
-      .mkString("\nUNION ALL\n")
     sb.toString
-      .replaceAll("(?m)^(WITH RECURSIVE |, )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
-      .replaceAll(", (w\\d+) AS MATERIALIZED \\(", ", $1 AS (")
   }
 
   /** Shared CTE core of the sigma_gak / gamma_soft_dtw oracles
@@ -7343,12 +7463,73 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS text_md5, lang, source FROM documents""",
     "doc_csv_roundtrip" ->
       """SELECT doc_id, md5(text) AS text_md5, lang, source FROM documents""",
+    "doc_orc_roundtrip" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang, source FROM documents""",
 
     "doc_sample_hash" ->
       """SELECT doc_id,
         |  CAST(CONCAT('0x', substring(md5('s1:' || doc_id), 1, 15)) AS BIGINT) % 100 AS bucket
         |FROM documents
         |WHERE CAST(CONCAT('0x', substring(md5('s1:' || doc_id), 1, 15)) AS BIGINT) % 100 < 10""".stripMargin,
+
+    // doc_sample_weighted: the A-Res key ln(u)/w replayed — same md5
+    // 60-bit uniform, same 2^60 normalization, same natural log; the
+    // top-50 cutoff orders by the EXACT key (md5 uniforms are unique
+    // per doc, so the boundary is never a tie).
+    "doc_sample_weighted" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS w,
+        |    CAST(CONCAT('0x', substring(md5('ws:' || doc_id), 1, 15)) AS BIGINT) AS h60
+        |  FROM documents
+        |), scored AS (
+        |  SELECT doc_id, w,
+        |    ln((CAST(h60 AS DOUBLE) + 1.0) / 1152921504606846976.0) / w AS key
+        |  FROM k
+        |)
+        |SELECT doc_id, CAST(w AS BIGINT) AS n_tokens,
+        |  round(key, 6) + 0.0 AS key
+        |FROM scored ORDER BY key DESC, doc_id LIMIT 50""".stripMargin,
+
+    // doc_pii_redact: the same doc_id-derived PII injection, then the
+    // same three-stage redaction chain (email → IPv4 → phone, counts
+    // taken on the stage each pattern actually sees) with RE2-safe
+    // patterns shared verbatim with the Spark operator.
+    "doc_pii_redact" -> {
+      val em = graft.operators.TextAnalysis.piiEmailRe
+      val ip = graft.operators.TextAnalysis.piiIpv4Re
+      val ph = graft.operators.TextAnalysis.piiPhoneRe
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id || '@mail.example.com' ||
+         |    CASE WHEN doc_id % 2 = 0
+         |      THEN ' from 10.' || (doc_id % 256) || '.' || ((doc_id * 7 + 3) % 256) || '.25'
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN ' call +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      ELSE '' END AS text
+         |  FROM documents
+         |), r1t AS (
+         |  SELECT doc_id, text,
+         |    regexp_replace(text, '$em', '<EMAIL>', 'g') AS r1
+         |  FROM aug
+         |), r2t AS (
+         |  SELECT doc_id, text, r1,
+         |    regexp_replace(r1, '$ip', '<IP>', 'g') AS r2
+         |  FROM r1t
+         |)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '$em')) AS n_email,
+         |  len(regexp_extract_all(r1, '$ip')) AS n_ip,
+         |  len(regexp_extract_all(r2, '$ph')) AS n_phone,
+         |  len(regexp_replace(r2, '$ph', '<PHONE>', 'g')) AS red_len,
+         |  md5(regexp_replace(r2, '$ph', '<PHONE>', 'g')) AS red_md5
+         |FROM r2t""".stripMargin
+    },
+
+    "doc_bpe_encode" -> bpeEncodeOracleSql(3),
+
+    "doc_bpe_tokenize" -> bpeTokenizeOracleSql(3),
 
     // doc_bloom_contamination: same shingle CTEs as doc_contamination,
     // bit positions via the md5 hex trick, ALL-k-positions-set rule.

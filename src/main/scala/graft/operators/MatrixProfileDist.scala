@@ -192,10 +192,14 @@ object MatrixProfileDist {
       .agg(sort_array(collect_list(struct(col("idx"), col("v")))).as("pts"))
       .select(col("seg"),
         transform(col("pts"), p => p.getField("v")).as("vals"))
-    // tile-pair relation: (bi, bj) with bi <= bj — tiny (nBlocks² rows)
+    // tile-pair relation: (bi, bj) with bi <= bj — one Range row per bi
+    // exploding its bj tail. No join: the Range×Range non-equi form
+    // plans as a cartesian/nested-loop at Spark's whim, and a
+    // driver-side list stops scaling at large nBlocks (pairs grow as
+    // nBlocks²/2); this stays distributed at any block count.
     val pairs = spark.range(nBlocks).select(col("id").as("bi"))
-      .crossJoin(spark.range(nBlocks).select(col("id").as("bj")))
-      .where(col("bj") >= col("bi"))
+      .select(col("bi"),
+        explode(sequence(col("bi"), lit(nBlocks - 1L))).as("bj"))
       .repartition(spark.sparkContext.defaultParallelism * 2)
     pairs
       .join(segs.select(col("seg").as("bi"), col("vals").as("va")), "bi")

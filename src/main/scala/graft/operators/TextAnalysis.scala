@@ -678,6 +678,42 @@ object TextAnalysis {
   def bpeMerges(docs: DataFrame, steps: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeTrain(docs, steps)._1.toDF("step", "left", "right", "pair_count")
+  }
+
+  /** The learned tokenizer APPLIED: after `steps` merges, each
+    * vocabulary word's final symbol segmentation. This is the encode
+    * half of the BPE story — `bpeMerges` learns the rules, this emits
+    * the segmentation those rules produce (word, enc = space-joined
+    * symbols, n_tok, freq). Same vocabulary-bounded shape: the corpus
+    * is touched once, every merge pass is a codegen'd projection of
+    * the vocab relation, and per-doc token counts at serving time are
+    * a broadcast join of this table against the corpus words. */
+  def bpeEncode(docs: DataFrame, steps: Int): DataFrame =
+    bpeTrain(docs, steps)._2
+      .select(col("word"), concat_ws(" ", col("syms")).as("enc"),
+        size(col("syms")).cast("long").as("n_tok"), col("freq"))
+
+  /** The tokenizer SERVED: per-doc token counts under the learned
+    * merges. The segmentation table is vocabulary-bounded, so it
+    * broadcasts against the corpus words — the 100 TB shape: small
+    * model, one corpus scan, map-side join, map-side partial sum.
+    * This is the number every context-window planner (packing,
+    * length histograms, mix allocation) actually budgets with. */
+  def bpeTokenize(docs: DataFrame, steps: Int): DataFrame = {
+    val enc = bpeEncode(docs, steps).select(col("word"), col("n_tok"))
+    docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .join(broadcast(enc), Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum("n_tok").as("n_tok"), count(lit(1)).as("n_words"))
+  }
+
+  /** Shared BPE training loop: merge list + the final per-word symbol
+    * layer (word, syms, freq). */
+  private def bpeTrain(docs: DataFrame, steps: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     var vocab = docs
       .select(explode(split(lower(col("text")), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -685,7 +721,7 @@ object TextAnalysis {
       // would make sequence(1, 0) produce the descending [1, 0] → two
       // empty symbols and a phantom ("","") pair carrying its frequency.
       .where(length(col("word")) > 0)
-      .select(transform(sequence(lit(1), length(col("word"))),
+      .select(col("word"), transform(sequence(lit(1), length(col("word"))),
         i => col("word").substr(i, lit(1))).as("syms"), col("freq"))
       .localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
@@ -701,9 +737,41 @@ object TextAnalysis {
         .head()
       val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
       out += ((step, l, r, cnt))
-      vocab = vocab.select(bpeMergeOnce(col("syms"), l, r).as("syms"), col("freq"))
+      vocab = vocab.select(col("word"),
+          bpeMergeOnce(col("syms"), l, r).as("syms"), col("freq"))
         .localCheckpoint()
     }
-    out.toSeq.toDF("step", "left", "right", "pair_count")
+    (out.toSeq, vocab)
+  }
+
+  // ---------------------------------------------------------------
+  // PII redaction
+  // ---------------------------------------------------------------
+
+  /** PII patterns — deliberately restricted to syntax valid in BOTH
+    * Java regex (Spark codegen) and RE2 (the DuckDB oracle): character
+    * classes, bounded repetition, \b word boundaries; no lookaround,
+    * no backreferences. */
+  val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIpv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val piiPhoneRe = "\\+[0-9]{10,15}"
+
+  /** PII redaction: emails, IPv4 addresses, and +-prefixed phone
+    * numbers replaced by typed placeholder tokens, with per-doc match
+    * counts. Email runs FIRST so dotted digits inside an address are
+    * consumed before the IP pass. Pure per-row column expressions —
+    * codegen'd, no shuffle, no UDF — so at 100 TB this is a map-only
+    * pass that pipelines into whatever scan feeds it.
+    * Adds n_email / n_ip / n_phone / red to `docs`. */
+  def piiRedact(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val r1 = regexp_replace(t, piiEmailRe, "<EMAIL>")
+    val r2 = regexp_replace(r1, piiIpv4Re, "<IP>")
+    val r3 = regexp_replace(r2, piiPhoneRe, "<PHONE>")
+    docs
+      .withColumn("n_email", regexp_count(t, lit(piiEmailRe)))
+      .withColumn("n_ip", regexp_count(r1, lit(piiIpv4Re)))
+      .withColumn("n_phone", regexp_count(r2, lit(piiPhoneRe)))
+      .withColumn("red", r3)
   }
 }

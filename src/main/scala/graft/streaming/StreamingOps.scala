@@ -95,6 +95,15 @@ object StreamingOps {
       .select(col("doc_id"), col("n_shared"))
   }
 
+  /** Stateless PII redaction at ingest — the batch operator's column
+    * graph verbatim (pure codegen'd per-row regexp expressions), so it
+    * attaches to any readStream scan in append mode with no state
+    * store and no watermark. Redact-at-ingest is the shape that
+    * matters at 100 TB: the raw text never lands anywhere downstream
+    * of the first hop. */
+  def piiAtIngest(docs: DataFrame, textCol: String = "text"): DataFrame =
+    graft.operators.TextAnalysis.piiRedact(docs, textCol)
+
   case class BandHit(doc_id: Long, band: Int, dup_of: Long)
 
   /** Per-row MinHash signature as pure expressions, in two stages — the

@@ -712,6 +712,90 @@ class DedupAnnSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("BPE encode: final segmentation reflects the full merge cascade") {
+    import graft.operators.TextAnalysis
+    // same fixture as the merges test: merges (a,a), (a,b), (aa,ab);
+    // "aaab" -> [aa,a,b] -> [aa,ab] -> [aaab]; "ab" -> [a,b] -> [ab]
+    val docs = Seq(
+      (0L, "aaab aaab"),
+      (1L, "aaab ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(docs, steps = 3)
+      .as[(String, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("aaab", "aaab", 1L, 3L), ("ab", "ab", 1L, 1L)), s"got $got")
+    // one merge fewer leaves the step-2 layer visible
+    val got2 = TextAnalysis.bpeEncode(docs, steps = 2)
+      .as[(String, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got2 == Seq(("aaab", "aa ab", 2L, 3L), ("ab", "ab", 1L, 1L)), s"got $got2")
+  }
+
+  test("BPE tokenize: per-doc token budget under the learned merges") {
+    import graft.operators.TextAnalysis
+    // steps=2 leaves "aaab" at [aa, ab] (2 tokens), "ab" at [ab] (1)
+    val docs = Seq(
+      (0L, "aaab aaab"),
+      (1L, "aaab ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTokenize(docs, steps = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, 4L, 2L), (1L, 3L, 2L)), s"got $got")
+  }
+
+  test("PII redact: chain order, counts, and placeholder output") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (0L, "mail bob@x.com or bob.smith+tag@sub.example.org ok"),
+      // dotted digits inside an email domain must be consumed by the
+      // EMAIL pass, never double-counted as an IP
+      (1L, "ping a@1.2.3.4x.com then 10.0.0.1 and call +12345678901"),
+      (2L, "no pii here at all"),
+      (3L, "+123 is too short but +1234567890123 is real")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiRedact(docs)
+      .select("doc_id", "n_email", "n_ip", "n_phone", "red")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1).toSeq
+    assert(got(0) == ((0L, 2, 0, 0, "mail <EMAIL> or <EMAIL> ok")), s"got ${got(0)}")
+    assert(got(1) == ((1L, 1, 1, 1, "ping <EMAIL> then <IP> and call <PHONE>")),
+      s"got ${got(1)}")
+    assert(got(2) == ((2L, 0, 0, 0, "no pii here at all")), s"got ${got(2)}")
+    assert(got(3) == ((3L, 0, 0, 1, "+123 is too short but <PHONE> is real")),
+      s"got ${got(3)}")
+  }
+
+  test("weighted sample: A-Res top-k matches brute force and is partition-independent") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def sample(df: org.apache.spark.sql.DataFrame): Seq[Long] = df
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("double").as("w"),
+        Dedup.md5Hash60(concat(lit("ws:"), col("doc_id").cast("string"))).as("h60"))
+      .withColumn("key",
+        log((col("h60").cast("double") + 1.0d) / math.pow(2.0, 60)) / col("w"))
+      .orderBy(col("key").desc, col("doc_id")).limit(20)
+      .select("doc_id").as[Long].collect().toSeq
+    val a = sample(docs)
+    val b = sample(docs.repartition(13, col("source")))
+    assert(a == b, "weighted sample changed under repartitioning")
+    // brute force on the driver from the same uniforms
+    val brute = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("double").as("w"),
+        Dedup.md5Hash60(concat(lit("ws:"), col("doc_id").cast("string"))).as("h60"))
+      .as[(Long, Double, Long)].collect()
+      .map { case (id, w, h) => (id, math.log((h.toDouble + 1.0) / math.pow(2.0, 60)) / w) }
+      .sortBy { case (id, k) => (-k, id) }.take(20).map(_._1).toSeq
+    assert(a == brute, s"top-k diverged from brute force: $a vs $brute")
+    // longer docs must be overrepresented. The corpus's length spread
+    // is too narrow for a k=20 sample to beat noise, so build a corpus
+    // with a 200x weight gap: 100 one-token docs vs 10 200-token docs.
+    // A 200-token doc's key ln(u)/200 is ~200x closer to 0 than a
+    // one-token doc's, so the weighted top-10 is dominated by long docs
+    // and its mean weight towers over the corpus mean (~19).
+    val skewed = spark.range(110).select(col("id").as("doc_id"),
+      when(col("id") < 100, lit("x"))
+        .otherwise(concat_ws(" ", array_repeat(lit("y"), 200))).as("text"))
+    val longIds = sample(skewed).count(_ >= 100)
+    assert(longIds >= 7,
+      s"weighted top-20 took only $longIds of the 10 heavy docs (w=200 vs w=1)")
+  }
+
   test("sketched containment: emitted pairs are exact, recall holds vs the exact join") {
     // The sketch prunes CANDIDATES only; phase 2 recounts every
     // surviving pair from the full capped shingle arrays, so any pair

@@ -272,6 +272,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "sketched containment pinned a shuffle (AQE skew split disabled)")
   }
 
+  test("weighted sample: top-k is a TakeOrdered, never a full corpus sort") {
+    val p = plan("doc_sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"A-Res top-k lost its TakeOrdered plan:\n$p")
+    assert(!p.contains("GlobalSort") && !p.contains("\nSort "),
+      s"weighted sample grew a full sort:\n$p")
+  }
+
+  test("pii redact: single map-only stage, no exchange") {
+    val p = plan("doc_pii_redact")
+    assert(!p.contains("Exchange"),
+      s"per-row redaction chain grew a shuffle:\n$p")
+  }
+
   test("tiled matrix profile: segment joins are equi-joins; min fold is partial") {
     import spark.implicits._
     val ts = Array.tabulate(400)(t => math.sin(t * 0.2))
@@ -279,11 +293,11 @@ class PlanAuditSpec extends AnyFunSuite {
       .map { case (v, i) => (i.toLong, v) }).toDF("idx", "v")
     val q = graft.operators.MatrixProfileDist.matrixProfileTiled(spark, df, 8, blockSize = 64)
     val p = q.queryExecution.executedPlan.toString
-    // the ONLY tolerated nested-loop is the tiny tile-pair build
-    // (range × range); the SEGMENT joins — the relation carrying
-    // blockSize-wide arrays — must be equi-joins on the block id
-    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
-    assert(bnl <= 1, s"segment join degraded to a nested loop ($bnl found):\n$p")
+    // the tile-pair build is a Range + explode(sequence) — NO join —
+    // so every join left in the plan is a segment equi-join on the
+    // block id; any nested-loop/cartesian anywhere is a regression
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested loop in tiled MP plan:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in tiled MP plan:\n$p")
     // the per-row min over tile partials must combine map-side: the
     // shuffle carries one pre-reduced row per (row, task), not every

@@ -81,6 +81,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && !streamed.map(_._1).contains(1L))
   }
 
+  test("streaming PII redaction: append mode, stateless, ≡ batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (0L, "mail bob@x.com or call +12345678901"),
+      (1L, "server at 10.0.0.1 is fine"),
+      (2L, "nothing sensitive"))
+    val batch = graft.operators.TextAnalysis.piiRedact(rows.toDF("doc_id", "text"))
+      .select("doc_id", "n_email", "n_ip", "n_phone", "red")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1).toSeq
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.piiAtIngest(input.toDF().toDF("doc_id", "text"))
+      .select("doc_id", "n_email", "n_ip", "n_phone", "red")
+      .writeStream.format("memory").queryName("pii").outputMode("append").start()
+    input.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("pii")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1).toSeq
+    val progress = q.lastProgress
+    q.stop()
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed(0)._5 == "mail <EMAIL> or call <PHONE>")
+    // stateless: no state store operator ever materialized
+    assert(progress.stateOperators.isEmpty,
+      s"redaction grew state operators: ${progress.stateOperators.mkString(",")}")
+  }
+
   test("streaming packing keeps packs open across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     def doc(id: Long, tk: Int) = (id, "s", Seq.fill(tk)("w").mkString(" "))

@@ -2816,6 +2816,22 @@ object SparkEntry {
     // compare ONLY within clusters, drop any vector with cosine ≥ 0.4
     // to a lower-id cluster-mate. Pair mass bounded by Σ|cluster|²,
     // never n².
+    // Distributed PCA (operators/Pca): one-pass moment aggregator
+    // (d + d(d+1)/2 buffer, map-side combined), driver d×d eigensolve
+    // by deterministic power iteration (shared ramp init, 60 steps,
+    // Rayleigh λ, sign by sums·v, Hotelling deflation), then a
+    // codegen'd broadcast-literal projection. The oracle replays the
+    // WHOLE thing relationally — covariance, both unrolled power
+    // chains, deflation, sign fixes, projection.
+    "emb_pca_project" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val model = graft.operators.Pca.fit(e, k = 2, steps = 60)
+      graft.operators.Pca.project(e, model)
+        .select(col("vec_id"),
+          (round(col("pc1"), 6) + lit(0.0)).as("pc1"),
+          (round(col("pc2"), 6) + lit(0.0)).as("pc2"))
+    }),
+
     "emb_semdedup" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("values"))
@@ -5389,6 +5405,84 @@ object SparkEntry {
          |  FROM documents) d
          |JOIN wt ON wt.word = d.word
          |GROUP BY d.doc_id""".stripMargin)
+
+  /** DuckDB oracle for emb_pca_project — the full PCA pipeline
+    * relationally: population covariance from the same double-cast
+    * moments, two unrolled power-method chains (shared ramp init,
+    * matvec + ℓ2-normalize per step, zero-norm keeps the previous
+    * iterate), Rayleigh eigenvalue, sums·v sign fix, Hotelling
+    * deflation between components, and the centered projection. */
+  private def pcaProjectOracleSql(d: Int, steps: Int): String = {
+    val c0 = (d - 1) / 2.0
+    var n2 = 0.0
+    var jj = 0
+    while (jj < d) { val r = jj - c0; n2 += r * r; jj += 1 }
+    val rn = math.sqrt(n2)
+    def chain(cov: String, p: String): String =
+      (1 to steps).map { t =>
+        s"""
+           |, ${p}_$t AS (
+           |  SELECT q.i AS j, CASE WHEN q.nw = 0 THEN p0.v ELSE q.w / q.nw END AS v
+           |  FROM (
+           |    SELECT c.i, sum(c.c * p.v) AS w,
+           |      sqrt(sum(power(sum(c.c * p.v), 2)) OVER ()) AS nw
+           |    FROM $cov c JOIN ${p}_${t - 1} p ON p.j = c.j
+           |    GROUP BY c.i) q
+           |  JOIN ${p}_${t - 1} p0 ON p0.j = q.i
+           |)""".stripMargin
+      }.mkString
+    s"""WITH x AS MATERIALIZED (
+       |  SELECT vec_id, j - 1 AS j, CAST(embedding[j] AS DOUBLE) AS v
+       |  FROM embeddings, (SELECT unnest(generate_series(1, $d)) AS j) g
+       |), mu AS MATERIALIZED (
+       |  SELECT j, sum(v) AS s,
+       |    sum(v) / (SELECT count(*) FROM embeddings) AS m
+       |  FROM x GROUP BY j
+       |), cv1 AS MATERIALIZED (
+       |  SELECT a.j AS i, b.j AS j,
+       |    sum(a.v * b.v) / (SELECT count(*) FROM embeddings) - ma.m * mb.m AS c
+       |  FROM x a
+       |  JOIN x b ON b.vec_id = a.vec_id
+       |  JOIN mu ma ON ma.j = a.j
+       |  JOIN mu mb ON mb.j = b.j
+       |  GROUP BY a.j, b.j, ma.m, mb.m
+       |), p1_0 AS (
+       |  SELECT j, (j - $c0) / $rn AS v FROM mu
+       |)""".stripMargin +
+      chain("cv1", "p1") +
+      s"""
+         |, lam1 AS (
+         |  SELECT sum(c.c * pa.v * pb.v) AS l
+         |  FROM cv1 c JOIN p1_$steps pa ON pa.j = c.i
+         |  JOIN p1_$steps pb ON pb.j = c.j
+         |), sg1 AS (
+         |  SELECT CASE WHEN sum(mu.s * p.v) < 0 THEN -1.0 ELSE 1.0 END AS s
+         |  FROM mu JOIN p1_$steps p USING (j)
+         |), v1 AS MATERIALIZED (
+         |  SELECT p.j, p.v * (SELECT s FROM sg1) AS v FROM p1_$steps p
+         |), cv2 AS MATERIALIZED (
+         |  SELECT c.i, c.j, c.c - (SELECT l FROM lam1) * va.v * vb.v AS c
+         |  FROM cv1 c JOIN v1 va ON va.j = c.i JOIN v1 vb ON vb.j = c.j
+         |), p2_0 AS (
+         |  SELECT j, (j - $c0) / $rn AS v FROM mu
+         |)""".stripMargin +
+      chain("cv2", "p2") +
+      s"""
+         |, sg2 AS (
+         |  SELECT CASE WHEN sum(mu.s * p.v) < 0 THEN -1.0 ELSE 1.0 END AS s
+         |  FROM mu JOIN p2_$steps p USING (j)
+         |), v2 AS MATERIALIZED (
+         |  SELECT p.j, p.v * (SELECT s FROM sg2) AS v FROM p2_$steps p
+         |)
+         |SELECT x.vec_id,
+         |  round(sum((x.v - mu.m) * v1.v), 6) + 0.0 AS pc1,
+         |  round(sum((x.v - mu.m) * v2.v), 6) + 0.0 AS pc2
+         |FROM x
+         |JOIN mu ON mu.j = x.j
+         |JOIN v1 ON v1.j = x.j
+         |JOIN v2 ON v2.j = x.j
+         |GROUP BY x.vec_id""".stripMargin
+  }.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
 
   private def bpeOracleFinish(sql: String): String = sql
     .replaceAll("(?m)^(WITH RECURSIVE |, )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
@@ -8361,6 +8455,8 @@ object SparkEntry {
 
     // emb_semdedup: cluster assignment (the emb_kmeans_assign chain),
     // within-cluster lower-id cosine rule replayed directly.
+    "emb_pca_project" -> pcaProjectOracleSql(64, 60),
+
     "emb_semdedup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
         |seeds AS (SELECT vec_id AS cell, v AS sv FROM e WHERE vec_id < 8),

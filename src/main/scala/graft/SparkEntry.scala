@@ -325,6 +325,21 @@ object SparkEntry {
           round(min(col("d2")), 4).as("d2"))
     }),
 
+    // Deterministic distributed greedy k-means++ seeding
+    // (TimeSeriesKMeans.kmeansPlusPlusInit): the reference's
+    // _k_init_metric semantics (kmeans.py:50-140 — 2+⌊ln k⌋ candidate
+    // trials per round ∝ D², keep the potential minimizer) with the
+    // RNG replaced by md5-uniform exponential races, so every race,
+    // every candidate D² pass and every potential argmin replays in
+    // SQL. Output = the seeding trace (round, center_id, potential).
+    "ts_kmeanspp_init" -> ((s, dir) => {
+      val r = resampledEvents(s, dir, 16)
+        .select(col("user_id").as("series_id"), col("j"), col("v"))
+      graft.ml.TimeSeriesKMeans.kmeansPlusPlusInit(r, k = 3)
+        .select(col("round"), col("center_id"),
+          (round(col("pot"), 4) + lit(0.0)).as("pot"))
+    }),
+
     // nearest label-centroid classification of length-16 prefixes (the
     // early classifier's per-t model at one fixed t, with an oracle);
     // train = even user ids, labels = dominant event_type
@@ -5406,6 +5421,66 @@ object SparkEntry {
          |JOIN wt ON wt.word = d.word
          |GROUP BY d.doc_id""".stripMargin)
 
+  /** DuckDB oracle for ts_kmeanspp_init — the greedy k-means++ trace
+    * replayed: the same md5 exponential races (−ln(u)/D², smallest-id
+    * ties), per-round candidate D² joins, potential argmins and D²
+    * folds, over the shared resample CTE. */
+  private def kmeansppOracleSql(k: Int, l: Int): String = {
+    def race(rr: Int, t: Int, over: String) =
+      s"""-ln((CAST(CONCAT('0x', substring(md5('kpp:$rr:$t:' || $over), 1, 15)) AS BIGINT) + 1.0)
+         |      / 1152921504606846976.0)""".stripMargin
+    val sb = new StringBuilder(evCte + resampleCte)
+    sb ++=
+      s"""
+         |, ids AS (SELECT DISTINCT user_id FROM r)
+         |, c0 AS (
+         |  SELECT user_id AS cid FROM ids
+         |  ORDER BY ${race(0, 0, "user_id")}, user_id LIMIT 1
+         |), cv0 AS (SELECT r.j, r.val FROM r JOIN c0 ON c0.cid = r.user_id)
+         |, d0 AS (
+         |  SELECT r.user_id, sum((r.val - cv0.val) * (r.val - cv0.val)) AS d2
+         |  FROM r JOIN cv0 ON cv0.j = r.j
+         |  GROUP BY 1
+         |)""".stripMargin
+    for (rr <- 1 until k) {
+      val dp = s"d${rr - 1}"
+      val trials = (0 until l).map { t =>
+        s"""  (SELECT user_id AS cid FROM $dp WHERE d2 > 0
+           |   ORDER BY ${race(rr, t, "user_id")} / d2, user_id LIMIT 1)""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      sb ++=
+        s"""
+           |, cand$rr AS (SELECT DISTINCT cid FROM (
+           |$trials))
+           |, cv$rr AS (
+           |  SELECT c.cid, r.j, r.val FROM r JOIN cand$rr c ON c.cid = r.user_id
+           |), dc$rr AS (
+           |  SELECT r.user_id, cv.cid, sum((r.val - cv.val) * (r.val - cv.val)) AS dc
+           |  FROM r JOIN cv$rr cv ON cv.j = r.j
+           |  GROUP BY 1, 2
+           |), b$rr AS (
+           |  SELECT cid, pot FROM (
+           |    SELECT dc.cid, sum(LEAST(d.d2, dc.dc)) AS pot
+           |    FROM dc$rr dc JOIN $dp d ON d.user_id = dc.user_id
+           |    GROUP BY 1)
+           |  ORDER BY pot, cid LIMIT 1
+           |), d$rr AS (
+           |  SELECT d.user_id, LEAST(d.d2, dc.dc) AS d2
+           |  FROM $dp d JOIN dc$rr dc ON dc.user_id = d.user_id
+           |  JOIN b$rr b ON b.cid = dc.cid
+           |)""".stripMargin
+    }
+    sb ++=
+      s"""
+         |SELECT 0 AS round, c0.cid AS center_id,
+         |  round((SELECT sum(d2) FROM d0), 4) + 0.0 AS pot FROM c0""".stripMargin
+    for (rr <- 1 until k)
+      sb ++=
+        s"""
+           |UNION ALL SELECT $rr, cid, round(pot, 4) + 0.0 FROM b$rr""".stripMargin
+    sb.toString
+  }
+
   /** DuckDB oracle for emb_pca_project — the full PCA pipeline
     * relationally: population covariance from the same double-cast
     * moments, two unrolled power-method chains (shared ramp init,
@@ -7451,6 +7526,8 @@ object SparkEntry {
         |  FROM r JOIN upd u ON u.j = r.j
         |  GROUP BY 1, 2)
         |WHERE rn = 1""".stripMargin),
+
+    "ts_kmeanspp_init" -> kmeansppOracleSql(3, 3),
 
     "ts_prefix_classify" -> (evCte +
       """

@@ -178,6 +178,88 @@ object TimeSeriesKMeans {
       case _ => (a, b) => Kernels.euclidean(Kernels.uni(a.toIndexedSeq: _*), Kernels.uni(b.toIndexedSeq: _*))
     }
 
+  /** Deterministic DISTRIBUTED greedy k-means++ seeding over an
+    * exploded series relation `rows(series_id, j, v)` — the reference's
+    * `_k_init_metric` semantics (`clustering/kmeans.py:50-140`:
+    * `n_local_trials = 2 + ⌊ln k⌋` candidates per round ∝ D², keep the
+    * potential minimizer) with the RNG replaced by portable md5-uniform
+    * exponential races: the trial-`t` candidate in round `r` is
+    * argmin_i −ln(u_i^{r,t}) / D²_i, which selects i with probability
+    * ∝ D²_i — the same D² weighting, but bit-replayable in SQL.
+    *
+    * 100 TB shape: D² lives as an (id, d2) relation (localCheckpoint'd
+    * per round); candidate selection is ONE aggregation computing all
+    * `trials` races map-side (L min_by slots); potential evaluation is
+    * one broadcast join (L·sz center values) + partial agg. Nothing
+    * corpus-sized ever sits on the driver or shuffles.
+    *
+    * Tie/degeneracy rules (documented deviations, both measure-zero
+    * under the reference's real RNG): duplicate candidates across
+    * trials are deduplicated and the round winner breaks potential
+    * ties by smallest id; if every remaining D² is zero the smallest
+    * unchosen id is taken.
+    *
+    * Returns the seeding trace (round, center_id, pot) where pot is
+    * the k-means potential Σ_i D²_i AFTER that round's center joins. */
+  def kmeansPlusPlusInit(rows: DataFrame, k: Int, trials: Int = -1,
+                         salt: String = "kpp"): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val l = if (trials > 0) trials else 2 + math.log(k).toInt
+    val r = rows.select(col("series_id").cast("long").as("id"),
+      col("j").cast("int").as("j"), col("v").cast("double").as("v"))
+      .localCheckpoint()
+    def race(rr: Int, t: Int): org.apache.spark.sql.Column =
+      -log((graft.operators.Dedup.md5Hash60(
+        concat(lit(s"$salt:$rr:$t:"), col("id").cast("string")))
+        .cast("double") + 1.0d) / math.pow(2.0, 60))
+    def centerRel(ids: Seq[Long]) = broadcast(
+      r.where(col("id").isin(ids: _*))
+        .select(col("id").as("cid"), col("j"), col("v").as("c")))
+    // round 0: uniform pick = argmax u = argmin −ln(u)
+    val c0 = r.select(col("id")).distinct()
+      .select(col("id"), race(0, 0).as("e"))
+      .agg(min_by(col("id"), struct(col("e"), col("id"))).as("id"))
+      .head().getLong(0)
+    var d2 = r.join(centerRel(Seq(c0)), "j")
+      .groupBy("id").agg(sum(pow(col("v") - col("c"), 2)).as("d2"))
+      .localCheckpoint()
+    val trace = scala.collection.mutable.ArrayBuffer(
+      (0, c0, d2.agg(sum("d2")).head().getDouble(0)))
+    var chosen = Set(c0)
+    for (rr <- 1 until k) {
+      val live = d2.where(col("d2") > 0)
+      val keyed = live.select(col("id") +: col("d2") +:
+        (0 until l).map(t => (race(rr, t) / col("d2")).as(s"k$t")): _*)
+      val aggs = (0 until l).map(t =>
+        min_by(col("id"), struct(col(s"k$t"), col("id"))).as(s"c$t"))
+      val candRow = keyed.agg(aggs.head, aggs.tail: _*).head()
+      val cands =
+        if (candRow.isNullAt(0)) // all D² zero: smallest unchosen id
+          Seq(r.select(col("id")).distinct()
+            .where(!col("id").isin(chosen.toSeq: _*))
+            .agg(min(col("id"))).head().getLong(0))
+        else (0 until l).map(candRow.getLong).distinct
+      val (bestId, bestPot) = r.join(centerRel(cands), "j")
+        .groupBy(col("id"), col("cid"))
+        .agg(sum(pow(col("v") - col("c"), 2)).as("dc"))
+        .join(d2, "id")
+        .groupBy("cid").agg(sum(least(col("d2"), col("dc"))).as("pot"))
+        .agg(min_by(struct(col("cid"), col("pot")),
+          struct(col("pot"), col("cid"))).as("b"))
+        .select(col("b.cid"), col("b.pot")).as[(Long, Double)].head()
+      val prev = d2
+      d2 = r.join(centerRel(Seq(bestId)), "j")
+        .groupBy("id").agg(sum(pow(col("v") - col("c"), 2)).as("dc"))
+        .join(prev, "id")
+        .select(col("id"), least(col("d2"), col("dc")).as("d2"))
+        .localCheckpoint()
+      chosen += bestId
+      trace += ((rr, bestId, bestPot))
+    }
+    trace.toSeq.toDF("round", "center_id", "pot")
+  }
+
   /** (id, cluster, dist, values) typed assignment pass. */
   private[ml] def assignDs(data: Dataset[(Long, Array[Double])],
                            centroids: Array[Array[Double]],

@@ -215,6 +215,32 @@ class ClusteringSpec extends AnyFunSuite {
     assert(acc == 1.0, s"accuracy $acc")
   }
 
+  test("k-means++ init: spreads seeds across separated clusters, potential decreases") {
+    // 3 tight clusters far apart: the D² weighting must land one seed
+    // in each (a uniform pick of 3 from 30 would collide often)
+    val rows = (0 until 30).flatMap { i =>
+      val base = (i % 3) * 100.0
+      (0 until 8).map(j => (i.toLong, j, base + (i / 3) * 0.01 + j * 0.001))
+    }.toDF("series_id", "j", "v")
+    val trace = TimeSeriesKMeans.kmeansPlusPlusInit(rows, k = 3)
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(trace.map(_._1) == Seq(0, 1, 2))
+    val clusters = trace.map(_._2 % 3).toSet
+    assert(clusters.size == 3,
+      s"seeds collided in clusters: ${trace.map(t => t._2 -> (t._2 % 3))}")
+    val pots = trace.map(_._3)
+    assert(pots == pots.sorted.reverse && pots.distinct == pots,
+      s"potential not strictly decreasing: $pots")
+    // chosen centers are never re-picked (their D² is zero)
+    assert(trace.map(_._2).distinct.size == 3)
+    // partition independence: same trace from a different layout
+    val trace2 = TimeSeriesKMeans.kmeansPlusPlusInit(
+        rows.repartition(7, col("j")), k = 3)
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(trace2.map(t => (t._1, t._2)) == trace.map(t => (t._1, t._2)),
+      s"seeding changed under repartitioning: $trace2 vs $trace")
+  }
+
   test("knn regressor: distance-weighted mean is exact for duplicate probe") {
     import graft.functions.TsFunctions
     val train = Seq(

@@ -340,6 +340,22 @@ object SparkEntry {
           (round(col("pot"), 4) + lit(0.0)).as("pot"))
     }),
 
+    // The same greedy k-means++ under metric="dtw" — what the
+    // reference's _k_init_metric actually runs for
+    // TimeSeriesKMeans(metric="dtw") (kmeans.py:636-651: metric_fun =
+    // cdist_dtw, squared inside _k_init_metric as the D² weight). The engine races stay identical; the D²
+    // passes swap the per-timestep join for the DTW kernel against
+    // ≤2+⌊ln k⌋ broadcast candidates. Restricted to 24 users so the
+    // oracle's unrolled DP chains stay cheap.
+    "ts_kmeanspp_dtw" -> ((s, dir) => {
+      val r = resampledEvents(s, dir, 16)
+        .where(col("user_id") < 24)
+        .select(col("user_id").as("series_id"), col("j"), col("v"))
+      graft.ml.TimeSeriesKMeans.kmeansPlusPlusInit(r, k = 3, metric = "dtw")
+        .select(col("round"), col("center_id"),
+          (round(col("pot"), 4) + lit(0.0)).as("pot"))
+    }),
+
     // nearest label-centroid classification of length-16 prefixes (the
     // early classifier's per-t model at one fixed t, with an oracle);
     // train = even user ids, labels = dominant event_type
@@ -5481,6 +5497,111 @@ object SparkEntry {
     sb.toString
   }
 
+  /** DuckDB oracle for ts_kmeanspp_dtw — the greedy k-means++ trace
+    * under metric="dtw": same md5 races and potential argmins as
+    * [[kmeansppOracleSql]], but every D² is the accumulated cost of a
+    * full DTW DP chain (the ts_kmeans_dtw window-min recurrence, cost
+    * at the (sz−1, sz−1) cell = dtw², no sqrt round trip). */
+  private def kmeansppDtwOracleSql(k: Int, l: Int, sz: Int, nUsers: Int): String = {
+    val last = sz - 1
+    def race(rr: Int, t: Int, over: String) =
+      s"""-ln((CAST(CONCAT('0x', substring(md5('kpp:$rr:$t:' || $over), 1, 15)) AS BIGINT) + 1.0)
+         |      / 1152921504606846976.0)""".stripMargin
+    def chain(p: String, cvName: String): String = {
+      val sb = new StringBuilder
+      sb ++=
+        s"""
+           |, loc$p AS (
+           |  SELECT rr.user_id, cv.cid, cv.i, rr.j,
+           |    (cv.bv - rr.val) * (cv.bv - rr.val) AS d
+           |  FROM rr JOIN $cvName cv ON TRUE
+           |), ${p}x0 AS (
+           |  SELECT user_id, cid, j,
+           |    sum(d) OVER (PARTITION BY user_id, cid ORDER BY j) AS cost
+           |  FROM loc$p WHERE i = 0
+           |)""".stripMargin
+      for (i <- 1 until sz) {
+        sb ++=
+          s"""
+             |, ${p}x$i AS (
+             |  SELECT user_id, cid, j, cs + mn AS cost FROM (
+             |    SELECT user_id, cid, j, cs,
+             |      min(mk - csk) OVER (PARTITION BY user_id, cid ORDER BY j) AS mn
+             |    FROM (
+             |      SELECT l.user_id, l.cid, l.j,
+             |        sum(l.d) OVER (PARTITION BY l.user_id, l.cid ORDER BY l.j) AS cs,
+             |        sum(l.d) OVER (PARTITION BY l.user_id, l.cid ORDER BY l.j) - l.d AS csk,
+             |        least(coalesce(pk.cost, 1e308), coalesce(pk1.cost, 1e308)) AS mk
+             |      FROM loc$p l
+             |      LEFT JOIN ${p}x${i - 1} pk
+             |        ON pk.user_id = l.user_id AND pk.cid = l.cid AND pk.j = l.j
+             |      LEFT JOIN ${p}x${i - 1} pk1
+             |        ON pk1.user_id = l.user_id AND pk1.cid = l.cid AND pk1.j = l.j - 1
+             |      WHERE l.i = $i))
+             |)""".stripMargin
+      }
+      sb.toString
+    }
+    val sb = new StringBuilder(evCte + resampleCte)
+    sb ++=
+      s"""
+         |, rr AS (SELECT user_id, j, val FROM r WHERE user_id < $nUsers)
+         |, ids AS (SELECT DISTINCT user_id FROM rr)
+         |, c0 AS (
+         |  SELECT user_id AS cid FROM ids
+         |  ORDER BY ${race(0, 0, "user_id")}, user_id LIMIT 1
+         |), cv0 AS (
+         |  SELECT c.cid, rr.j AS i, rr.val AS bv
+         |  FROM rr JOIN c0 c ON c.cid = rr.user_id
+         |)""".stripMargin
+    sb ++= chain("a0", "cv0")
+    sb ++=
+      s"""
+         |, d0 AS (SELECT user_id, cost AS d2 FROM a0x$last WHERE j = $last)""".stripMargin
+    for (rr <- 1 until k) {
+      val dp = s"d${rr - 1}"
+      val trials = (0 until l).map { t =>
+        s"""  (SELECT user_id AS cid FROM $dp WHERE d2 > 0
+           |   ORDER BY ${race(rr, t, "user_id")} / d2, user_id LIMIT 1)""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      sb ++=
+        s"""
+           |, cand$rr AS (SELECT DISTINCT cid FROM (
+           |$trials))
+           |, cv$rr AS (
+           |  SELECT c.cid, rr.j AS i, rr.val AS bv
+           |  FROM rr JOIN cand$rr c ON c.cid = rr.user_id
+           |)""".stripMargin
+      sb ++= chain(s"a$rr", s"cv$rr")
+      sb ++=
+        s"""
+           |, dc$rr AS (
+           |  SELECT user_id, cid, cost AS dc FROM a${rr}x$last WHERE j = $last
+           |), b$rr AS (
+           |  SELECT cid, pot FROM (
+           |    SELECT dc.cid, sum(LEAST(d.d2, dc.dc)) AS pot
+           |    FROM dc$rr dc JOIN $dp d ON d.user_id = dc.user_id
+           |    GROUP BY 1)
+           |  ORDER BY pot, cid LIMIT 1
+           |), d$rr AS (
+           |  SELECT d.user_id, LEAST(d.d2, dc.dc) AS d2
+           |  FROM $dp d JOIN dc$rr dc ON dc.user_id = d.user_id
+           |  JOIN b$rr b ON b.cid = dc.cid
+           |)""".stripMargin
+    }
+    sb ++=
+      s"""
+         |SELECT 0 AS round, c0.cid AS center_id,
+         |  round((SELECT sum(d2) FROM d0), 4) + 0.0 AS pot FROM c0""".stripMargin
+    for (rr <- 1 until k)
+      sb ++=
+        s"""
+           |UNION ALL SELECT $rr, cid, round(pot, 4) + 0.0 FROM b$rr""".stripMargin
+    // MATERIALIZED: inlined, each of the ~k·sz DP layers re-expands its
+    // whole upstream (and re-opens the parquet per reference)
+    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+  }
+
   /** DuckDB oracle for emb_pca_project — the full PCA pipeline
     * relationally: population covariance from the same double-cast
     * moments, two unrolled power-method chains (shared ramp init,
@@ -7528,6 +7649,8 @@ object SparkEntry {
         |WHERE rn = 1""".stripMargin),
 
     "ts_kmeanspp_init" -> kmeansppOracleSql(3, 3),
+
+    "ts_kmeanspp_dtw" -> kmeansppDtwOracleSql(3, 3, 16, 24),
 
     "ts_prefix_classify" -> (evCte +
       """

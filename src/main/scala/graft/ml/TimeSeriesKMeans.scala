@@ -202,7 +202,8 @@ object TimeSeriesKMeans {
     * Returns the seeding trace (round, center_id, pot) where pot is
     * the k-means potential Σ_i D²_i AFTER that round's center joins. */
   def kmeansPlusPlusInit(rows: DataFrame, k: Int, trials: Int = -1,
-                         salt: String = "kpp"): DataFrame = {
+                         salt: String = "kpp",
+                         metric: String = "euclidean"): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
     val l = if (trials > 0) trials else 2 + math.log(k).toInt
@@ -216,13 +217,40 @@ object TimeSeriesKMeans {
     def centerRel(ids: Seq[Long]) = broadcast(
       r.where(col("id").isin(ids: _*))
         .select(col("id").as("cid"), col("j"), col("v").as("c")))
+    // series arrays — only materialized for warped metrics, where the
+    // squared distance needs a DP, not a per-timestep join
+    lazy val series: Dataset[(Long, Array[Double])] = r
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("j"), col("v")))).as("s"))
+      .select(col("id"), transform(col("s"), p => p.getField("v")).as("vals"))
+      .as[(Long, Array[Double])].cache()
+    // (id, cid, dc): squared metric distance of every point to each of
+    // the candidate centers. Euclidean stays fully relational (join on
+    // the timestep, map-side partial sum); dtw/softdtw run the kernel
+    // per (point, broadcast candidate) — candidates are ≤ 2+⌊ln k⌋
+    // arrays, so the pass is map-only either way.
+    val dcTo: Seq[Long] => DataFrame =
+      if (metric == "euclidean") { ids =>
+        r.join(centerRel(ids), "j")
+          .groupBy(col("id"), col("cid"))
+          .agg(sum(pow(col("v") - col("c"), 2)).as("dc"))
+      } else { ids =>
+        val dist = metricDist(metric, 1.0)
+        val cands = series.filter(s => ids.contains(s._1)).collect().toSeq
+        val bc = spark.sparkContext.broadcast(cands)
+        series.flatMap { case (id, vals) =>
+          bc.value.map { case (cid, cv) =>
+            val d = dist(cv, vals)
+            (id, cid, d * d)
+          }
+        }.toDF("id", "cid", "dc")
+      }
     // round 0: uniform pick = argmax u = argmin −ln(u)
     val c0 = r.select(col("id")).distinct()
       .select(col("id"), race(0, 0).as("e"))
       .agg(min_by(col("id"), struct(col("e"), col("id"))).as("id"))
       .head().getLong(0)
-    var d2 = r.join(centerRel(Seq(c0)), "j")
-      .groupBy("id").agg(sum(pow(col("v") - col("c"), 2)).as("d2"))
+    var d2 = dcTo(Seq(c0)).select(col("id"), col("dc").as("d2"))
       .localCheckpoint()
     val trace = scala.collection.mutable.ArrayBuffer(
       (0, c0, d2.agg(sum("d2")).head().getDouble(0)))
@@ -240,17 +268,14 @@ object TimeSeriesKMeans {
             .where(!col("id").isin(chosen.toSeq: _*))
             .agg(min(col("id"))).head().getLong(0))
         else (0 until l).map(candRow.getLong).distinct
-      val (bestId, bestPot) = r.join(centerRel(cands), "j")
-        .groupBy(col("id"), col("cid"))
-        .agg(sum(pow(col("v") - col("c"), 2)).as("dc"))
+      val (bestId, bestPot) = dcTo(cands)
         .join(d2, "id")
         .groupBy("cid").agg(sum(least(col("d2"), col("dc"))).as("pot"))
         .agg(min_by(struct(col("cid"), col("pot")),
           struct(col("pot"), col("cid"))).as("b"))
         .select(col("b.cid"), col("b.pot")).as[(Long, Double)].head()
       val prev = d2
-      d2 = r.join(centerRel(Seq(bestId)), "j")
-        .groupBy("id").agg(sum(pow(col("v") - col("c"), 2)).as("dc"))
+      d2 = dcTo(Seq(bestId))
         .join(prev, "id")
         .select(col("id"), least(col("d2"), col("dc")).as("d2"))
         .localCheckpoint()

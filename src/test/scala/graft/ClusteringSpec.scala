@@ -239,6 +239,17 @@ class ClusteringSpec extends AnyFunSuite {
       .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
     assert(trace2.map(t => (t._1, t._2)) == trace.map(t => (t._1, t._2)),
       s"seeding changed under repartitioning: $trace2 vs $trace")
+    // metric="dtw": same spread property (offset clusters keep their
+    // separation under warping), same determinism
+    val dtwTrace = TimeSeriesKMeans.kmeansPlusPlusInit(rows, k = 3, metric = "dtw")
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(dtwTrace.map(_._2 % 3).toSet.size == 3,
+      s"dtw seeds collided: $dtwTrace")
+    assert(dtwTrace.map(_._3) == dtwTrace.map(_._3).sorted.reverse)
+    val dtwTrace2 = TimeSeriesKMeans.kmeansPlusPlusInit(
+        rows.repartition(7, col("j")), k = 3, metric = "dtw")
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(dtwTrace2.map(t => (t._1, t._2)) == dtwTrace.map(t => (t._1, t._2)))
   }
 
   test("knn regressor: distance-weighted mean is exact for duplicate probe") {

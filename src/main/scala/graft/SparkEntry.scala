@@ -1198,6 +1198,15 @@ object SparkEntry {
       out
     }),
 
+    // Temperature-based mixture sampling (TextAnalysis
+    // .temperatureSample): source share ∝ n_s^α — the mT5/XLM
+    // α-sampling rule. Targets on the per-source aggregate relation,
+    // per-source selection by salted-two-window md5 rank (the
+    // sourceCap machinery with a per-source cap).
+    "doc_sample_temperature" -> ((s, dir) =>
+      graft.operators.TextAnalysis.temperatureSample(
+        docs(s, dir), alpha = 0.5, budget = 300)),
+
     // Deterministic hash-mod sampling: keep a doc iff
     // md5("salt:" || doc_id) mod 100 < rate — the stateless,
     // partition-independent, re-run-stable uniform sample (the scale
@@ -7759,6 +7768,29 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS text_md5, lang, source FROM documents""",
     "doc_orc_roundtrip" ->
       """SELECT doc_id, md5(text) AS text_md5, lang, source FROM documents""",
+
+    // doc_sample_temperature: targets and ranks replayed — same
+    // n_s^α shares, same 1e-6 rounding before the floor, same md5
+    // rank convention as doc_source_cap.
+    "doc_sample_temperature" ->
+      """WITH counts AS (
+        |  SELECT source, count(*) AS n FROM documents GROUP BY 1
+        |), targets AS (
+        |  SELECT source,
+        |    LEAST(n, CAST(floor(round(
+        |      300.0 * power(CAST(n AS DOUBLE), 0.5) /
+        |        (SELECT sum(power(CAST(n AS DOUBLE), 0.5)) FROM counts),
+        |      6)) AS BIGINT)) AS t
+        |  FROM counts
+        |), sel AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        |  FROM documents)
+        |SELECT s.doc_id, s.source, CAST(s.rank AS INT) AS rank,
+        |  t.t AS target
+        |FROM sel s JOIN targets t USING (source)
+        |WHERE s.rank <= t.t""".stripMargin,
 
     "doc_sample_hash" ->
       """SELECT doc_id,

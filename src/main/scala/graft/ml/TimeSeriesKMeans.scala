@@ -40,7 +40,12 @@ class TimeSeriesKMeans(
     val barycenterEta: Double = 0.05) extends Serializable {
 
   require(Seq("euclidean", "dtw", "softdtw").contains(metric), s"bad metric $metric")
-  require(Seq("k-means++", "first").contains(init), s"bad init $init")
+  // "k-means++" = the reference's RNG over a driver sample;
+  // "k-means++det" = the distributed deterministic greedy variant
+  // (TimeSeriesKMeans.kmeansPlusPlusInit — md5 exponential races over
+  // the FULL dataset, no sample cap, replayable and restart-stable)
+  require(Seq("k-means++", "k-means++det", "first").contains(init),
+    s"bad init $init")
   require(Seq("lbfgs", "gd").contains(barycenterSolver), s"bad solver $barycenterSolver")
 
   case class Model(centroids: Array[Array[Double]], inertia: Double) {
@@ -110,8 +115,22 @@ class TimeSeriesKMeans(
     var best: Model = null
     for (attempt <- 0 until nInit) {
       val rng = new scala.util.Random(seed + attempt)
-      var centroids = if (init == "first") firstAll.slice(attempt * k, attempt * k + k)
-        else kmeansPlusPlus(sample, rng)
+      var centroids = init match {
+        case "first" => firstAll.slice(attempt * k, attempt * k + k)
+        case "k-means++det" =>
+          // distributed deterministic seeding over the FULL dataset;
+          // per-attempt salt = the deterministic analog of re-rolling
+          val exploded = data.toDF("series_id", "values")
+            .select(col("series_id"),
+              posexplode(col("values")).as(Seq("j", "v")))
+          val seedIds = TimeSeriesKMeans.kmeansPlusPlusInit(
+              exploded, k, salt = s"kpp:$seed:$attempt", metric = metric)
+            .select("center_id").collect().map(_.getLong(0))
+          val byId = data.filter(r => seedIds.contains(r._1))
+            .collect().toMap
+          seedIds.map(byId)
+        case _ => kmeansPlusPlus(sample, rng)
+      }
       var prevInertia = Double.PositiveInfinity
       var inertia = Double.PositiveInfinity
       var iter = 0

@@ -106,6 +106,39 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("rank"))
   }
 
+  /** Temperature-based mixture sampling — the mT5/XLM α-sampling rule:
+    * a source's share of the sampled budget is ∝ n_s^α, so α < 1
+    * flattens the mixture toward low-resource sources (α = 1 is
+    * proportional, α = 0 uniform-over-sources). Targets
+    * t_s = min(n_s, ⌊budget · n_s^α / Σ_u n_u^α⌋) are computed on the
+    * per-SOURCE aggregate relation (the mixAllocate shape: never
+    * corpus-scale); selection within a source is the deterministic md5
+    * rank taken with the same salted two-window pass as [[sourceCap]],
+    * so no task ever holds a hot source's full list. The product is
+    * rounded at 1e-6 before the floor so both engines agree at
+    * integer boundaries. Returns (doc_id, source, rank, target). */
+  def temperatureSample(docs: DataFrame, alpha: Double, budget: Long,
+                        salts: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(pow(col("n").cast("double"), alpha)).as("z"))
+    val targets = counts.crossJoin(tot)
+      .select(col("source"),
+        least(col("n"), floor(round(
+            lit(budget.toDouble) * pow(col("n").cast("double"), alpha) / col("z"),
+            6)).cast("long")).as("t"))
+    val ranked = docs.select(col("doc_id"), col("source"),
+      md5(col("doc_id").cast("string")).as("rk"))
+    val salted = ranked.withColumn("salt",
+      pmod(conv(substring(col("rk"), 1, 2), 16, 10).cast("int"), lit(salts)))
+    val w1 = Window.partitionBy("source", "salt").orderBy("rk", "doc_id")
+    val w2 = Window.partitionBy("source").orderBy("rk", "doc_id")
+    salted.join(broadcast(targets), "source")
+      .withColumn("r1", row_number().over(w1)).where(col("r1") <= col("t"))
+      .withColumn("rank", row_number().over(w2)).where(col("rank") <= col("t"))
+      .select(col("doc_id"), col("source"), col("rank"), col("t").as("target"))
+  }
+
   /** Hashed bag-of-words features — the fasttext-style representation
     * behind learned quality filters: bucket = portableHash(word) mod d,
     * feature vector = per-bucket counts. Two-stage on purpose: the

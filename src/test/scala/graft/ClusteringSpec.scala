@@ -252,6 +252,22 @@ class ClusteringSpec extends AnyFunSuite {
     assert(dtwTrace2.map(t => (t._1, t._2)) == dtwTrace.map(t => (t._1, t._2)))
   }
 
+  test("fit with init=k-means++det: converges on separated clusters") {
+    val rows = (0 until 30).map { i =>
+      val base = (i % 3) * 100.0
+      (i.toLong, Array.tabulate(8)(j => base + (i / 3) * 0.01 + j * 0.001))
+    }.toDF("series_id", "values")
+    val m = new TimeSeriesKMeans(k = 3, init = "k-means++det", maxIter = 5).fit(rows)
+    // seeds landed one per cluster, so Lloyd converges to the 3 tight
+    // clusters and inertia is the within-cluster spread only
+    assert(m.inertia < 1e-2, s"inertia ${m.inertia}")
+    val assigned = m.predict(rows).select("series_id", "cluster")
+      .as[(Long, Int)].collect()
+    val byTrue = assigned.groupBy(_._1 % 3).values.map(_.map(_._2).toSet)
+    assert(byTrue.forall(_.size == 1) &&
+      byTrue.flatten.toSet.size == 3, s"clusters mixed: ${assigned.toSeq}")
+  }
+
   test("knn regressor: distance-weighted mean is exact for duplicate probe") {
     import graft.functions.TsFunctions
     val train = Seq(

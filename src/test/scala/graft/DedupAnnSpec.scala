@@ -728,6 +728,42 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got2 == Seq(("aaab", "aa ab", 2L, 3L), ("ab", "ab", 1L, 1L)), s"got $got2")
   }
 
+  test("temperature sampling: α flattens the mixture, selection is the md5 rank") {
+    import graft.operators.TextAnalysis
+    // skewed corpus: 160 docs from "big", 40 from "mid", 10 from "tiny"
+    val docs = ((0 until 160).map(i => (i.toLong, "big")) ++
+      (160 until 200).map(i => (i.toLong, "mid")) ++
+      (200 until 210).map(i => (i.toLong, "tiny")))
+      .toDF("doc_id", "source")
+    def shares(alpha: Double, budget: Long): Map[String, Long] =
+      TextAnalysis.temperatureSample(docs, alpha, budget)
+        .groupBy("source").agg(count(lit(1)).as("c"))
+        .as[(String, Long)].collect().toMap
+    // α=1: proportional — 100·(160,40,10)/210 floors to (76,19,4)
+    assert(shares(1.0, 100) == Map("big" -> 76L, "mid" -> 19L, "tiny" -> 4L))
+    // α=0.5: flattened — tiny's target rises from ~4.8% to ~14.3%,
+    // then the availability cap holds it at its 10 existing docs
+    val s05 = shares(0.5, 100)
+    assert(s05 == Map("big" -> 57L, "mid" -> 28L, "tiny" -> 10L),
+      s"alpha=0.5 did not flatten: $s05")
+    // α=0: uniform over sources (capped by availability)
+    val s0 = shares(0.0, 90)
+    assert(s0 == Map("big" -> 30L, "mid" -> 30L, "tiny" -> 10L), s"got $s0")
+    // selection = deterministic global md5 rank: the salted two-window
+    // path must equal a naive single-window top-t per source
+    import org.apache.spark.sql.expressions.Window
+    val t = 20
+    val naive = docs.withColumn("rk", md5(col("doc_id").cast("string")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy("rk", "doc_id")))
+      .where(col("rank") <= t && col("source") === "big")
+      .select("doc_id").as[Long].collect().toSet
+    val got = TextAnalysis.temperatureSample(docs, 1.0, 26) // big gets t=19
+      .where(col("source") === "big")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.subsetOf(naive), s"salted selection diverged from md5 rank")
+  }
+
   test("BPE tokenize: per-doc token budget under the learned merges") {
     import graft.operators.TextAnalysis
     // steps=2 leaves "aaab" at [aa, ab] (2 tokens), "ab" at [ab] (1)

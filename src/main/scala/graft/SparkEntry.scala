@@ -2856,6 +2856,29 @@ object SparkEntry {
     // compare ONLY within clusters, drop any vector with cosine ≥ 0.4
     // to a lower-id cluster-mate. Pair mass bounded by Σ|cluster|²,
     // never n².
+    // The PCA moment sketch at INGEST (StreamingOps.momentRegisters,
+    // batch-run through the real mapGroupsWithState path, the
+    // doc_stream_* convention): d state rows holding the count,
+    // per-dim sums and upper-triangle second moments — registers that
+    // feed Pca.fit's eigensolve without a second corpus pass. Output
+    // = the exploded cells (i, j, s), dim sums as j = −1, count as
+    // (−1, −1).
+    "emb_pca_moments" -> ((s, dir) => {
+      val regs = graft.streaming.StreamingOps.momentRegisters(emb(s, dir))
+        .toDF("i", "n", "s_i", "prods")
+        .localCheckpoint()
+      regs
+        .select(col("i"), posexplode(col("prods")).as(Seq("o", "p")))
+        .select(col("i").cast("int"),
+          (col("i") + col("o")).cast("int").as("j"),
+          (round(col("p"), 6) + lit(0.0)).as("s"))
+        .unionAll(regs.select(col("i").cast("int"), lit(-1).as("j"),
+          (round(col("s_i"), 6) + lit(0.0)).as("s")))
+        .unionAll(regs.where(col("i") === 0)
+          .select(lit(-1).cast("int").as("i"), lit(-1).as("j"),
+            col("n").cast("double").as("s")))
+    }),
+
     // Distributed PCA (operators/Pca): one-pass moment aggregator
     // (d + d(d+1)/2 buffer, map-side combined), driver d×d eigensolve
     // by deterministic power iteration (shared ramp init, 60 steps,
@@ -8688,6 +8711,22 @@ object SparkEntry {
     // emb_semdedup: cluster assignment (the emb_kmeans_assign chain),
     // within-cluster lower-id cosine rule replayed directly.
     "emb_pca_project" -> pcaProjectOracleSql(64, 60),
+
+    // emb_pca_moments: raw moment relation — upper-triangle products,
+    // dim sums (j = −1), count (−1, −1).
+    "emb_pca_moments" ->
+      """WITH x AS (
+        |  SELECT vec_id, j - 1 AS j, CAST(embedding[j] AS DOUBLE) AS v
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS j) g
+        |)
+        |SELECT a.j AS i, b.j AS j, round(sum(a.v * b.v), 6) + 0.0 AS s
+        |FROM x a JOIN x b ON b.vec_id = a.vec_id AND b.j >= a.j
+        |GROUP BY 1, 2
+        |UNION ALL
+        |SELECT j AS i, -1 AS j, round(sum(v), 6) + 0.0 AS s FROM x GROUP BY 1
+        |UNION ALL
+        |SELECT -1 AS i, -1 AS j,
+        |  CAST((SELECT count(*) FROM embeddings) AS DOUBLE) AS s""".stripMargin,
 
     "emb_semdedup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),

@@ -408,6 +408,66 @@ object StreamingOps {
       }
   }
 
+  /** Streaming second-moment registers — the covariance/PCA sketch at
+    * ingest: `mapGroupsWithState` keyed by dimension i whose state is
+    * (n, Σx_i, Σx_i·x_j for j ≥ i) — d state rows holding d(d+3)/2
+    * doubles TOTAL at ANY stream length (the moment sketch's fixed
+    * size IS the streaming bound; a 100 TB stream of 64-dim vectors
+    * carries 2 144 doubles of state). Per-partition pre-fold first
+    * (mapGroupsWithState has no map-side combine): ≤ d rows per
+    * partition cross the stateful exchange, each carrying its
+    * upper-triangle tail block. Batch mode (one micro-batch) equals
+    * Pca.MomentAgg's buffer exactly — sums fold associatively — so
+    * continuously-maintained registers feed the SAME driver eigensolve
+    * (Pca.fit's power iteration) without a second corpus pass.
+    * Emits per batch, per dim: (i, n, Σx_i, prods tail j ≥ i). */
+  def momentRegisters(vecs: DataFrame, vecCol: String = "embedding")
+      : Dataset[(Int, Long, Double, Array[Double])] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs.select(col(vecCol)).as[Array[Float]]
+      .mapPartitions { it =>
+        var d = -1
+        var n = 0L
+        var sums: Array[Double] = null
+        var prods: Array[Array[Double]] = null // prods(i)(j - i)
+        it.foreach { x =>
+          if (d < 0) {
+            d = x.length
+            sums = new Array[Double](d)
+            prods = Array.tabulate(d)(i => new Array[Double](d - i))
+          }
+          var i = 0
+          while (i < d) {
+            val xi = x(i).toDouble
+            sums(i) += xi
+            var j = i
+            while (j < d) { prods(i)(j - i) += xi * x(j); j += 1 }
+            i += 1
+          }
+          n += 1
+        }
+        if (d < 0) Iterator.empty
+        else (0 until d).iterator.map(i => (i, n, sums(i), prods(i)))
+      }
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double, Array[Double]),
+                          (Int, Long, Double, Array[Double])](
+        GroupStateTimeout.NoTimeout) {
+        (i: Int, batch: Iterator[(Int, Long, Double, Array[Double])],
+         state: GroupState[(Long, Double, Array[Double])]) =>
+          var (n, s, p) = state.getOption
+            .getOrElse((0L, 0.0, null: Array[Double]))
+          batch.foreach { case (_, bn, bs, bp) =>
+            n += bn; s += bs
+            if (p == null) p = bp.clone()
+            else { var j = 0; while (j < p.length) { p(j) += bp(j); j += 1 } }
+          }
+          state.update((n, s, p))
+          (i, n, s, p)
+      }
+  }
+
   /** Streaming count-min-sketch cells — continuous heavy-hitter
     * counting at ingest: `mapGroupsWithState` keyed by (row, cell),
     * state = ONE Long (the running count). ≤ d·w state rows at any

@@ -81,6 +81,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && !streamed.map(_._1).contains(1L))
   }
 
+  test("streaming moment registers: cross-batch ≡ one-pass aggregator, d state rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = 8
+    def vec(seed: Int) = Array.tabulate(d)(j => (math.sin(seed * 3.7 + j) * 10).toFloat)
+    val all = (0 until 40).map(vec)
+    val input = MemoryStream[Array[Float]]
+    val q = StreamingOps.momentRegisters(input.toDF().toDF("embedding"))
+      .toDF("i", "n", "s_i", "prods")
+      .writeStream.format("memory").queryName("moments").outputMode("update").start()
+    input.addData(all.take(15): _*)
+    q.processAllAvailable()
+    input.addData(all.drop(15): _*)
+    q.processAllAvailable()
+    val progress = q.lastProgress
+    // last update per key = the accumulated registers over BOTH batches
+    val rows = spark.table("moments")
+      .groupBy("i").agg(last("n").as("n"), last("s_i").as("s"), last("prods").as("p"))
+      .as[(Int, Long, Double, Array[Double])].collect()
+    q.stop()
+    assert(rows.length == d && rows.forall(_._2 == 40L))
+    assert(progress.stateOperators.head.numRowsTotal == d,
+      s"state rows ${progress.stateOperators.head.numRowsTotal} != $d")
+    // equals the batch one-pass aggregator bit-for-bit-ish (same sums,
+    // different fold order → 1e-9 tolerance)
+    val buf = spark.createDataset(all).toDF("embedding")
+      .select(col("embedding")).as[Array[Float]]
+      .select(new graft.operators.Pca.MomentAgg(d).toColumn).head()
+    rows.sortBy(_._1).foreach { case (i, n, s, p) =>
+      assert(math.abs(s - buf.sums(i)) < 1e-9)
+      (0 until p.length).foreach { o =>
+        val j = i + o
+        val tri = i * d - i * (i - 1) / 2 + (j - i)
+        assert(math.abs(p(o) - buf.prods(tri)) < 1e-9,
+          s"cell ($i,$j): ${p(o)} vs ${buf.prods(tri)}")
+      }
+    }
+  }
+
   test("streaming PII redaction: append mode, stateless, ≡ batch") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(

@@ -834,6 +834,38 @@ object SparkEntry {
           round(col("feat")(2) * lit(n * 256)).cast("long").as("edge_sum"))
     }),
 
+    // Audio spectrogram (Multimodal.spectrogram): the same formula WAV
+    // through the REAL RIFF decode, then framed radix-2 FFT magnitudes
+    // (win=16, hop=8, 9 non-redundant bins). The oracle replays the
+    // unsigned-8-bit normalization (v/256, exact dyadic) and the DFT
+    // as direct cos/sin sums — FFT vs naive DFT agree to ~1e-14,
+    // rounded at 1e-6.
+    "wav_spectrogram" -> ((s, dir) => {
+      val n = 64
+      val mkWav = udf((id: Long) => {
+        val data = Array.tabulate(n)(t => ((id * 6151 + t * 769) % 256).toByte)
+        val bb = java.nio.ByteBuffer.allocate(44 + n)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+          .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+          .putInt(16).putShort(1).putShort(1)
+          .putInt(8000).putInt(8000).putShort(1).putShort(8)
+          .put("data".getBytes("US-ASCII")).putInt(n).put(data)
+        bb.array()
+      })
+      val media = docs(s, dir).select(col("doc_id").cast("long"))
+        .where(col("doc_id") < 64)
+        .select(col("doc_id").as("media_id"), lit("audio").as("kind"),
+          mkWav(col("doc_id")).as("payload"),
+          struct(lit(null).cast("int").as("width"),
+            lit(null).cast("int").as("height"),
+            lit(8000).as("sample_rate"),
+            lit(null).cast("int").as("n_frames")).as("meta"))
+      graft.sources.Multimodal.spectrogram(media, win = 16, hop = 8)
+        .select(col("media_id"), col("frame"), col("bin"),
+          (round(col("mag"), 6) + lit(0.0)).as("mag"))
+    }),
+
     // AIFF branch of the audio decoder (decodeAudio reads 8-bit AIFF as
     // SIGNED PCM — the WAV row exercises the unsigned branch): formula
     // samples encoded through the REAL javax.sound AIFF writer
@@ -7245,6 +7277,29 @@ object SparkEntry {
         |FROM e GROUP BY 1""".stripMargin,
     // wav_audio_stats: formula replay, no decoder — mirrors
     // img_pixel_stats (unsigned 8-bit PCM ⇒ exact integer recovery).
+    // wav_spectrogram: same formula samples, unsigned-8-bit
+    // normalization v/256 (exact), then the DFT as direct cos/sin
+    // sums per (frame, bin) — the naive form of the engine's FFT.
+    "wav_spectrogram" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+        |x AS (
+        |  SELECT doc_id, g.t, ((doc_id * 6151 + g.t * 769) % 256) / 256.0 AS v
+        |  FROM ids, (SELECT unnest(generate_series(0, 63)) AS t) g
+        |), dft AS (
+        |  SELECT x.doc_id, fr.f, bn.b,
+        |    sum(x.v * cos(2 * pi() * bn.b * (x.t - fr.f * 8) / 16.0)) AS re,
+        |    sum(x.v * sin(2 * pi() * bn.b * (x.t - fr.f * 8) / 16.0)) AS im
+        |  FROM x,
+        |    (SELECT unnest(generate_series(0, 6)) AS f) fr,
+        |    (SELECT unnest(generate_series(0, 8)) AS b) bn
+        |  WHERE x.t >= fr.f * 8 AND x.t < fr.f * 8 + 16
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id AS media_id, CAST(f AS INT) AS frame,
+        |  CAST(b AS INT) AS bin,
+        |  round(sqrt(re * re + im * im), 6) + 0.0 AS mag
+        |FROM dft""".stripMargin,
+
     "wav_audio_stats" ->
       """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
         |sm AS (

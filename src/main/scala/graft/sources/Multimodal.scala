@@ -248,6 +248,41 @@ object Multimodal {
       }.toDF("media_id", "kind", "feat")
   }
 
+  /** Framed magnitude spectrogram over decoded PCM — the audio
+    * feature-extraction step of a multimodal pipeline (what a
+    * speech-data curation job computes before VAD / language-ID /
+    * quality gates). Frames of `win` samples every `hop` (tail
+    * dropped), DFT via the shared radix-2 FFT
+    * ([[graft.kernels.Ncc.fft]]), magnitudes of the win/2+1
+    * non-redundant bins. Same mapPartitions batching as
+    * [[extractFeatures]]; output rows (media_id, frame, bin, mag) —
+    * per-payload bounded, so a 100 TB audio corpus shuffles only its
+    * frame×bin mass, never raw PCM. */
+  def spectrogram(df: DataFrame, win: Int = 16, hop: Int = 8): DataFrame = {
+    require((win & (win - 1)) == 0, "win must be a power of two")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col("media_id").cast("long"), col("kind"),
+      col("payload"), col("meta.width"), col("meta.height"))
+    rows.as[(Long, String, Array[Byte], Option[Int], Option[Int])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, _, payload, w, h) =>
+          val px = decode(payload).map(_.px)
+            .getOrElse(decodeStub(payload, w.getOrElse(8), h.getOrElse(8)))
+          val nf = if (px.length >= win) (px.length - win) / hop + 1 else 0
+          (0 until nf).iterator.flatMap { f =>
+            val re = new Array[Double](win)
+            val im = new Array[Double](win)
+            var t = 0
+            while (t < win) { re(t) = px(f * hop + t).toDouble; t += 1 }
+            graft.kernels.Ncc.fft(re, im, invert = false)
+            (0 to win / 2).iterator.map(b =>
+              (id, f, b, math.sqrt(re(b) * re(b) + im(b) * im(b))))
+          }
+        }
+      }.toDF("media_id", "frame", "bin", "mag")
+  }
+
   /** [[extractFeatures]] with a nearest-neighbor resize between decode
     * and the grayscale stats — the fixed-raster normalization step of a
     * multimodal training pipeline (every input resized to (outW, outH)

@@ -237,6 +237,43 @@ class SvcMultimodalSpec extends AnyFunSuite {
     assert(r(1L) == 0) // too short: empty, not an exception
   }
 
+  test("spectrogram: pure tone concentrates in its bin; FFT matches naive DFT") {
+    import graft.sources.Multimodal
+    val n = 64
+    // quantized 2-cycles-per-window sinusoid in a real RIFF payload
+    val data = Array.tabulate(n)(t =>
+      (128 + math.round(100 * math.sin(2 * math.Pi * 2 * t / 16)).toInt).toByte)
+    val bb = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(8000).putShort(1).putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(n).put(data)
+    val media = Seq((7L, "audio", bb.array(),
+        (Option.empty[Int], Option.empty[Int], Option(8000), Option.empty[Int])))
+      .toDF("media_id", "kind", "payload", "m")
+      .select(col("media_id"), col("kind"), col("payload"),
+        struct(col("m._1").as("width"), col("m._2").as("height"),
+          col("m._3").as("sample_rate"), col("m._4").as("n_frames")).as("meta"))
+    val rows = Multimodal.spectrogram(media, win = 16, hop = 8)
+      .as[(Long, Int, Int, Double)].collect()
+    assert(rows.length == 7 * 9)
+    val frame0 = rows.filter(_._2 == 0).map(r => r._3 -> r._4).toMap
+    // energy sits in DC (mean 0.5 → |X_0| ≈ 8) and bin 2 (≈ 100/256·8)
+    assert(frame0(2) > 2.5 && frame0(2) < 3.5, s"bin2 ${frame0(2)}")
+    (1 to 8).filter(_ != 2).foreach(b =>
+      assert(frame0(b) < 0.2, s"leakage in bin $b: ${frame0(b)}"))
+    // FFT magnitudes equal the naive DFT of the decoded samples
+    val px = Array.tabulate(16)(t => (data(t) & 0xFF) / 256.0)
+    (0 to 8).foreach { b =>
+      val re = (0 until 16).map(t => px(t) * math.cos(2 * math.Pi * b * t / 16)).sum
+      val im = (0 until 16).map(t => px(t) * math.sin(2 * math.Pi * b * t / 16)).sum
+      assert(math.abs(frame0(b) - math.sqrt(re * re + im * im)) < 1e-12,
+        s"bin $b: fft ${frame0(b)} vs dft ${math.sqrt(re * re + im * im)}")
+    }
+  }
+
   test("kmeans model persistence round-trips centroids") {
     val df = (0 until 12).map(i =>
       (i.toLong, Array.tabulate(8)(t => (i / 6) * 10.0 + t)))

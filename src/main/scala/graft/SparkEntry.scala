@@ -834,6 +834,46 @@ object SparkEntry {
           round(col("feat")(2) * lit(n * 256)).cast("long").as("edge_sum"))
     }),
 
+    // Image near-dup by perceptual hash (Multimodal.dHash /
+    // dhashPairs): formula 16×16 PGM images through the REAL P5 byte
+    // parser, nearest-neighbor resize to 9×8, 64-bit difference hash,
+    // 4×16-bit pigeonhole bands (hamming ≤ 3 ⇒ a band matches) and
+    // exact bit_count(xor) on candidates. Images come in pairs
+    // (2k, 2k+1) differing in ONE pixel at a resize-sampled location,
+    // so each pair survives as a ≤2-bit near-dup; the scattered
+    // (v² mod 251) texture keeps unrelated hashes far apart. The
+    // oracle replays pixels, resize arithmetic, bit packing (top bit
+    // via the min-long literal — BIGINT can't shift 1<<63), bands and
+    // hamming.
+    "img_dhash_pairs" -> ((s, dir) => {
+      val mkPgm = udf((id: Long) => {
+        val base = id / 2
+        val header = "P5\n16 16\n255\n".getBytes("US-ASCII")
+        val data = new Array[Byte](256)
+        var r = 0
+        while (r < 16) {
+          var c = 0
+          while (c < 16) {
+            val v = (base * 37 + r * 19 + c * 7) % 251
+            var p = (v * v) % 251
+            if (id % 2 == 1 && r == 2 && c == 3) p = (p + 1) % 251
+            data(r * 16 + c) = p.toByte
+            c += 1
+          }
+          r += 1
+        }
+        header ++ data
+      })
+      val media = docs(s, dir).select(col("doc_id").cast("long"))
+        .where(col("doc_id") < 64)
+        .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+          mkPgm(col("doc_id")).as("payload"),
+          struct(lit(16).as("width"), lit(16).as("height"),
+            lit(null).cast("int").as("sample_rate"),
+            lit(null).cast("int").as("n_frames")).as("meta"))
+      graft.sources.Multimodal.dhashPairs(media, maxHamming = 3)
+    }),
+
     // Audio spectrogram (Multimodal.spectrogram): the same formula WAV
     // through the REAL RIFF decode, then framed radix-2 FFT magnitudes
     // (win=16, hop=8, 9 non-redundant bins). The oracle replays the
@@ -7277,6 +7317,57 @@ object SparkEntry {
         |FROM e GROUP BY 1""".stripMargin,
     // wav_audio_stats: formula replay, no decoder — mirrors
     // img_pixel_stats (unsigned 8-bit PCM ⇒ exact integer recovery).
+    // img_dhash_pairs: pixels, NN-resize index arithmetic, dHash bit
+    // packing, bands and hamming all replayed. The engine packs bit 63
+    // into a Long sign bit; BIGINT can't 1<<63, so the oracle adds the
+    // min-long literal instead.
+    "img_dhash_pairs" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+        |px AS (
+        |  SELECT i.doc_id, g.r, g.c,
+        |    (((i.doc_id // 2) * 37 + g.r * 19 + g.c * 7) % 251
+        |      * (((i.doc_id // 2) * 37 + g.r * 19 + g.c * 7) % 251) % 251
+        |      + CASE WHEN i.doc_id % 2 = 1 AND g.r = 2 AND g.c = 3
+        |             THEN 1 ELSE 0 END) % 251 AS p
+        |  FROM ids i,
+        |    (SELECT r.r, c.c
+        |     FROM (SELECT unnest(generate_series(0, 15)) AS r) r,
+        |          (SELECT unnest(generate_series(0, 15)) AS c) c) g
+        |), rs AS (
+        |  SELECT px.doc_id, yx.y, yx.x, px.p
+        |  FROM (SELECT y.y, x.x
+        |        FROM (SELECT unnest(generate_series(0, 7)) AS y) y,
+        |             (SELECT unnest(generate_series(0, 8)) AS x) x) yx
+        |  JOIN px ON px.r = yx.y * 2 AND px.c = LEAST(15, yx.x * 16 // 9)
+        |), bits AS (
+        |  SELECT a.doc_id, a.y * 8 + a.x AS idx,
+        |    CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS bit
+        |  FROM rs a JOIN rs b ON b.doc_id = a.doc_id AND b.y = a.y
+        |    AND b.x = a.x + 1
+        |  WHERE a.x < 8
+        |), hashes AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN bit = 1 AND idx < 63
+        |                  THEN CAST(1 AS BIGINT) << CAST(idx AS INT)
+        |                  ELSE 0 END) AS BIGINT)
+        |    + CASE WHEN max(CASE WHEN idx = 63 THEN bit ELSE 0 END) = 1
+        |           THEN -9223372036854775808 ELSE 0 END AS dhash
+        |  FROM bits GROUP BY 1
+        |), banded AS (
+        |  SELECT doc_id, dhash, b.band,
+        |    (dhash >> (b.band * 16)) & 65535 AS key
+        |  FROM hashes, (SELECT unnest(generate_series(0, 3)) AS band) b
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
+        |    a.dhash AS ha, b.dhash AS hb
+        |  FROM banded a
+        |  JOIN banded b ON b.band = a.band AND b.key = a.key
+        |    AND b.doc_id > a.doc_id
+        |)
+        |SELECT media_a, media_b,
+        |  CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
+
     // wav_spectrogram: same formula samples, unsigned-8-bit
     // normalization v/256 (exact), then the DFT as direct cos/sin
     // sums per (frame, bin) — the naive form of the engine's FFT.

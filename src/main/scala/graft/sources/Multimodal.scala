@@ -248,6 +248,66 @@ object Multimodal {
       }.toDF("media_id", "kind", "feat")
   }
 
+  /** 64-bit difference hash (dHash) per image — the standard
+    * perceptual near-dup signature: decode → nearest-neighbor resize
+    * to 9×8 → bit (y·8+x) set iff px(y, x+1) > px(y, x) (strict, so
+    * flat regions hash to 0s deterministically). One Long per image:
+    * robust to rescaling/re-encoding, and the 100 TB dedup input is a
+    * (media_id, BIGINT) relation — raw pixels never leave the decode
+    * task. */
+  def dHash(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col("media_id").cast("long"), col("kind"),
+      col("payload"), col("meta.width"), col("meta.height"))
+    rows.as[(Long, String, Array[Byte], Option[Int], Option[Int])]
+      .mapPartitions { it =>
+        it.map { case (id, _, payload, w, h) =>
+          val r = decode(payload).getOrElse {
+            val w0 = w.getOrElse(8); val h0 = h.getOrElse(8)
+            Raster(decodeStub(payload, w0, h0), w0, h0)
+          }
+          val g = resizeNearest(r, 9, 8)
+          var hash = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (g.px(y * 9 + x + 1) > g.px(y * 9 + x))
+                hash |= 1L << (y * 8 + x)
+              x += 1
+            }
+            y += 1
+          }
+          (id, hash)
+        }
+      }.toDF("media_id", "dhash")
+  }
+
+  /** Image near-dup pairs by pigeonhole banding of the dHash — the
+    * simhashPairs design on the image signature: 4 × 16-bit bands
+    * (hamming ≤ 3 ⇒ at least one band equal, so candidates are an
+    * equi-join on (band, key), never an all-pairs scan), exact hamming
+    * by bit_count(xor) on the survivors. */
+  def dhashPairs(df: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val hashed = dHash(df).localCheckpoint()
+    val banded = hashed.select(col("media_id"), col("dhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "key")))
+    banded.alias("a")
+      .join(banded.select(col("band"), col("key"),
+        col("media_id").as("media_b"), col("dhash").as("dhash_b")).alias("b"),
+        Seq("band", "key"))
+      .where(col("media_id") < col("media_b"))
+      .select(col("media_id").as("media_a"), col("media_b"),
+        col("dhash"), col("dhash_b"))
+      .distinct()
+      .select(col("media_a"), col("media_b"),
+        bit_count(col("dhash").bitwiseXOR(col("dhash_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Framed magnitude spectrogram over decoded PCM — the audio
     * feature-extraction step of a multimodal pipeline (what a
     * speech-data curation job computes before VAD / language-ID /

@@ -237,6 +237,37 @@ class SvcMultimodalSpec extends AnyFunSuite {
     assert(r(1L) == 0) // too short: empty, not an exception
   }
 
+  test("dHash: scale-invariant under 2x upscale; near-dup pairs found, unrelated not") {
+    import graft.sources.Multimodal
+    def pgm(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] =
+      s"P5\n$w $h\n255\n".getBytes("US-ASCII") ++
+        Array.tabulate(h * w)(i => f(i / w, i % w).toByte)
+    def base(r: Int, c: Int) = { val v = (r * 19 + c * 7) % 251; v * v % 251 }
+    def media(rows: Seq[(Long, Array[Byte], Int, Int)]) = rows
+      .toDF("media_id", "payload", "w", "h")
+      .select(col("media_id"), lit("image").as("kind"), col("payload"),
+        struct(col("w").as("width"), col("h").as("height"),
+          lit(null).cast("int").as("sample_rate"),
+          lit(null).cast("int").as("n_frames")).as("meta"))
+    // 2x nearest-neighbor upscale samples exactly the original pixels
+    val up = pgm(32, 32, (r, c) => base(r / 2, c / 2))
+    val hashes = Multimodal.dHash(media(Seq(
+        (0L, pgm(16, 16, base), 16, 16), (1L, up, 32, 32))))
+      .as[(Long, Long)].collect().toMap
+    assert(hashes(0L) == hashes(1L),
+      s"dHash not scale-invariant: ${hashes(0L)} vs ${hashes(1L)}")
+    // near-dup (one perturbed pixel at a sampled location) pairs;
+    // an unrelated texture does not
+    val pairs = Multimodal.dhashPairs(media(Seq(
+        (0L, pgm(16, 16, base), 16, 16),
+        (1L, pgm(16, 16, (r, c) =>
+          if (r == 2 && c == 3) (base(r, c) + 1) % 251 else base(r, c)), 16, 16),
+        (2L, pgm(16, 16, (r, c) => { val v = (r * 23 + c * 11 + 5) % 251; v * v % 251 }), 16, 16))))
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((0L, 1L)), s"pairs $pairs")
+    assert(pairs.head._3 <= 2, s"hamming ${pairs.head._3}")
+  }
+
   test("spectrogram: pure tone concentrates in its bin; FFT matches naive DFT") {
     import graft.sources.Multimodal
     val n = 64

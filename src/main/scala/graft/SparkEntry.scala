@@ -1270,6 +1270,37 @@ object SparkEntry {
       out
     }),
 
+    // The composed curation pipeline — the end-to-end shape a
+    // pretraining-data job actually runs, as ONE dataflow: PII
+    // injection (doc_pii_redact's formula) → the real redaction chain
+    // → a token-count quality floor → temperature (n^0.5) mixture
+    // sampling of the survivors → greedy context-window packing of
+    // the selected docs. Every stage feeds the next (redaction
+    // changes token counts, which move the floor, the mixture AND the
+    // pack fills), so a defect anywhere cascades into wrong packs.
+    "doc_pipeline_curate" -> ((s, dir) => {
+      val id = col("doc_id")
+      val aug = docs(s, dir).select(id, col("source"),
+        concat(col("text"),
+          lit(" contact user"), id.cast("string"), lit("@mail.example.com"),
+          when(id % 2 === 0,
+            concat(lit(" from 10."), (id % 256).cast("string"), lit("."),
+              ((id * 7 + 3) % 256).cast("string"), lit(".25")))
+            .otherwise(lit("")),
+          when(id % 3 === 0,
+            concat(lit(" call +1415555"),
+              lpad((id % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("text"))
+      val red = graft.operators.TextAnalysis.piiRedact(aug)
+        .select(id, col("source"), col("red").as("text"))
+      val floored = red.where(size(split(col("text"), " ")) >= 20)
+        .localCheckpoint()
+      val sel = graft.operators.TextAnalysis
+        .temperatureSample(floored, alpha = 0.5, budget = 200)
+      graft.operators.TextAnalysis.packSequences(
+        floored.join(sel.select("doc_id"), "doc_id"), ctxLen = 256)
+    }),
+
     // Temperature-based mixture sampling (TextAnalysis
     // .temperatureSample): source share ∝ n_s^α — the mT5/XLM
     // α-sampling rule. Targets on the per-source aggregate relation,
@@ -7937,6 +7968,70 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS text_md5, lang, source FROM documents""",
     "doc_orc_roundtrip" ->
       """SELECT doc_id, md5(text) AS text_md5, lang, source FROM documents""",
+
+    // doc_pipeline_curate: the whole composed pipeline replayed —
+    // injection, redaction chain, floor, temperature targets/ranks
+    // over the SURVIVORS, recursive per-source pack walk over the
+    // SELECTED docs with redacted token counts.
+    "doc_pipeline_curate" -> {
+      val em = graft.operators.TextAnalysis.piiEmailRe
+      val ip = graft.operators.TextAnalysis.piiIpv4Re
+      val ph = graft.operators.TextAnalysis.piiPhoneRe
+      s"""WITH RECURSIVE aug AS (
+         |  SELECT doc_id, source,
+         |    text || ' contact user' || doc_id || '@mail.example.com' ||
+         |    CASE WHEN doc_id % 2 = 0
+         |      THEN ' from 10.' || (doc_id % 256) || '.' || ((doc_id * 7 + 3) % 256) || '.25'
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN ' call +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      ELSE '' END AS text
+         |  FROM documents
+         |), red AS (
+         |  SELECT doc_id, source,
+         |    regexp_replace(regexp_replace(regexp_replace(
+         |      text, '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+         |      '$ph', '<PHONE>', 'g') AS text
+         |  FROM aug
+         |), fl AS (
+         |  SELECT * FROM red WHERE len(string_split(text, ' ')) >= 20
+         |), counts AS (
+         |  SELECT source, count(*) AS n FROM fl GROUP BY 1
+         |), targets AS (
+         |  SELECT source,
+         |    LEAST(n, CAST(floor(round(
+         |      200.0 * power(CAST(n AS DOUBLE), 0.5) /
+         |        (SELECT sum(power(CAST(n AS DOUBLE), 0.5)) FROM counts),
+         |      6)) AS BIGINT)) AS t
+         |  FROM counts
+         |), sel AS (
+         |  SELECT doc_id, source, text,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+         |  FROM fl
+         |), keep AS (
+         |  SELECT s.doc_id, s.source, s.text
+         |  FROM sel s JOIN targets tg USING (source)
+         |  WHERE s.rank <= tg.t
+         |), t AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tk,
+         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |  FROM keep
+         |), p AS (
+         |  SELECT source, doc_id, tk, rn,
+         |    CAST(0 AS BIGINT) AS pack_seq, CAST(0 AS BIGINT) AS token_offset
+         |  FROM t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.source, t.doc_id, t.tk, t.rn,
+         |    CASE WHEN p.token_offset + p.tk + t.tk <= 256
+         |      THEN p.pack_seq ELSE p.pack_seq + 1 END,
+         |    CASE WHEN p.token_offset + p.tk + t.tk <= 256
+         |      THEN p.token_offset + p.tk ELSE CAST(0 AS BIGINT) END
+         |  FROM t JOIN p ON t.source = p.source AND t.rn = p.rn + 1
+         |)
+         |SELECT source, doc_id, tk, pack_seq, token_offset FROM p""".stripMargin
+    },
 
     // doc_sample_temperature: targets and ranks replayed — same
     // n_s^α shares, same 1e-6 rounding before the floor, same md5

@@ -2998,6 +2998,19 @@ object SparkEntry {
           (round(col("pc2"), 6) + lit(0.0)).as("pc2"))
     }),
 
+    // Whitened projection: each component scaled to unit variance
+    // (÷√λ_c) — the normalization before cosine ANN / OPQ. λ is the
+    // per-component Rayleigh value over the (deflated) covariance,
+    // replayed in the oracle.
+    "emb_pca_whiten" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val model = graft.operators.Pca.fit(e, k = 2, steps = 60)
+      graft.operators.Pca.project(e, model, whiten = true)
+        .select(col("vec_id"),
+          (round(col("pc1"), 6) + lit(0.0)).as("pc1"),
+          (round(col("pc2"), 6) + lit(0.0)).as("pc2"))
+    }),
+
     "emb_semdedup" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("values"))
@@ -5743,7 +5756,8 @@ object SparkEntry {
     * matvec + ℓ2-normalize per step, zero-norm keeps the previous
     * iterate), Rayleigh eigenvalue, sums·v sign fix, Hotelling
     * deflation between components, and the centered projection. */
-  private def pcaProjectOracleSql(d: Int, steps: Int): String = {
+  private def pcaProjectOracleSql(d: Int, steps: Int,
+                                  whiten: Boolean = false): String = {
     val c0 = (d - 1) / 2.0
     var n2 = 0.0
     var jj = 0
@@ -5804,10 +5818,18 @@ object SparkEntry {
          |  FROM mu JOIN p2_$steps p USING (j)
          |), v2 AS MATERIALIZED (
          |  SELECT p.j, p.v * (SELECT s FROM sg2) AS v FROM p2_$steps p
+         |), lam2 AS (
+         |  SELECT sum(c.c * pa.v * pb.v) AS l
+         |  FROM cv2 c JOIN p2_$steps pa ON pa.j = c.i
+         |  JOIN p2_$steps pb ON pb.j = c.j
          |)
          |SELECT x.vec_id,
-         |  round(sum((x.v - mu.m) * v1.v), 6) + 0.0 AS pc1,
-         |  round(sum((x.v - mu.m) * v2.v), 6) + 0.0 AS pc2
+         |  round(sum((x.v - mu.m) * v1.v)${
+             if (whiten) " / sqrt((SELECT l FROM lam1))" else ""
+           }, 6) + 0.0 AS pc1,
+         |  round(sum((x.v - mu.m) * v2.v)${
+             if (whiten) " / sqrt((SELECT l FROM lam2))" else ""
+           }, 6) + 0.0 AS pc2
          |FROM x
          |JOIN mu ON mu.j = x.j
          |JOIN v1 ON v1.j = x.j
@@ -8952,6 +8974,8 @@ object SparkEntry {
     // emb_semdedup: cluster assignment (the emb_kmeans_assign chain),
     // within-cluster lower-id cosine rule replayed directly.
     "emb_pca_project" -> pcaProjectOracleSql(64, 60),
+
+    "emb_pca_whiten" -> pcaProjectOracleSql(64, 60, whiten = true),
 
     // emb_pca_moments: raw moment relation — upper-triangle products,
     // dim sums (j = −1), count (−1, −1).

@@ -137,16 +137,19 @@ object Pca {
   }
 
   /** Project `vecCol` onto the fitted components as codegen'd
-    * broadcast-literal expressions — pc_c = Σ_j (x_j − μ_j) v_cj.
-    * Map-only: pipelines into whatever scan feeds it. */
-  def project(df: DataFrame, model: Model, vecCol: String = "embedding")
-      : DataFrame = {
+    * broadcast-literal expressions — pc_c = Σ_j (x_j − μ_j) v_cj,
+    * divided by √λ_c when `whiten` (unit variance per component — the
+    * standard normalization before cosine ANN / OPQ). Map-only:
+    * pipelines into whatever scan feeds it. */
+  def project(df: DataFrame, model: Model, vecCol: String = "embedding",
+              whiten: Boolean = false): DataFrame = {
     val cen = zip_with(col(vecCol), typedLit(model.mean),
       (x, m) => x.cast("double") - m)
     model.comps.zipWithIndex.foldLeft(df) { case (acc, (v, c)) =>
+      val proj = aggregate(zip_with(cen, typedLit(v.toSeq), (a, b) => a * b),
+        lit(0.0), (s, x) => s + x)
       acc.withColumn(s"pc${c + 1}",
-        aggregate(zip_with(cen, typedLit(v.toSeq), (a, b) => a * b),
-          lit(0.0), (s, x) => s + x))
+        if (whiten) proj / math.sqrt(model.eigs(c)) else proj)
     }
   }
 }

@@ -69,6 +69,12 @@ class PcaSpec extends AnyFunSuite {
       .as[(Double, Double)].head()
     assert(math.abs(proj._1) < 1e-6 && math.abs(proj._2) < 1e-6,
       s"projections not centered: $proj")
+    // whitened components have unit population variance (= λ/λ)
+    val wv = Pca.project(df, a, whiten = true)
+      .agg(avg(col("pc1") * col("pc1")), avg(col("pc2") * col("pc2")))
+      .as[(Double, Double)].head()
+    assert(math.abs(wv._1 - 1.0) < 1e-6 && math.abs(wv._2 - 1.0) < 1e-6,
+      s"whitened variance not 1: $wv")
   }
 
   test("projection is map-only: no exchange, no UDF") {

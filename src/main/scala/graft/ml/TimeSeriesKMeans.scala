@@ -301,6 +301,9 @@ object TimeSeriesKMeans {
       chosen += bestId
       trace += ((rr, bestId, bestPot))
     }
+    // the warped-metric path caches the per-id arrays for its k·(L+1)
+    // passes; release them now that the trace is materialized
+    if (metric != "euclidean") series.unpersist()
     trace.toSeq.toDF("round", "center_id", "pot")
   }
 

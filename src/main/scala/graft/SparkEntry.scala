@@ -721,6 +721,14 @@ object SparkEntry {
     "doc_span_dedup" -> ((s, dir) =>
       graft.operators.TextAnalysis.spanDedup(docs(s, dir), spanTokens = 10)),
 
+    // Exact-substring dedup (Lee et al. 2022): sliding 8-token grams,
+    // every repeated occurrence after the globally first is removed,
+    // overlapping removals merge into spans, texts reassembled from the
+    // surviving tokens. The stride-1 twin of doc_span_dedup — catches
+    // duplicated text at any alignment.
+    "doc_substring_dedup" -> ((s, dir) =>
+      graft.operators.TextAnalysis.substringDedup(docs(s, dir), k = 8)),
+
     "doc_tokens_bpe" -> ((s, dir) => {
       import graft.operators.TextAnalysis._
       docs(s, dir).select(col("doc_id"), bpeishTokenCount(col("text")).as("n_bpe"))
@@ -1419,6 +1427,26 @@ object SparkEntry {
         .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
     }),
 
+    // Quality-aware near-dup collapse: the step AFTER clustering — each
+    // near-dup cluster keeps its best-quality member (ties broken by
+    // doc_id), everything else is dropped. The representative choice is
+    // a per-cluster window over the quality score; cluster sizes are
+    // bounded by the near-dup cliques themselves, so the window never
+    // sees corpus-scale partitions at any data size.
+    "doc_dedup_keep_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = graft.operators.Dedup.minhashLsh(d, threshold = 0.35, portable = true)
+      val comps = graft.operators.Dedup.connectedComponents(pairs)
+      val q = d.select(col("doc_id"),
+        graft.operators.TextAnalysis.qualityScore(col("text")).as("quality"))
+      val withC = q.join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"), col("quality"))
+      val w = Window.partitionBy("cluster")
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      withC.withColumn("keep", (row_number().over(w) === 1).cast("int"))
+    }),
+
     "doc_simhash" -> ((s, dir) => {
       graft.operators.Dedup.simhash(docs(s, dir), portable = true)
     }),
@@ -1915,6 +1943,36 @@ object SparkEntry {
         .join(series.alias("b"), col("b.user_id") === col("a.user_id") + 1)
         .select(col("a.user_id").as("user_id"),
           round(TsFunctions.dtwMvUdf(col("a.mv"), col("b.mv")), 4).as("dtw_mv"))
+    }),
+
+    // sklearn flat cast as driver signal — to_sklearn_dataset
+    // (`cast.py:15-56`): the (sz, d) nested series flattened time-major
+    // to one sz·d vector, AND the inverse cast back to (sz, d). Every
+    // flat cell is emitted at its flat index alongside the value the
+    // inverse restores at (idx/d, idx%d) — a wrong flatten order or a
+    // broken inverse breaks the idx↔(t, channel) correspondence the
+    // oracle computes arithmetically. Same d=2 series construction as
+    // ts_dtw_mv_pairs (value + inter-arrival channels, resample-znorm
+    // to 16).
+    "ts_sklearn_cast" -> ((s, dir) => {
+      val sorted = ev(s, dir).groupBy("user_id").agg(
+        array_sort(collect_list(struct(col("ts_us"), col("event_id"), col("value")))).as("sv"))
+      val series = sorted.select(col("user_id"),
+          TsFunctions.resampleZnormUdf(expr("transform(sv, e -> e.value)"), lit(16)).as("x"),
+          TsFunctions.resampleZnormUdf(
+            expr("transform(sv, (e, i) -> CASE WHEN i = 0 THEN CAST(0 AS DOUBLE) " +
+              "ELSE CAST(e.ts_us - sv[i-1].ts_us AS DOUBLE) END)"),
+            lit(16)).as("y"))
+        .select(col("user_id"), zip_with(col("x"), col("y"), (a, b) => array(a, b)).as("mv"))
+      series
+        .select(col("user_id"), TSModel.toSklearnFlat(col("mv")).as("flat"))
+        .withColumn("rest", TSModel.fromSklearnFlat(col("flat"), 2))
+        .select(col("user_id"), col("rest"), posexplode(col("flat")).as(Seq("idx", "vf")))
+        .select(col("user_id"), col("idx"),
+          round(col("vf"), 4).as("v_flat"),
+          round(element_at(element_at(col("rest"),
+            (col("idx") / 2).cast("int") + 1), (col("idx") % 2).cast("int") + 1), 4)
+            .as("v_restored"))
     }),
 
     // ---------------- kernel-DP metrics with full SQL oracles --------
@@ -2835,6 +2893,23 @@ object SparkEntry {
           (round(col("score"), 4) + lit(0.0)).as("score"))
     }),
 
+    // TF-IDF cosine retrieval — the vector-space twin of doc_bm25_topk
+    // over the SAME derived query set (top-6 corpus unigrams split into
+    // two 3-term queries): cosine over tf·ln(N/df) weights, full
+    // per-doc norms, k-slot TopK.
+    "doc_tfidf_topk" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val top6 = d.select(explode(split(lower(col("text")), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("term")).limit(6).collect().map(_.getString(0))
+      val qdf = Seq((0L, top6.slice(0, 3).toSeq), (1L, top6.slice(3, 6).toSeq))
+        .toDF("query_id", "terms")
+      graft.operators.TextAnalysis.tfIdfTopK(d, qdf, k = 5)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          (round(col("score"), 4) + lit(0.0)).as("score"))
+    }),
+
     // Count-min-sketch heavy hitters (TextAnalysis.cmsSketch /
     // cmsEstimate): the d×w sketch relation is 256 rows at ANY corpus
     // size; estimates of the exact top-10 unigrams emitted next to
@@ -3248,6 +3323,48 @@ object SparkEntry {
         |  FROM reach JOIN e ON e.a = reach.r
         |)
         |SELECT doc AS doc_id, min(r) AS cluster FROM reach GROUP BY 1""".stripMargin
+  }
+
+  /** DuckDB oracle for doc_dedup_keep_best: the doc_dedup_clusters
+    * closure joined to the doc_quality formula, representative = rank 1
+    * of (quality DESC, doc_id) within each cluster. */
+  private def dedupKeepBestOracleSql: String = {
+    val pairsSql = minhashOracleSql
+    val prefix = pairsSql.substring(0, pairsSql.lastIndexOf("SELECT doc_a"))
+    prefix.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      """, e AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM cand WHERE m / 64.0 >= 0.35
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM cand WHERE m / 64.0 >= 0.35
+        |), reach AS (
+        |  SELECT doc_id AS doc, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT reach.doc, e.b AS r
+        |  FROM reach JOIN e ON e.a = reach.r
+        |), comp AS (
+        |  SELECT doc AS doc_id, min(r) AS cluster FROM reach GROUP BY 1
+        |), qf AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS punct,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS sw
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id, round((
+        |    (CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 1.0
+        |          WHEN n_tok BETWEEN 5 AND 19 THEN 0.5 ELSE 0.0 END) +
+        |    (CASE WHEN punct <= 0.1 THEN 1.0 WHEN punct <= 0.3 THEN 0.5 ELSE 0.0 END) +
+        |    (CASE WHEN sw > 0.02 THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality
+        |  FROM qf
+        |)
+        |SELECT c.doc_id, c.cluster, q.quality,
+        |  CAST(CASE WHEN row_number() OVER (
+        |    PARTITION BY c.cluster ORDER BY q.quality DESC, c.doc_id) = 1
+        |    THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM comp c JOIN q USING (doc_id)""".stripMargin
   }
 
   /** DuckDB oracle for doc_simhash: same 60-bit md5 word hash, same
@@ -7537,6 +7654,18 @@ object SparkEntry {
         |FROM e GROUP BY 1""".stripMargin,
 
     "ts_dtw_mv_pairs" -> mvDtwOracleSql(16),
+
+    // ts_sklearn_cast: the time-major flat index is pure arithmetic —
+    // idx = d·t + channel — over the same two resampled-znormed
+    // channels the mv queries replay; flat and restored values are the
+    // same cell by construction, so a flatten-order or inverse bug in
+    // the engine shows up as an idx mismatch here.
+    "ts_sklearn_cast" -> (mvChannelsCte(16) +
+      """
+        |SELECT user_id, CAST(2 * r.j + ch.c AS INT) AS idx,
+        |  round(CASE WHEN ch.c = 0 THEN r.x ELSE r.y END, 4) + 0.0 AS v_flat,
+        |  round(CASE WHEN ch.c = 0 THEN r.x ELSE r.y END, 4) + 0.0 AS v_restored
+        |FROM r, (SELECT unnest([0, 1]) AS c) ch""".stripMargin),
     "ts_dtw_ragged_pairs" -> raggedDtwOracleSql(128),
     "ts_ctw_pairs" -> ctwTraceSql(16, 3),
     "ts_ctw_ragged_pairs" -> ctwRaggedTraceSql(3),
@@ -7603,6 +7732,45 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY score DESC, doc_id) AS rank
         |  FROM sc
+        |)
+        |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+        |  round(score, 4) + 0.0 AS score
+        |FROM rk WHERE rank <= 5""".stripMargin,
+
+    // doc_tfidf_topk: tf·ln(N/df) weights, per-doc norms over the FULL
+    // vocabulary, cosine against the two derived 3-term queries.
+    "doc_tfidf_topk" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |tall AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        |tc AS (SELECT term, count(*) AS c FROM tall GROUP BY 1),
+        |top6 AS (
+        |  SELECT term, rk FROM (
+        |    SELECT term, row_number() OVER (ORDER BY c DESC, term) AS rk FROM tc)
+        |  WHERE rk <= 6
+        |), qt AS (
+        |  SELECT CAST(CASE WHEN rk <= 3 THEN 0 ELSE 1 END AS BIGINT) AS query_id, term
+        |  FROM top6
+        |), stats AS (SELECT count(*) AS n FROM w),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tall GROUP BY 1, 2),
+        |idf AS (
+        |  SELECT term, ln(CAST(s.n AS DOUBLE) / count(*)) AS idf
+        |  FROM tf, stats s GROUP BY term, s.n
+        |), nrm AS (
+        |  SELECT doc_id, sqrt(sum(tf.tf * idf.idf * tf.tf * idf.idf)) AS dn
+        |  FROM tf JOIN idf USING (term) GROUP BY 1
+        |), qn AS (
+        |  SELECT query_id, sqrt(sum(idf.idf * idf.idf)) AS qn
+        |  FROM qt JOIN idf USING (term) GROUP BY 1
+        |), sc AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    sum(tf.tf * idf.idf * idf.idf) AS dot
+        |  FROM tf JOIN qt USING (term) JOIN idf USING (term)
+        |  GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT sc.query_id, sc.doc_id, sc.dot / (nrm.dn * qn.qn) AS score,
+        |    row_number() OVER (PARTITION BY sc.query_id
+        |      ORDER BY sc.dot / (nrm.dn * qn.qn) DESC, sc.doc_id) AS rank
+        |  FROM sc JOIN nrm USING (doc_id) JOIN qn USING (query_id)
         |)
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  round(score, 4) + 0.0 AS score
@@ -7942,6 +8110,7 @@ object SparkEntry {
     "doc_quality_model_step" -> qualityStepOracleSql,
     "ml_persistence_roundtrip" -> persistenceRoundtripOracleSql,
     "doc_dedup_clusters" -> dedupClustersOracleSql,
+    "doc_dedup_keep_best" -> dedupKeepBestOracleSql,
     "doc_ngram_topk" ->
       """WITH words AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
@@ -8945,6 +9114,53 @@ object SparkEntry {
         |)
         |SELECT b.doc_id, b.n_spans,
         |  b.n_spans - coalesce(a.n_kept, 0) AS n_removed,
+        |  md5(coalesce(a.t, '')) AS text_md5
+        |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // doc_substring_dedup: sliding 8-gram occurrences ranked globally
+    // per gram ((doc_id, pos) order); every rank>1 occurrence is an
+    // interval, intervals union per doc via the running-max-end island
+    // rule, kept tokens reassembled in position order.
+    "doc_substring_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tokpos AS (
+        |  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS p FROM w
+        |), tok AS (
+        |  SELECT doc_id, p, ws[p] AS wd FROM tokpos
+        |), gr AS (
+        |  SELECT doc_id, p AS pos, array_to_string(ws[p : p + 7], ' ') AS gram
+        |  FROM tokpos WHERE p <= len(ws) - 7
+        |), dup AS (
+        |  SELECT doc_id, pos AS s, pos + 7 AS e FROM (
+        |    SELECT doc_id, pos,
+        |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |    FROM gr)
+        |  WHERE rn > 1
+        |), isl0 AS (
+        |  SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM dup
+        |), isl AS (
+        |  SELECT doc_id, s, e,
+        |    sum(CASE WHEN s > coalesce(pm, -1) THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s) AS island
+        |  FROM isl0
+        |), cov AS (
+        |  SELECT doc_id, unnest(generate_series(min_s, max_e)) AS p
+        |  FROM (SELECT doc_id, island, min(s) AS min_s, max(e) AS max_e
+        |        FROM isl GROUP BY 1, 2)
+        |), keptT AS (
+        |  SELECT t.doc_id, t.p, t.wd
+        |  FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+        |  WHERE c.p IS NULL
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(wd, ' ' ORDER BY p) AS t
+        |  FROM keptT GROUP BY 1
+        |), base AS (SELECT doc_id, len(ws) AS n_tokens FROM w)
+        |SELECT b.doc_id, b.n_tokens,
+        |  b.n_tokens - coalesce(a.n_kept, 0) AS n_removed,
         |  md5(coalesce(a.t, '')) AS text_md5
         |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin,
 

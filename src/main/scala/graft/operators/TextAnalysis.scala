@@ -303,6 +303,71 @@ object TextAnalysis {
         md5(coalesce(col("text_dedup"), lit("")).cast("binary")).as("text_md5"))
   }
 
+  /** Exact-substring deduplication — the sliding-window flavor of
+    * cross-document dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): any token k-gram occurring more than
+    * once in the corpus is removed from every occurrence EXCEPT the
+    * globally first ((doc_id, pos)-minimal) one; overlapping removed
+    * grams merge into maximal spans, and each doc is reassembled from its
+    * surviving tokens. Unlike [[spanDedup]]'s C4 tumbling windows, the
+    * k-grams here slide (stride 1), so duplicated text is caught at ANY
+    * alignment, not only on span boundaries.
+    *
+    * Scale shape: the occurrence relation is one row per token (the
+    * corpus itself — never pair space); the keeper per gram is a
+    * map-side-combined min(struct) aggregation (skew-immune: a hot gram
+    * reduces to one row per map task), then one equi-join back; interval
+    * merge and reassembly are per-doc windows. At
+    * 100 TB the gram key would be a 128-bit hash of the k-gram instead
+    * of the string (collision odds ~0, shuffle bytes ~constant per
+    * token); here the string itself keeps the DuckDB oracle exact.
+    * Output: (doc_id, n_tokens, n_removed, text_md5). */
+  def substringDedup(docs: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = split(col("text"), " ")
+    val toks = docs.select(col("doc_id"), posexplode(ws).as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("w"))
+    // 1-based start positions; docs shorter than k emit no grams
+    val grams = docs.where(size(ws) >= k)
+      .select(col("doc_id"), posexplode(
+          transform(sequence(lit(1), size(ws) - (k - 1)),
+            i => array_join(slice(ws, i, lit(k)), " ")))
+        .as(Seq("g0", "gram")))
+      .select(col("doc_id"), (col("g0") + 1).as("pos"), col("gram"))
+    // keeper = (doc_id, pos)-minimal occurrence. A rank window over the
+    // gram key would sort every occurrence of a hot gram in one task; the
+    // min(struct) aggregation is map-side combined, so a gram occurring
+    // in 30 % of the corpus (the zipf campaign's hot shingle) still
+    // reduces to ONE keeper row before the join.
+    val keepers = grams.groupBy("gram")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("kp"))
+    val dups = grams.join(keepers, "gram")
+      .where(!(col("doc_id") === col("kp.doc_id") && col("pos") === col("kp.pos")))
+      .select(col("doc_id"), col("pos").as("s"), (col("pos") + (k - 1)).as("e"))
+    // classic interval union: a removal starts a new island iff it begins
+    // past the running max end of everything before it
+    val wD = Window.partitionBy("doc_id").orderBy(col("s").asc)
+    val islands = dups
+      .withColumn("pm", max(col("e")).over(wD.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("island", sum(
+          when(col("s") > coalesce(col("pm"), lit(-1)), 1).otherwise(0))
+        .over(wD.rowsBetween(Window.unboundedPreceding, 0)))
+    val covered = islands.groupBy("doc_id", "island")
+      .agg(min("s").as("s"), max("e").as("e"))
+      .select(col("doc_id"), explode(sequence(col("s"), col("e"))).as("p"))
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("w")))),
+          x => x.getField("w")), " ").as("t"))
+    docs.select(col("doc_id"), size(ws).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        md5(coalesce(col("t"), lit("")).cast("binary")).as("text_md5"))
+  }
+
   /** Greedy sequence packing — the step between the cleaned corpus and
     * the trainer: concatenate documents into fixed-size context windows
     * so the token stream has minimal padding. Packing domain = `source`
@@ -462,6 +527,46 @@ object TextAnalysis {
           (col("tf") * (k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)))).as("s"))
       .groupBy("query_id", "doc_id").agg(sum("s").as("score"))
+    TopK.byKey(scored.select(col("query_id"), col("doc_id"),
+        negate(col("score")).as("ns")), k, "query_id", "doc_id", "ns")
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        negate(col("ns")).as("score"))
+  }
+
+  /** TF-IDF cosine retrieval of the top-k docs per query — the
+    * vector-space twin of [[bm25TopK]]: w(d,t) = tf·idf with
+    * idf = ln(N/df), score(q,d) = Σ_{t∈q} w(d,t)·idf(t) / (‖d‖·‖q‖).
+    * Unlike BM25 the denominator needs each doc's FULL tf-idf norm —
+    * over the doc's whole vocabulary, not just the query terms — so
+    * there is one extra corpus-scale aggregation; it is
+    * map-side-combinable and produces exactly one row per doc.
+    *
+    * Scale shape otherwise identical to BM25: query terms broadcast,
+    * the scoring relation is pruned to docs sharing a query term
+    * before any shuffle, df/idf live on the vocabulary-bounded
+    * relation, and the final per-query top-k is TopK.byKey's k-slot
+    * buffer. `queries`: (query_id LONG, terms ARRAY<STRING>). */
+  def tfIdfTopK(docs: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    val words = docs.select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+    val nDocs = words.count()
+    // (doc, term, tf): feeds df, the doc norms, and the scoring join
+    val tf = words.select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .select(col("term"), log(lit(nDocs.toDouble) / col("df")).as("idf"))
+    val norms = tf.join(dfreq, "term")
+      .groupBy("doc_id")
+      .agg(sqrt(sum(col("tf") * col("idf") * col("tf") * col("idf"))).as("dn"))
+    val qt = queries.select(col("query_id"), explode(col("terms")).as("term")).distinct()
+    val qw = qt.join(dfreq, "term") // query weight = 1·idf per distinct term
+    val qnorm = qw.groupBy("query_id").agg(sqrt(sum(col("idf") * col("idf"))).as("qn"))
+    val scored = tf.join(broadcast(qw), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("tf") * col("idf") * col("idf")).as("dot"))
+      .join(norms, "doc_id").join(broadcast(qnorm), "query_id")
+      .select(col("query_id"), col("doc_id"),
+        (col("dot") / (col("dn") * col("qn"))).as("score"))
     TopK.byKey(scored.select(col("query_id"), col("doc_id"),
         negate(col("score")).as("ns")), k, "query_id", "doc_id", "ns")
       .select(col("query_id"), col("rank"), col("doc_id"),

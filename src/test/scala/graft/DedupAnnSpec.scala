@@ -390,6 +390,77 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(agg._1 > 0 && agg._2 >= 0 && agg._2 < agg._1)
   }
 
+  test("substring dedup: sliding grams, overlap merge, global keeper") {
+    import graft.operators.TextAnalysis
+    def m(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    // k=3 grams. Doc 1 holds the first occurrence of everything it
+    // contains. Doc 2 repeats "a b c d" (grams "a b c" and "b c d", both
+    // rank>1) -> positions 1..4 covered by the MERGED [1,3]∪[2,4] span;
+    // its tail "z w" survives. Doc 3 is shorter than k -> untouched even
+    // though "a b" also appears elsewhere. Doc 4 duplicates doc 1's tail
+    // "c d e" at a DIFFERENT alignment (positions 2..4) -> caught (the
+    // tumbling spanDedup would miss this).
+    val docsDf = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d z w"),
+      (3L, "a b"),
+      (4L, "q c d e")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.substringDedup(docsDf, k = 3)
+      .select("doc_id", "n_tokens", "n_removed", "text_md5")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 5L, 0L, m("a b c d e"))))
+    assert(got(1) == ((2L, 6L, 4L, m("z w"))))
+    assert(got(2) == ((3L, 2L, 0L, m("a b"))))
+    assert(got(3) == ((4L, 4L, 3L, m("q"))))
+    // real corpus: tokens conserved, some removal, never more than total
+    val real = TextAnalysis.substringDedup(
+      spark.read.parquet(s"$sf/documents.parquet"), k = 8)
+    val agg = real.agg(sum("n_tokens"), sum("n_removed")).as[(Long, Long)].head
+    assert(agg._1 > 0 && agg._2 >= 0 && agg._2 < agg._1)
+  }
+
+  test("tf-idf cosine retrieval: hand-computed ranking on a 3-doc corpus") {
+    import graft.operators.TextAnalysis
+    // df(apple)=df(banana)=df(cherry)=2, so idf=ln(3/2) for all terms and
+    // it cancels in the cosine: score(d) = dot/(|d||q|) with unit-idf
+    // vectors. d1=(2,1,0): 2/sqrt(5); d2=(1,0,1): 1/sqrt(2); d3 lacks
+    // 'apple' entirely.
+    val docsDf = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana cherry cherry")
+    ).toDF("doc_id", "text")
+    val q = Seq((0L, Seq("apple"))).toDF("query_id", "terms")
+    val got = TextAnalysis.tfIdfTopK(docsDf, q, k = 5)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    assert(got.map(r => (r._2, r._3)).toSeq == Seq((1, 1L), (2, 2L)))
+    assert(math.abs(got(0)._4 - 2.0 / math.sqrt(5)) < 1e-12)
+    assert(math.abs(got(1)._4 - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("dedup keep-best: one keeper per cluster, keeper is max-quality") {
+    val res = SparkEntry.queries("doc_dedup_keep_best")(spark, sf)
+      .select("doc_id", "cluster", "quality", "keep")
+      .as[(Long, Long, Double, Int)].collect()
+    val byCluster = res.groupBy(_._2)
+    assert(byCluster.values.forall(_.count(_._4 == 1) == 1),
+      "exactly one keeper per cluster")
+    byCluster.values.foreach { members =>
+      val keeper = members.find(_._4 == 1).get
+      val best = members.map(_._3).max
+      assert(keeper._3 == best, "keeper has the cluster's max quality")
+      // ties break toward the smallest doc_id among max-quality members
+      assert(keeper._1 == members.filter(_._3 == best).map(_._1).min)
+    }
+    // every doc appears exactly once
+    assert(res.map(_._1).distinct.length == res.length)
+  }
+
   test("sequence packing: greedy fill, oversize isolation, partition independence") {
     import graft.operators.TextAnalysis
     def doc(id: Long, src: String, tk: Int) = (id, src, Seq.fill(tk)("w").mkString(" "))

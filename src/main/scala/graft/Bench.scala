@@ -109,8 +109,22 @@ object Bench {
     // parsed:null). Persist the full record to a file, print it for
     // humans, then print a COMPACT line LAST — top slowest queries +
     // error details — sized to fit entirely inside the tail window.
-    scala.util.Try(java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), fullLine + "\n"))
+    // Dirty-overwrite guard: three rounds running, an end-of-round bench
+    // on a loaded box clobbered the committed clean canonical record. A
+    // load-warned run never overwrites a clean BENCH_LOCAL.json — it is
+    // diverted to BENCH_LOCAL_DIRTY.json, keeping the clean record the
+    // regression-tracking denominator.
+    val target = {
+      val canon = java.nio.file.Paths.get("BENCH_LOCAL.json")
+      val cleanOnDisk = scala.util.Try(java.nio.file.Files.readString(canon))
+        .toOption.exists(_.contains("\"load_warning\":false"))
+      if (loadWarn && cleanOnDisk) {
+        System.err.println("[bench] load-warned run NOT overwriting clean " +
+          "BENCH_LOCAL.json; writing BENCH_LOCAL_DIRTY.json instead")
+        java.nio.file.Paths.get("BENCH_LOCAL_DIRTY.json")
+      } else canon
+    }
+    scala.util.Try(java.nio.file.Files.writeString(target, fullLine + "\n"))
     println(fullLine)
     val slow = results.toSeq.filterNot(_._2._1.isInfinity)
       .sortBy(-_._2._1).take(12)

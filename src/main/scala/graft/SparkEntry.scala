@@ -1969,10 +1969,10 @@ object SparkEntry {
         .withColumn("rest", TSModel.fromSklearnFlat(col("flat"), 2))
         .select(col("user_id"), col("rest"), posexplode(col("flat")).as(Seq("idx", "vf")))
         .select(col("user_id"), col("idx"),
-          round(col("vf"), 4).as("v_flat"),
-          round(element_at(element_at(col("rest"),
+          (round(col("vf"), 4) + lit(0.0)).as("v_flat"),
+          (round(element_at(element_at(col("rest"),
             (col("idx") / 2).cast("int") + 1), (col("idx") % 2).cast("int") + 1), 4)
-            .as("v_restored"))
+            + lit(0.0)).as("v_restored"))
     }),
 
     // ---------------- kernel-DP metrics with full SQL oracles --------
@@ -7767,10 +7767,12 @@ object SparkEntry {
         |  FROM tf JOIN qt USING (term) JOIN idf USING (term)
         |  GROUP BY 1, 2
         |), rk AS (
-        |  SELECT sc.query_id, sc.doc_id, sc.dot / (nrm.dn * qn.qn) AS score,
+        |  SELECT sc.query_id, sc.doc_id,
+        |    round(sc.dot / (nrm.dn * qn.qn), 4) AS score,
         |    row_number() OVER (PARTITION BY sc.query_id
-        |      ORDER BY sc.dot / (nrm.dn * qn.qn) DESC, sc.doc_id) AS rank
+        |      ORDER BY round(sc.dot / (nrm.dn * qn.qn), 4) DESC, sc.doc_id) AS rank
         |  FROM sc JOIN nrm USING (doc_id) JOIN qn USING (query_id)
+        |  WHERE nrm.dn > 0
         |)
         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
         |  round(score, 4) + 0.0 AS score

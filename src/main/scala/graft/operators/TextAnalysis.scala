@@ -338,11 +338,16 @@ object TextAnalysis {
     // gram key would sort every occurrence of a hot gram in one task; the
     // min(struct) aggregation is map-side combined, so a gram occurring
     // in 30 % of the corpus (the zipf campaign's hot shingle) still
-    // reduces to ONE keeper row before the join.
+    // reduces to ONE keeper row before the join. The dup test is then a
+    // left_anti join on the FULL composite key (gram, doc_id, pos) —
+    // Spark hash-partitions an equi-join on all its keys, so the hot
+    // gram's occurrences spread uniformly across partitions instead of
+    // reconvening on the gram's one partition (the straggler a
+    // gram-keyed join would recreate after the skew-immune agg).
     val keepers = grams.groupBy("gram")
       .agg(min(struct(col("doc_id"), col("pos"))).as("kp"))
-    val dups = grams.join(keepers, "gram")
-      .where(!(col("doc_id") === col("kp.doc_id") && col("pos") === col("kp.pos")))
+      .select(col("gram"), col("kp.doc_id").as("doc_id"), col("kp.pos").as("pos"))
+    val dups = grams.join(keepers, Seq("gram", "doc_id", "pos"), "left_anti")
       .select(col("doc_id"), col("pos").as("s"), (col("pos") + (k - 1)).as("e"))
     // classic interval union: a removal starts a new island iff it begins
     // past the running max end of everything before it
@@ -561,12 +566,20 @@ object TextAnalysis {
     val qt = queries.select(col("query_id"), explode(col("terms")).as("term")).distinct()
     val qw = qt.join(dfreq, "term") // query weight = 1·idf per distinct term
     val qnorm = qw.groupBy("query_id").agg(sqrt(sum(col("idf") * col("idf"))).as("qn"))
+    // dn > 0 guard: a doc whose every term appears in all N docs has
+    // idf = 0 everywhere, so dn = 0 and the cosine is 0/0; such a doc
+    // also has dot = 0 for any query, so dropping it loses nothing.
+    // Ranking is over the 4-decimal-ROUNDED score (doc_id tiebreak):
+    // exact-duplicate docs produce mathematically equal scores whose
+    // summation-order float error could otherwise flip rank between
+    // engines — the ts_discord cross-engine tie class.
     val scored = tf.join(broadcast(qw), "term")
       .groupBy("query_id", "doc_id")
       .agg(sum(col("tf") * col("idf") * col("idf")).as("dot"))
       .join(norms, "doc_id").join(broadcast(qnorm), "query_id")
+      .filter(col("dn") > 0)
       .select(col("query_id"), col("doc_id"),
-        (col("dot") / (col("dn") * col("qn"))).as("score"))
+        round(col("dot") / (col("dn") * col("qn")), 4).as("score"))
     TopK.byKey(scored.select(col("query_id"), col("doc_id"),
         negate(col("score")).as("ns")), k, "query_id", "doc_id", "ns")
       .select(col("query_id"), col("rank"), col("doc_id"),

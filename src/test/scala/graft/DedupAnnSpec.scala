@@ -439,8 +439,10 @@ class DedupAnnSpec extends AnyFunSuite {
       .select("query_id", "rank", "doc_id", "score")
       .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
     assert(got.map(r => (r._2, r._3)).toSeq == Seq((1, 1L), (2, 2L)))
-    assert(math.abs(got(0)._4 - 2.0 / math.sqrt(5)) < 1e-12)
-    assert(math.abs(got(1)._4 - 1.0 / math.sqrt(2)) < 1e-12)
+    // engine emits the 4-decimal-rounded score (the rank key — rounding
+    // before ranking is the cross-engine tie fix for duplicate docs)
+    assert(math.abs(got(0)._4 - 2.0 / math.sqrt(5)) < 5e-5)
+    assert(math.abs(got(1)._4 - 1.0 / math.sqrt(2)) < 5e-5)
   }
 
   test("dedup keep-best: one keeper per cluster, keeper is max-quality") {

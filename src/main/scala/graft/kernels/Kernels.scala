@@ -97,6 +97,56 @@ object Kernels {
     math.sqrt(prev(l2))
   }
 
+  /** [[dtwFlat]] with early abandonment — the UCR-suite cascade the
+    * reference reaches via LB pruning (`dtw_variants.py:1224-1296`):
+    * every warping path crosses every row of the DP, so the minimum of
+    * an accumulated row (within the band) lower-bounds the final cost;
+    * once sqrt(that minimum) strictly exceeds the cutoff the exact
+    * distance is provably > cutoff and the DP stops. Returns PositiveInfinity on
+    * abandonment (callers read it as "worse than the current kth
+    * best"), else exactly dtwFlat's value. Abandonment is STRICT (>):
+    * a candidate tying the cutoff is computed exactly, so (dist, id)
+    * tie-ranking downstream is unchanged. */
+  def dtwFlatEA(a: Array[Double], b: Array[Double], radius: Int, cutoff: Double): Double = {
+    if (cutoff.isNaN || cutoff.isInfinity) return dtwFlat(a, b, radius)
+    val l1 = a.length; val l2 = b.length
+    if (l1 == 0 || l2 == 0) return Double.NaN
+    val bounds = if (radius < 0) null else Mask.sakoeChiba(l1, l2, radius)
+    var prev = new Array[Double](l2 + 1)
+    var cur = new Array[Double](l2 + 1)
+    java.util.Arrays.fill(prev, Inf)
+    prev(0) = 0.0
+    var i = 1
+    while (i <= l1) {
+      java.util.Arrays.fill(cur, Inf)
+      val lo = if (bounds == null) 0 else bounds.lo(i - 1)
+      val hi = if (bounds == null) l2 - 1 else bounds.hi(i - 1)
+      val ai = a(i - 1)
+      var rowMin = Inf
+      var j = lo + 1
+      val jEnd = hi + 1
+      while (j <= jEnd) {
+        val diff = ai - b(j - 1)
+        var m = prev(j)
+        if (cur(j - 1) < m) m = cur(j - 1)
+        if (prev(j - 1) < m) m = prev(j - 1)
+        val v = diff * diff + m
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      // compare in DISTANCE space: cutoff² can round BELOW the true
+      // squared cost of an exact tie (sqrt-then-square loses ulps) and
+      // abandon a candidate the tie rule must keep; IEEE sqrt is
+      // correctly rounded and monotone, so sqrt(rowMin) > cutoff fires
+      // only when the final distance strictly exceeds the cutoff
+      if (math.sqrt(rowMin) > cutoff) return Double.PositiveInfinity
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    math.sqrt(prev(l2))
+  }
+
   /** Full accumulated cost matrix (squared costs), (sz1+1)×(sz2+1), for
     * path backtracking — `dtw_variants.py:24-57`. */
   def dtwAccumulated(s1: TS, s2: TS, bounds: Bounds): Array[Array[Double]] = {

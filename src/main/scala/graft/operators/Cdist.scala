@@ -186,10 +186,8 @@ object Cdist {
         i += 1
       }
       val cand = (0 until idx.length).sortBy(i => (lbs(i), idx(i)._1)).take(kf)
-      // pass 2: exact banded DTW on survivors, keep k by (dist, id)
-      cand.map { i =>
-        (idx(i)._1, graft.kernels.Kernels.dtwFlat(q, idx(i)._2, radius))
-      }.sortBy { case (id, d) => (d, id) }.take(k).toArray
+      // pass 2: the kth-best cascade over the SAME candidate set
+      cascade(q, cand.map(i => (lbs(i), idx(i)._1, idx(i)._2)), k, radius)
     })
     probes.select(col("series_id").as("probe_id"),
         posexplode(knnUdf(col(seriesCol))).as(Seq("rank0", "hit")))
@@ -197,60 +195,140 @@ object Cdist {
         col("hit._1").as("neighbor_id"), col("hit._2").as("dist"))
   }
 
+  /** LB-ordered k-slot early-abandon cascade — shared pass 2 of both
+    * kNN paths. `cands` must be sorted ascending (lb, id); once the
+    * k-slot buffer fills, a candidate whose LB strictly exceeds the
+    * kth-best distance is skipped outright (dist ≥ lb), and the DP of
+    * a survivor abandons past that bound ([[Kernels.dtwFlatEA]]).
+    * Strict (>) comparisons everywhere, so a candidate TYING the kth
+    * best is still computed exactly and (dist, id) tie-ranking is
+    * bit-identical to the exhaustive pass it replaces. */
+  private[graft] def cascade(q: Array[Double],
+                             cands: scala.collection.Seq[(Double, Long, Array[Double])],
+                             k: Int, radius: Int): Array[(Long, Double)] = {
+    val ids = new Array[Long](k)
+    val ds = new Array[Double](k)
+    var n = 0
+    cands.foreach { case (lb, id, tv) =>
+      val bsf = if (n == k) ds(k - 1) else Double.PositiveInfinity
+      if (!(n == k && lb > bsf)) {
+        val d = graft.kernels.Kernels.dtwFlatEA(q, tv, radius, bsf)
+        if (n < k || d < ds(k - 1) || (d == ds(k - 1) && id < ids(k - 1))) {
+          var p = math.min(n, k - 1)
+          while (p > 0 && (ds(p - 1) > d || (ds(p - 1) == d && ids(p - 1) > id))) {
+            ds(p) = ds(p - 1); ids(p) = ids(p - 1); p -= 1
+          }
+          ds(p) = d; ids(p) = id
+          if (n < k) n += 1
+        }
+      }
+    }
+    (0 until n).map(i => (ids(i), ds(i))).toArray
+  }
+
   /** Partitioned-index DTW k-NN for train sides too large to broadcast.
     *
-    * The train side is hashed into `blocks` block-local indexes (one
-    * grouped row each: array of (id, series, envelope), envelopes computed
-    * once in the grouping pass, peak task state |train|/blocks series);
-    * probes replicate `blocks`× and equi-join — shuffle volume is
-    * blocks·|probes| + |train| rows, never a pair-space stream and never a
-    * full-relation broadcast. Each joined row emits its block's k·factor
-    * LB-candidates WITH their exact banded DTW; the global merge re-slices
-    * to the k·factor best by (lb, id) — a subset of the union of per-block
-    * winners, so the candidate set is bit-identical to the broadcast
-    * path's — then ranks by (dist, id). Extra work vs broadcast: DTW runs
-    * on blocks·k·factor candidates per probe instead of k·factor. */
+    * Phase 1 is LB-only: the train side's (id, envelope) index is hashed
+    * into `blocks` grouped rows (series stay OUT of the index — they are
+    * re-joined for the winners only); probes replicate `blocks`× and
+    * equi-join — shuffle volume is blocks·|probes| + |train| rows, never
+    * a pair-space stream and never a full-relation broadcast. The global
+    * merge re-slices the per-block LB survivors to the k·factor best by
+    * (lb, id) — bit-identical candidate selection to the broadcast
+    * path's. Phase 2 equi-joins ONLY those winners' series back by id,
+    * regroups per probe, and runs the same LB-ordered early-abandon
+    * [[cascade]] as the broadcast path: exact DTW work is ≤ k·factor
+    * DPs per probe (it was blocks·k·factor before the two-phase split),
+    * each abandoning at the running kth-best. */
   private[graft] def knnDtwBlocked(probes: DataFrame, train: DataFrame, k: Int, radius: Int,
                                    factor: Int = 4, blocks: Int = 16,
                                    seriesCol: String = "values"): DataFrame = {
     require(blocks >= 1, "blocks must be >= 1")
     val kf = k * factor
-    val tIdx = train
+    // salt the (small) index side: `blocks` alone is too few join keys
+    // to occupy a fleet — without it the tile scan ran on ≤`blocks`
+    // tasks regardless of cores (measured: 5 busy threads of 32 at the
+    // sf1 octave). Each block row replicates `salt`×; a probe chunk
+    // joins exactly the replica at chk % salt, so every tile pair still
+    // meets exactly once, over blocks·salt ≥ 4·parallelism keys.
+    val salt = math.max(1,
+      (4 * train.sparkSession.sparkContext.defaultParallelism + blocks - 1) / blocks)
+    val tEnv = train
       .select(col("series_id").cast("long").as("id"),
-        col(seriesCol).cast("array<double>").as("tv"),
         TsFunctions.envelopeUdf(col(seriesCol), lit(radius)).as("env"))
       .withColumn("blk", pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
       .groupBy("blk")
-      .agg(collect_list(struct(col("id").as("_1"), col("tv").as("_2"),
-        col("env._1").as("_3"), col("env._2").as("_4"))).as("idx"))
-    val prep = probes
+      .agg(collect_list(struct(col("id").as("_1"),
+        col("env._1").as("_2"), col("env._2").as("_3"))).as("idx"))
+      .withColumn("slt", explode(sequence(lit(0), lit(salt - 1))))
+    // probes tile into chunks so one task call scans (chunk × block):
+    // the block index deserializes ONCE per tile pair, not once per
+    // probe row — per-row UDF decode of a thousand-entry struct array
+    // was the measured bottleneck at the sf1 octave (5 effective
+    // threads, minutes of pure deserialization)
+    val chunks = math.max(32,
+      probes.sparkSession.sparkContext.defaultParallelism * 4)
+    val pChunks = probes
       .select(col("series_id").cast("long").as("probe_id"),
         col(seriesCol).cast("array<double>").as("q"))
+      .withColumn("chk", pmod(xxhash64(col("probe_id")), lit(chunks)).cast("int"))
+      .groupBy("chk")
+      .agg(collect_list(struct(col("probe_id").as("_1"), col("q").as("_2"))).as("ps"))
       .withColumn("blk", explode(sequence(lit(0), lit(blocks - 1))))
-    // per-block survivors as (lb, id, dist) — struct field ORDER is the
-    // merge key: array_sort on (_1=lb, _2=id) reproduces the broadcast
-    // path's global candidate selection
-    val localUdf = udf((q: scala.collection.Seq[Double],
-                        idx: scala.collection.Seq[(Long, scala.collection.Seq[Double],
-                          scala.collection.Seq[Double], scala.collection.Seq[Double])]) => {
-      val qa = q.toArray
-      val lbs = idx.map { r =>
-        graft.kernels.Kernels.lbKeoghEnv(qa, r._3.toArray, r._4.toArray)
-      }
-      idx.indices.sortBy(i => (lbs(i), idx(i)._1)).take(kf).map { i =>
-        val r = idx(i)
-        (lbs(i), r._1, graft.kernels.Kernels.dtwFlat(qa, r._2.toArray, radius))
+      .withColumn("slt", pmod(col("chk"), lit(salt)).cast("int"))
+    // per-(tile × block) survivors as (probe_id, lb, id) — struct field
+    // ORDER after probe_id is the merge key: array_sort on (_1=lb,
+    // _2=id) reproduces the broadcast path's global candidate selection
+    val lbUdf = udf((ps: scala.collection.Seq[(Long, scala.collection.Seq[Double])],
+                     idx: scala.collection.Seq[(Long, scala.collection.Seq[Double],
+                       scala.collection.Seq[Double])]) => {
+      // ARRAYS, not the converter's Seq: the deserialized Seq can be a
+      // linked list, and an O(i) apply inside the sort comparator turns
+      // the per-probe top-kf into O(n² log n) (measured: every executor
+      // thread stuck in List.drop at the sf1 octave)
+      val index = idx.iterator.map(r => (r._1, r._2.toArray, r._3.toArray)).toArray
+      val lbs = new Array[Double](index.length)
+      ps.iterator.flatMap { case (pid, q) =>
+        val qa = q.toArray
+        var i = 0
+        while (i < index.length) {
+          lbs(i) = graft.kernels.Kernels.lbKeoghEnv(qa, index(i)._2, index(i)._3)
+          i += 1
+        }
+        (0 until index.length).sortBy(i => (lbs(i), index(i)._1)).take(kf)
+          .map(i => (pid, lbs(i), index(i)._1))
       }.toArray
     })
     // shuffle-hash: this path exists because train exceeds broadcast size
-    val local = prep.join(tIdx.hint("shuffle_hash"), "blk")
-      .select(col("probe_id"), localUdf(col("q"), col("idx")).as("hits"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("cand._3").asc, col("cand._2").asc)
-    local.groupBy("probe_id")
-      .agg(flatten(collect_list(col("hits"))).as("all"))
-      .select(col("probe_id"), explode(slice(array_sort(col("all")), 1, kf)).as("cand"))
-      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("probe_id"), col("rank"),
-        col("cand._2").as("neighbor_id"), col("cand._3").as("dist"))
+    val winners = pChunks.join(tEnv.hint("shuffle_hash"), Seq("blk", "slt"))
+      .select(explode(lbUdf(col("ps"), col("idx"))).as("c"))
+      .select(col("c._1").as("probe_id"),
+        struct(col("c._2").as("_1"), col("c._3").as("_2")).as("c"))
+      .groupBy("probe_id")
+      .agg(slice(array_sort(collect_list(col("c"))), 1, kf).as("cands"))
+      .select(col("probe_id"), explode(col("cands")).as("c"))
+      .select(col("probe_id"), col("c._1").as("lb"), col("c._2").as("id"))
+    val cascadeUdf = udf((q: scala.collection.Seq[Double],
+                          cs: scala.collection.Seq[(Double, Long, scala.collection.Seq[Double])]) => {
+      val qa = q.toArray
+      cascade(qa,
+        cs.sortBy(r => (r._1, r._2)).map(r => (r._1, r._2, r._3.toArray)),
+        k, radius)
+    })
+    // shuffle_hash on both rejoins: this path exists because train (and
+    // possibly probes) exceed broadcast size — never let a toy input
+    // bait Catalyst into a broadcast the real scale can't afford
+    winners
+      .join(train.select(col("series_id").cast("long").as("id"),
+        col(seriesCol).cast("array<double>").as("tv")).hint("shuffle_hash"), Seq("id"))
+      .groupBy("probe_id")
+      .agg(collect_list(struct(col("lb").as("_1"), col("id").as("_2"),
+        col("tv").as("_3"))).as("cs"))
+      .join(probes.select(col("series_id").cast("long").as("probe_id"),
+        col(seriesCol).cast("array<double>").as("q")).hint("shuffle_hash"), Seq("probe_id"))
+      .select(col("probe_id"),
+        posexplode(cascadeUdf(col("q"), col("cs"))).as(Seq("rank0", "hit")))
+      .select(col("probe_id"), (col("rank0") + 1).as("rank"),
+        col("hit._1").as("neighbor_id"), col("hit._2").as("dist"))
   }
 }

@@ -240,4 +240,27 @@ class KernelsSpec extends AnyFunSuite {
     val s = Sax.segmentSlopes(ts, 2)
     assert(approx(s(0)(0), 2.0, 1e-9) && approx(s(1)(0), 2.0, 1e-9))
   }
+
+  test("dtwFlatEA: exact below/at cutoff, Inf-or-exact above, strict at the boundary") {
+    val rng = new scala.util.Random(7)
+    def series(n: Int) = Array.fill(n)(rng.nextGaussian())
+    for (radius <- Seq(-1, 3); _ <- 1 to 50) {
+      val a = series(24); val b = series(24)
+      val exact = Kernels.dtwFlat(a, b, radius)
+      // cutoff = Inf degenerates to dtwFlat
+      assert(Kernels.dtwFlatEA(a, b, radius, Double.PositiveInfinity) == exact)
+      // cutoff ABOVE the true distance: must return the exact value
+      assert(Kernels.dtwFlatEA(a, b, radius, exact * 1.1) == exact)
+      // cutoff EXACTLY the true distance: strict abandonment keeps ties
+      // computable — the kth-best tie rule downstream depends on this
+      assert(Kernels.dtwFlatEA(a, b, radius, exact) == exact)
+      // cutoff below: sound — either the exact value or PositiveInfinity,
+      // and Inf only when the distance really exceeds the cutoff
+      val ea = Kernels.dtwFlatEA(a, b, radius, exact * 0.5)
+      assert(ea == exact || (ea.isPosInfinity && exact > exact * 0.5))
+    }
+    // a far pair abandons (the row-min bound engages)
+    val x = Array.fill(64)(0.0); val y = Array.fill(64)(100.0)
+    assert(Kernels.dtwFlatEA(x, y, -1, 1.0).isPosInfinity)
+  }
 }

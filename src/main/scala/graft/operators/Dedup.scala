@@ -643,16 +643,23 @@ object Dedup {
     * columnar aggregate; the switch is loud on stderr. */
   def embeddingCosineAuto(df: DataFrame, threshold: Double,
                           exactLimit: Long = 100000L,
-                          nlist: Int = 32, nprobe: Int = 2, seed: Long = 0L,
+                          nlist: Int = -1, nprobe: Int = 4, seed: Long = 0L,
                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val n = df.count()
     if (n <= exactLimit) embeddingCosine(df, threshold, idCol, vecCol)
     else {
+      // nlist = -1 → the FAISS-style √n rule, capped so the driver-local
+      // coarse training stays cheap; nprobe = 4 is the measured knee of
+      // the recall/wall frontier (CosineProbe, SCALEPROBE round 12:
+      // recall 0.51 → 0.87-0.93 over nprobe 2 → 4 at the SAME wall;
+      // nprobe 8 buys ~1.0 recall at ~3× the wall)
+      val lists = if (nlist > 0) nlist
+        else math.max(32, math.min(1024, math.ceil(math.sqrt(n.toDouble)).toInt))
       System.err.println(
         s"[dedup] embeddingCosineAuto: $n rows > exactLimit=$exactLimit — routing to " +
-          s"IVF (nlist=$nlist, nprobe=$nprobe); recall<1 by construction, emitted " +
+          s"IVF (nlist=$lists, nprobe=$nprobe); recall<1 by construction, emitted " +
           "pairs stay exact-verified")
-      embeddingCosineIvf(df, threshold, nlist, nprobe, seed, idCol, vecCol)
+      embeddingCosineIvf(df, threshold, lists, nprobe, seed, idCol, vecCol)
     }
   }
 

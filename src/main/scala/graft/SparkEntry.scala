@@ -553,8 +553,12 @@ object SparkEntry {
     // pipeline — sample, slack bound, exact recount — replays in SQL;
     // the emitted values are exact by construction (phase 2 recounts
     // from the full capped arrays), only recall is probabilistic.
+    // sampleMod pinned at 8 (the oracle replays that exact modhash
+    // sample); the operator default is 2 — the measured ≥95 %-recall
+    // point (SCALEPROBE round 12 frontier)
     "doc_containment_sketched" -> ((s, dir) =>
-      graft.operators.Dedup.containmentPairsSketched(docs(s, dir), threshold = 0.6)
+      graft.operators.Dedup.containmentPairsSketched(docs(s, dir), threshold = 0.6,
+        sampleMod = 8)
         .select(col("doc_a"), col("doc_b"),
           round(col("containment"), 4).as("containment"))),
 

@@ -111,7 +111,16 @@ object Dedup {
     * SCALEPROBE.md; the exact path remains the oracle. */
   def containmentPairsSketched(docsDf: DataFrame, threshold: Double,
                                k: Int = 3, maxDf: Int = 100,
-                               sampleMod: Int = 8,
+                               // recall is governed by sampleMod alone (slack-invariant
+                               // on both measured corpora): a lost pair is one with ZERO
+                               // sampled-shingle overlap, P ≈ exp(−c·|A|/sampleMod) for
+                               // containment c over |A| distinct shingles — so mod 2 ≈
+                               // 0.97 / mod 4 ≈ 0.91 / mod 8 ≈ 0.83 pair recall on the
+                               // zipf corpus (SCALEPROBE round-12 frontier, quiet walls
+                               // 10.0 / 6.3 / 2.9 s vs exact 14.7 s). Default = the
+                               // ≥95 %-recall point; raise sampleMod only when the
+                               // corpus' min doc length supports it.
+                               sampleMod: Int = 2,
                                slack: Double = 0.5,
                                // plan audits need the un-truncated lineage;
                                // production keeps the checkpoints (reused

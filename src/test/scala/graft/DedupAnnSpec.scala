@@ -921,8 +921,10 @@ class DedupAnnSpec extends AnyFunSuite {
       assert(exact.contains(pair), s"sketched emitted non-exact pair $pair")
       assert(math.abs(exact(pair) - c) < 1e-12, s"value drift on $pair")
     }
+    // default sampleMod = 2 is the measured ≥95 %-recall point of the
+    // round-12 frontier (SCALEPROBE); lock that floor at the default
     val recall = sk.size.toDouble / exact.size
-    assert(recall >= 0.8, s"sketched recall $recall over ${exact.size} true pairs")
+    assert(recall >= 0.95, s"sketched recall $recall over ${exact.size} true pairs")
     info(f"sketched containment recall $recall%.3f over ${exact.size} exact pairs")
   }
 }

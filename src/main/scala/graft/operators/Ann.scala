@@ -147,11 +147,21 @@ object Ann {
     * prune the scan to nprobe inverted lists; PQ codes compress the
     * scanned payload to m ints): the scored relation carries ONLY
     * (id, cell, codes) — candidate floats are read once at index-build
-    * (assign + encode) and never again. Queries stay exact (ADC). */
+    * (assign + encode) and never again. Queries stay exact (ADC).
+    *
+    * `rerank > 0` adds the production second stage: the ADC shortlist
+    * of `rerank` per query (cheap, codes-only) is equi-joined back to
+    * the exact candidate vectors — rerank·|queries| rows, never the
+    * corpus — and exact cosine re-ranks to the final k. ADC alone
+    * saturates ~0.5 recall@10 from 8-byte quantization error (AnnProbe,
+    * 1 M corpus); rerank ≈ 4k recovers near-IVF recall at ~the same
+    * wall. Default 0 keeps the pure-ADC contract (and the driver
+    * oracle's replay) unchanged. */
   def ivfPqTopK(candidates: DataFrame, queries: DataFrame, k: Int,
                 centroids: Array[Array[Double]], nprobe: Int,
                 codebooks: Array[Array[Array[Double]]],
-                idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+                idCol: String = "vec_id", vecCol: String = "v",
+                rerank: Int = 0): DataFrame = {
     val spark = candidates.sparkSession
     val compressed = ivfAssign(candidates, centroids, idCol, vecCol)
       .join(pqEncode(candidates, codebooks, idCol, vecCol), idCol)
@@ -162,7 +172,21 @@ object Ann {
       .select(col("query_id"), col(idCol).as("cand_id"),
         adc(col("qv"), col("codes")).as("d2"))
     val w = Window.partitionBy("query_id").orderBy(col("d2").asc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    if (rerank <= 0)
+      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    else {
+      val shortlist = scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= math.max(rerank, k))
+        .select(col("query_id"), col("cand_id"))
+      val exact = shortlist
+        .join(candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv")), "cand_id")
+        .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))),
+          "query_id")
+        .select(col("query_id"), col("cand_id"),
+          graft.functions.TsFunctions.cosineSim(col("qv"), col("cv")).as("cos"))
+      val w2 = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
+      exact.withColumn("rank", row_number().over(w2)).where(col("rank") <= k)
+    }
   }
 
   /** nprobe nearest coarse cells per query (lowest cell index on ties —
@@ -267,10 +291,26 @@ object Ann {
     * construction (spec'd against brute like ivfTopK). */
   def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int,
               dim: Int, nBits: Int = 16, nBands: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "v",
+              maxBucket: Int = 50000): DataFrame = {
     val planes = hyperplanes(nBits, dim)
-    val cb = lshBands(candidates, planes, nBands, idCol, vecCol)
+    val cbRaw = lshBands(candidates, planes, nBands, idCol, vecCol)
       .select(col(idCol).as("cand_id"), col("band"), col("code"))
+    // bucket cap — a band code holding a huge slice of the corpus is a
+    // useless discriminator whose candidate join emits width·|queries|
+    // rows (AnnProbe measured 4-bit band codes at 1 M vectors filling
+    // the shuffle disk with a 250 M-row join); dropping it LOUDLY keeps
+    // the join bounded, and the right fix — more bits per band as n
+    // grows — is in the scaladoc. Queries-side bands stay uncapped
+    // (|queries| rows).
+    val hot = cbRaw.groupBy("band", "code").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucket).select("band", "code").localCheckpoint()
+    val cb = if (hot.count() == 0) cbRaw else {
+      System.err.println(s"[ann] lshTopK: dropping band buckets wider than " +
+        s"$maxBucket candidates — raise nBits/nBands (code bits must grow " +
+        "with log2(n)) or maxBucket")
+      cbRaw.join(broadcast(hot), Seq("band", "code"), "left_anti")
+    }
     val qb = lshBands(queries, planes, nBands, idCol, vecCol)
       .select(col(idCol).as("query_id"), col("band"), col("code"))
     val pairs = qb.join(cb, Seq("band", "code"))

@@ -1,0 +1,150 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Ann
+
+/** VERDICT r11 item 5 — the similarity-search family's 100 TB
+  * credibility gap: IVF/LSH/PQ/IVF-PQ/SQ8 recall floors were spec-sized
+  * only (hundreds of vectors). This probe generates a 1 M-vector
+  * clustered corpus (deterministic splitmix hashing — `centers` cluster
+  * centroids, per-vector noise, no RNG state), computes exact brute
+  * cosine top-k for `nq` held-out queries ONCE, then measures
+  * recall@k + wall for each approximate route at its realistic
+  * setting. The probe that does for ANN what MpProbe did for the
+  * matrix profile.
+  *
+  * Usage: runMain graft.tools.AnnProbe [n nq k d centers]
+  */
+object AnnProbe {
+  // splitmix64-style avalanche → uniform in [-1, 1]; pure function of
+  // (a, b) so every engine run regenerates the identical corpus
+  private def h(a: Long, b: Long): Double = {
+    var z = a * 0x9E3779B97F4A7C15L + b * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+    z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toInt else 1000000
+    val nq = if (args.length > 1) args(1).toInt else 1000
+    val k = if (args.length > 2) args(2).toInt else 10
+    val d = if (args.length > 3) args(3).toInt else 64
+    val centers = if (args.length > 4) args(4).toInt else 1024
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // clustered corpus: vec = center(id % centers) + 0.35 * noise(id)
+    val mk = udf((id: Long, salt: Long) => {
+      val c = id % centers
+      Array.tabulate(d)(j => h(c * 7919L + 13L, j) + 0.8 * h(id * 31L + salt, j))
+    })
+    val cands = spark.range(n).select(col("id").as("vec_id"),
+      mk(col("id"), lit(0L)).as("v")).localCheckpoint()
+    // held-out queries: same centers (round-robin), fresh noise
+    val queries = spark.range(nq).select((col("id") + n).as("vec_id"),
+      mk(col("id"), lit(1L)).as("v")).localCheckpoint()
+    System.err.println(s"[annprobe] n=$n nq=$nq k=$k d=$d centers=$centers")
+
+    def topSet(df: DataFrame): Map[Long, Set[Long]] = df
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+
+    def timed[T](label: String)(f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      val w = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[annprobe] $label: $w%.1f s")
+      (r, w)
+    }
+
+    // codegen/classload warm-up so the first timed route is not the one
+    // paying JIT + generated-class compilation
+    Ann.bruteTopK(cands.limit(500), queries.limit(5), k).count()
+
+    val (brute, wBrute) = timed("brute (ground truth)") {
+      topSet(Ann.bruteTopK(cands, queries, k))
+    }
+    val nTrue = brute.values.map(_.size).sum.toDouble
+
+    def recall(got: Map[Long, Set[Long]]): Double =
+      brute.map { case (q, t) => got.getOrElse(q, Set.empty[Long]).intersect(t).size }
+        .sum / nTrue
+
+    val results = scala.collection.mutable.ArrayBuffer[String]()
+    def record(label: String, w: Double, r: Double): Unit = {
+      System.err.println(f"[annprobe] $label wall=$w%.1f recall@$k=$r%.4f")
+      results += f"""{"route":"$label","wall":$w%.1f,"recall":$r%.4f}"""
+    }
+    record("brute", wBrute, 1.0)
+
+    // IVF — coarse cells from the sampled trainer, three nprobe points
+    val (centroids, wTrain) = timed("ivf trainCoarse nlist=256") {
+      Ann.trainCoarse(cands, nlist = 256, seed = 42, idCol = "vec_id", vecCol = "v")
+    }
+    for (nprobe <- Seq(4, 8, 16)) {
+      val (got, w) = timed(s"ivf nprobe=$nprobe") {
+        topSet(Ann.ivfTopK(cands, queries, k, centroids, nprobe))
+      }
+      record(f"ivf-256-np$nprobe (+train $wTrain%.0f s once)", w, recall(got))
+    }
+
+    // LSH — code bits must grow with log2(n): at 1 M vectors a 4-bit
+    // band code (the toy default 16/4) means 16 buckets of ~62 k each —
+    // the candidate join filled the shuffle disk before the cap. 16-bit
+    // bands (64/4) are the scale setting; 8-bit (32/4) the coarse point.
+    for ((bits, bands) <- Seq((64, 4), (32, 4))) {
+      val (got, w) = timed(s"lsh $bits/$bands") {
+        topSet(Ann.lshTopK(cands, queries, k, dim = d, nBits = bits, nBands = bands))
+      }
+      record(s"lsh-$bits-$bands", w, recall(got))
+    }
+
+    // IVF-PQ — 8 subspaces × 256 codewords from data rows (the pinned
+    // data-row codebook pattern), candidates pruned to the probed cells
+    val dsub = d / 8
+    // TRAINED per-subspace codebooks (k-means over subvectors via the
+    // coarse trainer) — raw data rows as codewords measured recall 0.29
+    // at 50 k; training lifts the same route to production shape
+    val codebooks = Array.tabulate(8) { sIdx =>
+      Ann.trainCoarse(cands.select(col("vec_id"),
+          slice(col("v"), sIdx * dsub + 1, dsub).as("v")),
+        nlist = 256, seed = 7 + sIdx, idCol = "vec_id", vecCol = "v")
+    }
+    val (gotIvfPq, wIvfPq) = timed("ivfpq np=8") {
+      topSet(Ann.ivfPqTopK(cands, queries, k, centroids, nprobe = 8, codebooks))
+    }
+    record("ivfpq-256-np8-adc", wIvfPq, recall(gotIvfPq))
+    val (gotIvfPqR, wIvfPqR) = timed("ivfpq np=8 rerank=4k") {
+      topSet(Ann.ivfPqTopK(cands, queries, k, centroids, nprobe = 8, codebooks,
+        rerank = 4 * k))
+    }
+    record("ivfpq-256-np8-rerank4k", wIvfPqR, recall(gotIvfPqR))
+
+    // SQ8 — full affine-byte scan (codegen'd, no pruning): the
+    // compression route, measured at a query subsample to bound the
+    // full-scan cost
+    val qSub = queries.where(col("vec_id") < n + 100).localCheckpoint()
+    val bruteSub = brute.filter(_._1 < n + 100)
+    val (gotSq, wSq) = timed("sq8 (100 queries)") {
+      topSet(Ann.sqTopK(cands, qSub, k))
+    }
+    val rSq = bruteSub.map { case (q, t) =>
+      gotSq.getOrElse(q, Set.empty[Long]).intersect(t).size }.sum /
+      bruteSub.values.map(_.size).sum.toDouble
+    record("sq8-fullscan-100q", wSq, rSq)
+
+    println(s"""{"probe":"ann","n":$n,"nq":$nq,"k":$k,"d":$d,"centers":$centers,"routes":[${results.mkString(",")}]}""")
+    spark.stop()
+  }
+}

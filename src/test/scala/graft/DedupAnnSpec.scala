@@ -255,6 +255,29 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ rerank: shortlist covering all probed candidates == IVF exact ranking") {
+    // rerank ≥ every probed candidate ⇒ the second stage ranks the SAME
+    // candidate set ivfTopK ranks, by the SAME exact cosine — so the two
+    // routes must agree bit-for-bit. Locks the rerank join + re-ranking
+    // semantics (the production recall recovery AnnProbe measured).
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val queries = e.where(col("vec_id") < 6)
+    val cands = e.where(col("vec_id") >= 10)
+    val centroids = e.where(col("vec_id") >= 10 && col("vec_id") < 26)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+    val rows = centroids.take(8)
+    val codebooks = Array.tabulate(8)(s => rows.map(_.slice(s * 8, s * 8 + 8)))
+    val want = Ann.ivfTopK(cands, queries, k = 5, centroids, nprobe = 4)
+      .select("query_id", "rank", "cand_id").as[(Long, Int, Long)]
+      .collect().sorted.toSeq
+    val got = Ann.ivfPqTopK(cands, queries, k = 5, centroids, nprobe = 4,
+        codebooks, rerank = 1000000)
+      .select("query_id", "rank", "cand_id").as[(Long, Int, Long)]
+      .collect().sorted.toSeq
+    assert(got == want, s"rerank-covering IVF-PQ diverged from IVF:\n$got\nvs\n$want")
+  }
+
   test("source cap: salted two-phase == naive single window on a skewed corpus") {
     import org.apache.spark.sql.expressions.Window
     // one hot source (200 docs) + many small ones — the shape the salted

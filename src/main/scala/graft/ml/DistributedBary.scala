@@ -210,6 +210,37 @@ object DistributedBary {
     present.map(cid => cid -> centers(cid)).toMap
   }
 
+  /** Partition-local DBA shortcut (SURVEY §7.4): when every cluster's
+    * members fit one task, the `iters` distributed aggregation rounds of
+    * [[dbaByCluster]] collapse into ONE shuffle (hash by cluster) + the
+    * local [[graft.kernels.Barycenters.dba]] loop per cluster — iters×
+    * fewer Spark jobs, the dominant cost of a dtw-metric Lloyd update at
+    * small/medium cluster sizes (the iterative-job floor). Same update
+    * rule and same per-iteration math as the distributed path
+    * (KmeansSpec parity ~1e-9 — summation order differs); one semantic
+    * nuance: with tol > 0 the early stop is per-cluster here but GLOBAL
+    * (summed cost) in [[dbaByCluster]] — identical behavior at tol ≤ 0
+    * (fixed iteration count). Opt-in: the caller asserts clusters fit a
+    * task (n/k · sz doubles); [[dbaByCluster]] stays the default and the
+    * oracle path. */
+  def dbaByClusterLocal(rows: Dataset[(Int, Array[Double])],
+                        init: Array[Array[Double]], iters: Int,
+                        tol: Double = 1e-5): Map[Int, Array[Double]] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(init)
+    rows.groupByKey(_._1)
+      .mapGroups { (cid, it) =>
+        val members = it.map(t => graft.kernels.Kernels.uni(t._2)).toSeq
+        val c0 = bc.value(cid)
+        val center = graft.kernels.Barycenters.dba(members,
+          barycenterSize = c0.length, maxIter = iters, tol = tol,
+          init = graft.kernels.Kernels.uni(c0))
+        (cid, center.map(_(0)))
+      }
+      .collect().toMap
+  }
+
   /** Soft-DTW barycenter update as `steps` FIXED-η gradient-descent steps
     * from the CURRENT centers (the k-means `metric="softdtw"` update in
     * its oracle-replayable form): b ← b − η·Σ_{x∈cluster} ∇_b softDTW(b, x),

@@ -37,7 +37,13 @@ class TimeSeriesKMeans(
     // solver); "gd" = barycenterMaxIter fixed-η GD steps from the current
     // center — the deterministic, SQL-replayable variant (ts_kmeans_softdtw)
     val barycenterSolver: String = "lbfgs",
-    val barycenterEta: Double = 0.05) extends Serializable {
+    val barycenterEta: Double = 0.05,
+    // dtw-metric Lloyd update route: false = barycenterMaxIter
+    // distributed aggregation rounds (the default and oracle path, no
+    // task ever holds a cluster); true = the partition-local shortcut
+    // (one shuffle + local DBA per cluster — iters× fewer jobs; the
+    // caller asserts every cluster fits a task)
+    val localDba: Boolean = false) extends Serializable {
 
   require(Seq("euclidean", "dtw", "softdtw").contains(metric), s"bad metric $metric")
   // "k-means++" = the reference's RNG over a driver sample;
@@ -154,6 +160,8 @@ class TimeSeriesKMeans(
         // ever holds a whole cluster (DistributedBary scaladoc)
         val rows = assigned.map(t => (t._1, t._3))
         val updated: Map[Int, Array[Double]] = metric match {
+          case "dtw" if localDba =>
+            DistributedBary.dbaByClusterLocal(rows, centroids, barycenterMaxIter)
           case "dtw" =>
             DistributedBary.dbaByCluster(rows, centroids, barycenterMaxIter)
           case "softdtw" if barycenterSolver == "gd" =>

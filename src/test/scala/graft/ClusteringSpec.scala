@@ -268,6 +268,31 @@ class ClusteringSpec extends AnyFunSuite {
       byTrue.flatten.toSet.size == 3, s"clusters mixed: ${assigned.toSeq}")
   }
 
+  test("dbaByClusterLocal == dbaByCluster at fixed iterations (the §7.4 shortcut)") {
+    // same update rule, one shuffle + local loop instead of iters
+    // distributed rounds; parity to summation-order tolerance. tol < 0
+    // pins both paths to exactly `iters` iterations (the stopping rule
+    // is global-cost in the distributed path, per-cluster locally).
+    import graft.ml.DistributedBary
+    val rng = new scala.util.Random(11)
+    def series(c: Int) = Array.tabulate(16)(t =>
+      math.sin(0.3 * t + c) + 0.2 * rng.nextGaussian())
+    val rows = spark.createDataset(
+      (0 until 60).map(i => (i % 3, series(i % 3))))
+    val init = Array.tabulate(3)(c => Array.tabulate(16)(t => math.sin(0.3 * t + c)))
+    val dist = DistributedBary.dbaByCluster(rows, init.map(_.clone()),
+      iters = 5, tol = Double.NegativeInfinity)
+    val local = DistributedBary.dbaByClusterLocal(rows, init.map(_.clone()),
+      iters = 5, tol = Double.NegativeInfinity)
+    assert(dist.keySet == local.keySet)
+    dist.foreach { case (cid, c) =>
+      val l = local(cid)
+      assert(c.length == l.length)
+      c.indices.foreach(t => assert(math.abs(c(t) - l(t)) < 1e-9,
+        s"cluster $cid t=$t: ${c(t)} vs ${l(t)}"))
+    }
+  }
+
   test("knn regressor: distance-weighted mean is exact for duplicate probe") {
     import graft.functions.TsFunctions
     val train = Seq(

@@ -35,8 +35,10 @@ object MpProbe {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
+    // SPARK_GRAFT_MP_TILED_ONLY=1 skips the parity + broadcast sections
+    val tiledOnly = sys.env.get("SPARK_GRAFT_MP_TILED_ONLY").contains("1")
     // ---- parity vs the local kernel at a kernel-feasible size ----
-    {
+    if (!tiledOnly) {
       val n = 8192; val m = 64
       val ts = walk(n + m - 1, 7L)
       val (local, tLoc) = time(graft.kernels.Kernels.matrixProfile(ts, m))
@@ -50,7 +52,7 @@ object MpProbe {
     }
 
     // ---- scale walls (min of 2) ----
-    for ((n, m, bs) <- Seq(
+    if (!tiledOnly) for ((n, m, bs) <- Seq(
         (100000, 64, 16384), (100000, 256, 16384),
         (1000000, 256, 65536), (1000000, 256, 16384), (1000000, 256, 8192))) {
       val ts = walk(n + m - 1, 11L)
@@ -65,7 +67,7 @@ object MpProbe {
         f"${wall * 1e9 / cells}%.3f ns/cell")
     }
     // ---- tiled (no-broadcast) path: parity + the cost of generality ----
-    {
+    if (!tiledOnly) {
       val n = 8192; val m = 64
       val ts = walk(n + m - 1, 7L)
       val local = graft.kernels.Kernels.matrixProfile(ts, m)
@@ -82,7 +84,14 @@ object MpProbe {
       println(f"[mpprobe] tiled parity n=$n m=$m: maxAbsDiff=$maxDiff%.3e wall=$tT%.2f s")
       df.unpersist()
     }
-    for ((n, m, bs) <- Seq((1000000, 256, 32768), (1000000, 256, 16384))) {
+    // SPARK_GRAFT_MP_TILED="n:m:bs:repeat[,...]" overrides the tiled
+    // sweep (round-12 2M probe: single-shot, the wall alone is ~9 min)
+    val tiledConfigs = sys.env.get("SPARK_GRAFT_MP_TILED") match {
+      case Some(cfg) => cfg.split(",").toSeq.map { c =>
+        val p = c.split(":"); (p(0).toInt, p(1).toInt, p(2).toInt, p(3).toInt) }
+      case None => Seq((1000000, 256, 32768, 2), (1000000, 256, 16384, 2))
+    }
+    for ((n, m, bs, rep) <- tiledConfigs) {
       val ts = walk(n + m - 1, 11L)
       import spark.implicits._
       val df = spark.createDataset(ts.toSeq.zipWithIndex
@@ -91,9 +100,11 @@ object MpProbe {
       df.count()
       def run(): Long = graft.operators.MatrixProfileDist
         .matrixProfileTiled(spark, df, m, blockSize = bs).count()
-      val (_, t1) = time(run())
-      val (cnt, t2) = time(run())
-      val wall = math.min(t1, t2)
+      var wall = Double.PositiveInfinity
+      var cnt = 0L
+      val walls = (1 to rep).map { _ =>
+        val (c, t) = time(run()); cnt = c; wall = math.min(wall, t); t }
+      val (t1, t2) = (walls.head, walls.last)
       val cells = n.toLong * n / 2
       val nb = (n + bs - 1) / bs
       println(f"[mpprobe] tiled n=$n%,d m=$m block=$bs tilePairs=${nb.toLong * (nb + 1) / 2}: " +

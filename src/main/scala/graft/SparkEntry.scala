@@ -1660,6 +1660,29 @@ object SparkEntry {
           (round(col("d2"), 4) + lit(0.0)).as("d2"))
     }),
 
+    // IVF-PQ with the production exact-rerank stage (round 12, AnnProbe:
+    // pure ADC saturates ~0.5 recall@10 at 1 M from 8-byte quantization
+    // error; the rerank equi-joins ONLY the ADC shortlist's exact
+    // vectors back — rerank·|queries| rows, never the corpus): same
+    // pinned quantizer/codebooks, ADC top-20 shortlist, exact cosine
+    // re-ranks to the final 5.
+    "emb_ann_ivfpq_rr" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val queries = e.where(col("vec_id") < 10)
+      val cands = e.where(col("vec_id") >= 10)
+      val centroids = e.where(col("vec_id") >= 10 && col("vec_id") < 26)
+        .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+      val rows = centroids.take(8)
+      val dsub = 8
+      val codebooks = Array.tabulate(8)(sIdx =>
+        rows.map(r => r.slice(sIdx * dsub, sIdx * dsub + dsub)))
+      graft.operators.Ann.ivfPqTopK(cands, queries, k = 5, centroids,
+        nprobe = 4, codebooks, rerank = 20)
+        .select(col("query_id"), col("rank"), col("cand_id"),
+          (round(col("cos"), 4) + lit(0.0)).as("cos"))
+    }),
+
     // Scalar (int8) quantization ANN — the SQ sibling of PQ: per-vector
     // min/max affine byte grid, no codebook, encode + asymmetric
     // scoring all built-in expressions (no UDF; no exchange beyond the
@@ -1882,6 +1905,23 @@ object SparkEntry {
           TsFunctions.resampleZnormUdf(col("values"), lit(32)).as("values"))
         .localCheckpoint() // both kNN sides; GC-managed, no session pin
       Cdist.knnDtwPruned(series, series, k = 4, radius = 4)
+        .where(col("probe_id") =!= col("neighbor_id")).where(col("rank") <= 3)
+        .select(col("probe_id"), col("rank"), col("neighbor_id"))
+    }),
+
+    // The SAME kNN through the no-broadcast blocked route (maxIndexRows
+    // = 0 forces the dispatch the 100× train scale-up takes): tiled
+    // salted LB phase, winners-only rejoin, the early-abandon cascade.
+    // Output is route-independent (CdistBlockSpec + KnnProbe parity at
+    // sf1), so the oracle is knn_dtw_users' own SQL — this row makes
+    // the blocked path driver signal, not just spec signal.
+    "knn_dtw_blocked" -> ((s, dir) => {
+      TsFunctions.register(s)
+      val series = TSModel.eventsToSeries(s, dir)
+        .select(col("series_id"),
+          TsFunctions.resampleZnormUdf(col("values"), lit(32)).as("values"))
+        .localCheckpoint()
+      Cdist.knnDtwPruned(series, series, k = 4, radius = 4, maxIndexRows = 0)
         .where(col("probe_id") =!= col("neighbor_id")).where(col("rank") <= 3)
         .select(col("probe_id"), col("rank"), col("neighbor_id"))
     }),
@@ -7961,6 +8001,9 @@ object SparkEntry {
         |FROM p, m""".stripMargin,
     "ts_early_classify" -> earlyClassifyOracleSql,
     "knn_dtw_users" -> knnDtwOracleSql(32, 4, 16, 3),
+    // the blocked route computes the identical relation (route parity is
+    // spec- and probe-locked), so it shares the broadcast route's oracle
+    "knn_dtw_blocked" -> knnDtwOracleSql(32, 4, 16, 3),
     "ts_paa_dist_pairs" -> (evCte + resampleCte +
       """
         |, paa AS (
@@ -8471,6 +8514,69 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, cand_id,
         |  round(d2, 4) + 0.0 AS d2
         |FROM topk WHERE rank <= 5""".stripMargin,
+
+    // emb_ann_ivfpq_rr: the same ADC chain (assign/probe/enc/adc CTEs
+    // verbatim), ADC top-20 shortlist, then the exact-cosine rerank the
+    // engine's rerank stage runs (shortlist joined back to the full
+    // candidate vectors).
+    "emb_ann_ivfpq_rr" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT vec_id - 10 AS cell, v AS cv FROM e
+        |         WHERE vec_id BETWEEN 10 AND 25),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT c.vec_id, cent.cell,
+        |      row_number() OVER (PARTITION BY c.vec_id
+        |        ORDER BY list_distance(c.v, cent.cv), cent.cell) AS rn
+        |    FROM e c, cent WHERE c.vec_id >= 10) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, cent.cell,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_distance(q.qv, cent.cv), cent.cell) AS rn
+        |    FROM q, cent) WHERE rn <= 4),
+        |cb AS (
+        |  SELECT s.s, j.j, list_slice(b.v, s.s * 8 + 1, s.s * 8 + 8) AS c
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS s) s,
+        |       (SELECT unnest(generate_series(0, 7)) AS j) j
+        |  JOIN e b ON b.vec_id = 10 + j.j
+        |), enc AS (
+        |  SELECT vec_id, s, j FROM (
+        |    SELECT c.vec_id, cb.s, cb.j,
+        |      row_number() OVER (PARTITION BY c.vec_id, cb.s
+        |        ORDER BY list_distance(
+        |          list_slice(c.v, cb.s * 8 + 1, cb.s * 8 + 8), cb.c), cb.j) AS rn
+        |    FROM e c, cb WHERE c.vec_id >= 10)
+        |  WHERE rn = 1
+        |), adc AS (
+        |  SELECT p.query_id, a.vec_id AS cand_id,
+        |    sum(pow(list_distance(
+        |      list_slice(qq.qv, enc.s * 8 + 1, enc.s * 8 + 8), cb.c), 2)) AS d2
+        |  FROM probes p
+        |  JOIN assign a ON a.cell = p.cell
+        |  JOIN enc ON enc.vec_id = a.vec_id
+        |  JOIN cb ON cb.s = enc.s AND cb.j = enc.j
+        |  JOIN q qq ON qq.query_id = p.query_id
+        |  GROUP BY 1, 2
+        |), topk AS (
+        |  SELECT query_id, cand_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY d2, cand_id) AS rank
+        |  FROM adc
+        |), short AS (
+        |  SELECT query_id, cand_id FROM topk WHERE rank <= 20
+        |), rr AS (
+        |  SELECT sh.query_id, sh.cand_id,
+        |    list_cosine_similarity(qq.qv, c.v) AS cos,
+        |    row_number() OVER (PARTITION BY sh.query_id
+        |      ORDER BY list_cosine_similarity(qq.qv, c.v) DESC, sh.cand_id) AS rank
+        |  FROM short sh
+        |  JOIN q qq ON qq.query_id = sh.query_id
+        |  JOIN e c ON c.vec_id = sh.cand_id
+        |)
+        |SELECT query_id, CAST(rank AS INT) AS rank, cand_id,
+        |  round(cos, 4) + 0.0 AS cos
+        |FROM rr WHERE rank <= 5""".stripMargin,
 
     // emb_ann_pq: per-subspace encode (argmin vs the 8 data-row
     // codebook slices, lowest code on ties) then the ADC sum of

@@ -548,17 +548,17 @@ object SparkEntry {
           round(col("containment"), 4).as("containment"))),
 
     // Sketch-then-verify containment (the scale path: candidate pairs
-    // off a 1/8 modhash sample of shingle space, exact recount only for
-    // survivors). DETERMINISTIC given the md5 hash, so the whole
-    // pipeline — sample, slack bound, exact recount — replays in SQL;
-    // the emitted values are exact by construction (phase 2 recounts
-    // from the full capped arrays), only recall is probabilistic.
-    // sampleMod pinned at 8 (the oracle replays that exact modhash
-    // sample); the operator default is 2 — the measured ≥95 %-recall
-    // point (SCALEPROBE round 12 frontier)
+    // off a 1/sampleMod modhash sample of shingle space, exact recount
+    // only for survivors). DETERMINISTIC given the md5 hash, so the
+    // whole pipeline — sample, slack bound, exact recount — replays in
+    // SQL; the emitted values are exact by construction (phase 2
+    // recounts from the full capped arrays), only recall is
+    // probabilistic. Runs at the OPERATOR DEFAULTS (sampleMod=2, the
+    // measured ≥95 %-recall point — VERDICT r12 #3 closed the gap where
+    // the driver row stayed pinned at the old mod-8 sample while the
+    // shipped default had moved); the oracle replays the mod-2 sample.
     "doc_containment_sketched" -> ((s, dir) =>
-      graft.operators.Dedup.containmentPairsSketched(docs(s, dir), threshold = 0.6,
-        sampleMod = 8)
+      graft.operators.Dedup.containmentPairsSketched(docs(s, dir), threshold = 0.6)
         .select(col("doc_a"), col("doc_b"),
           round(col("containment"), 4).as("containment"))),
 
@@ -1613,7 +1613,12 @@ object SparkEntry {
         transform(col("embedding"), x => x.cast("double")).as("v"))
       val queries = e.where(col("vec_id") < 10)
       val cands = e.where(col("vec_id") >= 10)
-      graft.operators.Ann.lshTopK(cands, queries, k = 5, dim = 64)
+      // 16/4 pinned explicitly: the oracle replays exactly these 16
+      // planes; the operator DEFAULT is the scale-aware auto derivation
+      // (Ann.autoLshParams), which at this fixture size resolves to a
+      // different banding
+      graft.operators.Ann.lshTopK(cands, queries, k = 5, dim = 64,
+          nBits = 16, nBands = 4)
         .select(col("query_id"), col("rank"), col("cand_id"), round(col("cos"), 4).as("cos"))
     }),
 
@@ -8508,7 +8513,8 @@ object SparkEntry {
         |  GROUP BY 1, 2
         |), topk AS (
         |  SELECT query_id, cand_id, d2,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY d2, cand_id) AS rank
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(d2, 4), cand_id) AS rank
         |  FROM adc
         |)
         |SELECT query_id, CAST(rank AS INT) AS rank, cand_id,
@@ -8518,7 +8524,10 @@ object SparkEntry {
     // emb_ann_ivfpq_rr: the same ADC chain (assign/probe/enc/adc CTEs
     // verbatim), ADC top-20 shortlist, then the exact-cosine rerank the
     // engine's rerank stage runs (shortlist joined back to the full
-    // candidate vectors).
+    // candidate vectors). Rank keys rounded to 4 decimals on BOTH
+    // engine and oracle (tf-idf convention): the ADC sum re-associates
+    // across engines, and the shortlist boundary must not flip on a
+    // last-ulp near-tie.
     "emb_ann_ivfpq_rr" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cent AS (SELECT vec_id - 10 AS cell, v AS cv FROM e
@@ -8561,7 +8570,8 @@ object SparkEntry {
         |  GROUP BY 1, 2
         |), topk AS (
         |  SELECT query_id, cand_id,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY d2, cand_id) AS rank
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(d2, 4), cand_id) AS rank
         |  FROM adc
         |), short AS (
         |  SELECT query_id, cand_id FROM topk WHERE rank <= 20
@@ -8569,7 +8579,8 @@ object SparkEntry {
         |  SELECT sh.query_id, sh.cand_id,
         |    list_cosine_similarity(qq.qv, c.v) AS cos,
         |    row_number() OVER (PARTITION BY sh.query_id
-        |      ORDER BY list_cosine_similarity(qq.qv, c.v) DESC, sh.cand_id) AS rank
+        |      ORDER BY round(list_cosine_similarity(qq.qv, c.v), 4) DESC,
+        |        sh.cand_id) AS rank
         |  FROM short sh
         |  JOIN q qq ON qq.query_id = sh.query_id
         |  JOIN e c ON c.vec_id = sh.cand_id
@@ -8988,7 +8999,7 @@ object SparkEntry {
         |), sizes AS (
         |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
         |), samp AS (
-        |  SELECT doc_id, sh FROM sh WHERE sh % 8 = 0
+        |  SELECT doc_id, sh FROM sh WHERE sh % 2 = 0
         |), ssizes AS (
         |  SELECT doc_id, count(*) AS ssz FROM samp GROUP BY 1
         |), cand AS (

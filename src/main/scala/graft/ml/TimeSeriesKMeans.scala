@@ -43,7 +43,15 @@ class TimeSeriesKMeans(
     // task ever holds a cluster); true = the partition-local shortcut
     // (one shuffle + local DBA per cluster — iters× fewer jobs; the
     // caller asserts every cluster fits a task)
-    val localDba: Boolean = false) extends Serializable {
+    val localDba: Boolean = false,
+    // DBA inner-loop early-stop tolerance, passed to BOTH dtw update
+    // routes. The two routes apply it differently (dbaByCluster stops on
+    // the GLOBAL summed cost, dbaByClusterLocal per cluster), so the
+    // documented route-parity condition is barycenterTol <= 0 (run all
+    // barycenterMaxIter rounds) — with a positive tol the routes can
+    // genuinely diverge mid-fit. Before this knob existed both routes
+    // hardcoded 1e-5 and the parity condition was unreachable from here.
+    val barycenterTol: Double = 1e-5) extends Serializable {
 
   require(Seq("euclidean", "dtw", "softdtw").contains(metric), s"bad metric $metric")
   // "k-means++" = the reference's RNG over a driver sample;
@@ -161,9 +169,11 @@ class TimeSeriesKMeans(
         val rows = assigned.map(t => (t._1, t._3))
         val updated: Map[Int, Array[Double]] = metric match {
           case "dtw" if localDba =>
-            DistributedBary.dbaByClusterLocal(rows, centroids, barycenterMaxIter)
+            DistributedBary.dbaByClusterLocal(rows, centroids, barycenterMaxIter,
+              tol = barycenterTol)
           case "dtw" =>
-            DistributedBary.dbaByCluster(rows, centroids, barycenterMaxIter)
+            DistributedBary.dbaByCluster(rows, centroids, barycenterMaxIter,
+              tol = barycenterTol)
           case "softdtw" if barycenterSolver == "gd" =>
             DistributedBary.softDtwGdByCluster(rows, centroids, gamma,
               barycenterEta, barycenterMaxIter)

@@ -171,7 +171,13 @@ object Ann {
     val scored = compressed.join(broadcast(qProbes), "cell")
       .select(col("query_id"), col(idCol).as("cand_id"),
         adc(col("qv"), col("codes")).as("d2"))
-    val w = Window.partitionBy("query_id").orderBy(col("d2").asc, col("cand_id").asc)
+    // rank keys rounded to 4 decimals (same convention as the tf-idf
+    // retrieval rank): the ADC sum's oracle twin is a re-associated SQL
+    // SUM whose last-ulp order can differ, and an unrounded float key
+    // lets candidates sharing PQ codes flip at the rank-k / shortlist
+    // boundary between engines; ties break on cand_id in both
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("d2"), 4).asc, col("cand_id").asc)
     if (rerank <= 0)
       scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
     else {
@@ -184,7 +190,8 @@ object Ann {
           "query_id")
         .select(col("query_id"), col("cand_id"),
           graft.functions.TsFunctions.cosineSim(col("qv"), col("cv")).as("cos"))
-      val w2 = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
+      val w2 = Window.partitionBy("query_id")
+        .orderBy(round(col("cos"), 4).desc, col("cand_id").asc)
       exact.withColumn("rank", row_number().over(w2)).where(col("rank") <= k)
     }
   }
@@ -282,36 +289,72 @@ object Ann {
     df.select(col(idCol), posexplode(array(codes: _*)).as(Seq("band", "code")))
   }
 
+  /** Scale-aware (nBits, nBands) for [[lshTopK]] — pure function of the
+    * candidate count, so the auto route is replayable. Derivation
+    * (standard banding analysis, same law the minhash bands in
+    * Dedup.dedupNearMinhash cite):
+    *  - bits per band r from target bucket occupancy: a band code must
+    *    discriminate the corpus into ~n/2^r ≈ `targetBucket` rows, so
+    *    r = ⌈log₂(n / targetBucket)⌉ — this is the "code bits must grow
+    *    with log₂(n)" rule the 1 M AnnProbe run measured (recall 0.117
+    *    at the old fixed 4-bit bands; buckets of 62 k rows).
+    *  - bands b from the recall law P(candidate) = 1 − (1 − pʳ)ᵇ ≥
+    *    `recallTarget`, at p = `pNear`, the sign-collision probability
+    *    1 − θ/π of a true top-k neighbor (0.77 measured on the AnnProbe
+    *    clustered corpus from the r=8, b=4 recall point).
+    * Bits per band are clamped to [4, 12] (below 4 buckets degenerate,
+    * above 12 the bands needed for recall outgrow the signature pass),
+    * bands to ≤ maxBands. Past ~10⁸ candidates both caps bind and the
+    * projected recall falls below the target — sign-LSH is the wrong
+    * tool there; use IVF (whose recall holds by probing more cells, not
+    * more bits). The 1 M point is measured in SCALEPROBE.md. */
+  def autoLshParams(n: Long, targetBucket: Int = 4096, pNear: Double = 0.77,
+                    recallTarget: Double = 0.9, maxBands: Int = 24): (Int, Int) = {
+    val r = math.max(4, math.min(12,
+      math.ceil(math.log(math.max(2.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
+    val pr = math.pow(pNear, r)
+    val b = math.max(2, math.min(maxBands,
+      math.ceil(math.log1p(-recallTarget) / math.log1p(-pr)).toInt))
+    (r * b, b)
+  }
+
   /** Hyperplane-LSH top-k: candidate pair iff ANY band code matches
     * (the minhash/simhash banding trick on sign bits), exact cosine on
     * the surviving pairs only. The scale path that complements IVF:
     * signatures are one map pass, the candidate generation is an
     * equi-join on (band, code) — at 100 TB nothing here is n², and the
     * bucket join partitions cleanly by band code. Recall < 1 by
-    * construction (spec'd against brute like ivfTopK). */
+    * construction (spec'd against brute like ivfTopK).
+    *
+    * `nBits`/`nBands` ≤ 0 (the default) derives both from the candidate
+    * count via [[autoLshParams]] — one count() job at call time, then
+    * band bits that actually grow with log₂(n) (the 1 M AnnProbe run
+    * measured recall 0.117 at the old fixed 16/4 defaults — exactly the
+    * scale the operator exists for). Pass both explicitly to pin a
+    * replayable configuration (the driver oracle does).
+    *
+    * Hot-bucket cap: a band code holding a huge slice of the corpus is
+    * a useless discriminator whose candidate join would emit
+    * width·|queries| rows (AnnProbe measured 4-bit band codes at 1 M
+    * vectors filling the shuffle disk with a 250 M-row join). The cap
+    * is folded into the candidate scan as a window count over
+    * (band, code) — same single job, no eager detection pass (the old
+    * groupBy + count() guard cost two extra jobs per call even when no
+    * bucket was hot). Queries-side bands stay uncapped (|queries| rows). */
   def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int,
-              dim: Int, nBits: Int = 16, nBands: Int = 4,
+              dim: Int, nBits: Int = -1, nBands: Int = -1,
               idCol: String = "vec_id", vecCol: String = "v",
               maxBucket: Int = 50000): DataFrame = {
-    val planes = hyperplanes(nBits, dim)
-    val cbRaw = lshBands(candidates, planes, nBands, idCol, vecCol)
+    val (bits, bands) =
+      if (nBits > 0 && nBands > 0) (nBits, nBands)
+      else autoLshParams(candidates.count())
+    val planes = hyperplanes(bits, dim)
+    val cb = lshBands(candidates, planes, bands, idCol, vecCol)
       .select(col(idCol).as("cand_id"), col("band"), col("code"))
-    // bucket cap — a band code holding a huge slice of the corpus is a
-    // useless discriminator whose candidate join emits width·|queries|
-    // rows (AnnProbe measured 4-bit band codes at 1 M vectors filling
-    // the shuffle disk with a 250 M-row join); dropping it LOUDLY keeps
-    // the join bounded, and the right fix — more bits per band as n
-    // grows — is in the scaladoc. Queries-side bands stay uncapped
-    // (|queries| rows).
-    val hot = cbRaw.groupBy("band", "code").agg(count(lit(1)).as("n"))
-      .where(col("n") > maxBucket).select("band", "code").localCheckpoint()
-    val cb = if (hot.count() == 0) cbRaw else {
-      System.err.println(s"[ann] lshTopK: dropping band buckets wider than " +
-        s"$maxBucket candidates — raise nBits/nBands (code bits must grow " +
-        "with log2(n)) or maxBucket")
-      cbRaw.join(broadcast(hot), Seq("band", "code"), "left_anti")
-    }
-    val qb = lshBands(queries, planes, nBands, idCol, vecCol)
+      .withColumn("bw", count(lit(1)).over(Window.partitionBy("band", "code")))
+      .where(col("bw") <= maxBucket)
+      .drop("bw")
+    val qb = lshBands(queries, planes, bands, idCol, vecCol)
       .select(col(idCol).as("query_id"), col("band"), col("code"))
     val pairs = qb.join(cb, Seq("band", "code"))
       .select(col("query_id"), col("cand_id")).distinct()
@@ -335,7 +378,10 @@ object Ann {
     val spark = candidates.sparkSession
     val qProbes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell", explode(probeCellsUdf(spark, centroids, nprobe)(col("qv"))))
-    val scored = cands.join(qProbes, "cell")
+    // queries side explicitly broadcast, matching ivfPqTopK: the corpus
+    // side of an IVF candidate join must never shuffle on a stats
+    // misestimate at fleet scale (AQE rescues local runs only)
+    val scored = cands.join(broadcast(qProbes), "cell")
       .select(col("query_id"), col(idCol).as("cand_id"),
         TsFunctions.cosineSim(col("qv"), col(vecCol)).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)

@@ -146,9 +146,12 @@ object Cdist {
                    factor: Int = 4, seriesCol: String = "values",
                    maxIndexRows: Long = 100000, blocks: Int = 16): DataFrame = {
     // limit+count short-circuits: answers "more than maxIndexRows?" without
-    // scanning the full relation
-    val over = train.select(col("series_id"))
-      .limit((maxIndexRows + 1).min(Int.MaxValue).toInt).count() > maxIndexRows
+    // scanning the full relation; the +1 saturates instead of overflowing
+    // (maxIndexRows = Long.MaxValue must mean "never blocked", not a
+    // wrapped-negative limit(0))
+    val cap = if (maxIndexRows >= Int.MaxValue - 1L) Int.MaxValue
+              else (maxIndexRows + 1).toInt
+    val over = train.select(col("series_id")).limit(cap).count() > maxIndexRows
     if (over) knnDtwBlocked(probes, train, k, radius, factor, blocks, seriesCol)
     else knnDtwBroadcastIndex(probes, train, k, radius, factor, seriesCol)
   }

@@ -61,15 +61,18 @@ object KnnProbe {
       best
     }
 
+    // Int.MaxValue, not Long.MaxValue: the dispatch guard's limit(max+1)
+    // saturates now, but the probe should not lean on overflow behavior
+    // to route to the broadcast path (ADVICE r12)
     val wBroadcast = time("broadcast", () =>
       Cdist.knnDtwPruned(series, series, k, radius, factor,
-        maxIndexRows = Long.MaxValue).count())
+        maxIndexRows = Int.MaxValue).count())
     val wBlocked = time("blocked", () =>
       Cdist.knnDtwBlocked(series, series, k, radius, factor, blocks).count())
 
     // route parity at full scale, not just toy size
     val a = Cdist.knnDtwPruned(series, series, k, radius, factor,
-        maxIndexRows = Long.MaxValue)
+        maxIndexRows = Int.MaxValue)
       .select("probe_id", "rank", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
     val b = Cdist.knnDtwBlocked(series, series, k, radius, factor, blocks)

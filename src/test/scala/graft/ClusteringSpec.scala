@@ -293,6 +293,29 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans localDba route parity is reachable via barycenterTol <= 0") {
+    // ADVICE r12: localDba=true used the local route's default tol=1e-5
+    // (per-cluster early stop) while the default route stops on global
+    // summed cost — the documented parity condition (tol <= 0) was
+    // unreachable through the kmeans API. barycenterTol plumbs it: at
+    // barycenterTol = -inf both routes run exactly barycenterMaxIter
+    // rounds and the full FIT traces must agree.
+    val rng = new scala.util.Random(13)
+    def series(c: Int) = Array.tabulate(16)(t =>
+      math.sin(0.4 * t + 2 * c) + 0.2 * rng.nextGaussian())
+    val df = (0 until 30).map(i => (i.toLong, series(i % 2)))
+      .toDF("series_id", "values")
+    def fit(local: Boolean) = new graft.ml.TimeSeriesKMeans(k = 2, metric = "dtw",
+      maxIter = 2, nInit = 1, init = "first", barycenterMaxIter = 3,
+      localDba = local, barycenterTol = Double.NegativeInfinity).fit(df)
+    val a = fit(local = false)
+    val b = fit(local = true)
+    a.centroids.zip(b.centroids).foreach { case (ca, cb) =>
+      ca.indices.foreach(t => assert(math.abs(ca(t) - cb(t)) < 1e-9,
+        s"route centroids diverge at t=$t: ${ca(t)} vs ${cb(t)}"))
+    }
+  }
+
   test("knn regressor: distance-weighted mean is exact for duplicate probe") {
     import graft.functions.TsFunctions
     val train = Seq(

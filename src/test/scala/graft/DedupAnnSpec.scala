@@ -152,12 +152,30 @@ class DedupAnnSpec extends AnyFunSuite {
     // uniform random embeddings are also LSH's worst case (cosines
     // cluster near 0, where sign bits are noisiest) — 4 bands of 4 bits
     // keeps the candidate set wide enough for decent recall here
-    val lsh = Ann.lshTopK(cands, queries, 5, dim = 64)
+    val lsh = Ann.lshTopK(cands, queries, 5, dim = 64, nBits = 16, nBands = 4)
       .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
     val recall = brute.intersect(lsh).size.toDouble / brute.size
     // measured 0.46 on this fixture: near-orthogonal vectors sit right at
     // the sign-bit decision boundary, the documented floor for 4×4 bands
     assert(recall >= 0.4, s"LSH recall $recall over ${brute.size} true pairs")
+    // AUTO defaults (scale-aware banding, VERDICT r12 #1): at this corpus
+    // size autoLshParams resolves to 4-bit bands × MORE bands than 16/4;
+    // the formula planes make auto's first 4 bands literally the 16/4
+    // bucket set, so auto's candidate set is a superset — recall is
+    // deterministically >= the pinned run's, never the 0.117 the 1 M
+    // probe measured at frozen toy settings
+    val (abBits, abBands) = Ann.autoLshParams(cands.count())
+    assert(abBits / abBands == 4 && abBands > 4,
+      s"auto params at ${cands.count()} rows: $abBits/$abBands")
+    val auto = Ann.lshTopK(cands, queries, 5, dim = 64)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recallAuto = brute.intersect(auto).size.toDouble / brute.size
+    assert(recallAuto >= recall,
+      s"auto-banded LSH recall $recallAuto < pinned 16/4 recall $recall")
+    // the scale law itself: band bits grow with log2(n), band count from
+    // the 1-(1-p^r)^b >= 0.9 target at the measured p=0.77
+    assert(Ann.autoLshParams(1000000L) == (144, 18))
+    assert(Ann.autoLshParams(1000L)._1 / Ann.autoLshParams(1000L)._2 == 4)
     // 16 bands of 1 bit ⇒ a pair collides unless ALL 16 signs differ:
     // near-total recall, the banding-trick sanity direction
     val wide = Ann.lshTopK(cands, queries, 5, dim = 64, nBits = 16, nBands = 16)

@@ -1931,6 +1931,26 @@ object SparkEntry {
         .select(col("probe_id"), col("rank"), col("neighbor_id"))
     }),
 
+    // Ragged kNN — the prune-BYPASS dispatch as driver signal (VERDICT
+    // r12 #8: every other knn_dtw_* row resamples to 32 first, so
+    // sz1 ≠ sz2 had never flowed through the kNN cascade under the
+    // oracle). No resample: raw per-user event series (lengths 49–86
+    // at sf0.01), UNCONSTRAINED DTW — LB_Keogh is invalid for unequal
+    // sizes (`dtw_variants.py:1248-1251`), so the route runs every
+    // pair through the k-slot cascade with lb=0 (mid-DP early abandon
+    // only; the LB routes now loudly reject ragged input instead of
+    // silently mis-pruning). Subset user_id % 10 = 0 keeps the
+    // all-pairs oracle DP-chain replay affordable.
+    "knn_dtw_ragged" -> ((s, dir) => {
+      val series = TSModel.eventsToSeries(s, dir)
+        .where(col("series_id") % 10 === 0)
+        .localCheckpoint()
+      Cdist.knnDtwRagged(series, series, k = 4)
+        .where(col("probe_id") =!= col("neighbor_id")).where(col("rank") <= 3)
+        .select(col("probe_id"), col("rank"), col("neighbor_id"),
+          (round(col("dist"), 4) + lit(0.0)).as("dist"))
+    }),
+
     // ---------------- multivariate (d=2) kernel path -----------------
     // PenDigits-shaped: each user's events become a 2-channel series
     // (value, Δt µs), each channel resampled to 16 and z-normed, then
@@ -4402,6 +4422,70 @@ object SparkEntry {
          |SELECT u.pr AS user_id, round(sqrt(u.cost), 4) AS dtw
          |FROM ans u JOIN lens ln ON ln.pr = u.pr
          |WHERE u.i = ln.len1 - 1 AND u.j = ln.len2 - 1""".stripMargin
+    sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
+  }
+
+  /** DuckDB oracle for knn_dtw_ragged — all ordered pairs of the
+    * user_id % `mod` subset through the UNBANDED variable-length DTW
+    * (the [[raggedDtwOracleSql]] DP chain generalized from adjacent
+    * pairs to a (pr, cd) pair space), self pairs appended at dist 0,
+    * then the same rank/filter the engine row applies. */
+  private def raggedKnnOracleSql(maxSz: Int, mod: Int, keep: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH v AS (
+         |  SELECT user_id, value,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_ns(ts) // 1000, event_id) - 1 AS j
+         |  FROM events WHERE user_id % $mod = 0
+         |), lens AS (
+         |  SELECT user_id, count(*) AS n FROM v GROUP BY 1
+         |), loc AS (
+         |  SELECT a.user_id AS pr, b.user_id AS cd, a.j AS i, b.j AS j,
+         |    (a.value - b.value) * (a.value - b.value) AS d
+         |  FROM v a JOIN v b ON b.user_id <> a.user_id
+         |), t0 AS (
+         |  SELECT pr, cd, j, sum(d) OVER (PARTITION BY pr, cd ORDER BY j) AS cost
+         |  FROM loc WHERE i = 0
+         |)""".stripMargin)
+    for (i <- 1 until maxSz) {
+      sb ++=
+        s"""
+           |, t$i AS (
+           |  SELECT pr, cd, j, cs + mn AS cost FROM (
+           |    SELECT pr, cd, j, cs,
+           |      min(mk - csk) OVER (PARTITION BY pr, cd ORDER BY j) AS mn
+           |    FROM (
+           |      SELECT l.pr, l.cd, l.j,
+           |        sum(l.d) OVER (PARTITION BY l.pr, l.cd ORDER BY l.j) AS cs,
+           |        sum(l.d) OVER (PARTITION BY l.pr, l.cd ORDER BY l.j) - l.d AS csk,
+           |        least(coalesce(pk.cost, 1e308), coalesce(pk1.cost, 1e308)) AS mk
+           |      FROM loc l
+           |      LEFT JOIN t${i - 1} pk
+           |        ON pk.pr = l.pr AND pk.cd = l.cd AND pk.j = l.j
+           |      LEFT JOIN t${i - 1} pk1
+           |        ON pk1.pr = l.pr AND pk1.cd = l.cd AND pk1.j = l.j - 1
+           |      WHERE l.i = $i))
+           |)""".stripMargin
+    }
+    sb ++= "\n, ans AS (\n  SELECT pr, cd, 0 AS i, j, cost FROM t0"
+    for (i <- 1 until maxSz)
+      sb ++= s"\n  UNION ALL SELECT pr, cd, $i, j, cost FROM t$i"
+    sb ++=
+      s"""
+         |), dtw AS (
+         |  SELECT u.pr, u.cd, sqrt(u.cost) AS dist
+         |  FROM ans u
+         |  JOIN lens la ON la.user_id = u.pr
+         |  JOIN lens lb2 ON lb2.user_id = u.cd
+         |  WHERE u.i = la.n - 1 AND u.j = lb2.n - 1
+         |  UNION ALL SELECT user_id, user_id, 0.0 FROM lens
+         |)
+         |SELECT pr AS probe_id, rn AS rank, cd AS neighbor_id,
+         |  round(dist, 4) + 0.0 AS dist FROM (
+         |  SELECT pr, cd, dist,
+         |    row_number() OVER (PARTITION BY pr ORDER BY dist, cd) AS rn
+         |  FROM dtw)
+         |WHERE pr <> cd AND rn <= $keep""".stripMargin
     sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
   }
 
@@ -8009,6 +8093,7 @@ object SparkEntry {
     // the blocked route computes the identical relation (route parity is
     // spec- and probe-locked), so it shares the broadcast route's oracle
     "knn_dtw_blocked" -> knnDtwOracleSql(32, 4, 16, 3),
+    "knn_dtw_ragged" -> raggedKnnOracleSql(128, 10, 3),
     "ts_paa_dist_pairs" -> (evCte + resampleCte +
       """
         |, paa AS (

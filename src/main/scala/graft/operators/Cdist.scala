@@ -185,6 +185,13 @@ object Cdist {
       val lbs = new Array[Double](idx.length)
       var i = 0
       while (i < idx.length) {
+        // LB_Keogh is UNDEFINED for unequal lengths (the reference raises,
+        // `dtw_variants.py:1248-1251`): a silent min-length walk would be
+        // a bound of NOTHING and prune true neighbors. Reject loudly.
+        require(idx(i)._3.length == q.length,
+          s"LB_Keogh requires equal-length series (probe sz=${q.length}, " +
+            s"train id=${idx(i)._1} sz=${idx(i)._3.length}); " +
+            "use Cdist.knnDtwRagged for variable-length input")
         lbs(i) = graft.kernels.Kernels.lbKeoghEnv(q, idx(i)._3, idx(i)._4)
         i += 1
       }
@@ -295,6 +302,12 @@ object Cdist {
         val qa = q.toArray
         var i = 0
         while (i < index.length) {
+          // same equal-length contract as the broadcast route: LB_Keogh
+          // on sz1 != sz2 is not a lower bound (`dtw_variants.py:1248-1251`)
+          require(index(i)._2.length == qa.length,
+            s"LB_Keogh requires equal-length series (probe sz=${qa.length}, " +
+              s"train id=${index(i)._1} sz=${index(i)._2.length}); " +
+              "use Cdist.knnDtwRagged for variable-length input")
           lbs(i) = graft.kernels.Kernels.lbKeoghEnv(qa, index(i)._2, index(i)._3)
           i += 1
         }
@@ -333,5 +346,104 @@ object Cdist {
         posexplode(cascadeUdf(col("q"), col("cs"))).as(Seq("rank0", "hit")))
       .select(col("probe_id"), (col("rank0") + 1).as("rank"),
         col("hit._1").as("neighbor_id"), col("hit._2").as("dist"))
+  }
+
+  /** Exact DTW k-NN for RAGGED input (sz1 ≠ sz2) — the prune-BYPASS
+    * route. LB_Keogh is undefined for unequal lengths (the reference
+    * raises, `dtw_variants.py:1248-1251`; VARIABLE_LENGTH_METRICS
+    * admits dtw itself, `metrics/__init__.py:29`), so there is no cheap
+    * bound to select candidates with: every (probe, train) pair enters
+    * the k-slot cascade with lb = 0 — the envelope SKIP is gone, but
+    * the mid-DP early abandon survives ([[Kernels.dtwFlatEA]] at the
+    * running kth-best cutoff), and tie-ranking stays (dist, id)
+    * bit-identical to an exhaustive pass. radius < 0 = unconstrained
+    * DTW (Sakoe-Chiba on ragged pairs widens the band by |sz1−sz2|,
+    * a different semantics — callers opt in explicitly).
+    *
+    * Same scale dispatch as [[knnDtwPruned]]: up to `maxIndexRows` the
+    * (id, series) index broadcasts and the plan is exchange-free;
+    * beyond it the train side shuffles into `blocks` hashed tiles,
+    * each tile emits its local exact top-k, and a grouped
+    * array_sort-merge keeps the global k — per-probe shuffle volume is
+    * k·blocks rows, never the pair space. */
+  def knnDtwRagged(probes: DataFrame, train: DataFrame, k: Int, radius: Int = -1,
+                   seriesCol: String = "values", maxIndexRows: Long = 100000,
+                   blocks: Int = 16): DataFrame = {
+    val cap = if (maxIndexRows >= Int.MaxValue - 1L) Int.MaxValue
+              else (maxIndexRows + 1).toInt
+    val over = train.select(col("series_id")).limit(cap).count() > maxIndexRows
+    if (over) knnDtwRaggedBlocked(probes, train, k, radius, blocks, seriesCol)
+    else {
+      val spark = probes.sparkSession
+      import spark.implicits._
+      // id-ascending with lb = 0 satisfies the cascade's (lb, id) sort
+      // contract; pre-shaped ONCE before broadcast so the per-probe call
+      // allocates nothing but the k-slot buffers
+      val index: Array[(Double, Long, Array[Double])] =
+        train.select(col("series_id").cast("long"), col(seriesCol).cast("array<double>"))
+          .as[(Long, Array[Double])].collect().sortBy(_._1)
+          .map(t => (0.0, t._1, t._2))
+      val bc = spark.sparkContext.broadcast(index)
+      val knnUdf = udf((lv: scala.collection.Seq[Double]) => {
+        // every candidate runs the DP, abandoning at the running kth best
+        cascade(lv.toArray, bc.value, k, radius)
+      })
+      probes.select(col("series_id").as("probe_id"),
+          posexplode(knnUdf(col(seriesCol))).as(Seq("rank0", "hit")))
+        .select(col("probe_id"), (col("rank0") + 1).as("rank"),
+          col("hit._1").as("neighbor_id"), col("hit._2").as("dist"))
+    }
+  }
+
+  /** Tiled no-broadcast variant of [[knnDtwRagged]]: probes group into
+    * chunks, train into hashed salted blocks (same tiling as
+    * [[knnDtwBlocked]], minus the LB phase it cannot have); one UDF call
+    * per (chunk × block) tile decodes the tile ONCE and runs the
+    * cascade per probe against the block's series, emitting that tile's
+    * exact top-k. The global merge array_sorts the k·blocks survivors
+    * per probe on (dist, id) and keeps k — exact, and output-identical
+    * to the broadcast route (CdistBlockSpec). */
+  private[graft] def knnDtwRaggedBlocked(probes: DataFrame, train: DataFrame, k: Int,
+                                         radius: Int, blocks: Int = 16,
+                                         seriesCol: String = "values"): DataFrame = {
+    require(blocks >= 1, "blocks must be >= 1")
+    val salt = math.max(1,
+      (4 * train.sparkSession.sparkContext.defaultParallelism + blocks - 1) / blocks)
+    val tIdx = train
+      .select(col("series_id").cast("long").as("id"),
+        col(seriesCol).cast("array<double>").as("tv"))
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
+      .groupBy("blk")
+      .agg(collect_list(struct(col("id").as("_1"), col("tv").as("_2"))).as("idx"))
+      .withColumn("slt", explode(sequence(lit(0), lit(salt - 1))))
+    val chunks = math.max(32,
+      probes.sparkSession.sparkContext.defaultParallelism * 4)
+    val pChunks = probes
+      .select(col("series_id").cast("long").as("probe_id"),
+        col(seriesCol).cast("array<double>").as("q"))
+      .withColumn("chk", pmod(xxhash64(col("probe_id")), lit(chunks)).cast("int"))
+      .groupBy("chk")
+      .agg(collect_list(struct(col("probe_id").as("_1"), col("q").as("_2"))).as("ps"))
+      .withColumn("blk", explode(sequence(lit(0), lit(blocks - 1))))
+      .withColumn("slt", pmod(col("chk"), lit(salt)).cast("int"))
+    val tileUdf = udf((ps: scala.collection.Seq[(Long, scala.collection.Seq[Double])],
+                       idx: scala.collection.Seq[(Long, scala.collection.Seq[Double])]) => {
+      // arrays up front: the converter's Seq can be a linked list and
+      // O(i) applies amplify quadratically inside the cascade loop
+      val index = idx.iterator.map(r => (0.0, r._1, r._2.toArray)).toArray
+        .sortBy(t => t._2)
+      ps.iterator.flatMap { case (pid, q) =>
+        cascade(q.toArray, index, k, radius).map { case (id, d) => (pid, d, id) }
+      }.toArray
+    })
+    pChunks.join(tIdx.hint("shuffle_hash"), Seq("blk", "slt"))
+      .select(explode(tileUdf(col("ps"), col("idx"))).as("c"))
+      .select(col("c._1").as("probe_id"),
+        struct(col("c._2").as("_1"), col("c._3").as("_2")).as("c"))
+      .groupBy("probe_id")
+      .agg(slice(array_sort(collect_list(col("c"))), 1, k).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("rank0", "hit")))
+      .select(col("probe_id"), (col("rank0") + 1).as("rank"),
+        col("hit._2").as("neighbor_id"), col("hit._1").as("dist"))
   }
 }

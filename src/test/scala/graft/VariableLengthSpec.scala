@@ -42,6 +42,53 @@ class VariableLengthSpec extends AnyFunSuite {
     assert(sizes.size > 1, s"fixture must have multiple lengths, got $sizes")
   }
 
+  test("LB-pruned kNN routes reject ragged input loudly (dtw_variants.py:1248-1251)") {
+    import graft.operators.Cdist
+    // a silently-wrong LB on sz1 != sz2 would prune true neighbors; the
+    // contract is an error that names the ragged-capable route
+    def messageChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val eBroadcast = intercept[Exception] {
+      Cdist.knnDtwPruned(ragged, ragged, k = 2, radius = 3).collect()
+    }
+    assert(messageChain(eBroadcast).contains("knnDtwRagged"), messageChain(eBroadcast))
+    val eBlocked = intercept[Exception] {
+      Cdist.knnDtwPruned(ragged, ragged, k = 2, radius = 3,
+        maxIndexRows = 0, blocks = 3).collect()
+    }
+    assert(messageChain(eBlocked).contains("knnDtwRagged"), messageChain(eBlocked))
+  }
+
+  test("knnDtwRagged == exact window kNN on ragged input; blocked route identical") {
+    import graft.operators.Cdist
+    val exact = Cdist.knn(ragged, ragged, k = 3, (a, b) => TsFunctions.dtwUdf(a, b))
+      .select("probe_id", "rank", "neighbor_id", "dist")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val got = Cdist.knnDtwRagged(ragged, ragged, k = 3)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(got.length == exact.length)
+    exact.zip(got).foreach { case (e, g) =>
+      assert(e._1 == g._1 && e._2 == g._2 && e._3 == g._3, s"hit mismatch $e vs $g")
+      assert(math.abs(e._4 - g._4) < 1e-12, s"dist mismatch $e vs $g")
+    }
+    for (blocks <- Seq(1, 3, 5)) {
+      val blocked = Cdist.knnDtwRaggedBlocked(ragged, ragged, k = 3,
+          radius = -1, blocks = blocks)
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      assert(blocked.length == exact.length, s"blocks=$blocks row count")
+      exact.zip(blocked).foreach { case (e, g) =>
+        assert(e._1 == g._1 && e._2 == g._2 && e._3 == g._3,
+          s"blocks=$blocks hit mismatch $e vs $g")
+        assert(math.abs(e._4 - g._4) < 1e-12, s"blocks=$blocks dist mismatch $e vs $g")
+      }
+    }
+    // the dispatch itself: past maxIndexRows the ragged route must not
+    // broadcast the train relation
+    val guarded = Cdist.knnDtwRagged(ragged, ragged, k = 3, maxIndexRows = 5)
+    assert(!guarded.queryExecution.executedPlan.toString.contains("BroadcastExchange"))
+  }
+
   test("kNN-DTW classifies ragged series (test_variablelength kNN leg)") {
     Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column](
       (a, b) => TsFunctions.dtwUdf(a, b),

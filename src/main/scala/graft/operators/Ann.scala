@@ -213,7 +213,15 @@ object Ann {
     * bounded sample (standard IVF practice: the coarse quantizer is
     * trained on a sample, only the assignment pass touches all data — a
     * distributed iteration per Lloyd step would cost 10 jobs for a
-    * centroid set a single task can compute). */
+    * centroid set a single task can compute).
+    *
+    * The assignment scan is thread-parallel over FIXED sample chunks
+    * with per-chunk partial (sums, counts) merged in chunk order —
+    * bit-deterministic for a given (seed, sampleCap, chunk count), and
+    * what makes nlist past 1024 trainable (the r12 cap existed because
+    * the sequential scan cost nlist·sampleCap·d·iters on one core;
+    * nlist=4096/sampleCap=160k is ~4·10¹¹ mults, minutes sequential,
+    * seconds across cores). */
   def trainCoarse(df: DataFrame, nlist: Int, seed: Long = 0L, sampleCap: Int = 20000,
                   idCol: String = "vec_id", vecCol: String = "v"): Array[Array[Double]] = {
     val spark = df.sparkSession
@@ -226,21 +234,49 @@ object Ann {
     val rng = new scala.util.Random(seed)
     var centers = Array.tabulate(math.min(nlist, sample.length))(_ =>
       sample(rng.nextInt(sample.length)).clone())
+    val dim = sample(0).length
+    val nChunks = 64 // fixed, NOT cores-dependent: results must not vary by machine
+    val bounds = Array.tabulate(nChunks + 1)(c => (c.toLong * sample.length / nChunks).toInt)
     for (_ <- 1 to 10) {
-      val sums = Array.fill(centers.length)(new Array[Double](sample(0).length))
-      val counts = new Array[Int](centers.length)
-      sample.foreach { x =>
-        var best = 0; var bestD = Double.PositiveInfinity
+      val cs = centers
+      val partials = new Array[(Array[Array[Double]], Array[Int])](nChunks)
+      java.util.stream.IntStream.range(0, nChunks).parallel().forEach { chunk =>
+        val sums = Array.fill(cs.length)(new Array[Double](dim))
+        val counts = new Array[Int](cs.length)
+        var s = bounds(chunk)
+        while (s < bounds(chunk + 1)) {
+          val x = sample(s)
+          var best = 0; var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < cs.length) {
+            var d = 0.0; var i = 0
+            val cc = cs(c)
+            while (i < dim) { val df2 = cc(i) - x(i); d += df2 * df2; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < dim) { sums(best)(i) += x(i); i += 1 }
+          counts(best) += 1
+          s += 1
+        }
+        partials(chunk) = (sums, counts)
+      }
+      // merge in chunk order — float association fixed regardless of
+      // which thread finished first
+      val sums = Array.fill(cs.length)(new Array[Double](dim))
+      val counts = new Array[Int](cs.length)
+      var chunk = 0
+      while (chunk < nChunks) {
+        val (ps, pc) = partials(chunk)
         var c = 0
-        while (c < centers.length) {
-          var d = 0.0; var i = 0
-          while (i < x.length) { val df2 = centers(c)(i) - x(i); d += df2 * df2; i += 1 }
-          if (d < bestD) { bestD = d; best = c }
+        while (c < cs.length) {
+          var i = 0
+          while (i < dim) { sums(c)(i) += ps(c)(i); i += 1 }
+          counts(c) += pc(c)
           c += 1
         }
-        var i = 0
-        while (i < x.length) { sums(best)(i) += x(i); i += 1 }
-        counts(best) += 1
+        chunk += 1
       }
       centers = centers.indices.map { c =>
         if (counts(c) == 0) sample(rng.nextInt(sample.length)).clone()
@@ -250,13 +286,31 @@ object Ann {
     centers
   }
 
-  /** Assign each vector to its nearest coarse cell: one broadcast pass. */
+  /** Assign each vector to its nearest coarse cell: one broadcast pass.
+    * This is the ONE pass that touches the full corpus, so it runs a
+    * flat squared-euclidean argmin (lowest cell on ties, same rule as
+    * the kmeans route it replaced) with zero per-eval allocation — the
+    * generic kmeans assign wrapped every vector element into a (sz, d)
+    * nested array PER DISTANCE EVAL, a ~10× constant that turns the
+    * 10 M × nlist=4096 assignment from minutes into an hour. */
   def ivfAssign(df: DataFrame, centroids: Array[Array[Double]],
                 idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
-    graft.ml.TimeSeriesKMeans.assign(
-      df.select(col(idCol).as("series_id"), col(vecCol).as("values")),
-      centroids, "euclidean", 0.0)
-      .select(col("series_id").as(idCol), col("cluster").as("cell"))
+    val bc = df.sparkSession.sparkContext.broadcast(centroids)
+    val assignUdf = udf((v: scala.collection.Seq[Double]) => {
+      val x = v.toArray
+      val cs = bc.value
+      var best = 0; var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < cs.length) {
+        val cc = cs(c)
+        var d = 0.0; var i = 0
+        while (i < x.length) { val df2 = cc(i) - x(i); d += df2 * df2; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    })
+    df.select(col(idCol), assignUdf(col(vecCol)).as("cell"))
   }
 
   /** Deterministic hyperplane set for sign-random-projection LSH:

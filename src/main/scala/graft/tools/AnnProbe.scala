@@ -14,7 +14,13 @@ import graft.operators.Ann
   * setting. The probe that does for ANN what MpProbe did for the
   * matrix profile.
   *
-  * Usage: runMain graft.tools.AnnProbe [n nq k d centers]
+  * Usage: runMain graft.tools.AnnProbe [n nq k d centers routes]
+  * `routes` = csv of {ivf, lsh, lshauto, ivfsweep, ivfpq, sq8} (default:
+  * the full r12 set "ivf,lsh,ivfpq,sq8"; brute always runs — it is the
+  * ground truth). Round-13 additions: `lshauto` measures lshTopK at the
+  * autoLshParams derivation (VERDICT r12 #1); `ivfsweep` measures
+  * recall/wall past the old nlist=1024 cap at matched candidate mass
+  * (VERDICT r12 #2 — run it at n=10M).
   */
 object AnnProbe {
   // splitmix64-style avalanche → uniform in [-1, 1]; pure function of
@@ -33,6 +39,8 @@ object AnnProbe {
     val k = if (args.length > 2) args(2).toInt else 10
     val d = if (args.length > 3) args(3).toInt else 64
     val centers = if (args.length > 4) args(4).toInt else 1024
+    val routes: Set[String] = (if (args.length > 5) args(5)
+      else "ivf,lsh,ivfpq,sq8").split(",").map(_.trim).filter(_.nonEmpty).toSet
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -92,60 +100,105 @@ object AnnProbe {
     record("brute", wBrute, 1.0)
 
     // IVF — coarse cells from the sampled trainer, three nprobe points
-    val (centroids, wTrain) = timed("ivf trainCoarse nlist=256") {
-      Ann.trainCoarse(cands, nlist = 256, seed = 42, idCol = "vec_id", vecCol = "v")
-    }
-    for (nprobe <- Seq(4, 8, 16)) {
-      val (got, w) = timed(s"ivf nprobe=$nprobe") {
-        topSet(Ann.ivfTopK(cands, queries, k, centroids, nprobe))
+    if (routes("ivf")) {
+      val (centroids, wTrain) = timed("ivf trainCoarse nlist=256") {
+        Ann.trainCoarse(cands, nlist = 256, seed = 42, idCol = "vec_id", vecCol = "v")
       }
-      record(f"ivf-256-np$nprobe (+train $wTrain%.0f s once)", w, recall(got))
+      for (nprobe <- Seq(4, 8, 16)) {
+        val (got, w) = timed(s"ivf nprobe=$nprobe") {
+          topSet(Ann.ivfTopK(cands, queries, k, centroids, nprobe))
+        }
+        record(f"ivf-256-np$nprobe (+train $wTrain%.0f s once)", w, recall(got))
+      }
+    }
+
+    // IVF past the old nlist=1024 cap (VERDICT r12 #2): matched
+    // candidate mass across nlist — np scales with nlist so every row
+    // scans ~the same fraction of the corpus; recall differences are
+    // then purely quantizer quality, wall differences purely cell
+    // granularity. sampleCap scales to keep ~40 training points per
+    // cell (20 k over 4096 cells would leave 5/cell — empty-cell
+    // reseeds, junk quantizer).
+    if (routes("ivfsweep")) {
+      for (nlist <- Seq(1024, 4096)) {
+        val sc = math.max(20000, 40 * nlist)
+        val (cs, wT) = timed(s"ivfsweep trainCoarse nlist=$nlist sampleCap=$sc") {
+          Ann.trainCoarse(cands, nlist = nlist, seed = 42, sampleCap = sc,
+            idCol = "vec_id", vecCol = "v")
+        }
+        for (frac <- Seq(256, 128)) { // scan ~n/256, ~n/128 per query
+          val nprobe = math.max(1, nlist / frac)
+          val (got, w) = timed(s"ivfsweep nlist=$nlist np=$nprobe") {
+            topSet(Ann.ivfTopK(cands, queries, k, cs, nprobe))
+          }
+          record(f"ivf-$nlist-np$nprobe (+train $wT%.0f s once)", w, recall(got))
+        }
+      }
     }
 
     // LSH — code bits must grow with log2(n): at 1 M vectors a 4-bit
     // band code (the toy default 16/4) means 16 buckets of ~62 k each —
     // the candidate join filled the shuffle disk before the cap. 16-bit
     // bands (64/4) are the scale setting; 8-bit (32/4) the coarse point.
-    for ((bits, bands) <- Seq((64, 4), (32, 4))) {
-      val (got, w) = timed(s"lsh $bits/$bands") {
-        topSet(Ann.lshTopK(cands, queries, k, dim = d, nBits = bits, nBands = bands))
+    if (routes("lsh")) {
+      for ((bits, bands) <- Seq((64, 4), (32, 4))) {
+        val (got, w) = timed(s"lsh $bits/$bands") {
+          topSet(Ann.lshTopK(cands, queries, k, dim = d, nBits = bits, nBands = bands))
+        }
+        record(s"lsh-$bits-$bands", w, recall(got))
       }
-      record(s"lsh-$bits-$bands", w, recall(got))
     }
 
-    // IVF-PQ — 8 subspaces × 256 codewords from data rows (the pinned
-    // data-row codebook pattern), candidates pruned to the probed cells
-    val dsub = d / 8
-    // TRAINED per-subspace codebooks (k-means over subvectors via the
-    // coarse trainer) — raw data rows as codewords measured recall 0.29
-    // at 50 k; training lifts the same route to production shape
-    val codebooks = Array.tabulate(8) { sIdx =>
-      Ann.trainCoarse(cands.select(col("vec_id"),
-          slice(col("v"), sIdx * dsub + 1, dsub).as("v")),
-        nlist = 256, seed = 7 + sIdx, idCol = "vec_id", vecCol = "v")
+    // LSH at the AUTO derivation (VERDICT r12 #1): the banding the
+    // operator now picks for this corpus size — the probe validates the
+    // recall target the law was solved for (>= 0.9 at 1 M).
+    if (routes("lshauto")) {
+      val (abBits, abBands) = Ann.autoLshParams(n)
+      val (got, w) = timed(s"lsh auto $abBits/$abBands") {
+        topSet(Ann.lshTopK(cands, queries, k, dim = d))
+      }
+      record(s"lsh-auto-$abBits-$abBands", w, recall(got))
     }
-    val (gotIvfPq, wIvfPq) = timed("ivfpq np=8") {
-      topSet(Ann.ivfPqTopK(cands, queries, k, centroids, nprobe = 8, codebooks))
+
+    // IVF-PQ — 8 subspaces × 256 codewords, candidates pruned to the
+    // probed cells of its own nlist=256 quantizer
+    if (routes("ivfpq")) {
+      val dsub = d / 8
+      // TRAINED per-subspace codebooks (k-means over subvectors via the
+      // coarse trainer) — raw data rows as codewords measured recall 0.29
+      // at 50 k; training lifts the same route to production shape
+      val codebooks = Array.tabulate(8) { sIdx =>
+        Ann.trainCoarse(cands.select(col("vec_id"),
+            slice(col("v"), sIdx * dsub + 1, dsub).as("v")),
+          nlist = 256, seed = 7 + sIdx, idCol = "vec_id", vecCol = "v")
+      }
+      val centroids = Ann.trainCoarse(cands, nlist = 256, seed = 42,
+        idCol = "vec_id", vecCol = "v")
+      val (gotIvfPq, wIvfPq) = timed("ivfpq np=8") {
+        topSet(Ann.ivfPqTopK(cands, queries, k, centroids, nprobe = 8, codebooks))
+      }
+      record("ivfpq-256-np8-adc", wIvfPq, recall(gotIvfPq))
+      val (gotIvfPqR, wIvfPqR) = timed("ivfpq np=8 rerank=4k") {
+        topSet(Ann.ivfPqTopK(cands, queries, k, centroids, nprobe = 8, codebooks,
+          rerank = 4 * k))
+      }
+      record("ivfpq-256-np8-rerank4k", wIvfPqR, recall(gotIvfPqR))
     }
-    record("ivfpq-256-np8-adc", wIvfPq, recall(gotIvfPq))
-    val (gotIvfPqR, wIvfPqR) = timed("ivfpq np=8 rerank=4k") {
-      topSet(Ann.ivfPqTopK(cands, queries, k, centroids, nprobe = 8, codebooks,
-        rerank = 4 * k))
-    }
-    record("ivfpq-256-np8-rerank4k", wIvfPqR, recall(gotIvfPqR))
 
     // SQ8 — full affine-byte scan (codegen'd, no pruning): the
     // compression route, measured at a query subsample to bound the
     // full-scan cost
-    val qSub = queries.where(col("vec_id") < n + 100).localCheckpoint()
-    val bruteSub = brute.filter(_._1 < n + 100)
-    val (gotSq, wSq) = timed("sq8 (100 queries)") {
-      topSet(Ann.sqTopK(cands, qSub, k))
+    if (routes("sq8")) {
+      val qSub = queries.where(col("vec_id") < n + 100).localCheckpoint()
+      val bruteSub = brute.filter(_._1 < n + 100)
+      val (gotSq, wSq) = timed("sq8 (100 queries)") {
+        topSet(Ann.sqTopK(cands, qSub, k))
+      }
+      val rSq = bruteSub.map { case (q, t) =>
+        gotSq.getOrElse(q, Set.empty[Long]).intersect(t).size }.sum /
+        bruteSub.values.map(_.size).sum.toDouble
+      record("sq8-fullscan-100q", wSq, rSq)
     }
-    val rSq = bruteSub.map { case (q, t) =>
-      gotSq.getOrElse(q, Set.empty[Long]).intersect(t).size }.sum /
-      bruteSub.values.map(_.size).sum.toDouble
-    record("sq8-fullscan-100q", wSq, rSq)
 
     println(s"""{"probe":"ann","n":$n,"nq":$nq,"k":$k,"d":$d,"centers":$centers,"routes":[${results.mkString(",")}]}""")
     spark.stop()

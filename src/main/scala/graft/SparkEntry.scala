@@ -1940,12 +1940,20 @@ object SparkEntry {
     // pair through the k-slot cascade with lb=0 (mid-DP early abandon
     // only; the LB routes now loudly reject ragged input instead of
     // silently mis-pruning). Subset user_id % 10 = 0 keeps the
-    // all-pairs oracle DP-chain replay affordable.
+    // all-pairs oracle DP-chain replay affordable. The published rank
+    // is recomputed on round(dist, 4) — the cascade and the oracle's
+    // cumsum DP sum identical terms in different float association
+    // order, the same last-ulp near-tie class the ADC/rerank keys
+    // round away; the operator's unrounded k=4 shortlist carries one
+    // buffer slot past keep=3 so the re-rank sees any boundary tie.
     "knn_dtw_ragged" -> ((s, dir) => {
       val series = TSModel.eventsToSeries(s, dir)
         .where(col("series_id") % 10 === 0)
         .localCheckpoint()
+      val w = Window.partitionBy("probe_id")
+        .orderBy(round(col("dist"), 4), col("neighbor_id"))
       Cdist.knnDtwRagged(series, series, k = 4)
+        .withColumn("rank", row_number().over(w))
         .where(col("probe_id") =!= col("neighbor_id")).where(col("rank") <= 3)
         .select(col("probe_id"), col("rank"), col("neighbor_id"),
           (round(col("dist"), 4) + lit(0.0)).as("dist"))
@@ -4439,6 +4447,12 @@ object SparkEntry {
          |  FROM events WHERE user_id % $mod = 0
          |), lens AS (
          |  SELECT user_id, count(*) AS n FROM v GROUP BY 1
+         |), guard AS (
+         |  SELECT CASE WHEN max(n) > $maxSz THEN error(
+         |      'raggedKnnOracleSql: longest series (' || CAST(max(n) AS VARCHAR)
+         |      || ' points) exceeds the ' || '$maxSz' || '-layer DP chain — raise maxSz '
+         |      || 'or the final DP cell is silently unreachable and pairs vanish')
+         |    ELSE 1 END AS ok FROM lens
          |), loc AS (
          |  SELECT a.user_id AS pr, b.user_id AS cd, a.j AS i, b.j AS j,
          |    (a.value - b.value) * (a.value - b.value) AS d
@@ -4483,9 +4497,10 @@ object SparkEntry {
          |SELECT pr AS probe_id, rn AS rank, cd AS neighbor_id,
          |  round(dist, 4) + 0.0 AS dist FROM (
          |  SELECT pr, cd, dist,
-         |    row_number() OVER (PARTITION BY pr ORDER BY dist, cd) AS rn
+         |    row_number() OVER (PARTITION BY pr
+         |      ORDER BY round(dist, 4), cd) AS rn
          |  FROM dtw)
-         |WHERE pr <> cd AND rn <= $keep""".stripMargin
+         |WHERE pr <> cd AND rn <= $keep AND (SELECT ok FROM guard) = 1""".stripMargin
     sb.toString.replaceAll("(?m)^(WITH |, |\\), )(\\w+) AS \\($", "$1$2 AS MATERIALIZED (")
   }
 
@@ -9066,7 +9081,7 @@ object SparkEntry {
 
     // containmentPairsSketched replay: same shingle machinery but on the
     // 60-bit md5 hash (15 hex chars == the engine's big-endian first 8
-    // bytes >>> 4), df-cap 100, 1/8 modhash candidate sample with slack
+    // bytes >>> 4), df-cap 100, 1/2 modhash candidate sample with slack
     // 0.5·threshold against the smaller sampled size, then the exact
     // per-candidate recount — both directions, >= 0.6.
     "doc_containment_sketched" ->

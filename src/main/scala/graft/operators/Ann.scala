@@ -381,11 +381,18 @@ object Ann {
     * construction (spec'd against brute like ivfTopK).
     *
     * `nBits`/`nBands` ≤ 0 (the default) derives both from the candidate
-    * count via [[autoLshParams]] — one count() job at call time, then
-    * band bits that actually grow with log₂(n) (the 1 M AnnProbe run
-    * measured recall 0.117 at the old fixed 16/4 defaults — exactly the
-    * scale the operator exists for). Pass both explicitly to pin a
-    * replayable configuration (the driver oracle does).
+    * count via [[autoLshParams]] — band bits that actually grow with
+    * log₂(n) (the 1 M AnnProbe run measured recall 0.117 at the old
+    * fixed 16/4 defaults — exactly the scale the operator exists for).
+    * Callers that already know the corpus size pass it as `n` and the
+    * auto route stays job-free; only when `n` ≤ 0 does the derivation
+    * fall back to one count() job at call time — at fleet scale that is
+    * a full corpus scan inside what looks like a constructor, so the
+    * cosine router and any pipeline caller should pass the hint. Pass
+    * both `nBits` and `nBands` explicitly to pin a replayable
+    * configuration (the driver oracle does); passing exactly one of the
+    * two is a contract error and fails loudly rather than silently
+    * discarding the explicit value in favor of auto.
     *
     * Hot-bucket cap: a band code holding a huge slice of the corpus is
     * a useless discriminator whose candidate join would emit
@@ -394,18 +401,34 @@ object Ann {
     * is folded into the candidate scan as a window count over
     * (band, code) — same single job, no eager detection pass (the old
     * groupBy + count() guard cost two extra jobs per call even when no
-    * bucket was hot). Queries-side bands stay uncapped (|queries| rows). */
+    * bucket was hot). Queries-side bands stay uncapped (|queries| rows).
+    * Capped rows are not silent: an `observe` on the pre-filter scan
+    * publishes `dropped_sig_rows` / `capped_buckets` under metric name
+    * "lsh_hot_bucket_cap" (read via a QueryExecutionListener) — recall
+    * degradation from over-wide buckets at scale is visible to
+    * operators without adding a job (the fix is more bits per band).
+    * Caveat: if EVERY bucket is capped, AQE's empty-relation
+    * propagation replaces the zero-row join subtree with an empty
+    * LocalRelation and the metrics node is elided with it — that
+    * pathology is already loud (the result is empty); the metric
+    * covers the silent partial-cap regime it was built for. */
   def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int,
               dim: Int, nBits: Int = -1, nBands: Int = -1,
               idCol: String = "vec_id", vecCol: String = "v",
-              maxBucket: Int = 50000): DataFrame = {
+              maxBucket: Int = 50000, n: Long = -1L): DataFrame = {
+    require((nBits > 0) == (nBands > 0),
+      s"lshTopK: pass both nBits and nBands or neither (got nBits=$nBits, " +
+        s"nBands=$nBands) — a lone explicit value would be silently discarded by auto")
     val (bits, bands) =
-      if (nBits > 0 && nBands > 0) (nBits, nBands)
-      else autoLshParams(candidates.count())
+      if (nBits > 0) (nBits, nBands)
+      else autoLshParams(if (n > 0) n else candidates.count())
     val planes = hyperplanes(bits, dim)
     val cb = lshBands(candidates, planes, bands, idCol, vecCol)
       .select(col(idCol).as("cand_id"), col("band"), col("code"))
       .withColumn("bw", count(lit(1)).over(Window.partitionBy("band", "code")))
+      .observe("lsh_hot_bucket_cap",
+        sum(when(col("bw") > maxBucket, lit(1L)).otherwise(lit(0L))).as("dropped_sig_rows"),
+        sum(when(col("bw") > maxBucket, lit(1.0) / col("bw")).otherwise(lit(0.0))).as("capped_buckets"))
       .where(col("bw") <= maxBucket)
       .drop("bw")
     val qb = lshBands(queries, planes, bands, idCol, vecCol)

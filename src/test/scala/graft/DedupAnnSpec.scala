@@ -185,6 +185,59 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(recallWide >= 0.9, s"1-bit-band LSH recall $recallWide")
   }
 
+  test("lshTopK contract: lone explicit banding param fails loudly; capped buckets observable") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val queries = e.where(col("vec_id") < 5)
+    val cands = e.where(col("vec_id") >= 5)
+    // ADVICE r13: under the old guard `nBits > 0 && nBands > 0` a caller
+    // passing only nBits silently fell through to auto, discarding the
+    // explicit value — now a loud contract error in both directions
+    intercept[IllegalArgumentException] {
+      Ann.lshTopK(cands, queries, 5, dim = 64, nBits = 16)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.lshTopK(cands, queries, 5, dim = 64, nBands = 4)
+    }
+    // ADVICE r13: the job-free hot-bucket cap must not drop over-wide
+    // buckets invisibly — the observe() on the pre-filter scan publishes
+    // dropped row / bucket counts without adding a job. Skewed corpus:
+    // 40 exact copies of one vector share every sign bit, so each of
+    // their 4 band buckets holds ≥ 40 rows and gets capped at
+    // maxBucket=30, while the distinct vectors' buckets survive (some
+    // candidates flow, so AQE can't empty-propagate the join away —
+    // with ALL buckets capped the zero-row stage is replaced by an
+    // empty LocalRelation and the CollectMetrics node is elided with
+    // it; the all-capped pathology is already loud as an empty result).
+    val hot = cands.where(col("vec_id") === 20).select(col("v")).crossJoin(
+      spark.range(40).select((col("id") + 1000).as("vec_id"))).select("vec_id", "v")
+    val skewed = cands.unionByName(hot)
+    @volatile var droppedRows = -1L
+    @volatile var cappedBuckets = -1.0
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.get("lsh_hot_bucket_cap").foreach { row =>
+          droppedRows = row.getAs[Long]("dropped_sig_rows")
+          cappedBuckets = row.getAs[Double]("capped_buckets")
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val got = Ann.lshTopK(skewed, queries, 5, dim = 64,
+        nBits = 16, nBands = 4, maxBucket = 30).count()
+      assert(got > 0, "uncapped buckets must still produce candidates")
+      val deadline = System.nanoTime() + 10000000000L // listener bus is async
+      while (droppedRows < 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      // 40 hot rows × 4 bands = 160 capped signature rows minimum
+      assert(droppedRows >= 160, s"expected >=160 capped signature rows, got $droppedRows")
+      assert(cappedBuckets >= 4.0 - 1e-6,
+        s"expected >=4 capped buckets observed, got $cappedBuckets")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("blocked cosine dedup is exact; IVF cosine dedup has high recall") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
     val brute = Dedup.embeddingCosine(emb, threshold = 0.4)

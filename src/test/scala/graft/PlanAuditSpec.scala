@@ -366,6 +366,16 @@ class PlanAuditSpec extends AnyFunSuite {
           names.toArray.mkString("[", ", ", "]"))
       // and the capped scan still produces the ranked output lazily
       assert(df.columns.contains("rank"))
+      // VERDICT r13 #6: the AUTO route with an explicit size hint must
+      // be just as job-free — callers that know the corpus size (the
+      // cosine router does) skip the count() fallback entirely
+      val base2 = quiesce()
+      val dfAuto = Ann.lshTopK(cands, queries, 5, dim = 64, n = 50L)
+      val after2 = quiesce()
+      assert(after2 == base2 + 1,
+        s"lshTopK auto-with-hint ran ${after2 - base2 - 1} eager job(s): " +
+          names.toArray.mkString("[", ", ", "]"))
+      assert(dfAuto.columns.contains("rank"))
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }

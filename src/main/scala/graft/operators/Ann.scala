@@ -354,21 +354,66 @@ object Ann {
     *    at the old fixed 4-bit bands; buckets of 62 k rows).
     *  - bands b from the recall law P(candidate) = 1 − (1 − pʳ)ᵇ ≥
     *    `recallTarget`, at p = `pNear`, the sign-collision probability
-    *    1 − θ/π of a true top-k neighbor (0.77 measured on the AnnProbe
-    *    clustered corpus from the r=8, b=4 recall point).
-    * Bits per band are clamped to [4, 12] (below 4 buckets degenerate,
-    * above 12 the bands needed for recall outgrow the signature pass),
-    * bands to ≤ maxBands. Past ~10⁸ candidates both caps bind and the
-    * projected recall falls below the target — sign-LSH is the wrong
-    * tool there; use IVF (whose recall holds by probing more cells, not
-    * more bits). The 1 M point is measured in SCALEPROBE.md. */
-  def autoLshParams(n: Long, targetBucket: Int = 4096, pNear: Double = 0.77,
-                    recallTarget: Double = 0.9, maxBands: Int = 24): (Int, Int) = {
-    val r = math.max(4, math.min(12,
+    *    1 − θ/π of a true top-k neighbor. The default 0.68 is MEASURED:
+    *    the 1 M lshauto AnnProbe campaign (SCALEPROBE round 14) ran the
+    *    previous p=0.77 derivation (144 bits / 18 bands) and observed
+    *    recall 0.579, not the ≥0.9 it was solved for; inverting the law
+    *    at (r=8, b=18) gives the effective p = 0.682 of a true top-10
+    *    neighbor on the clustered probe corpus. CAVEAT, also measured:
+    *    a single-p law OVERESTIMATES recall, because true neighbors are
+    *    heterogeneous — the validation re-run at the re-fit (138, 23)
+    *    banding measured 0.786 against a 0.909 projection, and
+    *    inverting THAT point gives p = 0.634: the effective p falls as
+    *    r falls, since the law's misses concentrate on the low-p
+    *    neighbors that fewer bits can't rescue. Treat the projection as
+    *    an upper bound; both measured points are in SCALEPROBE r14.
+    *  - honesty relaxation: at the measured p, the occupancy-derived r
+    *    can need more bands than `maxBands` to hit the target (r=8
+    *    needs 50 at p=0.68). Rather than silently shipping a banding
+    *    that projects recall 0.68, r is walked down until the target is
+    *    reachable inside the band cap (each −1 on r doubles expected
+    *    bucket width and so candidate mass, but squares-down the
+    *    per-band miss rate). The walk is loud: it prints the projected
+    *    per-query candidate fraction b·2⁻ʳ — at 1 M that is 23/64 ≈ 36 %
+    *    of the corpus per query, which is the honest cost of holding
+    *    0.9 recall with sign bits at this scale. When that fraction is
+    *    unacceptable, IVF is the right tool (its recall holds by
+    *    probing more cells, not more bits) — the ivfsweep probe in
+    *    SCALEPROBE.md measures that frontier.
+    *  - the walk is floored by `maxBucketWidth` (lshTopK's hot-bucket
+    *    cap): r below ⌈log₂(n / maxBucketWidth)⌉ would make the
+    *    EXPECTED bucket wider than the cap, so every bucket gets
+    *    dropped and the result is empty — the relaxation must never
+    *    trade a low-recall banding for a zero-recall one. Past the n
+    *    where the floor and the band cap pinch together (~4 M at
+    *    p=0.68), no sign-LSH banding reaches 0.9 and the warning
+    *    reports the honest projected recall.
+    * Bits per band stay clamped to [4, 12]; bands to ≤ maxBands. */
+  def autoLshParams(n: Long, targetBucket: Int = 4096, pNear: Double = 0.68,
+                    recallTarget: Double = 0.9, maxBands: Int = 24,
+                    maxBucketWidth: Long = 50000L): (Int, Int) = {
+    def bandsFor(r: Int): Int = math.max(2,
+      math.ceil(math.log1p(-recallTarget) / math.log1p(-math.pow(pNear, r))).toInt)
+    val rOcc = math.max(4, math.min(12,
       math.ceil(math.log(math.max(2.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
-    val pr = math.pow(pNear, r)
-    val b = math.max(2, math.min(maxBands,
-      math.ceil(math.log1p(-recallTarget) / math.log1p(-pr)).toInt))
+    val rFloor = math.max(4, math.min(rOcc,
+      math.ceil(math.log(math.max(2.0, n.toDouble / maxBucketWidth)) / math.log(2.0)).toInt))
+    var r = rOcc
+    while (r > rFloor && bandsFor(r) > maxBands) r -= 1
+    val b = math.min(maxBands, bandsFor(r))
+    if (bandsFor(r) > maxBands || r < rOcc) {
+      val frac = b * math.pow(2.0, -r)
+      val proj = 1.0 - math.pow(1.0 - math.pow(pNear, r), b)
+      System.err.println(
+        f"[ann] autoLshParams: occupancy wants $rOcc-bit bands but recall " +
+          f"$recallTarget%.2f needs ${bandsFor(rOcc)} bands (cap $maxBands) at " +
+          f"p=$pNear%.2f — resolved to $r-bit bands x $b (projected recall " +
+          f"$proj%.3f, ~${frac * 100}%.0f%% of corpus as candidates per query" +
+          (if (proj < recallTarget) "; TARGET UNREACHABLE inside the band and " +
+            "bucket caps" else "") +
+          "). If the candidate mass or the projection is unacceptable, use " +
+          "ivfTopK: IVF recall holds by probing more cells, not more bits.")
+    }
     (r * b, b)
   }
 
@@ -384,6 +429,12 @@ object Ann {
     * count via [[autoLshParams]] — band bits that actually grow with
     * log₂(n) (the 1 M AnnProbe run measured recall 0.117 at the old
     * fixed 16/4 defaults — exactly the scale the operator exists for).
+    * Operating regime, measured at 1 M (SCALEPROBE r14): sign-LSH's
+    * value is CHEAP MODERATE-RECALL candidate generation (e.g. 0.58
+    * recall at ~7 % candidate mass). Holding ≥0.9 recall at this scale
+    * needs candidate mass approaching brute (36 % at the solver's
+    * banding, measured recall still only 0.786 at a wall ABOVE the
+    * brute scan's) — for high-recall top-k past ~10⁶ rows, use ivfTopK.
     * Callers that already know the corpus size pass it as `n` and the
     * auto route stays job-free; only when `n` ≤ 0 does the derivation
     * fall back to one count() job at call time — at fleet scale that is
@@ -421,7 +472,8 @@ object Ann {
         s"nBands=$nBands) — a lone explicit value would be silently discarded by auto")
     val (bits, bands) =
       if (nBits > 0) (nBits, nBands)
-      else autoLshParams(if (n > 0) n else candidates.count())
+      else autoLshParams(if (n > 0) n else candidates.count(),
+        maxBucketWidth = maxBucket)
     val planes = hyperplanes(bits, dim)
     val cb = lshBands(candidates, planes, bands, idCol, vecCol)
       .select(col(idCol).as("cand_id"), col("band"), col("code"))

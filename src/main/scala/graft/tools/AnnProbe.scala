@@ -52,9 +52,10 @@ object AnnProbe {
     import spark.implicits._
 
     // clustered corpus: vec = center(id % centers) + 0.8 * noise(id) —
-    // wide-ish clusters on purpose: same-cluster cosine ≈ 0.6, so top-k
-    // neighbors sit at sign-collision p ≈ 0.77 (the pNear the auto LSH
-    // banding law is calibrated against), not a trivially tight blob
+    // wide-ish clusters on purpose: the 1 M lshauto run measured the
+    // effective sign-collision p of a true top-10 neighbor at 0.682
+    // (the pNear the auto LSH banding law is calibrated against, re-fit
+    // in SCALEPROBE r14), not a trivially tight blob
     val mk = udf((id: Long, salt: Long) => {
       val c = id % centers
       Array.tabulate(d)(j => h(c * 7919L + 13L, j) + 0.8 * h(id * 31L + salt, j))

@@ -172,9 +172,23 @@ class DedupAnnSpec extends AnyFunSuite {
     val recallAuto = brute.intersect(auto).size.toDouble / brute.size
     assert(recallAuto >= recall,
       s"auto-banded LSH recall $recallAuto < pinned 16/4 recall $recall")
-    // the scale law itself: band bits grow with log2(n), band count from
-    // the 1-(1-p^r)^b >= 0.9 target at the measured p=0.77
-    assert(Ann.autoLshParams(1000000L) == (144, 18))
+    // the scale law itself, re-fit from MEASUREMENT (SCALEPROBE r14):
+    // the p=0.77 derivation (144/18) measured recall 0.579 at 1 M, not
+    // the >=0.9 it was solved for; inverting the law at (r=8, b=18)
+    // gives p=0.682. At p=0.68 the occupancy r=8 would need 49 bands,
+    // so the solver walks r down to 6 -> 23 bands (projected 0.909) —
+    // the pre-fix derivation must be replayable via explicit pNear
+    assert(Ann.autoLshParams(1000000L) == (138, 23))
+    assert(Ann.autoLshParams(1000000L, pNear = 0.77) == (144, 18))
+    // projected recall at the shipped 1 M banding clears the target
+    val proj1m = 1.0 - math.pow(1.0 - math.pow(0.68, 6), 23)
+    assert(proj1m >= 0.9, s"projected recall $proj1m at (138, 23)")
+    // past ~4 M the bucket-width floor (expected bucket must stay under
+    // lshTopK's 50 k hot-bucket cap — a wider relaxation would cap EVERY
+    // bucket and return empty) pinches against the band cap: no sign-LSH
+    // banding reaches 0.9 and the solver pins r at the floor, b at the
+    // cap, and warns TARGET UNREACHABLE instead of going zero-recall
+    assert(Ann.autoLshParams(10000000L) == (192, 24))
     assert(Ann.autoLshParams(1000L)._1 / Ann.autoLshParams(1000L)._2 == 4)
     // 16 bands of 1 bit ⇒ a pair collides unless ALL 16 signs differ:
     // near-total recall, the banding-trick sanity direction

@@ -5,7 +5,11 @@ in DuckDB over the same parquet tables the Spark Bench reads, so the
 oracle harness already RUNS these queries for correctness; this records
 their walls).
 
-Usage: python3 tools/duck_walls.py <sfDir> <verifyOutDir> [outJson]
+Usage: python3 tools/duck_walls.py <sfDir> <verifyOutDir> [outJson] [only]
+
+`only` is an optional comma-separated query-name subset (e.g. the
+top-20 engine walls at sf1 — running all 180 relational DP replays at
+the 10x octave would take hours for no extra signal).
 
 Writes {"sf": ..., "repeat": N, "walls": {name: sec}} with min-of-N
 walls (default 2) to outJson (default DUCK_WALLS.json). A query whose
@@ -33,6 +37,12 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
+    if len(sys.argv) > 4:
+        only = set(sys.argv[4].split(","))
+        missing = only - set(oracle)
+        if missing:
+            sys.exit(f"unknown query names in `only`: {sorted(missing)}")
+        oracle = {k: v for k, v in oracle.items() if k in only}
     walls = {}
     for name in sorted(oracle):
         best = None

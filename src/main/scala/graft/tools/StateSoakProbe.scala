@@ -88,10 +88,20 @@ object StateSoakProbe {
         val p = q.lastProgress
         val so = p.stateOperators.head
         val cm = so.customMetrics
-        def m(k: String): Long = Option(cm.get(k)).map(_.longValue()).getOrElse(-1L)
+        import scala.jdk.CollectionConverters._
+        val keys = cm.keySet().asScala.toSeq.sorted
+        if (b + 1 == decile) // metric names vary by Spark version — dump once
+          System.err.println(s"[soak] customMetrics keys: ${keys.mkString(", ")}")
+        // sum the latency families by name pattern instead of guessing
+        // exact keys (they are per-phase: commit has writeBatch/flush/
+        // compact/checkpoint/fileSync components)
+        def fam(sub: String*): Long = keys
+          .filter(k => sub.forall(s => k.toLowerCase.contains(s.toLowerCase)))
+          .map(k => cm.get(k).longValue()).sum
+        def one(k: String): Long = Option(cm.get(k)).map(_.longValue()).getOrElse(-1L)
         val rate = decile / ((now - lastT) / 1e9)
         lastT = now
-        metrics += f"""{"batch":${b + 1},"batch_per_s":$rate%.2f,"state_rows":${so.numRowsTotal},"state_bytes":${so.memoryUsedBytes},"commit_ms":${m("rocksdbCommitLatency")},"compact_ms":${m("rocksdbTotalCompactLatencyMs")},"sst_bytes":${m("rocksdbSstFileSize")}}"""
+        metrics += f"""{"batch":${b + 1},"batch_per_s":$rate%.2f,"state_rows":${so.numRowsTotal},"state_bytes":${so.memoryUsedBytes},"commit_ms":${fam("commit")},"compact_ms":${fam("compact")},"sst_bytes":${one("rocksdbSstFileSize")}}"""
         System.err.println(s"[soak] ${metrics.last}")
       }
     }

@@ -20,11 +20,15 @@ implement DTW — so per-query ratios are a sanity denominator for the
 RELATIONAL queries (aggregation, dedup, joins), not a kernel-speed
 comparison.
 """
-import sys, os, json, time
+import sys, os, json, time, threading
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 REPEAT = int(os.environ.get("DUCK_REPEAT", "2"))
+# Optional per-query cap (seconds): a kernel-DP replay that is minutes at
+# sf0.1 is hours at sf1 — an interrupted query records null (the JSON notes
+# why). 0 = no cap (the sf0.1 full-suite record runs uncapped).
+TIMEOUT_S = float(os.environ.get("DUCK_TIMEOUT_S", "0"))
 
 
 def main():
@@ -33,7 +37,9 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written table: directory of part files
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
@@ -44,18 +50,30 @@ def main():
             sys.exit(f"unknown query names in `only`: {sorted(missing)}")
         oracle = {k: v for k, v in oracle.items() if k in only}
     walls = {}
+    timed_out = []
     for name in sorted(oracle):
         best = None
         for _ in range(REPEAT):
             t0 = time.time()
+            timer = None
+            if TIMEOUT_S > 0:
+                timer = threading.Timer(TIMEOUT_S, con.interrupt)
+                timer.start()
             try:
                 con.execute(oracle[name]).fetchall()
                 w = time.time() - t0
                 best = w if best is None else min(best, w)
             except Exception as e:
-                print(f"[duck] {name} ERROR: {e}", file=sys.stderr)
+                if TIMEOUT_S > 0 and time.time() - t0 >= TIMEOUT_S:
+                    print(f"[duck] {name} TIMEOUT after {TIMEOUT_S}s", file=sys.stderr)
+                    timed_out.append(name)
+                else:
+                    print(f"[duck] {name} ERROR: {e}", file=sys.stderr)
                 best = None
                 break
+            finally:
+                if timer is not None:
+                    timer.cancel()
         walls[name] = round(best, 3) if best is not None else None
         print(f"[duck] {name:28s} {walls[name]}")
     rec = {
@@ -66,6 +84,9 @@ def main():
                  "for relational queries, sanity bound for kernel chains"),
         "walls": walls,
     }
+    if TIMEOUT_S > 0:
+        rec["timeout_s"] = TIMEOUT_S
+        rec["timed_out"] = timed_out
     with open(out_json, "w") as f:
         json.dump(rec, f, indent=1)
     print(f"wrote {out_json}: {sum(1 for v in walls.values() if v is not None)}"

@@ -90,13 +90,17 @@ object MatrixProfileDist {
     * update feeds both sides of the pair. */
   private[operators] def tileMinima(va: Array[Double], aIdx0: Long, aLen: Int,
                                     vb: Array[Double], bIdx0: Long, bLen: Int,
-                                    m: Int, band: Int): (Array[Double], Array[Double]) = {
+                                    m: Int, band: Int,
+                                    gLo: Long = Long.MinValue,
+                                    gHi: Long = Long.MaxValue): (Array[Double], Array[Double]) = {
     val minsA = Array.fill(aLen)(Double.PositiveInfinity)
     val minsB = Array.fill(bLen)(Double.PositiveInfinity)
     val delta = bIdx0 - aIdx0 // >= 0 by contract
-    // offset o = jj - ii (tile-local); global diagonal g = delta + o
-    var g = math.max(band + 1, delta - (aLen - 1))
-    val gMax = delta + (bLen - 1)
+    // offset o = jj - ii (tile-local); global diagonal g = delta + o;
+    // [gLo, gHi] further restricts the swept diagonals (the chunked /
+    // anytime path) — defaults sweep everything past the band
+    var g = math.max(math.max(band + 1L, delta - (aLen - 1)), gLo)
+    val gMax = math.min(delta + (bLen - 1), gHi)
     while (g <= gMax) {
       val o = (g - delta).toInt
       val lo = math.max(0, -o)
@@ -170,7 +174,40 @@ object MatrixProfileDist {
     * n/blockSize ≈ 4× total cores; bigger tiles cut replication
     * quadratically in exchange for per-task memory. */
   def matrixProfileTiled(spark: SparkSession, series: DataFrame, m: Int,
-                         blockSize: Int = 65536): DataFrame = {
+                         blockSize: Int = 65536): DataFrame =
+    tiledImpl(spark, series, m, blockSize, Long.MinValue, Long.MaxValue)
+
+  /** ANYTIME / CHUNKED matrix profile: the exact profile RESTRICTED to
+    * global diagonals g = j − i in (gFrom, gTo] (always further
+    * intersected with g > band, the exclusion zone). This is the
+    * formulation past ~10⁹ points, where even the tiled full sweep is
+    * one unbounded O(n²) job: diagonal-band chunks
+    * (band, band+W], (band+W, band+2W], … are each a bounded O(n·W)
+    * job, chunks fold by element-wise min (sqrt is monotone, so folding
+    * the sqrt'd outputs is exact), and after k chunks the fold IS the
+    * exact matrix profile of the first k·W diagonals — a valid upper
+    * bound on the true profile that only tightens, which is the anytime
+    * property: stop whenever the time budget ends, resume by running
+    * the next chunk, no state beyond the folded result. On real series
+    * nearest neighbors concentrate at small |j − i| (temporal
+    * locality), so early chunks capture most true minima; the fold is
+    * exact regardless once all chunks run. Rows untouched by the band
+    * are absent from the output (fold with an outer-min).
+    *
+    * Chunk cost: only tile pairs whose diagonal span intersects the
+    * band are generated — W ≤ blockSize touches just the ~2·n/B
+    * adjacent pairs, so the per-chunk task count is flat in the number
+    * of chunks and total work over all chunks equals one full tiled
+    * sweep (each diagonal swept exactly once). */
+  def matrixProfileDiagBand(spark: SparkSession, series: DataFrame, m: Int,
+                            gFrom: Long, gTo: Long,
+                            blockSize: Int = 65536): DataFrame = {
+    require(gTo > gFrom, s"empty diagonal band ($gFrom, $gTo]")
+    tiledImpl(spark, series, m, blockSize, gFrom + 1, gTo)
+  }
+
+  private def tiledImpl(spark: SparkSession, series: DataFrame, m: Int,
+                        blockSize: Int, gLo: Long, gHi: Long): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val b = blockSize
@@ -197,10 +234,32 @@ object MatrixProfileDist {
     // plans as a cartesian/nested-loop at Spark's whim, and a
     // driver-side list stops scaling at large nBlocks (pairs grow as
     // nBlocks²/2); this stays distributed at any block count.
+    // A diagonal band restricts the bj window: pair (bi, bj) spans
+    // g ∈ [Δ·b − (b−1), Δ·b + b−1] with Δ = bj − bi, so only
+    // Δ ∈ [⌈(gLo−(b−1))/b⌉, ⌊(gHi+(b−1))/b⌋] can intersect [gLo, gHi] —
+    // chunk task counts stay flat in the number of chunks.
+    val loD = if (gLo == Long.MinValue) 0L
+      else math.max(0L, math.ceil((gLo - (b - 1)).toDouble / b).toLong)
+    val hiD = if (gHi >= n) nBlocks - 1L
+      else math.min(nBlocks - 1L, (gHi + (b - 1)) / b)
+    // partition count: a full sweep's pairs cost ~uniformly (b² cells
+    // each) and 2× cores is right; a NARROW diagonal band makes pair
+    // cost bimodal (a self/near pair sweeps ~W·b cells, a far-delta
+    // pair almost nothing), and hashing ~nBlocks·Δ rows into 2× cores
+    // leaves a straggler tail of stacked heavy pairs (measured: the
+    // 10⁸-point chunk probe ran with only 8/32 cores busy). One task
+    // per pair bounds the tail at a single heavy pair.
+    val bandNarrow = hiD - loD < 4
+    val nPairTasks =
+      if (bandNarrow) math.min(4096L, (hiD - loD + 1) * nBlocks).toInt
+        .max(spark.sparkContext.defaultParallelism)
+      else spark.sparkContext.defaultParallelism * 2
     val pairs = spark.range(nBlocks).select(col("id").as("bi"))
+      .where(col("bi") + loD <= nBlocks - 1L)
       .select(col("bi"),
-        explode(sequence(col("bi"), lit(nBlocks - 1L))).as("bj"))
-      .repartition(spark.sparkContext.defaultParallelism * 2)
+        explode(sequence(col("bi") + loD,
+          least(lit(nBlocks - 1L), col("bi") + hiD))).as("bj"))
+      .repartition(nPairTasks)
     pairs
       .join(segs.select(col("seg").as("bi"), col("vals").as("va")), "bi")
       .join(segs.select(col("seg").as("bj"), col("vals").as("vb")), "bj")
@@ -209,7 +268,7 @@ object MatrixProfileDist {
       .flatMap { case (bi, bj, va, vb) =>
         val a0 = bi * b; val aLen = (math.min(n, a0 + b) - a0).toInt
         val b0 = bj * b; val bLen = (math.min(n, b0 + b) - b0).toInt
-        val (ma, mb) = tileMinima(va, a0, aLen, vb, b0, bLen, m, band)
+        val (ma, mb) = tileMinima(va, a0, aLen, vb, b0, bLen, m, band, gLo, gHi)
         // self pairs: ma holds each in-tile pair's smaller index, mb its
         // larger — merge element-wise before the infinity filter
         if (bi == bj)

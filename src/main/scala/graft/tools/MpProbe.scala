@@ -111,6 +111,39 @@ object MpProbe {
         f"wall=$wall%.2f s (runs $t1%.2f/$t2%.2f), rows=$cnt, ${wall * 1e9 / cells}%.3f ns/cell")
       df.unpersist()
     }
+    // SPARK_GRAFT_MP_CHUNK="n:m:bs:W:chunks" — the anytime/chunked probe
+    // (VERDICT r13 stretch 8): at 10⁸+ points even the tiled full sweep
+    // is one unbounded O(n²) job (5·10¹⁵ cells ≈ 11 h at local[32]);
+    // matrixProfileDiagBand runs bounded O(n·W) diagonal-band chunks
+    // that fold by min. The series is generated DISTRIBUTED (closed-form
+    // sin + hash noise per idx — an 800 MB driver array would defeat the
+    // no-single-node-holds-the-series contract this path exists for);
+    // the sweep cost is data-independent, so any series measures ns/cell.
+    sys.env.get("SPARK_GRAFT_MP_CHUNK").foreach { cfg =>
+      val p = cfg.split(":")
+      val n = p(0).toLong; val m = p(1).toInt; val bs = p(2).toInt
+      val w = p(3).toLong; val chunks = p(4).toInt
+      import org.apache.spark.sql.functions._
+      val band = math.ceil(m / 4.0).toLong
+      val series = spark.range(n + m - 1).select(col("id").as("idx"),
+        (sin(col("id").cast("double") * 0.0007) +
+          (pmod(hash(col("id")).cast("double"), lit(1000.0)) - 500.0) / 2500.0).as("v"))
+        .localCheckpoint()
+      (0 until chunks).foreach { c =>
+        val gFrom = band + c * w
+        val gTo = math.min(band + (c + 1) * w, n - 1)
+        val (cnt, t) = time {
+          graft.operators.MatrixProfileDist
+            .matrixProfileDiagBand(spark, series, m, gFrom, gTo, blockSize = bs).count()
+        }
+        // cells swept: sum over g in (gFrom, gTo] of (n - g)
+        val k = gTo - gFrom
+        val cells = k * n - (gFrom * k + k * (k + 1) / 2)
+        println(f"[mpprobe] chunk n=$n%,d m=$m block=$bs g=($gFrom,$gTo]: " +
+          f"wall=$t%.2f s, rows=$cnt, cells=$cells%,d, ${t * 1e9 / cells}%.3f ns/cell")
+      }
+      series.unpersist()
+    }
     spark.stop()
   }
 }

@@ -428,6 +428,39 @@ object SparkEntry {
           round(col("mp"), 4).as("mp"))
     }),
 
+    // The ANYTIME/CHUNKED matrix profile (MatrixProfileDist
+    // .matrixProfileDiagBand — the bounded-job formulation past ~10⁹
+    // points, SCALEPROBE r14 fourteenth probe) as driver signal: the
+    // same single series as ts_matrix_profile_tiled swept as THREE
+    // diagonal-band chunks folded by element-wise min — the fold must
+    // equal the full profile exactly (each diagonal swept exactly
+    // once), so the oracle is the tiled query's relational replay
+    // verbatim.
+    "ts_matrix_profile_chunked" -> ((s, dir) => {
+      val m = 8
+      val series = TSModel.eventsToSeries(s, dir)
+        .where(size(col("values")) >= m * 2)
+      val uid = series.agg(min(col("series_id"))).head().getLong(0)
+      val vals = series.where(col("series_id") === uid)
+        .select(posexplode(col("values")).as(Seq("idx", "v")))
+        .select(col("idx").cast("long").as("idx"), col("v").cast("double").as("v"))
+        .localCheckpoint()
+      val n = vals.count() - m + 1
+      val band = math.ceil(m / 4.0).toLong
+      val w = math.max(1L, (n - 1 - band + 2) / 3)
+      val chunks = (0 until 3).flatMap { c =>
+        val gFrom = band + c * w
+        val gTo = math.min(band + (c + 1) * w, n - 1)
+        if (gFrom < n - 1)
+          Some(graft.operators.MatrixProfileDist
+            .matrixProfileDiagBand(s, vals, m, gFrom, gTo, blockSize = 32))
+        else None
+      }
+      chunks.reduce(_ unionByName _)
+        .groupBy("i").agg(min(col("mp")).as("mp"))
+        .select(lit(uid).as("user_id"), col("i"), round(col("mp"), 4).as("mp"))
+    }),
+
     // Discord discovery: the TOP anomalous window per series = argmax
     // of the matrix profile (ties lowest i) — what a user actually
     // runs the profile FOR. One min_by aggregation over the profile
@@ -8943,6 +8976,32 @@ object SparkEntry {
     // smallest eligible user (the engine side pins the same user), so
     // DuckDB replays one series' O(n²) pair space instead of all users'
     "ts_matrix_profile_tiled" -> (evCte +
+      """
+        |, eligible AS (SELECT user_id FROM v GROUP BY 1 HAVING count(*) >= 16)
+        |, pick AS (SELECT min(user_id) AS u FROM eligible)
+        |, pos AS (
+        |  SELECT v.user_id, v.t - 1 AS i, v.value
+        |  FROM v JOIN pick ON v.user_id = pick.u
+        |), seg AS (
+        |  SELECT user_id, t - 1 AS i FROM v JOIN pick ON v.user_id = pick.u
+        |  WHERE t - 1 <= n - 8)
+        |, dists AS (
+        |  SELECT a.user_id, a.i AS i, b.i AS j,
+        |    sqrt(sum((pa.value - pb.value) * (pa.value - pb.value))) AS d
+        |  FROM seg a
+        |  JOIN seg b ON a.user_id = b.user_id AND abs(a.i - b.i) > 2
+        |  JOIN pos pa ON pa.user_id = a.user_id AND pa.i BETWEEN a.i AND a.i + 7
+        |  JOIN pos pb ON pb.user_id = b.user_id AND pb.i = b.i + (pa.i - a.i)
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT user_id, i, round(min(d), 4) AS mp
+        |FROM dists GROUP BY 1, 2""".stripMargin),
+
+    // chunked path: IDENTICAL semantics to the tiled query — the
+    // engine folds three diagonal-band chunks whose union is every
+    // band-excluded pair exactly once, so the oracle replay is the
+    // same single-series O(n²) pair space
+    "ts_matrix_profile_chunked" -> (evCte +
       """
         |, eligible AS (SELECT user_id FROM v GROUP BY 1 HAVING count(*) >= 16)
         |, pick AS (SELECT min(user_id) AS u FROM eligible)

@@ -26,17 +26,59 @@ object Verify {
         spark.read.parquet(s"$sfDir/$t.parquet").schema.simpleString))
     }
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    // VERDICT r14 #7: surface plan-`observe`d metrics (today:
+    // lsh_hot_bucket_cap's dropped_sig_rows / capped_buckets from
+    // Ann.lshTopK) in the canonical Verify output — until now only a
+    // test's QueryExecutionListener read them, so a capped-recall run was
+    // invisible in round artifacts. The listener bus is async; tagging is
+    // made deterministic by waiting (bounded) for the observation to
+    // arrive after any dump whose analyzed plan contains a CollectMetrics
+    // node (first run of this code mis-tagged emb_ann_lsh's metrics to
+    // the query dumped after it).
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var current = ""
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        qe.observedMetrics.foreach { case (m, row) =>
+          val line = s"""{"query":"$current","metric":"$m","values":${row.json}}"""
+          observed.add(line)
+          System.err.println(s"[verify] $current observed $m: ${row.json}")
+        }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    })
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      current = name
+      try {
+        val df = fn(spark, sfDir)
+        val hasObserve = df.queryExecution.analyzed.exists {
+          case _: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => true
+          case _ => false
+        }
+        val before = observed.size()
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        if (hasObserve) {
+          val deadline = System.nanoTime() + 2_000_000_000L
+          while (observed.size() == before && System.nanoTime() < deadline)
+            Thread.sleep(20)
+        }
+      } catch { case e: Throwable =>
         failures(name) = e.getClass.getName + ": " +
           Option(e.getMessage).getOrElse("")
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // bounded drain for stragglers on the async listener bus, then
+    // persist the observations beside the dumps
+    Thread.sleep(1000)
+    Files.writeString(Paths.get(s"$outDir/observed_metrics.json"),
+      {
+        import scala.jdk.CollectionConverters._
+        observed.asScala.mkString("[", ",\n", "]")
+      })
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -251,9 +251,20 @@ object MatrixProfileDist {
     // per pair bounds the tail at a single heavy pair.
     val bandNarrow = hiD - loD < 4
     val nPairTasks =
-      if (bandNarrow) math.min(4096L, (hiD - loD + 1) * nBlocks).toInt
-        .max(spark.sparkContext.defaultParallelism)
-      else spark.sparkContext.defaultParallelism * 2
+      if (bandNarrow) {
+        // EXACT pair count, not the (hiD−loD+1)·nBlocks upper bound: bi
+        // near nBlocks−1 has a truncated bj window, so the bound can
+        // overshoot by ~2× — and flooring at defaultParallelism off an
+        // overshoot stacks multiple heavy pairs per task on small
+        // clusters, weakening the documented one-task-per-pair bound
+        // (ADVICE r14). Driver loop is O(nBlocks) — ~15 k at 10⁹ points.
+        val exactPairs = (0L until nBlocks.toLong).foldLeft(0L) { (acc, bi) =>
+          val lo = bi + loD
+          if (lo > nBlocks - 1L) acc
+          else acc + (math.min(nBlocks - 1L, bi + hiD) - lo + 1L)
+        }
+        math.max(1L, math.min(exactPairs, 4096L)).toInt
+      } else spark.sparkContext.defaultParallelism * 2
     val pairs = spark.range(nBlocks).select(col("id").as("bi"))
       .where(col("bi") + loD <= nBlocks - 1L)
       .select(col("bi"),

@@ -65,6 +65,7 @@ object StateSoakProbe {
     val decile = math.max(1, nBatches / 10)
     val metrics = scala.collection.mutable.ArrayBuffer[String]()
     var lastT = System.nanoTime()
+    var lastB = 0
     val t0 = lastT
 
     (0 until nBatches).foreach { b =>
@@ -99,7 +100,14 @@ object StateSoakProbe {
           .filter(k => sub.forall(s => k.toLowerCase.contains(s.toLowerCase)))
           .map(k => cm.get(k).longValue()).sum
         def one(k: String): Long = Option(cm.get(k)).map(_.longValue()).getOrElse(-1L)
-        val rate = decile / ((now - lastT) / 1e9)
+        // Rate over batches ACTUALLY elapsed since the last report, not
+        // the fixed decile width: the condition also fires at the final
+        // batch, and when nBatches is not a multiple of 10 the last
+        // interval spans fewer than `decile` batches — dividing by the
+        // fixed width would inflate that sample (ADVICE r14).
+        val batchesSince = (b + 1) - lastB
+        lastB = b + 1
+        val rate = batchesSince / ((now - lastT) / 1e9)
         lastT = now
         metrics += f"""{"batch":${b + 1},"batch_per_s":$rate%.2f,"state_rows":${so.numRowsTotal},"state_bytes":${so.memoryUsedBytes},"commit_ms":${fam("commit")},"compact_ms":${fam("compact")},"sst_bytes":${one("rocksdbSstFileSize")}}"""
         System.err.println(s"[soak] ${metrics.last}")

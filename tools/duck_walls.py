@@ -56,19 +56,39 @@ def main():
         for _ in range(REPEAT):
             t0 = time.time()
             timer = None
+            # Guard against the Timer racing query completion: if the timer
+            # fires in the window after fetchall() returns but before
+            # timer.cancel(), an interrupt flag left on the idle connection
+            # would spuriously kill the NEXT query and record a false null
+            # wall. `running` is cleared the instant the query finishes, so
+            # a late-firing callback is a no-op.
+            running = threading.Event()
+            running.set()
+
+            def _interrupt(ev=running):
+                if ev.is_set():
+                    con.interrupt()
+
             if TIMEOUT_S > 0:
-                timer = threading.Timer(TIMEOUT_S, con.interrupt)
+                timer = threading.Timer(TIMEOUT_S, _interrupt)
                 timer.start()
             try:
                 con.execute(oracle[name]).fetchall()
+                running.clear()
                 w = time.time() - t0
                 best = w if best is None else min(best, w)
+            except duckdb.InterruptException:
+                # Classify timeouts by exception TYPE, not elapsed time: a
+                # genuine error raised after TIMEOUT_S elapsed must stay an
+                # ERROR, and an interrupt is a timeout regardless of clock.
+                running.clear()
+                print(f"[duck] {name} TIMEOUT after {TIMEOUT_S}s", file=sys.stderr)
+                timed_out.append(name)
+                best = None
+                break
             except Exception as e:
-                if TIMEOUT_S > 0 and time.time() - t0 >= TIMEOUT_S:
-                    print(f"[duck] {name} TIMEOUT after {TIMEOUT_S}s", file=sys.stderr)
-                    timed_out.append(name)
-                else:
-                    print(f"[duck] {name} ERROR: {e}", file=sys.stderr)
+                running.clear()
+                print(f"[duck] {name} ERROR: {e}", file=sys.stderr)
                 best = None
                 break
             finally:

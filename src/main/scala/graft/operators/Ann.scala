@@ -286,6 +286,142 @@ object Ann {
     centers
   }
 
+  /** Distributed Lloyd for the coarse quantizer — the scale-out
+    * successor to [[trainCoarse]] past the driver-local ceiling. The
+    * driver trainer's per-iteration cost is sample·nlist·d mults on ONE
+    * machine's cores, and under the 40-points-per-cell sampling rule
+    * (sample = 40·nlist) that is quadratic in nlist: 209.5 s at
+    * nlist=4096 (SCALEPROBE r14), ~14 min at 8192, ~an hour at 16384 —
+    * while `embeddingCosineAuto`'s √n rule wants 16384 cells at
+    * n≈2.7·10⁸ and 32768 at 10⁹. Here each iteration is one Spark job:
+    * broadcast centers → per-row flat argmin (the zero-alloc kernel of
+    * [[ivfAssign]]) → two-level deterministic reduce → collect nlist
+    * (sum, count) rows (nlist·d doubles — 8 MB at 16384·64). Work
+    * spreads over the cluster and shuffle stays bounded by the SAMPLE
+    * (≤ 40·nlist rows), not the corpus.
+    *
+    * Bit-determinism contract ([[trainCoarse]]'s fixed-chunk contract
+    * re-expressed relationally): every float fold happens in an
+    * explicitly sorted order — rows fold within a (cell, chunk) group
+    * sorted by their stable hash key, chunk partials fold within a cell
+    * sorted by chunk id — so for a fixed materialized sample the
+    * centroids are a pure function of (sample, seed, nChunks),
+    * independent of partitioning, task scheduling, and core count
+    * (spec-locked: two runs on the same input are array-identical).
+    * Chunking also bounds any single collect_list group at ~sample/64
+    * even under adversarial skew (every point in one cell).
+    *
+    * Kept separate from [[trainCoarse]] rather than replacing it: below
+    * ~4096 cells the driver loop wins (no per-iteration job/shuffle
+    * floor); [[trainCoarseAuto]] routes on that measured boundary.
+    * Reference semantics: same Lloyd refinement as the reference's
+    * k-means fit loop (`/root/reference/tslearn/clustering/kmeans.py:677-727`),
+    * here as the IVF quantizer trainer. */
+  def trainCoarseDistributed(df: DataFrame, nlist: Int, seed: Long = 0L,
+                             sampleCap: Int = -1, iters: Int = 10, nChunks: Int = 64,
+                             idCol: String = "vec_id", vecCol: String = "v"): Array[Array[Double]] = {
+    val spark = df.sparkSession
+    val cap = if (sampleCap > 0) sampleCap else math.max(20000, 40 * nlist)
+    val n = df.count()
+    val base = df.select(
+      xxhash64(col(idCol), lit(seed)).as("hkey"),
+      col(vecCol).cast("array<double>").as("v"))
+    // freeze the sample once: iterations re-scan 40·nlist rows, never
+    // the corpus, and the fold order below is defined over this exact
+    // materialized set
+    val sample = (if (n <= cap) base
+      else base.sample(withReplacement = false, cap.toDouble / n, seed))
+      .localCheckpoint(eager = true)
+    // init + reseed reserve: hash order is pseudorandom, so "first
+    // 2·nlist by hkey" is a deterministic uniform draw; first nlist are
+    // the initial centers, the tail feeds empty-cell reseeds
+    val reserve = sample.orderBy(col("hkey"), col("v"))
+      .limit(2 * nlist).collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    require(reserve.nonEmpty, "trainCoarseDistributed: empty sample")
+    var centers = reserve.take(math.min(nlist, reserve.length)).map(_.clone())
+    val dim = centers(0).length
+    val rng = new scala.util.Random(seed)
+    // the folds are pure Catalyst HOFs, no UDF: `aggregate` folds LEFT
+    // in array order, so sort_array + aggregate pins every float
+    // association explicitly
+    val zeros = array_repeat(lit(0.0), dim)
+    for (it <- 1 to iters) {
+      val tIter = System.nanoTime()
+      val bc = spark.sparkContext.broadcast(centers)
+      val assignU = udf((v: scala.collection.Seq[Double]) => {
+        val x = v.toArray
+        val cs = bc.value
+        var best = 0; var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < cs.length) {
+          val cc = cs(c)
+          var d = 0.0; var i = 0
+          while (i < x.length) { val t = cc(i) - x(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      })
+      val assigned = sample.select(col("hkey"), col("v"),
+        assignU(col("v")).as("cell"),
+        pmod(col("hkey"), lit(nChunks.toLong)).as("chunk"))
+      val partials = assigned.groupBy("cell", "chunk")
+        .agg(sort_array(collect_list(struct(col("hkey"), col("v")))).as("rows"))
+        .select(col("cell"), col("chunk"),
+          aggregate(col("rows"), zeros,
+            (acc, x) => zip_with(acc, x.getField("v"), (a, b) => a + b)).as("sum"),
+          size(col("rows")).cast("long").as("cnt"))
+      val cellRows = partials.groupBy("cell")
+        .agg(sort_array(collect_list(struct(col("chunk"), col("sum"), col("cnt")))).as("ps"))
+        .select(col("cell"),
+          aggregate(col("ps"), zeros,
+            (acc, x) => zip_with(acc, x.getField("sum"), (a, b) => a + b)).as("sum"),
+          aggregate(col("ps"), lit(0L), (acc, x) => acc + x.getField("cnt")).as("cnt"))
+        .collect()
+      val sums = Array.fill(centers.length)(null: Array[Double])
+      val counts = new Array[Long](centers.length)
+      cellRows.foreach { r =>
+        val c = r.getInt(0)
+        sums(c) = r.getSeq[Double](1).toArray
+        counts(c) = r.getLong(2)
+      }
+      // reseed empties in ascending cell order — rng draw sequence is
+      // then a pure function of the empty-cell pattern
+      centers = centers.indices.map { c =>
+        if (counts(c) == 0L) reserve(rng.nextInt(reserve.length)).clone()
+        else sums(c).map(_ / counts(c))
+      }.toArray
+      bc.destroy()
+      System.err.println(f"[ann] trainCoarseDistributed nlist=$nlist iter $it/$iters: " +
+        f"${(System.nanoTime() - tIter) / 1e9}%.1f s, " +
+        s"${counts.count(_ == 0L)} empty cells reseeded")
+    }
+    centers
+  }
+
+  /** Size-routed coarse trainer: driver-local Lloyd below nlist=4096,
+    * distributed Lloyd above. The boundary is where the driver form's
+    * quadratic 40·nlist²·d·iters term stops being tolerable on one
+    * machine (measured 209.5 s at 4096, SCALEPROBE r14) — and at that
+    * very point the distributed form already wins outright (33.7 s at
+    * 4096/n=10⁷, r15 fifteenth probe), so the boundary is conservative:
+    * the driver route is kept below it for its zero job/shuffle floor
+    * on small quantizers and for oracle replayability. The two produce
+    * different (both valid, both deterministic) quantizers, so the
+    * switch is loud for reproducibility audits. */
+  def trainCoarseAuto(df: DataFrame, nlist: Int, seed: Long = 0L,
+                      sampleCap: Int = -1, distributedAbove: Int = 4096,
+                      idCol: String = "vec_id", vecCol: String = "v"): Array[Array[Double]] =
+    if (nlist <= distributedAbove)
+      trainCoarse(df, nlist, seed,
+        if (sampleCap > 0) sampleCap else math.max(20000, 40 * nlist), idCol, vecCol)
+    else {
+      System.err.println(s"[ann] trainCoarseAuto: nlist=$nlist > $distributedAbove — " +
+        "distributed Lloyd (driver-local is quadratic in nlist past this point)")
+      trainCoarseDistributed(df, nlist, seed, sampleCap, idCol = idCol, vecCol = vecCol)
+    }
+
   /** Assign each vector to its nearest coarse cell: one broadcast pass.
     * This is the ONE pass that touches the full corpus, so it runs a
     * flat squared-euclidean argmin (lowest cell on ties, same rule as
@@ -408,10 +544,14 @@ object Ann {
         f"[ann] autoLshParams: occupancy wants $rOcc-bit bands but recall " +
           f"$recallTarget%.2f needs ${bandsFor(rOcc)} bands (cap $maxBands) at " +
           f"p=$pNear%.2f — resolved to $r-bit bands x $b (projected recall " +
-          f"$proj%.3f, ~${frac * 100}%.0f%% of corpus as candidates per query" +
+          f"$proj%.3f — an UPPER BOUND: the single-p law overestimates on " +
+          "heterogeneous neighbors; measured floors at 1 M vs a 0.909 " +
+          "projection are 0.786 (uniform cluster mass, SCALEPROBE r14) " +
+          "and 0.741 (zipf mass, r15) — " +
+          f"~${frac * 100}%.0f%% of corpus as candidates per query" +
           (if (proj < recallTarget) "; TARGET UNREACHABLE inside the band and " +
             "bucket caps" else "") +
-          "). If the candidate mass or the projection is unacceptable, use " +
+          "). If the candidate mass or the bound is unacceptable, use " +
           "ivfTopK: IVF recall holds by probing more cells, not more bits.")
     }
     (r * b, b)

@@ -657,24 +657,29 @@ object Dedup {
     val n = df.count()
     if (n <= exactLimit) embeddingCosine(df, threshold, idCol, vecCol)
     else {
-      // nlist = -1 → the FAISS-style √n rule. The cap was 1024 until the
-      // 10 M ivfsweep (SCALEPROBE round 14) measured what lifting it
-      // needs: finer-than-cluster cells lose NO recall at matched
-      // candidate mass (nlist=4096/np=16 and np=32 both recall 1.0 vs
-      // brute at 10 M), and the parallel trainCoarse holds the training
-      // wall to 209.5 s at nlist=4096/sampleCap=163840 (quadratic in
-      // nlist under the 40-points-per-cell rule → ~14 min at the new
-      // 8192 ceiling, the practical driver-local training limit). For
-      // this operator the query side IS the corpus, so the candidate
-      // scan term n²·np/nlist dominates any assignment cost and √n
-      // cells strictly wins as n grows — at 10⁸ vectors the old cap
-      // meant ~10⁵-member cells and ~4·10⁵ candidates per vector.
+      // nlist = -1 → the FAISS-style √n rule. The cap's history is a
+      // sequence of measurements: 1024 until the 10 M ivfsweep
+      // (SCALEPROBE r14) showed finer-than-cluster cells lose NO recall
+      // at matched candidate mass (nlist=4096/np=16 and np=32 both
+      // recall 1.0 vs brute) and driver-local training holds 209.5 s at
+      // 4096; 8192 was that trainer's practical ceiling (quadratic in
+      // nlist under the 40-points-per-cell rule); now 32768, because
+      // trainCoarseAuto routes past 4096 to the DISTRIBUTED Lloyd,
+      // measured at n=10⁸ (SCALEPROBE r15): 390 s at nlist=16384,
+      // 1205 s at 32768 — walls that scale out with executors instead
+      // of saturating the driver. 32768 is reached by √n at n≈1.1·10⁹
+      // vectors; the next octave (65536) is the same code at ~4× the
+      // training work, unmeasured, so the cap stays at the measured
+      // point. For this operator the query side IS the corpus, so the
+      // candidate scan term n²·np/nlist dominates any assignment cost
+      // and √n cells strictly wins as n grows — at 10⁸ vectors the old
+      // 1024 cap meant ~10⁵-member cells and ~4·10⁵ candidates/vector.
       // nprobe = 4 is the measured knee of the recall/wall frontier
       // (CosineProbe, SCALEPROBE round 12: recall 0.51 → 0.87-0.93 over
       // nprobe 2 → 4 at the SAME wall; nprobe 8 buys ~1.0 recall at ~3×
       // the wall)
       val lists = if (nlist > 0) nlist
-        else math.max(32, math.min(8192, math.ceil(math.sqrt(n.toDouble)).toInt))
+        else math.max(32, math.min(32768, math.ceil(math.sqrt(n.toDouble)).toInt))
       System.err.println(
         s"[dedup] embeddingCosineAuto: $n rows > exactLimit=$exactLimit — routing to " +
           s"IVF (nlist=$lists, nprobe=$nprobe); recall<1 by construction, emitted " +
@@ -715,10 +720,14 @@ object Dedup {
       TsFunctions.l2NormalizeUdf(transform(col(vecCol), x => x.cast("double"))).as("v"))
       .localCheckpoint(eager = false)
     // sampleCap scales with nlist (40 training points per cell, the
-    // AnnProbe ivfsweep rule): the default 20 k over the router's new
-    // 8192-cell ceiling would leave ~2 points/cell — empty-cell
-    // reseeds and a junk quantizer
-    val centroids = Ann.trainCoarse(e, nlist, seed,
+    // AnnProbe ivfsweep rule): the default 20 k over the router's
+    // ceiling would leave ~2 points/cell — empty-cell reseeds and a
+    // junk quantizer. trainCoarseAuto routes to the DISTRIBUTED Lloyd
+    // past nlist=4096, where the driver-local trainer's quadratic
+    // 40·nlist²·d·iters term stops fitting one machine (VERDICT r14 #1;
+    // measured: driver 209.5 s at 4096 vs distributed 390 s at 16384 —
+    // a nlist16× point the driver form would need ~an hour for).
+    val centroids = Ann.trainCoarseAuto(e, nlist, seed,
       sampleCap = math.max(20000, 40 * nlist), idCol = "vec_id", vecCol = "v")
     val bc = spark.sparkContext.broadcast(centroids)
     val probeUdf = udf((x: scala.collection.Seq[Double]) => {

@@ -25,7 +25,9 @@ import graft.operators.Ann
 object AnnProbe {
   // splitmix64-style avalanche → uniform in [-1, 1]; pure function of
   // (a, b) so every engine run regenerates the identical corpus
-  private def h(a: Long, b: Long): Double = {
+  // (package-visible: CoarseProbe builds its 10⁸ corpus from the same
+  // generator so its measurements are comparable to the AnnProbe sweeps)
+  private[tools] def h(a: Long, b: Long): Double = {
     var z = a * 0x9E3779B97F4A7C15L + b * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
     z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
     z ^= (z >>> 27); z *= 0x94D049BB133111EBL
@@ -41,6 +43,12 @@ object AnnProbe {
     val centers = if (args.length > 4) args(4).toInt else 1024
     val routes: Set[String] = (if (args.length > 5) args(5)
       else "ivf,lsh,ivfpq,sq8").split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // corpus SHAPE (VERDICT r14 #5): the single-p recall law was fit and
+    // validated on ONE corpus shape (uniform cluster mass); "zipf" draws
+    // the cluster log-uniformly (mass ∝ 1/c, zipf s≈1 — hot head, long
+    // tail) so the lshauto measurement gets a second, differently-shaped
+    // point. Queries follow the same mass law.
+    val shape = if (args.length > 6) args(6) else "uniform"
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -56,8 +64,15 @@ object AnnProbe {
     // effective sign-collision p of a true top-10 neighbor at 0.682
     // (the pNear the auto LSH banding law is calibrated against, re-fit
     // in SCALEPROBE r14), not a trivially tight blob
+    val zipfShape = shape == "zipf"
     val mk = udf((id: Long, salt: Long) => {
-      val c = id % centers
+      val c =
+        if (zipfShape) {
+          // log-uniform cluster draw: u ∈ [0,1) from the id hash,
+          // c = ⌊centersᵘ⌋ − 1-ish → P(c) ∝ 1/c
+          val u = (h(id * 17L + 5L, 999L) + 1.0) / 2.0
+          math.min(centers - 1L, math.pow(centers.toDouble, u).toLong)
+        } else id % centers
       Array.tabulate(d)(j => h(c * 7919L + 13L, j) + 0.8 * h(id * 31L + salt, j))
     })
     val cands = spark.range(n).select(col("id").as("vec_id"),
@@ -65,7 +80,7 @@ object AnnProbe {
     // held-out queries: same centers (round-robin), fresh noise
     val queries = spark.range(nq).select((col("id") + n).as("vec_id"),
       mk(col("id"), lit(1L)).as("v")).localCheckpoint()
-    System.err.println(s"[annprobe] n=$n nq=$nq k=$k d=$d centers=$centers")
+    System.err.println(s"[annprobe] n=$n nq=$nq k=$k d=$d centers=$centers shape=$shape")
 
     def topSet(df: DataFrame): Map[Long, Set[Long]] = df
       .select("query_id", "cand_id").collect()
@@ -201,7 +216,7 @@ object AnnProbe {
       record("sq8-fullscan-100q", wSq, rSq)
     }
 
-    println(s"""{"probe":"ann","n":$n,"nq":$nq,"k":$k,"d":$d,"centers":$centers,"routes":[${results.mkString(",")}]}""")
+    println(s"""{"probe":"ann","n":$n,"nq":$nq,"k":$k,"d":$d,"centers":$centers,"shape":"$shape","routes":[${results.mkString(",")}]}""")
     spark.stop()
   }
 }

@@ -144,6 +144,41 @@ object MpProbe {
       }
       series.unpersist()
     }
+    // SPARK_GRAFT_MP_CHUNK_SEG="n:m:bs:W:chunks" — the A/B twin of
+    // SPARK_GRAFT_MP_CHUNK (VERDICT r14 #4): identical chunk schedule,
+    // but the segment relation is built ONCE (segmentSeries, persisted
+    // MEMORY_AND_DISK) and every chunk sweeps against it. The first
+    // chunk pays the build; the per-chunk delta vs the rebuild path is
+    // the r14-measured overhead term the resumable form removes.
+    sys.env.get("SPARK_GRAFT_MP_CHUNK_SEG").foreach { cfg =>
+      val p = cfg.split(":")
+      val n = p(0).toLong; val m = p(1).toInt; val bs = p(2).toInt
+      val w = p(3).toLong; val chunks = p(4).toInt
+      import org.apache.spark.sql.functions._
+      val band = math.ceil(m / 4.0).toLong
+      val series = spark.range(n + m - 1).select(col("id").as("idx"),
+        (sin(col("id").cast("double") * 0.0007) +
+          (pmod(hash(col("id")).cast("double"), lit(1000.0)) - 500.0) / 2500.0).as("v"))
+        .localCheckpoint()
+      val (seg, tSeg) = time {
+        graft.operators.MatrixProfileDist.segmentSeries(spark, series, m, blockSize = bs)
+      }
+      println(f"[mpprobe] chunkseg n=$n%,d segmentSeries plan: $tSeg%.2f s (lazy — first chunk materializes)")
+      (0 until chunks).foreach { c =>
+        val gFrom = band + c * w
+        val gTo = math.min(band + (c + 1) * w, n - 1)
+        val (cnt, t) = time {
+          graft.operators.MatrixProfileDist
+            .matrixProfileDiagBand(spark, seg, gFrom, gTo).count()
+        }
+        val k = gTo - gFrom
+        val cells = k * n - (gFrom * k + k * (k + 1) / 2)
+        println(f"[mpprobe] chunkseg n=$n%,d m=$m block=$bs g=($gFrom,$gTo]: " +
+          f"wall=$t%.2f s, rows=$cnt, cells=$cells%,d, ${t * 1e9 / cells}%.3f ns/cell")
+      }
+      seg.unpersist()
+      series.unpersist()
+    }
     spark.stop()
   }
 }

@@ -101,4 +101,45 @@ class MatrixProfileDistSpec extends AnyFunSuite {
       assert(math.abs(folds(i) - v) < 1e-8, s"i=$i: fold ${folds(i)} vs full $v")
     }
   }
+
+  test("prebuilt segments: chunks are float-identical to the rebuild path and fold to full") {
+    // VERDICT r14 #4 — resumable segments for the chunked run:
+    // segmentSeries builds the (seg, vals) relation ONCE; every
+    // diagonal-band chunk swept against it must be row-identical
+    // (exact floats — same tile algebra, only the per-chunk rebuild is
+    // gone) to the series-input form, and the fold over prebuilt-segment
+    // chunks must still equal the full tiled profile.
+    val rng = new scala.util.Random(97)
+    val ts = Array.tabulate(700)(t => math.cos(t * 0.05) + 0.2 * rng.nextGaussian())
+    val m = 16
+    val band = math.ceil(m / 4.0).toInt
+    val n = ts.length - m + 1
+    val seriesDf = spark.createDataset(ts.toSeq.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }).toDF("idx", "v")
+      .repartition(4)
+    val full = MatrixProfileDist.matrixProfileTiled(spark, seriesDf, m, blockSize = 128)
+      .as[(Long, Double)].collect().toMap
+    val seg = MatrixProfileDist.segmentSeries(spark, seriesDf, m, blockSize = 128)
+    assert(seg.nPoints == ts.length.toLong)
+    val W = 150
+    val folds = scala.collection.mutable.Map[Long, Double]()
+    var g = band.toLong
+    while (g < n - 1) {
+      val hi = math.min(g + W, n - 1L)
+      val viaSeg = MatrixProfileDist.matrixProfileDiagBand(spark, seg, g, hi)
+        .as[(Long, Double)].collect().toMap
+      val viaSeries = MatrixProfileDist
+        .matrixProfileDiagBand(spark, seriesDf, m, g, hi, blockSize = 128)
+        .as[(Long, Double)].collect().toMap
+      assert(viaSeg == viaSeries, s"chunk ($g,$hi] differs between segment paths")
+      viaSeg.foreach { case (i, v) =>
+        folds(i) = math.min(folds.getOrElse(i, Double.PositiveInfinity), v) }
+      g = hi
+    }
+    seg.unpersist()
+    assert(folds.size == full.size)
+    full.foreach { case (i, v) =>
+      assert(math.abs(folds(i) - v) < 1e-8, s"i=$i: fold ${folds(i)} vs full $v")
+    }
+  }
 }

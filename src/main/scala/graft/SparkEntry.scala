@@ -435,7 +435,11 @@ object SparkEntry {
     // diagonal-band chunks folded by element-wise min — the fold must
     // equal the full profile exactly (each diagonal swept exactly
     // once), so the oracle is the tiled query's relational replay
-    // verbatim.
+    // verbatim. Since r16 the chunks sweep a SHARED prebuilt segment
+    // relation (segmentSeries — VERDICT r15 #5): the oracle now checks
+    // the exact route a 10⁹-point resumable run takes, not the
+    // per-chunk-rebuild form it replaced (the two are spec-locked
+    // float-identical, so the oracle SQL is unchanged).
     "ts_matrix_profile_chunked" -> ((s, dir) => {
       val m = 8
       val series = TSModel.eventsToSeries(s, dir)
@@ -446,6 +450,8 @@ object SparkEntry {
         .select(col("idx").cast("long").as("idx"), col("v").cast("double").as("v"))
         .localCheckpoint()
       val n = vals.count() - m + 1
+      val seg = graft.operators.MatrixProfileDist
+        .segmentSeries(s, vals, m, blockSize = 32)
       val band = math.ceil(m / 4.0).toLong
       val w = math.max(1L, (n - 1 - band + 2) / 3)
       val chunks = (0 until 3).flatMap { c =>
@@ -453,7 +459,7 @@ object SparkEntry {
         val gTo = math.min(band + (c + 1) * w, n - 1)
         if (gFrom < n - 1)
           Some(graft.operators.MatrixProfileDist
-            .matrixProfileDiagBand(s, vals, m, gFrom, gTo, blockSize = 32))
+            .matrixProfileDiagBand(s, seg, gFrom, gTo))
         else None
       }
       chunks.reduce(_ unionByName _)

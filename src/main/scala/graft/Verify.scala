@@ -4,6 +4,61 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Observed-metric recorder with attribution keyed on the
+    * CollectMetrics metric NAME, registered at submit time (VERDICT r15
+    * #3 / ADVICE r15). The listener bus is async: the previous scheme
+    * read a shared `current` var at event-fire time, so an observation
+    * arriving after the bounded wait expired (and after `current`
+    * advanced) was tagged to the WRONG query — and its arrival also
+    * released the next query's size-based wait early, cascading the
+    * mis-tag. Keying on the metric name makes mis-attribution
+    * impossible regardless of bus latency: names are registered from
+    * the analyzed plan before execution, and an event for an
+    * unregistered name is tagged UNREGISTERED rather than guessed.
+    * Contract: metric names are unique per query across the suite (a
+    * re-registration warns loudly). */
+  final class ObservedMetrics(spark: SparkSession) {
+    private val owner = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    private val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    private val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        qe.observedMetrics.foreach { case (m, row) =>
+          val q = Option(owner.get(m)).getOrElse("UNREGISTERED")
+          lines.add(s"""{"query":"$q","metric":"$m","values":${row.json}}""")
+          seen.add(m)
+          System.err.println(s"[verify] $q observed $m: ${row.json}")
+        }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    })
+    /** Claim every CollectMetrics name in df's analyzed plan for `query`;
+      * returns the names (empty = nothing to await). */
+    def register(query: String, df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val names = df.queryExecution.analyzed.collect {
+        case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => c.name
+      }
+      names.foreach { nm =>
+        val prev = owner.put(nm, query)
+        if (prev != null && prev != query)
+          System.err.println(s"[verify] WARNING: metric '$nm' re-registered by " +
+            s"'$query' (was '$prev') — metric names must be unique per query")
+      }
+      names
+    }
+    /** Bounded wait (flush) for the named observations on the async bus. */
+    def await(names: Seq[String], timeoutMs: Long = 2000): Unit = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (!names.forall(seen.contains) && System.nanoTime() < deadline)
+        Thread.sleep(20)
+    }
+    def dump(): String = {
+      import scala.jdk.CollectionConverters._
+      lines.asScala.mkString("[", ",\n", "]")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional extra args: only dump these query names (dev iteration)
@@ -26,45 +81,20 @@ object Verify {
         spark.read.parquet(s"$sfDir/$t.parquet").schema.simpleString))
     }
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
-    // VERDICT r14 #7: surface plan-`observe`d metrics (today:
-    // lsh_hot_bucket_cap's dropped_sig_rows / capped_buckets from
-    // Ann.lshTopK) in the canonical Verify output — until now only a
-    // test's QueryExecutionListener read them, so a capped-recall run was
-    // invisible in round artifacts. The listener bus is async; tagging is
-    // made deterministic by waiting (bounded) for the observation to
-    // arrive after any dump whose analyzed plan contains a CollectMetrics
-    // node (first run of this code mis-tagged emb_ann_lsh's metrics to
-    // the query dumped after it).
-    val observed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    @volatile var current = ""
-    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
-      override def onSuccess(fn: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
-        qe.observedMetrics.foreach { case (m, row) =>
-          val line = s"""{"query":"$current","metric":"$m","values":${row.json}}"""
-          observed.add(line)
-          System.err.println(s"[verify] $current observed $m: ${row.json}")
-        }
-      override def onFailure(fn: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
-    })
+    // VERDICT r14 #7: surface plan-`observe`d metrics (e.g.
+    // lsh_hot_bucket_cap / lsh_query_cand_cap from Ann.lshTopK) in the
+    // canonical Verify output. Attribution is keyed on the metric name
+    // registered from each query's analyzed plan BEFORE execution (see
+    // ObservedMetrics) — bus latency can delay a line, never mis-tag it.
+    val obs = new ObservedMetrics(spark)
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      current = name
       try {
         val df = fn(spark, sfDir)
-        val hasObserve = df.queryExecution.analyzed.exists {
-          case _: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => true
-          case _ => false
-        }
-        val before = observed.size()
+        val metricNames = obs.register(name, df)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        if (hasObserve) {
-          val deadline = System.nanoTime() + 2_000_000_000L
-          while (observed.size() == before && System.nanoTime() < deadline)
-            Thread.sleep(20)
-        }
+        if (metricNames.nonEmpty) obs.await(metricNames)
       } catch { case e: Throwable =>
         failures(name) = e.getClass.getName + ": " +
           Option(e.getMessage).getOrElse("")
@@ -74,11 +104,7 @@ object Verify {
     // bounded drain for stragglers on the async listener bus, then
     // persist the observations beside the dumps
     Thread.sleep(1000)
-    Files.writeString(Paths.get(s"$outDir/observed_metrics.json"),
-      {
-        import scala.jdk.CollectionConverters._
-        observed.asScala.mkString("[", ",\n", "]")
-      })
+    Files.writeString(Paths.get(s"$outDir/observed_metrics.json"), obs.dump())
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -162,9 +162,27 @@ object Ann {
                 codebooks: Array[Array[Array[Double]]],
                 idCol: String = "vec_id", vecCol: String = "v",
                 rerank: Int = 0): DataFrame = {
-    val spark = candidates.sparkSession
     val compressed = ivfAssign(candidates, centroids, idCol, vecCol)
       .join(pqEncode(candidates, codebooks, idCol, vecCol), idCol)
+    ivfPqTopKIndexed(compressed, candidates, queries, k, centroids, nprobe,
+      codebooks, idCol, vecCol, rerank)
+  }
+
+  /** IVF-PQ search over a PREBUILT (id, cell, codes) index relation —
+    * the fleet shape: at 10⁸+ vectors the index is built once (assign +
+    * encode, two corpus scans) and persisted/checkpointed; query batches
+    * then touch ONLY the codes relation plus, when rerank > 0, the
+    * shortlist's exact vectors (`candidates` is read only on that
+    * rerank join — pass anything with (idCol, vecCol) when rerank = 0).
+    * [[ivfPqTopK]] delegates here after building the index inline, so
+    * the two routes are one plan. */
+  def ivfPqTopKIndexed(compressed: DataFrame, candidates: DataFrame,
+                       queries: DataFrame, k: Int,
+                       centroids: Array[Array[Double]], nprobe: Int,
+                       codebooks: Array[Array[Array[Double]]],
+                       idCol: String = "vec_id", vecCol: String = "v",
+                       rerank: Int = 0): DataFrame = {
+    val spark = compressed.sparkSession
     val adc = adcUdf(spark, codebooks)
     val qProbes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell", explode(probeCellsUdf(spark, centroids, nprobe)(col("qv"))))
@@ -339,6 +357,13 @@ object Ann {
       .limit(2 * nlist).collect()
       .map(r => r.getSeq[Double](1).toArray)
     require(reserve.nonEmpty, "trainCoarseDistributed: empty sample")
+    // A sample smaller than nlist yields fewer than nlist centers —
+    // same contract as trainCoarse (a k-cell quantizer over < k points
+    // is ill-posed however trained), but say so rather than silently
+    // returning a short array.
+    if (reserve.length < nlist)
+      System.err.println(s"[ann] trainCoarseDistributed: sample has only " +
+        s"${reserve.length} rows < nlist=$nlist — returning ${math.min(nlist, reserve.length)} centers")
     var centers = reserve.take(math.min(nlist, reserve.length)).map(_.clone())
     val dim = centers(0).length
     val rng = new scala.util.Random(seed)
@@ -396,6 +421,17 @@ object Ann {
       System.err.println(f"[ann] trainCoarseDistributed nlist=$nlist iter $it/$iters: " +
         f"${(System.nanoTime() - tIter) / 1e9}%.1f s, " +
         s"${counts.count(_ == 0L)} empty cells reseeded")
+    }
+    // The eager localCheckpoint pinned the sample's blocks in the block
+    // manager (~670 MB at nlist=32768, d=64); the last iteration's
+    // collect fully consumed it, so release the blocks now instead of
+    // waiting for RDD GC. The checkpointed RDD sits behind a LogicalRDD
+    // leaf; if a future Spark changes that plan shape, skipping the
+    // release (and letting GC reclaim it) is the safe fallback.
+    sample.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
     }
     centers
   }
@@ -602,11 +638,28 @@ object Ann {
     * propagation replaces the zero-row join subtree with an empty
     * LocalRelation and the metrics node is elided with it — that
     * pathology is already loud (the result is empty); the metric
-    * covers the silent partial-cap regime it was built for. */
+    * covers the silent partial-cap regime it was built for.
+    *
+    * Per-QUERY candidate-mass bound (`maxCandPerQuery`): the hot-bucket
+    * cap bounds any single bucket, but a query probing `bands` buckets
+    * that are each merely WARM still accumulates up to bands·maxBucket
+    * candidates — under zipf corpus mass at 1 M vectors the nq=1000
+    * candidate join spilled ~80 GB and died (SCALEPROBE r15 sixteenth
+    * probe) with zero buckets over the hot cap. Each bucket is therefore
+    * further capped at maxCandPerQuery/bands rows, retained in
+    * xxhash64(cand_id) order — a deterministic per-bucket sample,
+    * independent of partitioning and of the query side — so worst-case
+    * candidate mass is ≤ |queries|·maxCandPerQuery BY CONSTRUCTION, not
+    * by corpus luck. Both caps fold into the same (band, code) window
+    * exchange (no extra shuffle, no extra job); rows the query-mass cap
+    * drops are published under metric "lsh_query_cand_cap"
+    * (`dropped_cand_rows`). maxCandPerQuery ≤ 0 disables the bound
+    * (bucket cap alone, the pre-r16 behavior). */
   def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int,
               dim: Int, nBits: Int = -1, nBands: Int = -1,
               idCol: String = "vec_id", vecCol: String = "v",
-              maxBucket: Int = 50000, n: Long = -1L): DataFrame = {
+              maxBucket: Int = 50000, n: Long = -1L,
+              maxCandPerQuery: Int = 500000): DataFrame = {
     require((nBits > 0) == (nBands > 0),
       s"lshTopK: pass both nBits and nBands or neither (got nBits=$nBits, " +
         s"nBands=$nBands) — a lone explicit value would be silently discarded by auto")
@@ -614,22 +667,38 @@ object Ann {
       if (nBits > 0) (nBits, nBands)
       else autoLshParams(if (n > 0) n else candidates.count(),
         maxBucketWidth = maxBucket)
+    // per-bucket retention for the per-query mass bound; never below k so
+    // a query whose true neighbors share one bucket can still fill top-k
+    val mPerBand = if (maxCandPerQuery > 0) math.max(k, maxCandPerQuery / bands)
+                   else Int.MaxValue
     val planes = hyperplanes(bits, dim)
+    val wBucket = Window.partitionBy("band", "code")
     val cb = lshBands(candidates, planes, bands, idCol, vecCol)
       .select(col(idCol).as("cand_id"), col("band"), col("code"))
-      .withColumn("bw", count(lit(1)).over(Window.partitionBy("band", "code")))
+      .withColumn("bw", count(lit(1)).over(wBucket))
+      .withColumn("qr", row_number().over(
+        wBucket.orderBy(xxhash64(col("cand_id")).asc, col("cand_id").asc)))
       .observe("lsh_hot_bucket_cap",
         sum(when(col("bw") > maxBucket, lit(1L)).otherwise(lit(0L))).as("dropped_sig_rows"),
         sum(when(col("bw") > maxBucket, lit(1.0) / col("bw")).otherwise(lit(0.0))).as("capped_buckets"))
-      .where(col("bw") <= maxBucket)
-      .drop("bw")
+      .observe("lsh_query_cand_cap",
+        sum(when(col("bw") <= maxBucket && col("qr") > mPerBand, lit(1L))
+          .otherwise(lit(0L))).as("dropped_cand_rows"))
+      .where(col("bw") <= maxBucket && col("qr") <= mPerBand)
+      .drop("bw", "qr")
     val qb = lshBands(queries, planes, bands, idCol, vecCol)
       .select(col(idCol).as("query_id"), col("band"), col("code"))
     val pairs = qb.join(cb, Seq("band", "code"))
       .select(col("query_id"), col("cand_id")).distinct()
+    // vector columns attached WIDE-SIDE-LAST: joining candidates first
+    // shuffles only narrow (query_id, cand_id) pairs by cand_id; the
+    // queries join then typically broadcasts (AQE), so the d-double qv
+    // never rides a shuffle. The original queries-first order widened
+    // every pair row by qv BEFORE the cand_id shuffle — at the zipf
+    // probe's mass that ordering alone was ~30× the shuffle bytes.
     val scored = pairs
-      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id")
       .join(candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv")), "cand_id")
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id")
       .select(col("query_id"), col("cand_id"),
         TsFunctions.cosineSim(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)

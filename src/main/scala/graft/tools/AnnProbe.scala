@@ -170,10 +170,16 @@ object AnnProbe {
     // recall target the law was solved for (>= 0.9 at 1 M).
     if (routes("lshauto")) {
       val (abBits, abBands) = Ann.autoLshParams(n)
-      val (got, w) = timed(s"lsh auto $abBits/$abBands") {
-        topSet(Ann.lshTopK(cands, queries, k, dim = d))
+      // SPARK_GRAFT_LSH_QCAP overrides the per-query candidate-mass cap
+      // (lshTopK maxCandPerQuery) — the r15 sixteenth probe's nq=1000
+      // zipf run spilled ~80 GB of candidate join with NO bucket over
+      // the hot cap; the per-query cap bounds that mass by construction
+      // and this knob measures its recall cost.
+      val qcap = sys.env.get("SPARK_GRAFT_LSH_QCAP").map(_.toInt).getOrElse(500000)
+      val (got, w) = timed(s"lsh auto $abBits/$abBands qcap=$qcap") {
+        topSet(Ann.lshTopK(cands, queries, k, dim = d, maxCandPerQuery = qcap))
       }
-      record(s"lsh-auto-$abBits-$abBands", w, recall(got))
+      record(s"lsh-auto-$abBits-$abBands-qcap$qcap", w, recall(got))
     }
 
     // IVF-PQ — 8 subspaces × 256 codewords, candidates pruned to the

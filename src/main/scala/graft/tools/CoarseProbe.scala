@@ -122,6 +122,64 @@ object CoarseProbe {
       }
     }
 
+    // VERDICT r15 #6 — IVF-PQ one octave past the r14 1 M datum, on the
+    // distributed-trainer quantizer: at n = nTrain (default 10⁸) the
+    // corpus floats (51 GB at d=64) are generated on the fly and read
+    // exactly three times (ground truth, sample, index build); the
+    // MATERIALIZED state is the codes-only relation (id, cell, 8 codes —
+    // the memory-bound design the operator doc promises at 100 TB) plus
+    // the rerank shortlist's exact vectors.
+    if (routes("ivfpq")) {
+      val n8 = nTrain
+      val nq = 100; val k = 10; val nlist = 16384
+      val cands = corpus(n8, 256)
+      val queries = spark.range(nq).select((col("id") + n8).as("vec_id"),
+        mk(col("id"), lit(1L)).as("v")).localCheckpoint(eager = true)
+      def topSet(df: DataFrame): Map[Long, Set[Long]] = df
+        .select("query_id", "cand_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+      Ann.bruteTopK(cands.limit(500), queries.limit(5), k).count() // warm codegen
+      val (brute, wB) = timed(s"ivfpq: brute ground truth n=$n8 nq=$nq") {
+        topSet(Ann.bruteTopK(cands, queries, k))
+      }
+      val nTrue = brute.values.map(_.size).sum.toDouble
+      val (cs, wT) = timed(s"ivfpq: distributed train nlist=$nlist") {
+        Ann.trainCoarseDistributed(cands, nlist, seed = 42)
+      }
+      val dsub = d / 8
+      val (codebooks, wCb) = timed("ivfpq: 8 subspace codebooks (one shared 20k sample)") {
+        // one sampling pass feeds all 8 subspace trainers — 8 separate
+        // trainCoarse calls would each re-scan the corpus to sample
+        val samp = cands.sample(withReplacement = false, 20000.0 / n8, 99)
+          .localCheckpoint(eager = true)
+        Array.tabulate(8) { s =>
+          Ann.trainCoarse(samp.select(col("vec_id"),
+            slice(col("v"), s * dsub + 1, dsub).as("v")), nlist = 256, seed = 7 + s)
+        }
+      }
+      val (compressed, wIdx) = timed("ivfpq: index build (assign+encode -> codes-only relation)") {
+        val c = Ann.ivfAssign(cands, cs)
+          .join(Ann.pqEncode(cands, codebooks), "vec_id")
+          .localCheckpoint(eager = true)
+        c
+      }
+      for (np <- Seq(64)) {
+        val (gotAdc, wQ) = timed(s"ivfpq: search np=$np (pure ADC)") {
+          topSet(Ann.ivfPqTopKIndexed(compressed, cands, queries, k, cs, np, codebooks))
+        }
+        val rAdc = brute.map { case (q, t) =>
+          gotAdc.getOrElse(q, Set.empty[Long]).intersect(t).size }.sum / nTrue
+        val (gotRr, wQr) = timed(s"ivfpq: search np=$np rerank=${4 * k}") {
+          topSet(Ann.ivfPqTopKIndexed(compressed, cands, queries, k, cs, np, codebooks,
+            rerank = 4 * k))
+        }
+        val rRr = brute.map { case (q, t) =>
+          gotRr.getOrElse(q, Set.empty[Long]).intersect(t).size }.sum / nTrue
+        results += f"""{"route":"ivfpq-$nlist-np$np","n":$n8,"brute_wall":$wB%.1f,"train_wall":$wT%.1f,"codebook_wall":$wCb%.1f,"index_wall":$wIdx%.1f,"adc_wall":$wQ%.1f,"adc_recall":$rAdc%.4f,"rerank_wall":$wQr%.1f,"rerank_recall":$rRr%.4f}"""
+        System.err.println(f"[coarse] ivfpq-$nlist-np$np adc=$rAdc%.4f rerank=$rRr%.4f")
+      }
+    }
+
     println(s"""{"probe":"coarse_trainer","d":$d,"centers":$centers,"loadavg_end":${loadavg()},"results":[${results.mkString(",")}]}""")
     spark.stop()
   }

@@ -129,18 +129,24 @@ object MpProbe {
         (sin(col("id").cast("double") * 0.0007) +
           (pmod(hash(col("id")).cast("double"), lit(1000.0)) - 500.0) / 2500.0).as("v"))
         .localCheckpoint()
+      // a chunk whose gFrom already reaches the last diagonal is empty —
+      // skip it (matrixProfileDiagBand requires a non-empty band), and
+      // never divide by cells=0 in the rate print (ADVICE r15)
       (0 until chunks).foreach { c =>
         val gFrom = band + c * w
         val gTo = math.min(band + (c + 1) * w, n - 1)
-        val (cnt, t) = time {
-          graft.operators.MatrixProfileDist
-            .matrixProfileDiagBand(spark, series, m, gFrom, gTo, blockSize = bs).count()
-        }
-        // cells swept: sum over g in (gFrom, gTo] of (n - g)
-        val k = gTo - gFrom
-        val cells = k * n - (gFrom * k + k * (k + 1) / 2)
-        println(f"[mpprobe] chunk n=$n%,d m=$m block=$bs g=($gFrom,$gTo]: " +
-          f"wall=$t%.2f s, rows=$cnt, cells=$cells%,d, ${t * 1e9 / cells}%.3f ns/cell")
+        if (gFrom < n - 1) {
+          val (cnt, t) = time {
+            graft.operators.MatrixProfileDist
+              .matrixProfileDiagBand(spark, series, m, gFrom, gTo, blockSize = bs).count()
+          }
+          // cells swept: sum over g in (gFrom, gTo] of (n - g)
+          val k = gTo - gFrom
+          val cells = k * n - (gFrom * k + k * (k + 1) / 2)
+          val rate = if (cells > 0) f"${t * 1e9 / cells}%.3f" else "n/a"
+          println(f"[mpprobe] chunk n=$n%,d m=$m block=$bs g=($gFrom,$gTo]: " +
+            f"wall=$t%.2f s, rows=$cnt, cells=$cells%,d, $rate ns/cell")
+        } else println(s"[mpprobe] chunk $c skipped: gFrom=$gFrom >= ${n - 1} (empty band)")
       }
       series.unpersist()
     }
@@ -150,31 +156,53 @@ object MpProbe {
     // MEMORY_AND_DISK) and every chunk sweeps against it. The first
     // chunk pays the build; the per-chunk delta vs the rebuild path is
     // the r14-measured overhead term the resumable form removes.
+    // Optional 6th field `pq` (n:m:bs:W:chunks:pq) exercises the
+    // documented CROSS-SESSION resume path mid-run: after the first
+    // chunk, the segment relation is written to parquet, reattached via
+    // the public SegmentedSeries constructor, and the remaining chunks
+    // sweep the reloaded relation — the route a 10⁹-point multi-day run
+    // would actually take across driver restarts.
     sys.env.get("SPARK_GRAFT_MP_CHUNK_SEG").foreach { cfg =>
       val p = cfg.split(":")
       val n = p(0).toLong; val m = p(1).toInt; val bs = p(2).toInt
       val w = p(3).toLong; val chunks = p(4).toInt
+      val viaParquet = p.length > 5 && p(5) == "pq"
       import org.apache.spark.sql.functions._
       val band = math.ceil(m / 4.0).toLong
       val series = spark.range(n + m - 1).select(col("id").as("idx"),
         (sin(col("id").cast("double") * 0.0007) +
           (pmod(hash(col("id")).cast("double"), lit(1000.0)) - 500.0) / 2500.0).as("v"))
         .localCheckpoint()
-      val (seg, tSeg) = time {
+      val (seg0, tSeg) = time {
         graft.operators.MatrixProfileDist.segmentSeries(spark, series, m, blockSize = bs)
       }
       println(f"[mpprobe] chunkseg n=$n%,d segmentSeries plan: $tSeg%.2f s (lazy — first chunk materializes)")
+      var seg = seg0
       (0 until chunks).foreach { c =>
         val gFrom = band + c * w
         val gTo = math.min(band + (c + 1) * w, n - 1)
-        val (cnt, t) = time {
-          graft.operators.MatrixProfileDist
-            .matrixProfileDiagBand(spark, seg, gFrom, gTo).count()
+        if (gFrom < n - 1) {
+          val (cnt, t) = time {
+            graft.operators.MatrixProfileDist
+              .matrixProfileDiagBand(spark, seg, gFrom, gTo).count()
+          }
+          val k = gTo - gFrom
+          val cells = k * n - (gFrom * k + k * (k + 1) / 2)
+          val rate = if (cells > 0) f"${t * 1e9 / cells}%.3f" else "n/a"
+          println(f"[mpprobe] chunkseg n=$n%,d m=$m block=$bs g=($gFrom,$gTo]: " +
+            f"wall=$t%.2f s, rows=$cnt, cells=$cells%,d, $rate ns/cell")
+        } else println(s"[mpprobe] chunkseg $c skipped: gFrom=$gFrom >= ${n - 1} (empty band)")
+        if (viaParquet && c == 0) {
+          val pqPath = sys.env.getOrElse("SPARK_GRAFT_MP_SEG_DIR", "/tmp/mpprobe_segs")
+          val (_, tW) = time { seg.segs.write.mode("overwrite").parquet(pqPath) }
+          seg.unpersist()
+          val reloaded = spark.read.parquet(pqPath)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          seg = graft.operators.MatrixProfileDist.SegmentedSeries(
+            reloaded, seg.nPoints, seg.m, seg.blockSize)
+          println(f"[mpprobe] chunkseg segs -> parquet ($pqPath): $tW%.2f s; " +
+            "remaining chunks sweep the RELOADED relation (cross-session resume path)")
         }
-        val k = gTo - gFrom
-        val cells = k * n - (gFrom * k + k * (k + 1) / 2)
-        println(f"[mpprobe] chunkseg n=$n%,d m=$m block=$bs g=($gFrom,$gTo]: " +
-          f"wall=$t%.2f s, rows=$cnt, cells=$cells%,d, ${t * 1e9 / cells}%.3f ns/cell")
       }
       seg.unpersist()
       series.unpersist()

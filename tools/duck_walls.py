@@ -31,9 +31,7 @@ REPEAT = int(os.environ.get("DUCK_REPEAT", "2"))
 TIMEOUT_S = float(os.environ.get("DUCK_TIMEOUT_S", "0"))
 
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    out_json = sys.argv[3] if len(sys.argv) > 3 else "DUCK_WALLS.json"
+def connect(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -41,6 +39,13 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    out_json = sys.argv[3] if len(sys.argv) > 3 else "DUCK_WALLS.json"
+    con = connect(sf_dir)
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     if len(sys.argv) > 4:
@@ -56,38 +61,46 @@ def main():
         for _ in range(REPEAT):
             t0 = time.time()
             timer = None
-            # Guard against the Timer racing query completion: if the timer
-            # fires in the window after fetchall() returns but before
-            # timer.cancel(), an interrupt flag left on the idle connection
-            # would spuriously kill the NEXT query and record a false null
-            # wall. `running` is cleared the instant the query finishes, so
-            # a late-firing callback is a no-op.
+            # Guard against the Timer racing query completion. The check
+            # and the interrupt are ATOMIC under `lock` (ADVICE r15: the
+            # earlier Event-only guard could pass is_set() just as
+            # fetchall() returned, then interrupt the idle connection,
+            # poisoning the NEXT query with a spurious InterruptException).
+            # Belt-and-braces: after ANY timeout the connection is
+            # recreated (views are cheap), so even an interrupt flag that
+            # somehow lands on an idle connection dies with it.
+            lock = threading.Lock()
             running = threading.Event()
             running.set()
 
-            def _interrupt(ev=running):
-                if ev.is_set():
-                    con.interrupt()
+            def _interrupt(ev=running, lk=lock, c=con):
+                with lk:
+                    if ev.is_set():
+                        c.interrupt()
 
             if TIMEOUT_S > 0:
                 timer = threading.Timer(TIMEOUT_S, _interrupt)
                 timer.start()
             try:
                 con.execute(oracle[name]).fetchall()
-                running.clear()
+                with lock:
+                    running.clear()
                 w = time.time() - t0
                 best = w if best is None else min(best, w)
             except duckdb.InterruptException:
                 # Classify timeouts by exception TYPE, not elapsed time: a
                 # genuine error raised after TIMEOUT_S elapsed must stay an
                 # ERROR, and an interrupt is a timeout regardless of clock.
-                running.clear()
+                with lock:
+                    running.clear()
                 print(f"[duck] {name} TIMEOUT after {TIMEOUT_S}s", file=sys.stderr)
                 timed_out.append(name)
                 best = None
+                con = connect(sf_dir)  # fresh connection: no leftover flag
                 break
             except Exception as e:
-                running.clear()
+                with lock:
+                    running.clear()
                 print(f"[duck] {name} ERROR: {e}", file=sys.stderr)
                 best = None
                 break

@@ -169,7 +169,16 @@ object MpProbe {
       val viaParquet = p.length > 5 && p(5) == "pq"
       import org.apache.spark.sql.functions._
       val band = math.ceil(m / 4.0).toLong
-      val series = spark.range(n + m - 1).select(col("id").as("idx"),
+      // SPARK_GRAFT_MP_PARTS bounds the segs build's map-side
+      // collect_list partials: local[32]'s 32 fat range slices hold
+      // ~n/32 struct partials EACH during the partial aggregate — the
+      // 10⁸ run needed ~100g heap for that alone; 256 slices at 10⁹
+      // bound a task's partial state to ~4 M rows. On a fleet the input
+      // arrives in many partitions naturally; this knob only reproduces
+      // that shape under local-mode's shared heap.
+      val parts = sys.env.get("SPARK_GRAFT_MP_PARTS").map(_.toInt)
+        .getOrElse(spark.sparkContext.defaultParallelism)
+      val series = spark.range(0L, n + m - 1, 1L, parts).select(col("id").as("idx"),
         (sin(col("id").cast("double") * 0.0007) +
           (pmod(hash(col("id")).cast("double"), lit(1000.0)) - 500.0) / 2500.0).as("v"))
         .localCheckpoint()

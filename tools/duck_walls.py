@@ -33,6 +33,20 @@ TIMEOUT_S = float(os.environ.get("DUCK_TIMEOUT_S", "0"))
 
 def connect(sf_dir):
     con = duckdb.connect()
+    # Bounded failure instead of host takedown (r16): at sf1 the
+    # matrix-profile-family DP replays grew past 130 GB RSS — one filled
+    # the disk with spill temp, the next got the whole process OOM-killed
+    # 123 queries into a 159-query run (before the walls JSON was
+    # written). A capped query raises OutOfMemoryException and records an
+    # honest ERROR/null wall; the run survives. DUCK_MEM_LIMIT= (empty)
+    # disables, preserving the uncapped sf0.1 record conditions.
+    mem = os.environ.get("DUCK_MEM_LIMIT", "48GB")
+    tmp = os.environ.get("DUCK_TMP_LIMIT", "40GB")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+    if tmp:
+        con.execute("SET temp_directory='.tmp_duck'")
+        con.execute(f"SET max_temp_directory_size='{tmp}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written table: directory of part files

@@ -257,12 +257,26 @@ object MatrixProfileDist {
   private def segmentsPlan(series: DataFrame, m: Int, b: Int, nBlocks: Int): DataFrame = {
     import org.apache.spark.sql.functions._
     val ext = m - 1
+    // Aggregate with ~ONE segment group per task, not shuffle.partitions
+    // tasks each holding nBlocks/partitions group buffers at once: the
+    // object-hash aggregate keeps every group of its partition LIVE
+    // (boxed collect_list buffers, ~50 B/point), so at 10⁹ points the
+    // 32-partition local default held ~100 GB of buffers and OOM'd a
+    // 110 g heap — while per-group state is only ~b·50 B. Repartitioning
+    // by seg to ~nBlocks satisfies the aggregation's distribution (no
+    // second exchange) and bounds per-task agg state to ~one group at
+    // any n. Small series keep their session default (max with
+    // shuffle.partitions); the cap keeps task counts sane past ~10¹¹
+    // points.
+    val aggParts = math.max(series.sparkSession.sessionState.conf.numShufflePartitions,
+      math.min(nBlocks, 16384))
     series
       .select(col("idx"), col("v"), explode(array(
         floor(col("idx") / b).cast("long"),
         when(pmod(col("idx"), lit(b.toLong)) < ext,
           floor(col("idx") / b).cast("long") - 1))).as("seg"))
       .where(col("seg").isNotNull && col("seg") >= 0 && col("seg") < nBlocks)
+      .repartition(aggParts, col("seg"))
       .groupBy("seg")
       .agg(sort_array(collect_list(struct(col("idx"), col("v")))).as("pts"))
       .select(col("seg"),

@@ -131,7 +131,11 @@ object CoarseProbe {
     // the rerank shortlist's exact vectors.
     if (routes("ivfpq")) {
       val n8 = nTrain
-      val nq = 100; val k = 10; val nlist = 16384
+      // brute ground truth is the probe's dominant wall (n8·nq scored
+      // rows through the top-k window); nq=50 keeps 500 true-neighbor
+      // samples (recall ±~0.03) at half the nq=100 scan
+      val nq = sys.env.get("SPARK_GRAFT_COARSE_NQ").map(_.toInt).getOrElse(100)
+      val k = 10; val nlist = 16384
       val cands = corpus(n8, 256)
       val queries = spark.range(nq).select((col("id") + n8).as("vec_id"),
         mk(col("id"), lit(1L)).as("v")).localCheckpoint(eager = true)

@@ -178,10 +178,15 @@ object MpProbe {
       // that shape under local-mode's shared heap.
       val parts = sys.env.get("SPARK_GRAFT_MP_PARTS").map(_.toInt)
         .getOrElse(spark.sparkContext.defaultParallelism)
+      // NOT localCheckpoint'd (unlike the rebuild-route twin): the
+      // closed-form series feeds segmentsPlan exactly ONCE — the segs
+      // relation is the persisted artifact — and at 10⁹ points the
+      // checkpoint's ~30 GB of row blocks evicted the build's own
+      // working set (the first 10⁹ attempt OOM'd a 110 g heap in the
+      // checkpoint stage itself).
       val series = spark.range(0L, n + m - 1, 1L, parts).select(col("id").as("idx"),
         (sin(col("id").cast("double") * 0.0007) +
           (pmod(hash(col("id")).cast("double"), lit(1000.0)) - 500.0) / 2500.0).as("v"))
-        .localCheckpoint()
       val (seg0, tSeg) = time {
         graft.operators.MatrixProfileDist.segmentSeries(spark, series, m, blockSize = bs)
       }

@@ -12,6 +12,21 @@ object Bench {
   def isCleanRecord(content: String): Boolean =
     content.replaceAll("\\s", "").contains("\"load_warning\":false")
 
+  /** Per-query repeat divergence = max/min over the successful repeat
+    * walls (1.0 when fewer than two). VERDICT r16 #2: loadavg_start
+    * alone is a weak cleanliness signal — the r16 canonical passed the
+    * start-load gate yet carried single-query spikes up to 8.4× their
+    * same-code sibling walls from MID-run interference invisible to it.
+    * Two repeats of the same warm query should agree closely; a ratio
+    * above [[divergenceLimit]] means at least one run was inflated by
+    * something external, so the bench re-runs that query (the min over
+    * more samples converges on the true wall) and, if it still
+    * diverges, stamps it into `divergent_queries` so the record is
+    * self-describing instead of silently overstating walls. */
+  def divergence(runs: Seq[Double]): Double =
+    if (runs.size < 2) 1.0 else runs.max / runs.min
+  val divergenceLimit = 2.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -72,9 +87,9 @@ object Bench {
       // only SUCCESSFUL runs fold into the min — a throwing run is
       // typically fast, and an intermittent failure must not report a
       // misleadingly small time next to its err flag
-      var best = Double.PositiveInfinity
+      val runs = scala.collection.mutable.ArrayBuffer[Double]()
       var err: Option[String] = None
-      (1 to repeat).foreach { r =>
+      def once(r: Int): Unit = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); err = None; true }
         catch { case t: Throwable =>
@@ -88,10 +103,24 @@ object Bench {
           false
         }
         val run = (System.nanoTime() - t0) / 1e9
-        if (ok) best = math.min(best, run)
+        if (ok) runs += run
         if (repeat > 1) println(f"[bench] $name run $r: $run%.3f s")
       }
-      name -> ((best, err))
+      (1 to repeat).foreach(once)
+      // Mid-run interference guard (VERDICT r16 #2): warm repeats of the
+      // same query that disagree >2× mean an external spike hit one of
+      // them — re-run (≤2 extra) so the min converges on the true wall
+      // instead of the record overstating it 3-8× like the r16 canonical.
+      var extra = 0
+      while (repeat > 1 && runs.nonEmpty && divergence(runs.toSeq) > divergenceLimit
+             && extra < 2) {
+        extra += 1
+        System.err.println(f"[bench] $name repeat divergence " +
+          f"${divergence(runs.toSeq)}%.2fx > $divergenceLimit — extra run $extra")
+        once(repeat + extra)
+      }
+      val best = if (runs.isEmpty) Double.PositiveInfinity else runs.min
+      name -> ((best, err, divergence(runs.toSeq)))
     }
     // A failed query must be visible in the JSON (err field), not just a
     // suspiciously fast wall-time.
@@ -103,7 +132,7 @@ object Bench {
       case c => c.toString
     } + "\""
     def fmt(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, (v, err)) =>
+    val qs = results.map { case (k, (v, err, _)) =>
       val sec = if (v.isInfinity) "null" else fmt(v) // no successful run
       err match {
         case Some(e) => s"\"" + k + "\":{\"sec\":" + sec + ",\"err\":" + jq(e.take(60)) + "}"
@@ -113,8 +142,17 @@ object Bench {
     val total =
       if (results.nonEmpty) results.values.map(_._1).filterNot(_.isInfinity).sum else 0.0
     val nErr = results.values.count(_._2.isDefined)
+    // Queries whose repeats STILL disagree >2x after the extra runs: the
+    // reported min is the best available estimate but the record says so
+    // explicitly rather than posing as a clean measurement.
+    val divergent = results.toSeq
+      .filter { case (_, (_, _, dv)) => repeat > 1 && dv > divergenceLimit }
+      .map { case (k, (_, _, dv)) => s"\"$k\":${fmt(dv)}" }
+    if (divergent.nonEmpty)
+      System.err.println(s"[bench] WARNING: ${divergent.size} queries kept " +
+        s">${divergenceLimit}x repeat divergence after extra runs")
     val load = loadavg() // 1-min load average at END of run
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$nErr,"loadavg":$load,"loadavg_start":$loadStart,"load_warning":$loadWarn,"repeat":$repeat,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$nErr,"divergent_queries":${divergent.mkString("{", ",", "}")},"loadavg":$load,"loadavg_start":$loadStart,"load_warning":$loadWarn,"repeat":$repeat,"sf":"$sfDir"}"""
     // The driver captures only the LAST ~2000 chars of stdout, so a
     // 124-query line never survives whole (every BENCH_r*.json so far has
     // parsed:null). Persist the full record to a file, print it for
@@ -139,10 +177,10 @@ object Bench {
     println(fullLine)
     val slow = results.toSeq.filterNot(_._2._1.isInfinity)
       .sortBy(-_._2._1).take(12)
-      .map { case (k, (v, _)) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
-    val errDetail = results.toSeq.collect { case (k, (_, Some(e))) => k -> e }
+      .map { case (k, (v, _, _)) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
+    val errDetail = results.toSeq.collect { case (k, (_, Some(e), _)) => k -> e }
       .take(4).map { case (k, e) => s"\"$k\":" + jq(e.take(160)) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$slow,"queries_note":"top12 of ${results.size}; full map in BENCH_LOCAL.json","errors":$nErr,"query_errors":$errDetail,"loadavg":$load,"loadavg_start":$loadStart,"load_warning":$loadWarn,"repeat":$repeat,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$slow,"queries_note":"top12 of ${results.size}; full map in BENCH_LOCAL.json","errors":$nErr,"divergent":${divergent.size},"query_errors":$errDetail,"loadavg":$load,"loadavg_start":$loadStart,"load_warning":$loadWarn,"repeat":$repeat,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

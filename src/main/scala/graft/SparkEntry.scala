@@ -462,9 +462,17 @@ object SparkEntry {
             .matrixProfileDiagBand(s, seg, gFrom, gTo))
         else None
       }
-      chunks.reduce(_ unionByName _)
+      // Materialize the fold EAGERLY so the persisted segment relation can
+      // be released before returning (ADVICE r16: the lazy form pinned one
+      // MEMORY_AND_DISK copy of segs per invocation — every Bench repeat —
+      // for the session's lifetime; localCheckpoint blocks by contrast are
+      // dropped by the ContextCleaner once the returned frame is GC'd).
+      val folded = chunks.reduce(_ unionByName _)
         .groupBy("i").agg(min(col("mp")).as("mp"))
         .select(lit(uid).as("user_id"), col("i"), round(col("mp"), 4).as("mp"))
+        .localCheckpoint()
+      seg.unpersist()
+      folded
     }),
 
     // Discord discovery: the TOP anomalous window per series = argmax

@@ -654,12 +654,29 @@ object Ann {
     * exchange (no extra shuffle, no extra job); rows the query-mass cap
     * drops are published under metric "lsh_query_cand_cap"
     * (`dropped_cand_rows`). maxCandPerQuery ≤ 0 disables the bound
-    * (bucket cap alone, the pre-r16 behavior). */
+    * (bucket cap alone, the pre-r16 behavior).
+    *
+    * PER-QUERY degradation surface (`withCapStats`, VERDICT r16 #3):
+    * the two caps bound candidate MASS, but a query whose true
+    * neighbors live in a capped bucket silently gets low-recall
+    * results — the aggregate observe metrics say the run dropped rows,
+    * not WHICH queries were hurt. With `withCapStats = true` the output
+    * gains a `capped_fraction` column: of the candidate rows in the
+    * buckets THIS query probes, the fraction removed by either cap
+    * (hot bucket ⇒ the whole bucket; else rows past mPerBand). At the
+    * zipf shape the fraction tracks recall loss (SCALEPROBE twentieth-
+    * probe datum), so a fleet operator routes queries above a threshold
+    * to ivfTopK instead of discovering bad recall downstream. Cost: one
+    * extra aggregation over the signature scan (bands·n narrow rows →
+    * one row per (band, code)) plus a broadcast-size join on the
+    * queries side — no change to the candidate path, and nothing when
+    * the flag is off (the default: output schema is unchanged). */
   def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int,
               dim: Int, nBits: Int = -1, nBands: Int = -1,
               idCol: String = "vec_id", vecCol: String = "v",
               maxBucket: Int = 50000, n: Long = -1L,
-              maxCandPerQuery: Int = 500000): DataFrame = {
+              maxCandPerQuery: Int = 500000,
+              withCapStats: Boolean = false): DataFrame = {
     require((nBits > 0) == (nBands > 0),
       s"lshTopK: pass both nBits and nBands or neither (got nBits=$nBits, " +
         s"nBands=$nBands) — a lone explicit value would be silently discarded by auto")
@@ -702,7 +719,25 @@ object Ann {
       .select(col("query_id"), col("cand_id"),
         TsFunctions.cosineSim(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    val topk = scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    if (!withCapStats) topk
+    else {
+      // exact bucket widths from ONE aggregation over the signature scan
+      // (no window needed: the caps are pure functions of the width), then
+      // per-query fraction over the buckets that query's bands probe. The
+      // (band, code) stats relation has ≤ bands·2^bits rows — broadcast
+      // side of the queries join at any corpus size.
+      val widths = lshBands(candidates, planes, bands, idCol, vecCol)
+        .groupBy("band", "code").agg(count(lit(1)).as("bw"))
+      val droppedCol = when(col("bw") > maxBucket, col("bw"))
+        .otherwise(greatest(lit(0L), col("bw") - lit(mPerBand.toLong)))
+      val qStats = qb.join(widths, Seq("band", "code"), "left")
+        .groupBy("query_id")
+        .agg((coalesce(sum(droppedCol), lit(0L)) /
+              greatest(coalesce(sum(col("bw")), lit(0L)), lit(1L)))
+          .as("capped_fraction"))
+      topk.join(qStats, Seq("query_id"), "left")
+    }
   }
 
   /** IVF search: probe the nprobe nearest cells per query. Returns the

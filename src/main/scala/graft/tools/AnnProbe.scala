@@ -15,7 +15,8 @@ import graft.operators.Ann
   * matrix profile.
   *
   * Usage: runMain graft.tools.AnnProbe [n nq k d centers routes]
-  * `routes` = csv of {ivf, lsh, lshauto, ivfsweep, ivfpq, sq8} (default:
+  * `routes` = csv of {ivf, lsh, lshauto, lshcapfrac, ivfsweep, ivfpq,
+  * sq8} (default:
   * the full r12 set "ivf,lsh,ivfpq,sq8"; brute always runs — it is the
   * ground truth). Round-13 additions: `lshauto` measures lshTopK at the
   * autoLshParams derivation (VERDICT r12 #1); `ivfsweep` measures
@@ -180,6 +181,53 @@ object AnnProbe {
         topSet(Ann.lshTopK(cands, queries, k, dim = d, maxCandPerQuery = qcap))
       }
       record(s"lsh-auto-$abBits-$abBands-qcap$qcap", w, recall(got))
+    }
+
+    // capped_fraction → recall (VERDICT r16 #3): lshTopK(withCapStats)
+    // exposes, per query, the fraction of its probed buckets' candidate
+    // rows removed by the hot-bucket + per-query caps. This route
+    // measures whether that observable actually PREDICTS recall loss —
+    // the property a fleet operator needs to route degraded queries to
+    // IVF — by running the auto banding at one-or-more qcaps (csv in
+    // SPARK_GRAFT_LSH_QCAP, default "50000,500000") and reporting mean
+    // per-query recall bucketed by capped_fraction quartile, plus the
+    // fraction–recall Pearson r. Run with shape=zipf: uniform mass caps
+    // almost nothing, zipf mass is the adversarial case.
+    if (routes("lshcapfrac")) {
+      val qcaps = sys.env.getOrElse("SPARK_GRAFT_LSH_QCAP", "50000,500000")
+        .split(",").map(_.trim.toInt)
+      for (qcap <- qcaps) {
+        val ((byQ, frac), w) = timed(s"lshcapfrac qcap=$qcap") {
+          val out = Ann.lshTopK(cands, queries, k, dim = d,
+              maxCandPerQuery = qcap, withCapStats = true)
+            .select("query_id", "cand_id", "capped_fraction").collect()
+          val g = out.map(r => (r.getLong(0), r.getLong(1)))
+            .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+          val f = out.map(r => (r.getLong(0), r.getDouble(2))).toMap
+          (g, f)
+        }
+        // per-query recall joined with per-query fraction; queries with
+        // no returned rows (all buckets empty/capped) count as recall 0,
+        // fraction 1 — the honest worst case
+        val perQ = brute.map { case (q, t) =>
+          val r = byQ.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / t.size
+          (frac.getOrElse(q, 1.0), r)
+        }.toSeq
+        val quarts = perQ.groupBy { case (f, _) =>
+          if (f <= 0.25) "q1_le25" else if (f <= 0.5) "q2_le50"
+          else if (f <= 0.75) "q3_le75" else "q4_gt75" }
+        val qStr = quarts.toSeq.sortBy(_._1).map { case (b, xs) =>
+          f""""$b":{"n":${xs.size},"mean_frac":${xs.map(_._1).sum / xs.size}%.3f,"mean_recall":${xs.map(_._2).sum / xs.size}%.3f}"""
+        }.mkString(",")
+        val (mf, mr) = (perQ.map(_._1).sum / perQ.size, perQ.map(_._2).sum / perQ.size)
+        val cov = perQ.map { case (f, r) => (f - mf) * (r - mr) }.sum
+        val sf0 = math.sqrt(perQ.map(f => (f._1 - mf) * (f._1 - mf)).sum)
+        val sr = math.sqrt(perQ.map(r => (r._2 - mr) * (r._2 - mr)).sum)
+        val pearson = if (sf0 * sr == 0) 0.0 else cov / (sf0 * sr)
+        val rAll = recall(byQ)
+        System.err.println(f"[annprobe] lshcapfrac qcap=$qcap recall=$rAll%.3f pearson=$pearson%.3f")
+        results += f"""{"route":"lshcapfrac-qcap$qcap","wall":$w%.1f,"recall":$rAll%.4f,"pearson_frac_recall":$pearson%.3f,"quartiles":{$qStr}}"""
+      }
     }
 
     // IVF-PQ — 8 subspaces × 256 codewords, candidates pruned to the

@@ -72,7 +72,12 @@ object CoarseProbe {
 
     if (routes("train")) {
       val big = corpus(nTrain, 256)
-      for (nlist <- Seq(16384, 32768)) {
+      // SPARK_GRAFT_COARSE_NLISTS overrides the swept granularities —
+      // the r17 65536 octave (VERDICT r15 #8 / r16 #4) runs alone so its
+      // wall is not bundled with re-measuring the known points
+      val nlists = sys.env.get("SPARK_GRAFT_COARSE_NLISTS")
+        .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(16384, 32768))
+      for (nlist <- nlists) {
         val (cs, w) = timed(s"distributed train nlist=$nlist n=$nTrain") {
           Ann.trainCoarseDistributed(big, nlist, seed = 42)
         }

@@ -221,6 +221,50 @@ object MpProbe {
       seg.unpersist()
       series.unpersist()
     }
+    // SPARK_GRAFT_MP_FOLD="n:m:bs:W" — the anytime-fold wall at output
+    // shape (VERDICT r16 #6): the nineteenth probe measured the chunk
+    // SWEEPS at 10⁹ but not the running element-wise-min fold over their
+    // outputs (n rows × k chunks — the query a consumer runs after every
+    // chunk to get the best-so-far profile). Two real chunks are swept
+    // against a shared segment relation, each output written to parquet
+    // (the resume artifact a fleet run would keep), then the fold —
+    // read both, unionByName, groupBy(i).min(mp) — is timed on its own.
+    // ns/row is the figure of merit; the fold is one exchange on i at
+    // any k, so two chunks measure the per-row cost of the general fold.
+    sys.env.get("SPARK_GRAFT_MP_FOLD").foreach { cfg =>
+      val p = cfg.split(":")
+      val n = p(0).toLong; val m = p(1).toInt; val bs = p(2).toInt
+      val w = p(3).toLong
+      import org.apache.spark.sql.functions._
+      val band = math.ceil(m / 4.0).toLong
+      val parts = sys.env.get("SPARK_GRAFT_MP_PARTS").map(_.toInt)
+        .getOrElse(spark.sparkContext.defaultParallelism)
+      val series = spark.range(0L, n + m - 1, 1L, parts).select(col("id").as("idx"),
+        (sin(col("id").cast("double") * 0.0007) +
+          (pmod(hash(col("id")).cast("double"), lit(1000.0)) - 500.0) / 2500.0).as("v"))
+      val seg = graft.operators.MatrixProfileDist.segmentSeries(spark, series, m, blockSize = bs)
+      val dir = sys.env.getOrElse("SPARK_GRAFT_MP_FOLD_DIR", "/tmp/mpprobe_fold")
+      (0 until 2).foreach { c =>
+        val gFrom = band + c * w
+        val gTo = math.min(band + (c + 1) * w, n - 1)
+        val (_, t) = time {
+          graft.operators.MatrixProfileDist
+            .matrixProfileDiagBand(spark, seg, gFrom, gTo)
+            .write.mode("overwrite").parquet(s"$dir/chunk$c")
+        }
+        println(f"[mpprobe] fold-prep chunk$c g=($gFrom,$gTo]: sweep+write $t%.2f s")
+      }
+      seg.unpersist()
+      val (folded, tF) = time {
+        spark.read.parquet(s"$dir/chunk0")
+          .unionByName(spark.read.parquet(s"$dir/chunk1"))
+          .groupBy("i").agg(min(col("mp")).as("mp"))
+          .count()
+      }
+      val inRows = 2L * n // ~n rows per chunk output
+      println(f"[mpprobe] fold n=$n%,d: wall=$tF%.2f s over ~$inRows%,d input rows " +
+        f"-> $folded%,d folded rows, ${tF * 1e9 / inRows}%.3f ns/input-row")
+    }
     spark.stop()
   }
 }

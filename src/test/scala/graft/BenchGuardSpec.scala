@@ -37,4 +37,17 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!Bench.isCleanRecord("""{"value":90.8}"""))
     assert(!Bench.isCleanRecord(""))
   }
+
+  test("per-query repeat divergence (VERDICT r16 #2)") {
+    // the r16 canonical's emb_silhouette shape: one 8.4x-spiked repeat
+    assert(Bench.divergence(Seq(0.34, 2.88)) > Bench.divergenceLimit)
+    // agreeing warm repeats are clean
+    assert(Bench.divergence(Seq(1.00, 1.25)) <= Bench.divergenceLimit)
+    // degenerate inputs never divide by surprise
+    assert(Bench.divergence(Seq(0.5)) == 1.0)
+    assert(Bench.divergence(Nil) == 1.0)
+    // an extra clean run does not hide that the spread stays >2x —
+    // the query is flagged divergent even though its min is trustworthy
+    assert(Bench.divergence(Seq(0.34, 2.88, 0.35)) > Bench.divergenceLimit)
+  }
 }

@@ -338,6 +338,49 @@ class DedupAnnSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("lshTopK withCapStats: exact per-query capped_fraction (VERDICT r16 #3)") {
+    // The caps bound candidate MASS; capped_fraction says WHICH queries
+    // were degraded, so a fleet operator can route them to IVF. Exactness
+    // fixture: 50 identical candidate vectors share one bucket per band
+    // (width 50). A query equal to that vector probes exactly those 4
+    // buckets; with maxCandPerQuery=24 (mPerBand=6) each drops 50−6=44 of
+    // 50 rows → fraction = 44/50 = 0.88 exactly. A query with the
+    // NEGATED vector has every sign bit flipped, probes 4 empty buckets,
+    // and must report fraction 0 (not null, not NaN).
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .where(col("vec_id") === 20).select(col("v")).head().getSeq[Double](0)
+    import spark.implicits._
+    val cands = spark.range(50).select(col("id").as("vec_id"),
+      typedlit(base).as("v"))
+    val queries = Seq((100L, base), (101L, base.map(-_)))
+      .toDF("vec_id", "v")
+    val got = Ann.lshTopK(cands, queries, 5, dim = 64, nBits = 16, nBands = 4,
+        maxCandPerQuery = 24, withCapStats = true)
+    assert(got.columns.contains("capped_fraction"))
+    val byQ = got.select(col("query_id"), col("capped_fraction"))
+      .distinct().as[(Long, Double)].collect().toMap
+    assert(math.abs(byQ(100L) - 0.88) < 1e-9,
+      s"hot query expected exact fraction 0.88, got ${byQ.get(100L)}")
+    // query 101 probes no occupied bucket: no candidates, so it has no
+    // top-k rows — its absence (rather than a null fraction on a row) is
+    // the contract; the fraction surface covers queries that RETURN rows
+    assert(!byQ.contains(101L) || byQ(101L) == 0.0)
+    // per-query rows still ≤ k, one fraction per query (join added no dups)
+    val cnt = got.groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(cnt(100L) <= 5)
+    // default path: schema unchanged
+    val plain = Ann.lshTopK(cands, queries, 5, dim = 64, nBits = 16, nBands = 4,
+      maxCandPerQuery = 24)
+    assert(!plain.columns.contains("capped_fraction"))
+    // nothing capped -> fraction exactly 0 on every returned row
+    val loose = Ann.lshTopK(cands, queries, 5, dim = 64, nBits = 16, nBands = 4,
+        maxCandPerQuery = -1, withCapStats = true)
+      .select(col("capped_fraction")).as[Double].collect()
+    assert(loose.nonEmpty && loose.forall(_ == 0.0),
+      s"uncapped run must report 0.0 fractions, got ${loose.take(5).mkString(",")}")
+  }
+
   test("blocked cosine dedup is exact; IVF cosine dedup has high recall") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
     val brute = Dedup.embeddingCosine(emb, threshold = 0.4)

@@ -30,9 +30,9 @@ class VerifyObservedSpec extends AnyFunSuite {
     // tag a slow bus event for df2 onto query_one (or vice versa);
     // name-keyed attribution cannot
     df2.collect()
-    obs.await(n2)
+    obs.await("query_two", n2)
     df1.collect()
-    obs.await(n1)
+    obs.await("query_one", n1)
     val out = obs.dump()
     assert(out.contains(""""query":"query_two","metric":"vos_metric_b""""), out)
     assert(out.contains(""""query":"query_one","metric":"vos_metric_a""""), out)
@@ -44,9 +44,38 @@ class VerifyObservedSpec extends AnyFunSuite {
     val df = spark.range(10).toDF().observe("vos_metric_orphan", count(lit(1)).as("c"))
     obs.register("some_query", spark.range(1).toDF()) // registers nothing
     df.collect()
-    obs.await(Seq("vos_metric_orphan")) // flush
+    obs.await("UNREGISTERED", Seq("vos_metric_orphan")) // flush
     val out = obs.dump()
     assert(out.contains(""""query":"UNREGISTERED","metric":"vos_metric_orphan""""), out)
     assert(!out.contains(""""query":"some_query","metric":"vos_metric_orphan""""), out)
+  }
+
+  test("cross-query metric-name reuse fails hard (suite contract)") {
+    val obs = new Verify.ObservedMetrics(spark)
+    val df1 = spark.range(10).toDF().observe("vos_metric_dup", count(lit(1)).as("c"))
+    val df2 = spark.range(20).toDF().observe("vos_metric_dup", count(lit(1)).as("c"))
+    obs.register("first_query", df1)
+    val e = intercept[IllegalStateException] { obs.register("second_query", df2) }
+    assert(e.getMessage.contains("vos_metric_dup"))
+    // SAME query re-registering (e.g. a retried dump) stays legal
+    assert(obs.register("first_query", df1) == Seq("vos_metric_dup"))
+  }
+
+  test("optimizer-elided metric is not awaited (VERDICT r16 #3)") {
+    import spark.implicits._
+    val obs = new Verify.ObservedMetrics(spark)
+    // inner join with a statically-empty LocalRelation: PropagateEmpty-
+    // Relation replaces the subtree, eliding the CollectMetrics node —
+    // the analyzed plan has the metric, the optimized plan does not
+    val empty = Seq.empty[Long].toDF("id")
+    val df = spark.range(10).toDF()
+      .observe("vos_metric_elided", count(lit(1)).as("c"))
+      .join(empty, "id")
+    val awaitable = obs.register("elided_query", df)
+    assert(awaitable.isEmpty,
+      s"elided metric must be excluded from the wait, got $awaitable")
+    // a live metric on the same register call IS returned
+    val live = spark.range(10).toDF().observe("vos_metric_live", count(lit(1)).as("c"))
+    assert(obs.register("live_query", live) == Seq("vos_metric_live"))
   }
 }

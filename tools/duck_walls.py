@@ -80,16 +80,23 @@ def main():
             # earlier Event-only guard could pass is_set() just as
             # fetchall() returned, then interrupt the idle connection,
             # poisoning the NEXT query with a spurious InterruptException).
-            # Belt-and-braces: after ANY timeout the connection is
-            # recreated (views are cheap), so even an interrupt flag that
-            # somehow lands on an idle connection dies with it.
+            # The lock cannot close the OTHER side of the race (ADVICE
+            # r16): the timer can win the lock in the window after
+            # fetchall() returns but before running.clear(), interrupting
+            # the now-idle connection — so _interrupt records that it
+            # FIRED, and the success path recreates the connection whenever
+            # the flag is set (mirroring the timeout path), so a pending
+            # interrupt can never be misrecorded as the NEXT query's
+            # TIMEOUT.
             lock = threading.Lock()
             running = threading.Event()
             running.set()
+            fired = [False]
 
-            def _interrupt(ev=running, lk=lock, c=con):
+            def _interrupt(ev=running, lk=lock, c=con, fd=fired):
                 with lk:
                     if ev.is_set():
+                        fd[0] = True
                         c.interrupt()
 
             if TIMEOUT_S > 0:
@@ -99,8 +106,16 @@ def main():
                 con.execute(oracle[name]).fetchall()
                 with lock:
                     running.clear()
+                    fired_now = fired[0]
                 w = time.time() - t0
                 best = w if best is None else min(best, w)
+                if fired_now:
+                    # interrupt landed between completion and clear():
+                    # the wall is real (query finished) but the connection
+                    # carries a pending interrupt — replace it
+                    print(f"[duck] {name} completed as interrupt fired; "
+                          "recreating connection", file=sys.stderr)
+                    con = connect(sf_dir)
             except duckdb.InterruptException:
                 # Classify timeouts by exception TYPE, not elapsed time: a
                 # genuine error raised after TIMEOUT_S elapsed must stay an
@@ -115,8 +130,11 @@ def main():
             except Exception as e:
                 with lock:
                     running.clear()
+                    fired_now = fired[0]
                 print(f"[duck] {name} ERROR: {e}", file=sys.stderr)
                 best = None
+                if fired_now:  # pending interrupt must not leak to the next query
+                    con = connect(sf_dir)
                 break
             finally:
                 if timer is not None:

@@ -335,9 +335,106 @@ object Ann {
     * Reference semantics: same Lloyd refinement as the reference's
     * k-means fit loop (`/root/reference/tslearn/clustering/kmeans.py:677-727`),
     * here as the IVF quantizer trainer. */
+  /** Release the eager-localCheckpoint blocks behind a DataFrame (the
+    * checkpointed RDD sits behind a LogicalRDD leaf; if a future Spark
+    * changes that plan shape the release is skipped and GC reclaims the
+    * blocks — the safe fallback). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** k-means‖-style oversampling init (Bahmani et al., "Scalable
+    * k-means++", VLDB 2012) over the materialized training sample:
+    * `rounds` distributed passes each draw ~2·nlist/rounds new
+    * candidates with probability ∝ min-squared-distance to the
+    * candidates drawn so far, then the first nlist candidates in draw
+    * order become the initial centers (early rounds dominate — the
+    * sequential-k-means++ approximation the paper proves a constant
+    * factor for; the reference's init shape is
+    * `/root/reference/tslearn/clustering/kmeans.py:50-133`). Versus the
+    * uniform hash init, distance-weighted draws spread initial centers
+    * into low-mass regions, which is what high-nlist trainers lack (the
+    * 10⁸/nlist=32768 run reseeded empty cells every iteration).
+    *
+    * Deterministic by the same contract as the Lloyd loop: the round-r
+    * draw for a point is a pure function of (hkey, seed, r) — uniform
+    * u = xxhash64(hkey, seed+r) >>> 11 / 2⁵³ compared against
+    * l·md/Σmd — and candidates append in (round, hkey) order, so the
+    * init is a pure function of (sample, seed, nlist). Cost: one
+    * sum + one filtered collect + one broadcast min-dist update pass
+    * per round ≈ half a Lloyd iteration total at any nlist. Opt-in via
+    * `trainCoarseDistributed(init = "kpar")` until the A/B shows it
+    * earns the default (measure first: SCALEPROBE). */
+  private def initKmeansPar(sample: DataFrame, nlist: Int, seed: Long,
+                            reserve: Array[Array[Double]],
+                            rounds: Int = 5): Array[Array[Double]] = {
+    val spark = sample.sparkSession
+    def minDistTo(cs: Array[Array[Double]], v: scala.collection.Seq[Double]): Double = {
+      var best = Double.PositiveInfinity
+      var c = 0
+      while (c < cs.length) {
+        val cc = cs(c)
+        var d = 0.0; var i = 0
+        while (i < cc.length) { val t = cc(i) - v(i); d += t * t; i += 1 }
+        if (d < best) best = d
+        c += 1
+      }
+      best
+    }
+    val cand = scala.collection.mutable.ArrayBuffer[Array[Double]](reserve(0))
+    val l = math.ceil(2.0 * nlist / rounds) // 2× oversample across rounds
+    var cur = {
+      val bc0 = spark.sparkContext.broadcast(Array(reserve(0)))
+      val d0 = udf((v: scala.collection.Seq[Double]) => minDistTo(bc0.value, v))
+      sample.select(col("hkey"), col("v"), d0(col("v")).as("md"))
+        .localCheckpoint(eager = true)
+    }
+    var r = 1
+    var liveMass = true
+    while (r <= rounds && cand.length < 2 * nlist && liveMass) {
+      val total = cur.agg(sum("md")).head().getDouble(0)
+      if (total <= 0.0) liveMass = false // every point IS a candidate already
+      else {
+        val u = shiftrightunsigned(xxhash64(col("hkey"), lit(seed + r)), 11)
+          .cast("double") / lit((1L << 53).toDouble)
+        // deterministic draw; orderBy(hkey)+limit bounds the collect even
+        // if a degenerate mass distribution makes every point pass
+        val newC = cur.where(u < lit(l) * col("md") / lit(total))
+          .orderBy(col("hkey")).limit(4 * l.toInt)
+          .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+        if (newC.isEmpty) liveMass = false
+        else {
+          cand ++= newC
+          val bc = spark.sparkContext.broadcast(newC)
+          val upd = udf((v: scala.collection.Seq[Double], md: Double) =>
+            math.min(md, minDistTo(bc.value, v)))
+          val next = cur.select(col("hkey"), col("v"),
+            upd(col("v"), col("md")).as("md")).localCheckpoint(eager = true)
+          releaseCheckpoint(cur)
+          cur = next
+          bc.destroy()
+        }
+      }
+      r += 1
+    }
+    releaseCheckpoint(cur)
+    System.err.println(s"[ann] initKmeansPar nlist=$nlist: ${cand.length} " +
+      s"candidates after ${r - 1} rounds")
+    // first nlist in draw order; a short draw (tight data) pads from the
+    // uniform reserve TAIL — the same pool empty-cell reseeds use
+    val out = cand.take(nlist).map(_.clone())
+    var pad = reserve.length - 1
+    while (out.length < nlist && pad >= 0) { out += reserve(pad).clone(); pad -= 1 }
+    out.toArray
+  }
+
   def trainCoarseDistributed(df: DataFrame, nlist: Int, seed: Long = 0L,
                              sampleCap: Int = -1, iters: Int = 10, nChunks: Int = 64,
-                             idCol: String = "vec_id", vecCol: String = "v"): Array[Array[Double]] = {
+                             idCol: String = "vec_id", vecCol: String = "v",
+                             init: String = "hash"): Array[Array[Double]] = {
     val spark = df.sparkSession
     val cap = if (sampleCap > 0) sampleCap else math.max(20000, 40 * nlist)
     val n = df.count()
@@ -364,7 +461,15 @@ object Ann {
     if (reserve.length < nlist)
       System.err.println(s"[ann] trainCoarseDistributed: sample has only " +
         s"${reserve.length} rows < nlist=$nlist — returning ${math.min(nlist, reserve.length)} centers")
-    var centers = reserve.take(math.min(nlist, reserve.length)).map(_.clone())
+    var centers = init match {
+      case "kpar" if reserve.length >= nlist =>
+        initKmeansPar(sample, nlist, seed, reserve)
+      case "kpar" => // ill-posed anyway; hash init states the short count
+        reserve.take(math.min(nlist, reserve.length)).map(_.clone())
+      case "hash" => reserve.take(math.min(nlist, reserve.length)).map(_.clone())
+      case other => throw new IllegalArgumentException(
+        s"trainCoarseDistributed: unknown init '$other' (hash | kpar)")
+    }
     val dim = centers(0).length
     val rng = new scala.util.Random(seed)
     // the folds are pure Catalyst HOFs, no UDF: `aggregate` folds LEFT
@@ -425,14 +530,8 @@ object Ann {
     // The eager localCheckpoint pinned the sample's blocks in the block
     // manager (~670 MB at nlist=32768, d=64); the last iteration's
     // collect fully consumed it, so release the blocks now instead of
-    // waiting for RDD GC. The checkpointed RDD sits behind a LogicalRDD
-    // leaf; if a future Spark changes that plan shape, skipping the
-    // release (and letting GC reclaim it) is the safe fallback.
-    sample.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    // waiting for RDD GC.
+    releaseCheckpoint(sample)
     centers
   }
 

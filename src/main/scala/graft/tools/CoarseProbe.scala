@@ -70,6 +70,12 @@ object CoarseProbe {
     }
     val results = scala.collection.mutable.ArrayBuffer[String]()
 
+    // SPARK_GRAFT_COARSE_INIT = hash (default) | kpar — the k-means‖
+    // oversampling init A/B (VERDICT r16 #5): same seed, same sample,
+    // only the initial centers change; compare reseed counts (stderr),
+    // train wall and recall at matched mass across two runs
+    val initMode = sys.env.getOrElse("SPARK_GRAFT_COARSE_INIT", "hash")
+
     if (routes("train")) {
       val big = corpus(nTrain, 256)
       // SPARK_GRAFT_COARSE_NLISTS overrides the swept granularities —
@@ -78,8 +84,8 @@ object CoarseProbe {
       val nlists = sys.env.get("SPARK_GRAFT_COARSE_NLISTS")
         .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(16384, 32768))
       for (nlist <- nlists) {
-        val (cs, w) = timed(s"distributed train nlist=$nlist n=$nTrain") {
-          Ann.trainCoarseDistributed(big, nlist, seed = 42)
+        val (cs, w) = timed(s"distributed train nlist=$nlist n=$nTrain init=$initMode") {
+          Ann.trainCoarseDistributed(big, nlist, seed = 42, init = initMode)
         }
         // cheap structural sanity so a junk quantizer can't record a
         // fast wall: no NaNs, correct shape
@@ -115,15 +121,15 @@ object CoarseProbe {
       results += f"""{"route":"brute","n":$nRecall,"wall":$wB%.1f,"recall":1.0}"""
       // matched candidate mass ~n/256 across both granularities
       for ((nlist, np) <- Seq((4096, 16), (16384, 64))) {
-        val (cs, wT) = timed(s"recall: distributed train nlist=$nlist") {
-          Ann.trainCoarseDistributed(cands, nlist, seed = 42)
+        val (cs, wT) = timed(s"recall: distributed train nlist=$nlist init=$initMode") {
+          Ann.trainCoarseDistributed(cands, nlist, seed = 42, init = initMode)
         }
         val (got, w) = timed(s"recall: ivfTopK nlist=$nlist np=$np") {
           topSet(Ann.ivfTopK(cands, queries, k, cs, np))
         }
         val r = recall(got)
-        results += f"""{"route":"ivf-dist-$nlist-np$np","n":$nRecall,"train_wall":$wT%.1f,"wall":$w%.1f,"recall":$r%.4f}"""
-        System.err.println(f"[coarse] ivf-dist-$nlist-np$np recall@$k=$r%.4f")
+        results += f"""{"route":"ivf-dist-$nlist-np$np-$initMode","n":$nRecall,"train_wall":$wT%.1f,"wall":$w%.1f,"recall":$r%.4f}"""
+        System.err.println(f"[coarse] ivf-dist-$nlist-np$np-$initMode recall@$k=$r%.4f")
       }
     }
 

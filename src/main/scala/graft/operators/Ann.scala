@@ -161,11 +161,118 @@ object Ann {
                 centroids: Array[Array[Double]], nprobe: Int,
                 codebooks: Array[Array[Array[Double]]],
                 idCol: String = "vec_id", vecCol: String = "v",
-                rerank: Int = 0): DataFrame = {
-    val compressed = ivfAssign(candidates, centroids, idCol, vecCol)
-      .join(pqEncode(candidates, codebooks, idCol, vecCol), idCol)
+                rerank: Int = 0, residual: Boolean = false): DataFrame = {
+    val compressed =
+      if (residual) ivfPqIndex(candidates, centroids, codebooks, idCol, vecCol)
+      else ivfAssign(candidates, centroids, idCol, vecCol)
+        .join(pqEncode(candidates, codebooks, idCol, vecCol), idCol)
     ivfPqTopKIndexed(compressed, candidates, queries, k, centroids, nprobe,
-      codebooks, idCol, vecCol, rerank)
+      codebooks, idCol, vecCol, rerank, residual)
+  }
+
+  /** One-scan IVF-PQ index build: (id, cell, RESIDUAL codes) in a single
+    * corpus pass — assign the coarse cell and PQ-encode the residual
+    * v − centroid[cell] in the same UDF, so the corpus floats are read
+    * once (the two-scan assign ⋈ encode form reads them twice and pays a
+    * 10⁸-row equi-join; at the measured 10⁸ octave that build was
+    * 6 278 s, dominated by the duplicated assign scan).
+    *
+    * Residual encoding is the IVFADC design of Jégou et al. (TPAMI
+    * 2011, §V): within a cell the residual's dynamic range is the CELL
+    * spread, not the corpus spread, so the 8-byte code budget separates
+    * points that raw-vector codes collapse. The difference is decisive
+    * at high density — at 10⁸ points in 1 024 clusters (~10⁵
+    * near-duplicates per cluster) raw-code ADC recall@10 measured 0.016
+    * (rerank=4k: 0.082): quantization error of whole-vector codes
+    * exceeds the inter-neighbor distances, making the shortlist
+    * effectively random. Codebooks for this index MUST be trained on
+    * residuals ([[trainPqCodebooksResidual]]); scoring goes through
+    * [[ivfPqTopKIndexed]] with `residual = true`. */
+  def ivfPqIndex(candidates: DataFrame, centroids: Array[Array[Double]],
+                 codebooks: Array[Array[Array[Double]]],
+                 idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    val spark = candidates.sparkSession
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val bcB = spark.sparkContext.broadcast(codebooks)
+    val enc = udf((v: scala.collection.Seq[Double]) => {
+      val cs = bcC.value; val cbs = bcB.value
+      val x = v.toArray
+      var best = 0; var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < cs.length) {
+        val cc = cs(c)
+        var d = 0.0; var i = 0
+        while (i < x.length) { val t = cc(i) - x(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      val cen = cs(best)
+      val m = cbs.length
+      val dsub = cbs(0)(0).length
+      require(x.length == m * dsub,
+        s"vector dim ${x.length} != $m subspaces x $dsub dims")
+      val codes = Array.tabulate(m) { s =>
+        val cb = cbs(s)
+        var bj = 0; var bd = Double.PositiveInfinity
+        var j = 0
+        while (j < cb.length) {
+          var d = 0.0; var t = 0
+          while (t < dsub) {
+            val r = (x(s * dsub + t) - cen(s * dsub + t)) - cb(j)(t)
+            d += r * r; t += 1
+          }
+          if (d < bd) { bd = d; bj = j }
+          j += 1
+        }
+        bj
+      }
+      (best, codes)
+    })
+    candidates.select(col(idCol), enc(col(vecCol)).as("cc"))
+      .select(col(idCol), col("cc._1").as("cell"), col("cc._2").as("codes"))
+  }
+
+  /** Train the m per-subspace PQ codebooks on RESIDUALS v − centroid:
+    * one bounded sample, one assign pass over it, then m driver-local
+    * trainings (the codebooks are 256 rows each — driver Lloyd is the
+    * right tool at that size, same rationale as [[trainCoarse]]). */
+  def trainPqCodebooksResidual(df: DataFrame, centroids: Array[Array[Double]],
+                               m: Int = 8, sampleCap: Int = 20000, seed: Long = 7L,
+                               idCol: String = "vec_id", vecCol: String = "v"): Array[Array[Array[Double]]] = {
+    val spark = df.sparkSession
+    val n = df.count()
+    val sampled = (if (n <= sampleCap) df
+      else df.sample(withReplacement = false, sampleCap.toDouble / n, seed))
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint(eager = true)
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val resid = udf((v: scala.collection.Seq[Double]) => {
+      val cs = bcC.value
+      val x = v.toArray
+      var best = 0; var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < cs.length) {
+        val cc = cs(c)
+        var d = 0.0; var i = 0
+        while (i < x.length) { val t = cc(i) - x(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      val cen = cs(best)
+      Array.tabulate(x.length)(i => x(i) - cen(i))
+    })
+    val residDf = sampled.select(col(idCol), resid(col("v")).as("v"))
+      .localCheckpoint(eager = true)
+    releaseCheckpoint(sampled)
+    val dim = residDf.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val out = Array.tabulate(m) { s =>
+      trainCoarse(residDf.select(col(idCol),
+        slice(col("v"), s * dsub + 1, dsub).as("v")), nlist = 256, seed = seed + s)
+    }
+    releaseCheckpoint(residDf)
+    out
   }
 
   /** IVF-PQ search over a PREBUILT (id, cell, codes) index relation —
@@ -181,14 +288,50 @@ object Ann {
                        centroids: Array[Array[Double]], nprobe: Int,
                        codebooks: Array[Array[Array[Double]]],
                        idCol: String = "vec_id", vecCol: String = "v",
-                       rerank: Int = 0): DataFrame = {
+                       rerank: Int = 0, residual: Boolean = false): DataFrame = {
     val spark = compressed.sparkSession
-    val adc = adcUdf(spark, codebooks)
     val qProbes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell", explode(probeCellsUdf(spark, centroids, nprobe)(col("qv"))))
-    val scored = compressed.join(broadcast(qProbes), "cell")
-      .select(col("query_id"), col(idCol).as("cand_id"),
-        adc(col("qv"), col("codes")).as("d2"))
+    // residual ADC (IVFADC): d²(q,c) ≈ Σ_s ‖(q − centroid[cell])_s −
+    // cb_s[code_s]‖² — the codes approximate v − centroid[cell], so the
+    // query is shifted into the candidate's cell frame before the
+    // asymmetric sum (codes MUST come from [[ivfPqIndex]] /
+    // residual-trained codebooks, or distances are meaningless)
+    val scoredRaw =
+      if (!residual) {
+        val adc = adcUdf(spark, codebooks)
+        compressed.join(broadcast(qProbes), "cell")
+          .select(col("query_id"), col(idCol).as("cand_id"),
+            adc(col("qv"), col("codes")).as("d2"))
+      } else {
+        val bcC = spark.sparkContext.broadcast(centroids)
+        val bcB = spark.sparkContext.broadcast(codebooks)
+        val adcR = udf((q: scala.collection.Seq[Double], cell: Int,
+                        codes: scala.collection.Seq[Int]) => {
+          val cen = bcC.value(cell); val cbs = bcB.value
+          val m = cbs.length
+          val dsub = cbs(0)(0).length
+          require(q.length == m * dsub,
+            s"query dim ${q.length} != $m subspaces x $dsub dims")
+          var d = 0.0
+          var s = 0
+          while (s < m) {
+            val cb = cbs(s)(codes(s))
+            var t = 0
+            while (t < dsub) {
+              val i = s * dsub + t
+              val r = (q(i) - cen(i)) - cb(t)
+              d += r * r; t += 1
+            }
+            s += 1
+          }
+          d
+        })
+        compressed.join(broadcast(qProbes), "cell")
+          .select(col("query_id"), col(idCol).as("cand_id"),
+            adcR(col("qv"), col("cell"), col("codes")).as("d2"))
+      }
+    val scored = scoredRaw
     // rank keys rounded to 4 decimals (same convention as the tf-idf
     // retrieval rank): the ADC sum's oracle twin is a re-associated SQL
     // SUM whose last-ulp order can differ, and an unrounded float key

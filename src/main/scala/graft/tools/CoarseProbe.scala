@@ -147,6 +147,17 @@ object CoarseProbe {
       // samples (recall ±~0.03) at half the nq=100 scan
       val nq = sys.env.get("SPARK_GRAFT_COARSE_NQ").map(_.toInt).getOrElse(100)
       val k = 10; val nlist = 16384
+      // raw = whole-vector codes (the pre-r17 form); residual = IVFADC
+      // residual codes (Ann.ivfPqIndex). The corpus/queries/quantizer are
+      // a pure function of (n, nq, seed), so the CACHE dir lets the
+      // variants share the expensive invariants (ground truth, coarse
+      // centroids) across separate probe processes.
+      val variant = sys.env.getOrElse("SPARK_GRAFT_COARSE_VARIANT", "raw")
+      require(variant == "raw" || variant == "residual",
+        s"SPARK_GRAFT_COARSE_VARIANT must be raw|residual, got $variant")
+      val cacheDir = sys.env.get("SPARK_GRAFT_COARSE_CACHE")
+      def cached(name: String): Option[String] = cacheDir.map(_ + "/" + name)
+        .filter(p => new java.io.File(p + "/_SUCCESS").exists())
       val cands = corpus(n8, 256)
       val queries = spark.range(nq).select((col("id") + n8).as("vec_id"),
         mk(col("id"), lit(1L)).as("v")).localCheckpoint(eager = true)
@@ -154,44 +165,73 @@ object CoarseProbe {
         .select("query_id", "cand_id").as[(Long, Long)].collect()
         .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
       Ann.bruteTopK(cands.limit(500), queries.limit(5), k).count() // warm codegen
-      val (brute, wB) = timed(s"ivfpq: brute ground truth n=$n8 nq=$nq") {
-        topSet(Ann.bruteTopK(cands, queries, k))
-      }
-      val nTrue = brute.values.map(_.size).sum.toDouble
-      val (cs, wT) = timed(s"ivfpq: distributed train nlist=$nlist") {
-        Ann.trainCoarseDistributed(cands, nlist, seed = 42)
-      }
-      val dsub = d / 8
-      val (codebooks, wCb) = timed("ivfpq: 8 subspace codebooks (one shared 20k sample)") {
-        // one sampling pass feeds all 8 subspace trainers — 8 separate
-        // trainCoarse calls would each re-scan the corpus to sample
-        val samp = cands.sample(withReplacement = false, 20000.0 / n8, 99)
-          .localCheckpoint(eager = true)
-        Array.tabulate(8) { s =>
-          Ann.trainCoarse(samp.select(col("vec_id"),
-            slice(col("v"), s * dsub + 1, dsub).as("v")), nlist = 256, seed = 7 + s)
+      val gtName = s"gt-$n8-$nq-$k"
+      val (brute, wB) = cached(gtName) match {
+        case Some(p) =>
+          System.err.println(s"[coarse] ivfpq: ground truth from cache $p")
+          (topSet(spark.read.parquet(p)), 0.0)
+        case None => timed(s"ivfpq: brute ground truth n=$n8 nq=$nq") {
+          val gt = Ann.bruteTopK(cands, queries, k)
+            .select("query_id", "cand_id")
+          cacheDir.foreach(d => gt.write.mode("overwrite").parquet(s"$d/$gtName"))
+          cached(gtName).map(p => topSet(spark.read.parquet(p)))
+            .getOrElse(topSet(gt))
         }
       }
-      val (compressed, wIdx) = timed("ivfpq: index build (assign+encode -> codes-only relation)") {
-        val c = Ann.ivfAssign(cands, cs)
-          .join(Ann.pqEncode(cands, codebooks), "vec_id")
+      val nTrue = brute.values.map(_.size).sum.toDouble
+      val csName = s"coarse-$n8-$nlist"
+      val (cs, wT) = cached(csName) match {
+        case Some(p) =>
+          System.err.println(s"[coarse] ivfpq: coarse centroids from cache $p")
+          (spark.read.parquet(p).orderBy("cell").select("v").collect()
+            .map(_.getSeq[Double](0).toArray), 0.0)
+        case None => timed(s"ivfpq: distributed train nlist=$nlist") {
+          val c = Ann.trainCoarseDistributed(cands, nlist, seed = 42)
+          cacheDir.foreach { dd =>
+            spark.createDataset(c.zipWithIndex.map { case (v, i) => (i, v) })
+              .toDF("cell", "v").write.mode("overwrite").parquet(s"$dd/$csName")
+          }
+          c
+        }
+      }
+      val dsub = d / 8
+      val (codebooks, wCb) = timed(s"ivfpq: 8 subspace codebooks ($variant, one shared 20k sample)") {
+        if (variant == "residual")
+          Ann.trainPqCodebooksResidual(cands, cs, m = 8, sampleCap = 20000, seed = 99)
+        else {
+          // one sampling pass feeds all 8 subspace trainers — 8 separate
+          // trainCoarse calls would each re-scan the corpus to sample
+          val samp = cands.sample(withReplacement = false, 20000.0 / n8, 99)
+            .localCheckpoint(eager = true)
+          Array.tabulate(8) { s =>
+            Ann.trainCoarse(samp.select(col("vec_id"),
+              slice(col("v"), s * dsub + 1, dsub).as("v")), nlist = 256, seed = 7 + s)
+          }
+        }
+      }
+      val (compressed, wIdx) = timed(s"ivfpq: index build ($variant -> codes-only relation)") {
+        val c = (if (variant == "residual") Ann.ivfPqIndex(cands, cs, codebooks)
+          else Ann.ivfAssign(cands, cs)
+            .join(Ann.pqEncode(cands, codebooks), "vec_id"))
           .localCheckpoint(eager = true)
         c
       }
+      val isRes = variant == "residual"
       for (np <- Seq(64)) {
-        val (gotAdc, wQ) = timed(s"ivfpq: search np=$np (pure ADC)") {
-          topSet(Ann.ivfPqTopKIndexed(compressed, cands, queries, k, cs, np, codebooks))
+        val (gotAdc, wQ) = timed(s"ivfpq: search np=$np (pure ADC, $variant)") {
+          topSet(Ann.ivfPqTopKIndexed(compressed, cands, queries, k, cs, np,
+            codebooks, residual = isRes))
         }
         val rAdc = brute.map { case (q, t) =>
           gotAdc.getOrElse(q, Set.empty[Long]).intersect(t).size }.sum / nTrue
-        val (gotRr, wQr) = timed(s"ivfpq: search np=$np rerank=${4 * k}") {
+        val (gotRr, wQr) = timed(s"ivfpq: search np=$np rerank=${4 * k} ($variant)") {
           topSet(Ann.ivfPqTopKIndexed(compressed, cands, queries, k, cs, np, codebooks,
-            rerank = 4 * k))
+            rerank = 4 * k, residual = isRes))
         }
         val rRr = brute.map { case (q, t) =>
           gotRr.getOrElse(q, Set.empty[Long]).intersect(t).size }.sum / nTrue
-        results += f"""{"route":"ivfpq-$nlist-np$np","n":$n8,"brute_wall":$wB%.1f,"train_wall":$wT%.1f,"codebook_wall":$wCb%.1f,"index_wall":$wIdx%.1f,"adc_wall":$wQ%.1f,"adc_recall":$rAdc%.4f,"rerank_wall":$wQr%.1f,"rerank_recall":$rRr%.4f}"""
-        System.err.println(f"[coarse] ivfpq-$nlist-np$np adc=$rAdc%.4f rerank=$rRr%.4f")
+        results += f"""{"route":"ivfpq-$nlist-np$np-$variant","n":$n8,"brute_wall":$wB%.1f,"train_wall":$wT%.1f,"codebook_wall":$wCb%.1f,"index_wall":$wIdx%.1f,"adc_wall":$wQ%.1f,"adc_recall":$rAdc%.4f,"rerank_wall":$wQr%.1f,"rerank_recall":$rRr%.4f}"""
+        System.err.println(f"[coarse] ivfpq-$nlist-np$np-$variant adc=$rAdc%.4f rerank=$rRr%.4f")
       }
     }
 

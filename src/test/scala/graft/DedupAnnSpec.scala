@@ -175,6 +175,77 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(auto.indices.forall(i => auto(i).sameElements(direct(i))))
   }
 
+  test("residual IVF-PQ (IVFADC): one-scan index, full-probe+rerank exact, beats raw codes on clustered data") {
+    import spark.implicits._
+    // clustered fixture where residual coding matters: 40 tight clusters,
+    // 50 points each — within-cluster spread is ~25x smaller than the
+    // corpus spread, so whole-vector 8-byte codes collapse neighbors that
+    // residual codes keep apart (the measured 1e8 failure, in miniature)
+    def h(a: Long, b: Long): Double = {
+      var z = a * 0x9E3779B97F4A7C15L + b * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+      z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+      z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+      z ^= (z >>> 31)
+      (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    val d = 16
+    def mkv(id: Long, salt: Long): Array[Double] = {
+      val c = id % 40
+      Array.tabulate(d)(j => h(c * 7919L + 13L, j) + 0.04 * h(id * 31L + salt, j))
+    }
+    val cands = spark.createDataset((0L until 2000L).map(i => (i, mkv(i, 0))))
+      .toDF("vec_id", "v")
+    val queries = spark.createDataset((0L until 8L).map(i => (2000L + i, mkv(i, 1))))
+      .toDF("vec_id", "v")
+    val cs = Ann.trainCoarse(cands, nlist = 16, seed = 5)
+    val cbRes = Ann.trainPqCodebooksResidual(cands, cs, m = 4, seed = 11)
+    assert(cbRes.length == 4 && cbRes.forall(cb => cb.nonEmpty && cb(0).length == 4))
+    // index schema + one-row-per-id
+    val idx = Ann.ivfPqIndex(cands, cs, cbRes)
+    assert(idx.columns.toSeq == Seq("vec_id", "cell", "codes"))
+    assert(idx.count() == 2000 && idx.select("vec_id").distinct().count() == 2000)
+    val brute = Ann.bruteTopK(cands, queries, 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    // full probe + full rerank = exact, compared under the rerank stage's
+    // own tie convention (cosine rounded to 4 decimals, then cand_id —
+    // the oracle-parity rounding; unrounded bruteTopK can swap a <1e-4
+    // tie at the rank-k boundary)
+    val bruteRounded = {
+      val scored = cands.crossJoin(broadcast(queries.select(
+          col("vec_id").as("query_id"), col("v").as("qv"))))
+        .select(col("query_id"), col("vec_id").as("cand_id"),
+          graft.functions.TsFunctions.cosineSim(col("qv"), col("v")).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        .orderBy(round(col("cos"), 4).desc, col("cand_id").asc)
+      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+        .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    }
+    val exact = Ann.ivfPqTopK(cands, queries, 5, cs, nprobe = 16, cbRes,
+        rerank = 2000, residual = true)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(exact == bruteRounded,
+      "full-probe full-rerank residual IVF-PQ must equal brute under its tie convention")
+    // pure-ADC full probe: residual codes must separate the tight
+    // clusters far better than raw whole-vector codes
+    def recallOf(got: Set[(Long, Long)]): Double =
+      brute.intersect(got).size.toDouble / brute.size
+    val adcRes = recallOf(Ann.ivfPqTopK(cands, queries, 5, cs, nprobe = 16, cbRes,
+      residual = true).select("query_id", "cand_id").as[(Long, Long)].collect().toSet)
+    val dsub = d / 4
+    val sampRaw = cands
+    val cbRaw = Array.tabulate(4)(s => Ann.trainCoarse(sampRaw.select(col("vec_id"),
+      slice(col("v"), s * dsub + 1, dsub).as("v")), nlist = 256, seed = 11 + s))
+    val adcRaw = recallOf(Ann.ivfPqTopK(cands, queries, 5, cs, nprobe = 16, cbRaw)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet)
+    assert(adcRes > adcRaw,
+      f"residual ADC recall $adcRes%.3f must beat raw-code ADC $adcRaw%.3f on clustered data")
+    // floor is deliberately modest: with 40 clusters over 16 coarse cells
+    // each residual mixes 2-3 cluster offsets with the 0.04-scale noise
+    // that actually ranks neighbors — the point of the fixture is the
+    // res-vs-raw GAP, not absolute recall (measured: res 0.375, raw 0.15)
+    assert(adcRes >= 0.3, f"residual ADC recall $adcRes%.3f below floor")
+  }
+
   test("k-means|| init: deterministic, valid quantizer, exact at full probe (VERDICT r16 #5)") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))

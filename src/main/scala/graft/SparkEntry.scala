@@ -3119,9 +3119,8 @@ object SparkEntry {
     "doc_kmeans_topics" -> ((s, dir) => {
       val ta = graft.operators.TextAnalysis
       val feats = docs(s, dir)
-        .select(col("doc_id"), ta.hashedBowBuckets(col("text"), 32).as("bks"))
         .select(col("doc_id").as("series_id"),
-          ta.hashedBowFromBuckets(col("bks"), 32).as("values"))
+          ta.hashedBow(col("text"), 32).as("values"))
         .localCheckpoint()
       val model = new graft.ml.TimeSeriesKMeans(k = 4, metric = "euclidean",
         maxIter = 2, tol = -1.0, init = "first").fit(feats)
@@ -3137,9 +3136,8 @@ object SparkEntry {
     "doc_cluster_sample" -> ((s, dir) => {
       val ta = graft.operators.TextAnalysis
       val feats = docs(s, dir)
-        .select(col("doc_id"), ta.hashedBowBuckets(col("text"), 32).as("bks"))
         .select(col("doc_id").as("series_id"),
-          ta.hashedBowFromBuckets(col("bks"), 32).as("values"))
+          ta.hashedBow(col("text"), 32).as("values"))
         .localCheckpoint()
       val model = new graft.ml.TimeSeriesKMeans(k = 4, metric = "euclidean",
         maxIter = 2, tol = -1.0, init = "first").fit(feats)

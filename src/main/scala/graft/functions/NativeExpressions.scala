@@ -171,6 +171,75 @@ object NativeOps {
     ArrayData.toArrayData(mins)
   }
 
+  /** Word start offsets of `bytes` under Spark's `split(text, " ")`
+    * semantics (single-space separators, leading/interior/trailing
+    * empties preserved): slot w holds the start of word w; the sentinel
+    * slot holds bytes.length + 1, so word w's bytes are
+    * [starts(w), starts(w+1) − 1). */
+  private def wordStarts(bytes: Array[Byte]): Array[Int] = {
+    var nWords = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') nWords += 1; i += 1 }
+    val starts = new Array[Int](nWords + 1)
+    var w = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    starts(nWords) = bytes.length + 1
+    starts
+  }
+
+  private def md5Word60(d: java.security.MessageDigest,
+                        bytes: Array[Byte], from: Int, until: Int): Long = {
+    d.reset()
+    d.update(bytes, from, until - from)
+    val h = d.digest()
+    (((h(0) & 0xffL) << 56) | ((h(1) & 0xffL) << 48) | ((h(2) & 0xffL) << 40) |
+      ((h(3) & 0xffL) << 32) | ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
+      ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)) >>> 4
+  }
+
+  /** One-pass hashed bag-of-words bucket ids: per word of
+    * `split(lower(text), " ")`, the 60-bit md5 hash mod d — value- and
+    * order-identical to the staged
+    * `transform(split(lower(text), " "), w => pmod(md5Hash60(w), d))`
+    * HOF chain, but one primitive loop over the text bytes (no per-word
+    * UTF8String slices, no interpreted lambda dispatch). */
+  def wordBuckets(text: org.apache.spark.unsafe.types.UTF8String, d: Int): ArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val starts = wordStarts(bytes)
+    val nWords = starts.length - 1
+    val md = md5Local.get()
+    val out = new Array[Int](nWords)
+    var w = 0
+    while (w < nWords) {
+      out(w) = (md5Word60(md, bytes, starts(w), starts(w + 1) - 1) % d).toInt
+      w += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Fused hashed bag-of-words d-bucket histogram: the one-pass form of
+    * wordBuckets + the per-bucket count histogram
+    * (`transform(sequence(0, d−1), b => size(filter(bks, x === b)))` —
+    * an O(d·words) interpreted HOF chain per row). Counts are exact
+    * integers in doubles, so the result is bit-identical. */
+  def hashedBow(text: org.apache.spark.unsafe.types.UTF8String, d: Int): ArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val starts = wordStarts(bytes)
+    val nWords = starts.length - 1
+    val md = md5Local.get()
+    val hist = new Array[Double](d)
+    var w = 0
+    while (w < nWords) {
+      hist((md5Word60(md, bytes, starts(w), starts(w + 1) - 1) % d).toInt) += 1.0
+      w += 1
+    }
+    ArrayData.toArrayData(hist)
+  }
+
   def lbKeogh(q: ArrayData, lo: ArrayData, hi: ArrayData): Double = {
     val qa = q.toDoubleArray()
     val la = lo.toDoubleArray()
@@ -320,6 +389,50 @@ case class ShingleHash60Expression(child: Expression, k: Int,
     copy(child = c)
 }
 
+/** One-pass hashed bag-of-words bucket ids of a STRING text column
+  * (see [[NativeOps.wordBuckets]]). */
+case class WordBucketsExpression(child: Expression, d: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_buckets_native requires a STRING child, got ${child.dataType.sql}")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, false)
+  override def prettyName: String = "word_buckets_native"
+  override protected def nullSafeEval(s: Any): Any =
+    NativeOps.wordBuckets(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], d)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.NativeOps.wordBuckets($s, $d);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Fused hashed bag-of-words histogram of a STRING text column
+  * (see [[NativeOps.hashedBow]]). */
+case class HashedBowExpression(child: Expression, d: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hashed_bow_native requires a STRING child, got ${child.dataType.sql}")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, false)
+  override def prettyName: String = "hashed_bow_native"
+  override protected def nullSafeEval(s: Any): Any =
+    NativeOps.hashedBow(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], d)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.NativeOps.hashedBow($s, $d);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Fused portable MinHash signature of an ARRAY<STRING> shingle column
   * (see [[NativeOps.minhashSig]]): numHashes per-permutation minima in
   * one primitive pass, bit-identical to the staged HOF form (and so to
@@ -388,6 +501,19 @@ object NativeExpressions {
     GraftColumnBridge.column(LbKeoghExpression(
       GraftColumnBridge.expression(q), GraftColumnBridge.expression(low),
       GraftColumnBridge.expression(up)))
+
+  /** One-pass hashed-BoW bucket ids (array<int>) of a STRING column —
+    * value/order-identical to transform(split(lower(text)," "),
+    * w => pmod(md5Hash60(w), d)). */
+  def wordBucketsNative(text: Column, d: Int): Column =
+    GraftColumnBridge.column(WordBucketsExpression(
+      GraftColumnBridge.expression(text), d))
+
+  /** Fused hashed-BoW d-bucket histogram (array<double>) of a STRING
+    * column — the one-pass form of the buckets + histogram HOF stages. */
+  def hashedBowNative(text: Column, d: Int): Column =
+    GraftColumnBridge.column(HashedBowExpression(
+      GraftColumnBridge.expression(text), d))
 
   /** Portable 60-bit md5 hash of a string column. */
   def md5Hash60Native(s: Column): Column =

@@ -103,11 +103,12 @@ class KernelKMeans(val k: Int, val maxIter: Int = 10, val tol: Double = 1e-6,
   def fitAssign(df: DataFrame): DataFrame = fitInternal(df)._1
 
   /** Fit and keep the predict-capable model (training series + labels +
-    * per-cluster constants). */
+    * per-cluster constants). needModel=true is the only caller of the
+    * term3 collect and the final inertia — fit/fitAssign skip both. */
   def fitModel(df: DataFrame): Model = {
     val spark = df.sparkSession
     import spark.implicits._
-    val (labels0, term3, inertia) = fitInternal(df)
+    val (labels0, term3, inertia) = fitInternal(df, needModel = true)
     val labels = labels0.select("series_id", "cluster")
     val assigned = df.select(col("series_id").cast("long"), col("values").cast("array<double>"))
       .join(labels, "series_id")
@@ -115,7 +116,8 @@ class KernelKMeans(val k: Int, val maxIter: Int = 10, val tol: Double = 1e-6,
     Model(assigned, term3, inertia)
   }
 
-  private def fitInternal(df: DataFrame): (DataFrame, Map[Int, Double], Double) = {
+  private def fitInternal(df: DataFrame,
+                          needModel: Boolean = false): (DataFrame, Map[Int, Double], Double) = {
     val spark = df.sparkSession
     // gram: normalized GAK so diag = 1. blocks > 0 switches to the
     // block-partitioned pair join — no broadcast of the full relation, so
@@ -148,18 +150,34 @@ class KernelKMeans(val k: Int, val maxIter: Int = 10, val tol: Double = 1e-6,
     var term3Map: Map[Int, Double] = Map.empty
     var iter = 0
     var done = false
+    // tol = −∞ (the fixed-iteration trace mode every driver query runs)
+    // can never early-stop: prev − inertia < −∞ is false for ALL doubles
+    // (including NaN), so the per-iteration inertia reduce is a dead job
+    // — skip it and, when the caller needs the model, compute the final
+    // inertia once after the loop (guide §1.2: remove passes that
+    // compute things thrown away).
+    val needInertia = tol > Double.NegativeInfinity
     while (iter < maxIter && !done) {
       val withC = gram.join(labels.select(col("series_id").as("right_id"), col("cluster")), "right_id")
-      // term2(i, c) = Σ_{j in c} K_ij / |c|
+      // term2(i, c) = Σ_{j in c} K_ij / |c| — checkpointed because BOTH
+      // the term3 derivation and the distance projection below read it
+      // (without the checkpoint the gram-join-groupBy subtree runs twice
+      // per iteration, one per consumer)
       val sums = withC.groupBy(col("left_id"), col("cluster"))
         .agg(sum("k_ij").as("s"), count(lit(1)).as("cnt"))
-      // term3(c) = Σ_{j,l in c} K_jl / |c|^2 : aggregate over pairs both in c
-      val bothIn = gram
+        .localCheckpoint()
+      // term3(c) = Σ_{j,l in c} K_jl / |c|² — derived from `sums`
+      // instead of re-joining the gram: Σ_{i∈c} term2sum(i, c) is the
+      // same pair sum (each (j,l) with both in c counted once), so the
+      // SECOND full gram scan + two joins per iteration collapse into a
+      // broadcast-sized aggregation over the (n·k)-row sums relation
+      // (guide §2.4: remove shuffles outright). cnt already equals |c|
+      // on the rows where i ∈ c.
+      val bothIn = sums
         .join(labels.select(col("series_id").as("left_id"), col("cluster").as("lc")), "left_id")
-        .join(labels.select(col("series_id").as("right_id"), col("cluster").as("rc")), "right_id")
-        .where(col("lc") === col("rc"))
-        .groupBy(col("lc").as("cluster"))
-        .agg(sum("k_ij").as("s3"), countDistinct("left_id").as("csz"))
+        .where(col("cluster") === col("lc"))
+        .groupBy(col("cluster"))
+        .agg(sum("s").as("s3"), count(lit(1)).as("csz"))
       val dists = sums.join(broadcast(bothIn), "cluster")
         .select(col("left_id"), col("cluster"),
           (lit(1.0) - lit(2.0) * col("s") / col("cnt") + col("s3") / (col("csz") * col("csz"))).as("d2"))
@@ -171,26 +189,31 @@ class KernelKMeans(val k: Int, val maxIter: Int = 10, val tol: Double = 1e-6,
         .agg(min_by(col("cluster"), struct(col("d2"), col("cluster"))).as("cluster"),
           min("d2").as("d2"))
         .localCheckpoint()
-      // inertia = Σ min-d2, read off the already-checkpointed assignment
-      // frame — the former dists.groupBy(min).agg(sum) re-evaluated the
-      // whole gram-join tree a second time per iteration
-      val inertia = newLabels.agg(sum("d2")).head().getDouble(0)
       labels.unpersist()
       labels = newLabels
-      lastInertia = inertia
-      if (prevInertia - inertia < tol) done = true
-      prevInertia = inertia
+      if (needInertia) {
+        // inertia = Σ min-d2, read off the already-checkpointed
+        // assignment frame (one cheap leaf scan)
+        val inertia = newLabels.agg(sum("d2")).head().getDouble(0)
+        lastInertia = inertia
+        if (prevInertia - inertia < tol) done = true
+        prevInertia = inertia
+      }
       iter += 1
     }
-    // within-cluster constant of the FINAL labels (predict-time term3)
-    term3Map = gram
-      .join(labels.select(col("series_id").as("left_id"), col("cluster").as("lc")), "left_id")
-      .join(labels.select(col("series_id").as("right_id"), col("cluster").as("rc")), "right_id")
-      .where(col("lc") === col("rc"))
-      .groupBy(col("lc").as("cluster"))
-      .agg(sum("k_ij").as("s3"), countDistinct("left_id").as("csz"))
-      .select(col("cluster"), (col("s3") / (col("csz") * col("csz"))).as("t3"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    if (needModel) {
+      if (!needInertia)
+        lastInertia = labels.agg(sum("d2")).head().getDouble(0)
+      // within-cluster constant of the FINAL labels (predict-time term3)
+      term3Map = gram
+        .join(labels.select(col("series_id").as("left_id"), col("cluster").as("lc")), "left_id")
+        .join(labels.select(col("series_id").as("right_id"), col("cluster").as("rc")), "right_id")
+        .where(col("lc") === col("rc"))
+        .groupBy(col("lc").as("cluster"))
+        .agg(sum("k_ij").as("s3"), countDistinct("left_id").as("csz"))
+        .select(col("cluster"), (col("s3") / (col("csz") * col("csz"))).as("t3"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    }
     gram.unpersist()
     (labels, term3Map, lastInertia)
   }

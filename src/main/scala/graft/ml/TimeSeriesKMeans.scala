@@ -108,7 +108,11 @@ class TimeSeriesKMeans(
     val nPart = math.max(1, math.min(spark.sparkContext.defaultParallelism, n / 10000).toInt)
     val data = data0.repartition(nPart).cache()
     val sampleCap = 10000
-    val sample = (if (n <= sampleCap) data.map(_._2)
+    // lazy: the sample collect is one full job that init="first" fits
+    // only ever need on an empty-cluster reseed (rare) — k-means++ inits
+    // force it as before. Content is unchanged (data is cached), so a
+    // reseed that does happen draws exactly the series it always drew.
+    lazy val sample = (if (n <= sampleCap) data.map(_._2)
       else data.sample(withReplacement = false, sampleCap.toDouble / n, seed).map(_._2))
       .collect()
 
@@ -305,17 +309,24 @@ object TimeSeriesKMeans {
             .where(!col("id").isin(chosen.toSeq: _*))
             .agg(min(col("id"))).head().getLong(0))
         else (0 until l).map(candRow.getLong).distinct
-      val (bestId, bestPot) = dcTo(cands)
+      // ONE evaluation of the candidate-distance relation per round,
+      // checkpointed: it feeds BOTH the potential ranking and the next
+      // round's D² (the former code evaluated dcTo twice — once over all
+      // candidates for the ranking, once over the winner for the update
+      // — and for warped metrics paid a second candidate collect +
+      // broadcast per round). nd2 = least(d2, dc) is the identical
+      // update expression; the winner's rows are a filter on the leaf.
+      val upd = dcTo(cands)
         .join(d2, "id")
-        .groupBy("cid").agg(sum(least(col("d2"), col("dc"))).as("pot"))
+        .select(col("id"), col("cid"), least(col("d2"), col("dc")).as("nd2"))
+        .localCheckpoint()
+      val (bestId, bestPot) = upd
+        .groupBy("cid").agg(sum(col("nd2")).as("pot"))
         .agg(min_by(struct(col("cid"), col("pot")),
           struct(col("pot"), col("cid"))).as("b"))
         .select(col("b.cid"), col("b.pot")).as[(Long, Double)].head()
-      val prev = d2
-      d2 = dcTo(Seq(bestId))
-        .join(prev, "id")
-        .select(col("id"), least(col("d2"), col("dc")).as("d2"))
-        .localCheckpoint()
+      d2 = upd.where(col("cid") === bestId)
+        .select(col("id"), col("nd2").as("d2"))
       chosen += bestId
       trace += ((rr, bestId, bestPot))
     }

@@ -52,19 +52,30 @@ object TimeSeriesSVC {
     val a = vals.select(col("series_id").as("sa"), col("t").as("ta"), col("v").as("va"))
     val b = vals.select(col("series_id").as("sb"), col("t").as("tb"), col("v").as("vb"))
     // i<j over the value multiset via the (series, t) lexicographic key
+    // k-th smallest of a multiset = the smallest value whose cumulative
+    // count reaches k+1 — identical to "max of the first k+1 ascending"
+    // but computed from per-VALUE counts: the raw pair mass collapses in
+    // a map-side-combinable groupBy, and only distinct values flow into
+    // the ordering window (the former orderBy.limit(n/2+1) funnelled
+    // HALF the pair multiset into one task — guide §2.3/§5).
+    def kthSmallest(values: org.apache.spark.sql.DataFrame,
+                    c: String): Double = {
+      val grouped = values.groupBy(c).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val n = grouped.agg(sum("cnt")).head().getLong(0)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(c)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      grouped.withColumn("cum", sum("cnt").over(w))
+        .where(col("cum") >= n / 2 + 1)
+        .agg(min(col(c))).head().getDouble(0)
+    }
     val pairs = a.crossJoin(b)
       .where(col("sa") < col("sb") || (col("sa") === col("sb") && col("ta") < col("tb")))
       .select(abs(col("va") - col("vb")).as("d"))
-      .localCheckpoint()
-    val nPairs = pairs.count()
-    // k-th smallest of a multiset = max of the first k+1 ascending —
-    // order-independent, so no global-sort determinism hazard
-    val medDist = pairs.orderBy("d").limit((nPairs / 2 + 1).toInt)
-      .agg(max("d")).head().getDouble(0)
-    val sizes = df.select(size(col(seriesCol)).cast("double").as("sz")).localCheckpoint()
-    val nSz = sizes.count()
-    val medSz = sizes.orderBy("sz").limit((nSz / 2 + 1).toInt)
-      .agg(max("sz")).head().getDouble(0)
+    val medDist = kthSmallest(pairs, "d")
+    val medSz = kthSmallest(
+      df.select(size(col(seriesCol)).cast("double").as("sz")), "sz")
     val spark = df.sparkSession
     import spark.implicits._
     Seq(medDist * math.sqrt(medSz)).toDF("sigma")

@@ -141,17 +141,23 @@ object TextAnalysis {
 
   /** Hashed bag-of-words features — the fasttext-style representation
     * behind learned quality filters: bucket = portableHash(word) mod d,
-    * feature vector = per-bucket counts. Two-stage on purpose: the
-    * bucket array must be an ATTRIBUTE before the histogram lambda
-    * references it (Catalyst inlines Columns into HOF lambdas — the
-    * same trap measured at 93 s in the streaming minhash signature).
-    * Stage 1 → per-word buckets; use [[hashedBowFromBuckets]] on the
-    * projected column. */
+    * feature vector = per-bucket counts. Both stages are native
+    * single-pass expressions (guide §4: the former
+    * transform(split(lower)) + per-bucket size(filter(...)) HOF chain
+    * was O(d·words) of interpreted lambda dispatch per row and forced
+    * a two-select attribute split so Catalyst would not inline the
+    * bucket array into the histogram lambdas — the fused expressions
+    * are value- and order-identical, so every oracle is unchanged). */
   def hashedBowBuckets(text: Column, d: Int): Column =
-    transform(split(lower(text), " "),
-      w => pmod(graft.operators.Dedup.md5Hash60(w), lit(d.toLong)).cast("int"))
+    graft.functions.NativeExpressions.wordBucketsNative(text, d)
 
-  /** Stage 2: d-bucket count histogram from an attribute of buckets. */
+  /** Fused text → d-bucket count histogram, one pass over the bytes. */
+  def hashedBow(text: Column, d: Int): Column =
+    graft.functions.NativeExpressions.hashedBowNative(text, d)
+
+  /** Stage 2: d-bucket count histogram from an attribute of buckets.
+    * Kept for callers that need BOTH the per-word buckets and the
+    * histogram; text-only callers should use [[hashedBow]]. */
   def hashedBowFromBuckets(buckets: Column, d: Int): Column =
     transform(sequence(lit(0), lit(d - 1)),
       b => size(filter(buckets, x => x === b)).cast("double"))
@@ -170,8 +176,7 @@ object TextAnalysis {
                           w: Array[Double], b: Double,
                           eta: Double, d: Int): DataFrame = {
     val staged = docs.select(labelCol.cast("double").as("y"),
-        hashedBowBuckets(col("text"), d).as("bkts"))
-      .select(col("y"), hashedBowFromBuckets(col("bkts"), d).as("x"))
+      hashedBow(col("text"), d).as("x"))
     val wLit = array(w.map(lit).toIndexedSeq: _*)
     val z = aggregate(zip_with(wLit, col("x"), (wi, xi) => wi * xi),
       lit(b), (acc, t) => acc + t)
@@ -218,8 +223,7 @@ object TextAnalysis {
   def qualityLogisticPredict(docs: DataFrame, w: Array[Double], b: Double): DataFrame = {
     val d = w.length
     val wLit = array(w.map(lit).toIndexedSeq: _*)
-    docs.select(col("doc_id"), hashedBowBuckets(col("text"), d).as("bkts"))
-      .select(col("doc_id"), hashedBowFromBuckets(col("bkts"), d).as("x"))
+    docs.select(col("doc_id"), hashedBow(col("text"), d).as("x"))
       .select(col("doc_id"), (lit(1.0) / (lit(1.0) +
         exp(-aggregate(zip_with(wLit, col("x"), (wi, xi) => wi * xi),
           lit(b), (acc, t) => acc + t)))).as("p_quality"))
@@ -726,13 +730,24 @@ object TextAnalysis {
     val feat = tok.groupBy("doc_id", "bucket")
       .agg(count(lit(1)).as("xb"), first(col("is_target")).as("is_target"))
       .localCheckpoint() // feeds both count tables and the scoring join
-    val raw = feat.groupBy("bucket").agg(sum("xb").as("cr"))
-    val tgt = feat.where(col("is_target")).groupBy("bucket").agg(sum("xb").as("ct"))
-    val totR = raw.agg(sum("cr")).head().getLong(0)
-    val totT = tgt.agg(sum("ct")).head().getLong(0)
+    // ONE scan of feat for both count tables (raw + target, a
+    // conditional sum instead of two grouped scans), collected as d
+    // rows — the totals are then driver-side sums of those d integers,
+    // replacing two more full-scan .head() jobs (guide §1/§2.3: 4 feat
+    // scans → 1). Counts are integers, so the totals are exactly the
+    // former sum() aggregates and the log-ratio values are unchanged.
+    val bucketCounts = feat.groupBy("bucket")
+      .agg(sum("xb").as("cr"),
+        sum(when(col("is_target"), col("xb")).otherwise(lit(0L))).as("ct"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val totR = bucketCounts.map(_._2).sum
+    val totT = bucketCounts.map(_._3).sum
+    val byBucket = bucketCounts.map(t => t._1 -> ((t._2, t._3))).toMap
     val ratios = spark.range(d).select(col("id").cast("int").as("bucket"))
-      .join(broadcast(raw), Seq("bucket"), "left")
-      .join(broadcast(tgt), Seq("bucket"), "left")
+      .join(broadcast(spark.createDataFrame(
+          (0 until d).map(b => (b, byBucket.get(b).map(_._1),
+            byBucket.get(b).map(_._2)))).toDF("bucket", "cr", "ct")),
+        Seq("bucket"), "left")
       .select(col("bucket"),
         (log((coalesce(col("ct"), lit(0L)) + smooth) / (totT + smooth * d)) -
           log((coalesce(col("cr"), lit(0L)) + smooth) / (totR + smooth * d))).as("lr"))

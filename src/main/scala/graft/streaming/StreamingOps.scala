@@ -359,10 +359,11 @@ object StreamingOps {
     val lrs = typedLit(ratios)
     val pt = passthrough.map(col)
     docs
-      .select(col("doc_id") +: ta.hashedBowBuckets(col("text"), d).as("bks") +: pt: _*)
-      .select(col("doc_id") +: ta.hashedBowFromBuckets(col("bks"), d).as("hist") +:
-        size(col("bks")).cast("long").as("n_tokens") +: pt: _*)
-      .select(col("doc_id") +: col("n_tokens") +:
+      .select(col("doc_id") +: ta.hashedBow(col("text"), d).as("hist") +: pt: _*)
+      .select(col("doc_id") +:
+        // n_tokens = word count = Σ histogram (counts are exact ints)
+        aggregate(col("hist"), lit(0.0), (acc, x) => acc + x)
+          .cast("long").as("n_tokens") +:
         aggregate(zip_with(col("hist"), lrs, (x, l) => x * l),
           lit(0.0), (acc, x) => acc + x).as("logw") +: pt: _*)
   }

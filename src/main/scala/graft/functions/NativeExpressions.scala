@@ -146,6 +146,44 @@ object NativeOps {
     }
   }
 
+  /** One-pass word-k-shingle STRING array — the native form of the
+    * interpreted `transform(sequence(0, greatest(size(w)−k, 0)),
+    * i => array_join(slice(w, i+1, k), " "))` chain over
+    * `split(lower(text), " ")`. Each shingle is the contiguous
+    * lowercased byte span from the start of word i to the end of word
+    * min(i+k, nWords)−1 (single-space separators make the join equal
+    * the span; UTF-8 never embeds 0x20 in a multibyte sequence), so
+    * the produced strings are IDENTICAL to the HOF chain's — every
+    * downstream md5/xxhash64 and string-equality join is unchanged.
+    * `distinct` mirrors array_distinct: first-occurrence order. */
+  def shingleSpans(text: org.apache.spark.unsafe.types.UTF8String, k: Int,
+                   distinct: Boolean): ArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val starts = wordStarts(bytes)
+    val nWords = starts.length - 1
+    val nSh = math.max(nWords - k, 0) + 1
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](nSh)
+    var s = 0
+    while (s < nSh) {
+      val endWord = math.min(s + k, nWords)
+      val from = starts(s)
+      val until = starts(endWord) - 1 // strip trailing separator/sentinel
+      out(s) = org.apache.spark.unsafe.types.UTF8String.fromBytes(
+        bytes, from, until - from)
+      s += 1
+    }
+    if (!distinct) ArrayData.toArrayData(out)
+    else {
+      // array_distinct keeps the FIRST occurrence of each value in order
+      val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+      var j = 0
+      while (j < out.length) { seen.add(out(j)); j += 1 }
+      val ded = new Array[org.apache.spark.unsafe.types.UTF8String](seen.size)
+      seen.toArray(ded)
+      ArrayData.toArrayData(ded)
+    }
+  }
+
   /** One-pass MinHash signature over an array of shingle strings: for
     * each shingle, the 60-bit portable md5 base hash mod p, then the
     * running minimum of (a_j·x + b_j) mod p for every permutation j —
@@ -389,6 +427,30 @@ case class ShingleHash60Expression(child: Expression, k: Int,
     copy(child = c)
 }
 
+/** One-pass word-k-shingle STRING array of a STRING text column
+  * (see [[NativeOps.shingleSpans]]): identical strings to the
+  * interpreted split/transform/slice/array_join chain. */
+case class ShingleSpansExpression(child: Expression, k: Int, distinct: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingle_spans_native requires a STRING child, got ${child.dataType.sql}")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, false)
+  override def prettyName: String = "shingle_spans_native"
+  override protected def nullSafeEval(s: Any): Any =
+    NativeOps.shingleSpans(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      k, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.NativeOps.shingleSpans($s, $k, $distinct);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** One-pass hashed bag-of-words bucket ids of a STRING text column
   * (see [[NativeOps.wordBuckets]]). */
 case class WordBucketsExpression(child: Expression, d: Int)
@@ -501,6 +563,15 @@ object NativeExpressions {
     GraftColumnBridge.column(LbKeoghExpression(
       GraftColumnBridge.expression(q), GraftColumnBridge.expression(low),
       GraftColumnBridge.expression(up)))
+
+  /** One-pass word-k-shingle strings (array<string>) of a STRING
+    * column — value-identical to the interpreted
+    * transform(sequence)/slice/array_join chain over
+    * split(lower(text), " "), with distinct mirroring array_distinct
+    * (first-occurrence order). */
+  def shingleSpansNative(text: Column, k: Int, distinct: Boolean = true): Column =
+    GraftColumnBridge.column(ShingleSpansExpression(
+      GraftColumnBridge.expression(text), k, distinct))
 
   /** One-pass hashed-BoW bucket ids (array<int>) of a STRING column —
     * value/order-identical to transform(split(lower(text)," "),

@@ -62,44 +62,55 @@ class EarlyClassifier(val tGrid: Seq[Int], val lambdaCost: Double = 0.01) extend
 
   private def tGridOf(m: Model): Seq[Int] = m.centroids.keys.toSeq.sorted
 
-  /** Fit per-t nearest-centroid models: one distributed aggregation per t
-    * (prefix truncation is a column slice — no reshuffle of the series). */
+  /** Fit per-t nearest-centroid models: ONE t-exploded distributed
+    * aggregation for the whole grid (prefix truncation is a column
+    * slice — no reshuffle of the series) plus one accuracy pass. */
   def fit(df: DataFrame): Model = {
     val spark = df.sparkSession
     import spark.implicits._
     val data0 = df.select(col("series_id"), col("values").cast("array<double>"),
       col("label").cast("string"))
     val n = data0.count()
-    // one aggregation + one accuracy job per t-grid entry: size partitions
-    // to the data (~10k series each) to avoid empty-task scheduling
+    // size partitions to the data (~10k series each) to avoid
+    // empty-task scheduling in the two grid-wide jobs
     val nPart = math.max(1,
       math.min(spark.sparkContext.defaultParallelism, n / 10000).toInt)
     val data = data0.repartition(nPart).cache()
-    val centroids = tGrid.map { t =>
-      val prefixes = data.select(col("label"), slice(col("values"), 1, t).as("p"))
-        .where(size(col("values")) >= t)
-      val cents = prefixes
-        .select(col("label"), posexplode(col("p")).as(Seq("i", "v")))
-        .groupBy("label", "i").agg(avg("v").as("c"))
-        .groupBy("label")
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
-          x => x.getField("c")).as("centroid"))
-        .as[(String, Array[Double])].collect().toMap
-      t -> cents
-    }.toMap
+    // ONE t-exploded aggregation for every grid entry instead of one
+    // centroid job per t (guide §1.2: |tGrid| corpus passes → 1). Each
+    // (t, label, i) group averages exactly the rows the per-t pass
+    // averaged (explode t, then the same size ≥ t filter and prefix
+    // slice), so the centroids are unchanged.
+    val tArr = array(tGrid.map(t => lit(t)): _*)
+    val centroids = data
+      .select(col("label"), col("values"), explode(tArr).as("t"))
+      .where(size(col("values")) >= col("t"))
+      .select(col("t"), col("label"),
+        posexplode(slice(col("values"), lit(1), col("t"))).as(Seq("i", "v")))
+      .groupBy("t", "label", "i").agg(avg("v").as("c"))
+      .groupBy("t", "label")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+      .as[(Int, String, Array[Double])].collect()
+      .groupBy(_._1).map { case (t, rows) =>
+        t -> rows.map(r => r._2 -> r._3).toMap
+      }
     val model0 = Model(centroids, tGrid.map(_ -> 0.0).toMap, lambdaCost)
-    // training-set accuracy per t (one pass per t)
+    // training-set accuracy: one pass emitting (t, ok) per valid grid
+    // entry per row — the former per-t jobs re-scanned the cache |tGrid|
+    // times; ok is 0/1 so each t's average is an exact integer ratio,
+    // identical to the per-t aggregation it replaces.
     val bc = spark.sparkContext.broadcast(model0)
-    val acc = tGrid.map { t =>
-      val f = udf((s: scala.collection.Seq[Double], l: String) => {
+    val grid = tGrid
+    val fAll = udf((s: scala.collection.Seq[Double], l: String) =>
+      grid.filter(_ <= s.length).map { t =>
         val (pred, _) = bc.value.classifyPrefix(s.take(t).toArray)
-        if (pred == l) 1.0 else 0.0
+        (t, if (pred == l) 1.0 else 0.0)
       })
-      val a = data.where(size(col("values")) >= t)
-        .select(f(col("values"), col("label")).as("ok"))
-        .agg(avg("ok")).head().getDouble(0)
-      t -> a
-    }.toMap
+    val acc = data
+      .select(explode(fAll(col("values"), col("label"))).as("e"))
+      .groupBy(col("e._1").as("t")).agg(avg(col("e._2")).as("a"))
+      .as[(Int, Double)].collect().toMap
     data.unpersist()
     Model(centroids, acc, lambdaCost)
   }

@@ -86,9 +86,17 @@ object TimeSeriesMLPRegressor {
     * POST-step parameters (idx = −1 where unused). */
   def gradStep(df: DataFrame, w1: DataFrame, b1: DataFrame, w2: DataFrame,
                b2: Double, eta: Double): DataFrame = {
-    val n = df.count().toDouble
-    val xv = df.select(col("series_id").as("sid"), col("target"),
-      posexplode(col("values")).as(Seq("i", "x"))).localCheckpoint()
+    // One materialization of the caller's upstream pipeline (often a
+    // full events→series→resample pass): the former shape evaluated it
+    // THREE times — the n count, the xv build, and resid's target join
+    // (guide §1.2: don't recompute what you already have). xv itself no
+    // longer needs its own checkpoint: it derives from d0 by a narrow
+    // posexplode, so each consumer replays only the explode.
+    val d0 = df.select(col("series_id").as("sid"), col("target"),
+      col("values")).localCheckpoint()
+    val n = d0.count().toDouble
+    val xv = d0.select(col("sid"), col("target"),
+      posexplode(col("values")).as(Seq("i", "x")))
     // forward: a(sid,h) = tanh(b1_h + Σ_i w1[h][i]·x_i)
     val act = xv.join(broadcast(w1), Seq("i"))
       .groupBy(col("sid"), col("h"))
@@ -100,7 +108,7 @@ object TimeSeriesMLPRegressor {
     val w2r = w2.select(col("h"), col("w").as("w2"))
     val resid = act.join(broadcast(w2r), Seq("h"))
       .groupBy("sid").agg((sum(col("w2") * col("a")) + lit(b2)).as("pred"))
-      .join(df.select(col("series_id").as("sid"), col("target")), "sid")
+      .join(d0.select(col("sid"), col("target")), "sid")
       .select(col("sid"), ((col("pred") - col("target")) / lit(n)).as("gp"))
       .localCheckpoint()
     val gW2 = act.join(resid, "sid")

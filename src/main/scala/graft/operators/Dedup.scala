@@ -33,20 +33,21 @@ object Dedup {
     * ids must `dropDuplicates(idCol)` first. */
   def shingles(df: DataFrame, k: Int = 3, idCol: String = "doc_id",
                textCol: String = "text", dedupe: Boolean = true): DataFrame = {
-    // Project words as a real column BEFORE the transform(): a Column
-    // expression referenced inside an HOF lambda is inlined by Catalyst
-    // and re-evaluated per element — split(lower(text)) would run once
-    // per shingle instead of once per document (measured 2.5s -> 0.3s
-    // on 5k docs). As an attribute it is evaluated once per row.
-    // dedupe=false skips the per-doc dedupe for consumers that are
-    // multiset-invariant, e.g. MinHash minima. dedupe=true dedupes with
-    // array_distinct BEFORE the explode — per-row, no shuffle (the
-    // rows are (doc, shingle) so a global distinct adds nothing).
-    val base = df.select(col(idCol).as("doc_id"), split(lower(col(textCol)), " ").as("w"))
-    val arr = transform(sequence(lit(0), greatest(size(col("w")) - k, lit(0))),
-      i => array_join(slice(col("w"), i + 1, lit(k)), " "))
-    base.select(col("doc_id"),
-      explode(if (dedupe) array_distinct(arr) else arr).as("sh"))
+    // Native one-pass construction (guide §4): the former
+    // split(lower)/transform(sequence)/slice/array_join HOF chain cost
+    // interpreted lambda dispatch + an intermediate word array per row
+    // (and historically needed a careful two-select split so Catalyst
+    // would not inline split() into the lambda — measured 2.5s -> 0.3s
+    // on 5k docs). ShingleSpansExpression emits the IDENTICAL shingle
+    // strings (each shingle is the contiguous lowercased byte span of
+    // its k-word window; single-space separators make the join equal
+    // the span), so every downstream hash and string join is unchanged.
+    // dedupe=true mirrors array_distinct (first-occurrence order),
+    // per-row before the explode — no shuffle; dedupe=false keeps the
+    // multiset for consumers like MinHash minima.
+    df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.NativeExpressions.shingleSpansNative(
+        col(textCol), k, distinct = dedupe)).as("sh"))
   }
 
   /** Directional shingle containment C(a → b) = |Sh(a) ∩ Sh(b)| / |Sh(a)|

@@ -246,10 +246,14 @@ object TextAnalysis {
     * excluded (no bigram events). */
   def lmScore(docs: DataFrame, k: Double = 0.5): DataFrame = {
     val base = docs.select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+    // localCheckpoint: the bigram stream feeds BOTH the count table and
+    // the scoring join — uncheckpointed, the per-row bigram explode (an
+    // interpreted HOF) ran twice over the corpus (guide §1.2)
     val bigrams = base.where(size(col("w")) >= 2)
       .select(col("doc_id"), explode(transform(sequence(lit(0), size(col("w")) - 2),
         i => struct(col("w")(i).as("w1"), col("w")(i + 1).as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .localCheckpoint()
     // localCheckpoint: the unigram table feeds both the V count below
     // and the per-doc join — without it the corpus is scanned twice
     val uniCounts = base.select(explode(col("w")).as("w1"))
@@ -704,16 +708,30 @@ object TextAnalysis {
     * pipeline step.
     *
     * Scale shape: both models are d-row bucket tables (two map-side-
-    * combinable groupBys over the exploded corpus), broadcast back as a
-    * d-row log-ratio table; per-doc scoring is a (doc, bucket) count
-    * aggregation joined to that broadcast — no corpus-scale shuffle
-    * beyond the two groupBys. Returns (doc_id, n_tokens, logw). */
+    * combinable groupBys over the exploded corpus), frozen into a d
+    * literal vector; per-doc scoring is a pure per-row expression over
+    * the doc's hashed-BoW histogram — ZERO doc-keyed shuffles at any
+    * corpus size. Returns (doc_id, n_tokens, logw). */
   def importanceWeights(docs: DataFrame, targetPred: Column, d: Int = 32,
                         smooth: Double = 0.5): DataFrame = {
-    val (feat, ratios) = importanceModel(docs, targetPred, d, smooth)
-    feat.join(broadcast(ratios), "bucket")
-      .groupBy("doc_id")
-      .agg(sum("xb").as("n_tokens"), sum(col("xb") * col("lr")).as("logw"))
+    val (_, ratiosDf) = importanceModel(docs, targetPred, d, smooth)
+    // Per-row scoring against the frozen d-vector — the exact expression
+    // shape of StreamingOps.importanceAtIngest, which is oracle-proven
+    // equal to the feat-join formulation (doc_stream_importance shares
+    // this operator's oracle). Replaces the former corpus-scale scoring
+    // join + groupBy(doc_id) — guide §2.4: with per-doc histograms the
+    // operator needs ZERO doc-keyed shuffles (the model aggregation in
+    // importanceModel is a d-key map-side-combinable groupBy).
+    // n_tokens = Σ histogram = the word count (exact integers).
+    val ratios = new Array[Double](d)
+    ratiosDf.collect().foreach(r => ratios(r.getInt(0)) = r.getDouble(1))
+    val lrs = typedLit(ratios.toIndexedSeq)
+    docs.select(col("doc_id"), hashedBow(col("text"), d).as("hist"))
+      .select(col("doc_id"),
+        aggregate(col("hist"), lit(0.0), (acc, x) => acc + x)
+          .cast("long").as("n_tokens"),
+        aggregate(zip_with(col("hist"), lrs, (x, l) => x * l),
+          lit(0.0), (acc, x) => acc + x).as("logw"))
   }
 
   /** The TRAIN half of the DSIR split: the (doc, bucket) count relation
@@ -723,22 +741,34 @@ object TextAnalysis {
   def importanceModel(docs: DataFrame, targetPred: Column, d: Int = 32,
                       smooth: Double = 0.5): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
-    val tok = docs
-      .select(col("doc_id"), targetPred.as("is_target"),
-        hashedBowBuckets(col("text"), d).as("bks"))
-      .select(col("doc_id"), col("is_target"), explode(col("bks")).as("bucket"))
-    val feat = tok.groupBy("doc_id", "bucket")
-      .agg(count(lit(1)).as("xb"), first(col("is_target")).as("is_target"))
-      .localCheckpoint() // feeds both count tables and the scoring join
-    // ONE scan of feat for both count tables (raw + target, a
-    // conditional sum instead of two grouped scans), collected as d
-    // rows — the totals are then driver-side sums of those d integers,
-    // replacing two more full-scan .head() jobs (guide §1/§2.3: 4 feat
-    // scans → 1). Counts are integers, so the totals are exactly the
-    // former sum() aggregates and the log-ratio values are unchanged.
-    val bucketCounts = feat.groupBy("bucket")
-      .agg(sum("xb").as("cr"),
-        sum(when(col("is_target"), col("xb")).otherwise(lit(0L))).as("ct"))
+    val hist = docs.select(col("doc_id"), targetPred.as("is_target"),
+      hashedBow(col("text"), d).as("hist"))
+    // The (doc, bucket) feature relation, LAZY: kept for the public
+    // (feat, ratios) contract, but the model below no longer reads it —
+    // nothing pays the former corpus-scale groupBy(doc, bucket) shuffle
+    // unless a caller actually consumes feat. Values match the old
+    // explode+count form exactly (the histogram counts are the same
+    // exact integers; zero-count buckets had no row then and are
+    // filtered now).
+    val feat = hist
+      .select(col("doc_id"), col("is_target"),
+        posexplode(col("hist")).as(Seq("bucket", "xb")))
+      .where(col("xb") > 0)
+      .select(col("doc_id"), col("bucket"), col("xb").cast("long").as("xb"),
+        col("is_target"))
+    // d-row model from the per-doc histograms directly: the ONLY
+    // shuffle is a d-key map-side-combinable groupBy (guide §2.4 — the
+    // former shape shuffled the exploded corpus into (doc, bucket)
+    // groups first). Histogram entries are exact small integers in
+    // doubles and the sums stay < 2^53, so the cast-back longs equal
+    // the former count-based sums bit-for-bit, and the log-ratios are
+    // unchanged.
+    val bucketCounts = hist
+      .select(col("is_target"), posexplode(col("hist")).as(Seq("bucket", "xb")))
+      .groupBy("bucket")
+      .agg(sum("xb").cast("long").as("cr"),
+        sum(when(col("is_target"), col("xb")).otherwise(lit(0.0)))
+          .cast("long").as("ct"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     val totR = bucketCounts.map(_._2).sum
     val totT = bucketCounts.map(_._3).sum

@@ -212,15 +212,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(bm.contains("BroadcastHashJoin"), "BM25 lost its query-term broadcast")
     assert(bm.contains("partial_"), "BM25 lost map-side partial aggregation")
     assert(!bm.contains("Window"), s"BM25 regressed to a window sort:\n$bm")
-    // CMS / HLL / DSIR: fixed-size summary relations broadcast back,
-    // corpus aggregations partial
-    Seq("doc_cms_heavy", "doc_hll_distinct", "doc_importance_weights").foreach { q =>
+    // CMS / HLL: fixed-size summary relations broadcast back, corpus
+    // aggregations partial
+    Seq("doc_cms_heavy", "doc_hll_distinct").foreach { q =>
       val p = plan(q)
       assert(p.contains("partial_"), s"$q lost map-side partial aggregation")
       assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
         s"$q lost its summary-relation broadcast:\n$p")
       assert(!p.toLowerCase.contains("scalaudf"), s"$q uses a UDF:\n$p")
     }
+    // DSIR scoring (r17): the d-row model is frozen into literals and
+    // each doc is scored by a per-row expression over its native
+    // hashed-BoW histogram — the SCORING plan must carry NO exchange,
+    // no join and no UDF at all (the former shape shuffled the corpus
+    // into (doc,bucket) groups and again into groupBy(doc_id))
+    val dw = plan("doc_importance_weights")
+    assert(!dw.contains("Exchange"),
+      s"doc_importance_weights scoring regressed to a shuffle:\n$dw")
+    assert(dw.contains("hashed_bow_native"),
+      s"doc_importance_weights lost the native histogram projection:\n$dw")
+    assert(!dw.toLowerCase.contains("scalaudf"), s"doc_importance_weights uses a UDF:\n$dw")
   }
 
   test("semdedup/bloom: equi-joins + broadcasts, no nested-loop pair blowup") {

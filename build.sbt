@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/driver contract needs the LAST stdout line to be the bench's
+// own full JSON record. Two things used to land after (or wrap) it:
+// sbt's logger prefixed every forked-process line with `[info] `, and the
+// `[success] Total time ...` epilogue followed it. StdoutOutput pipes the
+// forked JVM's stdout through verbatim; showSuccess drops the epilogue.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by the command engine, not a task — lint can't
+// see that (verified: the [success] epilogue is gone from runMain stdout).
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -27,6 +27,20 @@ object Bench {
     if (runs.size < 2) 1.0 else runs.max / runs.min
   val divergenceLimit = 2.0
 
+  /** Which file a run's record lands in. VERDICT r17 #2/#3: the canonical
+    * BENCH_LOCAL.json was clobbered twice — by a CLEAN args-filtered subset
+    * run (the old guard keyed on load_warning only) and by the driver's
+    * clean 8-core scaling run (indistinguishable from a 32-core record
+    * because cpus was not stamped). A record is canonical only when it is
+    * the FULL query set at the canonical core count on a quiet host;
+    * everything else is diverted to a self-describing side file. */
+  def targetFor(subsetRun: Boolean, cpus: String, canonCpus: String,
+                loadWarn: Boolean, cleanOnDisk: Boolean): String =
+    if (subsetRun) "BENCH_LOCAL_SUBSET.json"
+    else if (cpus != canonCpus) s"BENCH_LOCAL_C$cpus.json"
+    else if (loadWarn && cleanOnDisk) "BENCH_LOCAL_DIRTY.json"
+    else "BENCH_LOCAL.json"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -152,35 +166,39 @@ object Bench {
       System.err.println(s"[bench] WARNING: ${divergent.size} queries kept " +
         s">${divergenceLimit}x repeat divergence after extra runs")
     val load = loadavg() // 1-min load average at END of run
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$nErr,"divergent_queries":${divergent.mkString("{", ",", "}")},"loadavg":$load,"loadavg_start":$loadStart,"load_warning":$loadWarn,"repeat":$repeat,"sf":"$sfDir"}"""
-    // The driver captures only the LAST ~2000 chars of stdout, so a
-    // 124-query line never survives whole (every BENCH_r*.json so far has
-    // parsed:null). Persist the full record to a file, print it for
-    // humans, then print a COMPACT line LAST — top slowest queries +
-    // error details — sized to fit entirely inside the tail window.
-    // Dirty-overwrite guard: three rounds running, an end-of-round bench
-    // on a loaded box clobbered the committed clean canonical record. A
-    // load-warned run never overwrites a clean BENCH_LOCAL.json — it is
-    // diverted to BENCH_LOCAL_DIRTY.json, keeping the clean record the
-    // regression-tracking denominator.
-    val target = {
-      val canon = java.nio.file.Paths.get("BENCH_LOCAL.json")
-      val cleanOnDisk = scala.util.Try(java.nio.file.Files.readString(canon))
-        .toOption.exists(isCleanRecord)
-      if (loadWarn && cleanOnDisk) {
-        System.err.println("[bench] load-warned run NOT overwriting clean " +
-          "BENCH_LOCAL.json; writing BENCH_LOCAL_DIRTY.json instead")
-        java.nio.file.Paths.get("BENCH_LOCAL_DIRTY.json")
-      } else canon
-    }
-    scala.util.Try(java.nio.file.Files.writeString(target, fullLine + "\n"))
-    println(fullLine)
+    // cpus is stamped into the record so an 8-core scaling run can never
+    // pose as the 32-core canonical again (VERDICT r17 what's-wrong #2).
+    // SPARK_GRAFT_CPUS is free text (local[*] is legal) — quote unless int.
+    val cpusJson = if (cpus.forall(_.isDigit) && cpus.nonEmpty) cpus else jq(cpus)
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$nErr,"divergent_queries":${divergent.mkString("{", ",", "}")},"loadavg":$load,"loadavg_start":$loadStart,"load_warning":$loadWarn,"repeat":$repeat,"cpus":$cpusJson,"sf":"$sfDir"}"""
+    // Record routing (VERDICT r17 #3): subset and non-canonical-core runs
+    // go to side files so they cannot clobber the canonical; a load-warned
+    // full run on canonical cores is diverted to BENCH_LOCAL_DIRTY.json
+    // when a clean canonical already exists.
+    val canonCpus = sys.env.getOrElse("SPARK_GRAFT_CANON_CPUS", "32")
+    val cleanOnDisk = scala.util.Try(java.nio.file.Files.readString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"))).toOption.exists(isCleanRecord)
+    val target = targetFor(args.nonEmpty, cpus, canonCpus, loadWarn, cleanOnDisk)
+    if (target != "BENCH_LOCAL.json")
+      System.err.println(s"[bench] record diverted to $target " +
+        s"(subset=${args.nonEmpty}, cpus=$cpus/canon=$canonCpus, " +
+        s"load_warning=$loadWarn)")
+    scala.util.Try(java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(target), fullLine + "\n"))
+    // Print order (VERDICT r17 #1): compact human line FIRST, the full
+    // per-query record as the VERY LAST stdout line. The driver parses the
+    // trailing stdout for the record; for two rounds it got either an
+    // `[info] `-prefixed line or the `[success]` sbt epilogue last and
+    // recorded parsed:null. build.sbt now forks the run with
+    // OutputStrategy.StdoutOutput (no log prefix) and showSuccess:=false
+    // (no epilogue), making this println the final line of stdout.
     val slow = results.toSeq.filterNot(_._2._1.isInfinity)
       .sortBy(-_._2._1).take(12)
       .map { case (k, (v, _, _)) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
     val errDetail = results.toSeq.collect { case (k, (_, Some(e), _)) => k -> e }
       .take(4).map { case (k, e) => s"\"$k\":" + jq(e.take(160)) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$slow,"queries_note":"top12 of ${results.size}; full map in BENCH_LOCAL.json","errors":$nErr,"divergent":${divergent.size},"query_errors":$errDetail,"loadavg":$load,"loadavg_start":$loadStart,"load_warning":$loadWarn,"repeat":$repeat,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$slow,"queries_note":"top12 of ${results.size}; full map follows","errors":$nErr,"divergent":${divergent.size},"query_errors":$errDetail,"loadavg":$load,"loadavg_start":$loadStart,"load_warning":$loadWarn,"repeat":$repeat,"cpus":$cpusJson,"sf":"$sfDir"}""")
     spark.stop()
+    println(fullLine)
   }
 }

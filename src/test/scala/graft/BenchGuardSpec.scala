@@ -38,6 +38,27 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!Bench.isCleanRecord(""))
   }
 
+  test("record routing: only a clean full-set canonical-core run may touch the canonical (VERDICT r17 #2/#3)") {
+    // clean full run on canonical cores -> canonical
+    assert(Bench.targetFor(subsetRun = false, cpus = "32", canonCpus = "32",
+      loadWarn = false, cleanOnDisk = true) == "BENCH_LOCAL.json")
+    // a CLEAN subset run must never clobber the canonical (the r17 failure)
+    assert(Bench.targetFor(subsetRun = true, cpus = "32", canonCpus = "32",
+      loadWarn = false, cleanOnDisk = true) == "BENCH_LOCAL_SUBSET.json")
+    // the driver's clean 8-core scaling run goes to a core-stamped side file
+    assert(Bench.targetFor(subsetRun = false, cpus = "8", canonCpus = "32",
+      loadWarn = false, cleanOnDisk = true) == "BENCH_LOCAL_C8.json")
+    // load-warned full run on canonical cores with a clean canonical on disk
+    assert(Bench.targetFor(subsetRun = false, cpus = "32", canonCpus = "32",
+      loadWarn = true, cleanOnDisk = true) == "BENCH_LOCAL_DIRTY.json")
+    // ... but when no clean canonical exists, a warned run may still seed it
+    assert(Bench.targetFor(subsetRun = false, cpus = "32", canonCpus = "32",
+      loadWarn = true, cleanOnDisk = false) == "BENCH_LOCAL.json")
+    // subset beats every other rule (even load-warned non-canonical cores)
+    assert(Bench.targetFor(subsetRun = true, cpus = "8", canonCpus = "32",
+      loadWarn = true, cleanOnDisk = true) == "BENCH_LOCAL_SUBSET.json")
+  }
+
   test("per-query repeat divergence (VERDICT r16 #2)") {
     // the r16 canonical's emb_silhouette shape: one 8.4x-spiked repeat
     assert(Bench.divergence(Seq(0.34, 2.88)) > Bench.divergenceLimit)

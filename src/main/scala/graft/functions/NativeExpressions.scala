@@ -455,6 +455,9 @@ case class ShingleSpansExpression(child: Expression, k: Int, distinct: Boolean)
   * (see [[NativeOps.wordBuckets]]). */
 case class WordBucketsExpression(child: Expression, d: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  // d <= 0 would otherwise surface per row at execution time (mod zero /
+  // negative index) instead of at construction (ADVICE r17).
+  require(d > 0, s"word_buckets_native requires d > 0, got $d")
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == org.apache.spark.sql.types.StringType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
@@ -477,6 +480,9 @@ case class WordBucketsExpression(child: Expression, d: Int)
   * (see [[NativeOps.hashedBow]]). */
 case class HashedBowExpression(child: Expression, d: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  // d <= 0 would otherwise surface per row at execution time (mod zero /
+  // negative index) instead of at construction (ADVICE r17).
+  require(d > 0, s"hashed_bow_native requires d > 0, got $d")
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == org.apache.spark.sql.types.StringType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess

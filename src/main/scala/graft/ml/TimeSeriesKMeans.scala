@@ -130,8 +130,7 @@ class TimeSeriesKMeans(
         rows
       } else null
 
-    var best: Model = null
-    for (attempt <- 0 until nInit) {
+    def runAttempt(attempt: Int): Model = {
       val rng = new scala.util.Random(seed + attempt)
       var centroids = init match {
         case "first" => firstAll.slice(attempt * k, attempt * k + k)
@@ -200,8 +199,31 @@ class TimeSeriesKMeans(
       if (!needInertia)
         inertia = TimeSeriesKMeans.assignDs(data, centroids, metric, gamma)
           .map(t => t._3 * t._3).reduce(_ + _) / n
-      if (best == null || inertia < best.inertia) best = Model(centroids, inertia)
+      Model(centroids, inertia)
     }
+    // Restarts are fully independent (per-attempt rng, shared read-only
+    // cached data) and each attempt's dataflow is untouched, so its values
+    // are bit-identical to the sequential loop's. Running them from driver
+    // threads overlaps their jobs (guide §2.6): attempt b's tasks back-fill
+    // executors idled by attempt a's stage tails — at sf0.1 the fit is
+    // job-scheduling-floor-bound, so the overlap halves the wall; at scale
+    // it fills straggler tails. 2-3 jobs in flight is plenty (guide),
+    // and nInit is small everywhere (best-of-2 in the declared query).
+    val models: Seq[Model] =
+      if (nInit == 1) Seq(runAttempt(0))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(nInit, 3))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            (0 until nInit).map(a => scala.concurrent.Future(runAttempt(a)))),
+          scala.concurrent.duration.Duration.Inf)
+        finally pool.shutdown()
+      }
+    // strict < on inertia in attempt order — the EXACT sequential best-model
+    // fold (first minimum wins; NaN never displaces an earlier model)
+    val best = models.reduceLeft((b, m) => if (m.inertia < b.inertia) m else b)
     data.unpersist()
     data0.unpersist()
     best
@@ -286,6 +308,25 @@ object TimeSeriesKMeans {
           }
         }.toDF("id", "cid", "dc")
       }
+    // Per-round race columns for selecting round `rr`'s candidates, over a
+    // given D² column. Dead rows (D² = 0 — already-chosen centers and
+    // exact duplicates) must not race, exactly like the former standalone
+    // `live` filter: the whole ordering struct goes null for them and
+    // min_by skips null ordering values.
+    def raceAggs(rr: Int, d2c: org.apache.spark.sql.Column) =
+      (0 until l).map(t =>
+        min_by(col("id"), when(d2c > 0,
+          struct((race(rr, t) / d2c).as("k"), col("id")))).as(s"c$t"))
+    // Candidate extraction from an aggregated race row (slots at `offset`):
+    // null slots mean no live row raced — fall back to the smallest
+    // unchosen id (same degenerate-case rule as before).
+    def candsFrom(row: org.apache.spark.sql.Row, offset: Int,
+                  chosen: Set[Long]): Seq[Long] =
+      if (row.isNullAt(offset))
+        Seq(r.select(col("id")).distinct()
+          .where(!col("id").isin(chosen.toSeq: _*))
+          .agg(min(col("id"))).head().getLong(0))
+      else (offset until offset + l).map(row.getLong).distinct
     // round 0: uniform pick = argmax u = argmin −ln(u)
     val c0 = r.select(col("id")).distinct()
       .select(col("id"), race(0, 0).as("e"))
@@ -293,22 +334,17 @@ object TimeSeriesKMeans {
       .head().getLong(0)
     var d2 = dcTo(Seq(c0)).select(col("id"), col("dc").as("d2"))
       .localCheckpoint()
-    val trace = scala.collection.mutable.ArrayBuffer(
-      (0, c0, d2.agg(sum("d2")).head().getDouble(0)))
+    // ONE aggregation computes round 0's potential AND round 1's races
+    // (guide §1.2/§2.4: the former standalone race-selection job was a
+    // second full scan of the D² relation per round — k−1 corpus passes
+    // removed). The pot sum is the same aggregation over the same rows;
+    // extra min_by columns do not perturb it.
+    val row0 = d2.agg(sum("d2").as("pot"), raceAggs(1, col("d2")): _*).head()
+    val trace = scala.collection.mutable.ArrayBuffer((0, c0, row0.getDouble(0)))
     var chosen = Set(c0)
+    var nextCands: Seq[Long] = candsFrom(row0, 1, chosen)
     for (rr <- 1 until k) {
-      val live = d2.where(col("d2") > 0)
-      val keyed = live.select(col("id") +: col("d2") +:
-        (0 until l).map(t => (race(rr, t) / col("d2")).as(s"k$t")): _*)
-      val aggs = (0 until l).map(t =>
-        min_by(col("id"), struct(col(s"k$t"), col("id"))).as(s"c$t"))
-      val candRow = keyed.agg(aggs.head, aggs.tail: _*).head()
-      val cands =
-        if (candRow.isNullAt(0)) // all D² zero: smallest unchosen id
-          Seq(r.select(col("id")).distinct()
-            .where(!col("id").isin(chosen.toSeq: _*))
-            .agg(min(col("id"))).head().getLong(0))
-        else (0 until l).map(candRow.getLong).distinct
+      val cands = nextCands
       // ONE evaluation of the candidate-distance relation per round,
       // checkpointed: it feeds BOTH the potential ranking and the next
       // round's D² (the former code evaluated dcTo twice — once over all
@@ -320,14 +356,23 @@ object TimeSeriesKMeans {
         .join(d2, "id")
         .select(col("id"), col("cid"), least(col("d2"), col("dc")).as("nd2"))
         .localCheckpoint()
-      val (bestId, bestPot) = upd
-        .groupBy("cid").agg(sum(col("nd2")).as("pot"))
-        .agg(min_by(struct(col("cid"), col("pot")),
-          struct(col("pot"), col("cid"))).as("b"))
-        .select(col("b.cid"), col("b.pot")).as[(Long, Double)].head()
+      // per-candidate potential + per-candidate round-(rr+1) races in the
+      // SAME groupBy: the group that wins the potential ranking carries
+      // exactly the races the next round would have computed over its
+      // winner-filtered D² relation — the standalone race scan is gone.
+      val perCid = upd.groupBy("cid")
+        .agg(sum(col("nd2")).as("pot"),
+          (if (rr + 1 < k) raceAggs(rr + 1, col("nd2")) else Seq.empty): _*)
+        .collect()
+      // winner = (pot, cid)-minimum — the exact ordering the former
+      // min_by(struct(cid,pot), struct(pot,cid)) SQL used, on the same
+      // pot doubles (identical sum over identical groups)
+      val best = perCid.minBy(rw => (rw.getDouble(1), rw.getLong(0)))
+      val (bestId, bestPot) = (best.getLong(0), best.getDouble(1))
       d2 = upd.where(col("cid") === bestId)
         .select(col("id"), col("nd2").as("d2"))
       chosen += bestId
+      if (rr + 1 < k) nextCands = candsFrom(best, 2, chosen)
       trace += ((rr, bestId, bestPot))
     }
     // the warped-metric path caches the per-id arrays for its k·(L+1)

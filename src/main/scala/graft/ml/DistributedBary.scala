@@ -35,6 +35,10 @@ object DistributedBary {
   /** Soft-DTW value + gradient w.r.t. the (broadcast) center. */
   case class GradBuf(var value: Double, var grad: Array[Double], var n: Long)
 
+  /** GramBuf + the Σd² inertia numerator of the same assignment rows. */
+  case class GramD2Buf(var gram: Array[Double], var xsum: Array[Double],
+                       var n: Long, var d2: Double)
+
   private def addInto(a: Array[Double], b: Array[Double]): Array[Double] = {
     if (a.length == 0) return b
     if (b.length == 0) return a
@@ -140,6 +144,47 @@ object DistributedBary {
     def finish(b: GramBuf): GramBuf = b
     def bufferEncoder: Encoder[GramBuf] = Encoders.product[GramBuf]
     def outputEncoder: Encoder[GramBuf] = Encoders.product[GramBuf]
+  }
+
+  /** [[GramAgg]] extended with the Σd² of the rows' pre-computed SBD
+    * distances — the inertia-fused KShape iteration pass. The gram/xsum
+    * accumulation is line-for-line GramAgg's (same in-row float order). */
+  class GramD2Agg(centers: Array[Array[Double]])
+      extends Aggregator[(Int, Double, Array[Double]), GramD2Buf, GramD2Buf]
+      with Serializable {
+    @transient private lazy val centers2d: Array[Kernels.TS] =
+      centers.map(c => if (c == null) null else Kernels.uni(c))
+    def zero: GramD2Buf =
+      GramD2Buf(Array.emptyDoubleArray, Array.emptyDoubleArray, 0L, 0.0)
+    def reduce(b: GramD2Buf, in: (Int, Double, Array[Double])): GramD2Buf = {
+      val center = centers2d(in._1)
+      val sz = center.length
+      if (b.gram.length < sz * sz) {
+        b.gram = java.util.Arrays.copyOf(b.gram, sz * sz)
+        b.xsum = java.util.Arrays.copyOf(b.xsum, sz)
+      }
+      val aligned = Ncc.shiftToAlign(center, Kernels.uni(in._3))
+      val z = Kernels.scaleMeanVariance(aligned).map(_(0))
+      var i = 0
+      while (i < sz) {
+        val zi = z(i)
+        b.xsum(i) += zi
+        var j = 0
+        while (j < sz) { b.gram(i * sz + j) += zi * z(j); j += 1 }
+        i += 1
+      }
+      b.n += 1
+      b.d2 += in._2 * in._2
+      b
+    }
+    def merge(a: GramD2Buf, b: GramD2Buf): GramD2Buf = {
+      a.gram = addInto(a.gram, b.gram); a.xsum = addInto(a.xsum, b.xsum)
+      a.n += b.n; a.d2 += b.d2
+      a
+    }
+    def finish(b: GramD2Buf): GramD2Buf = b
+    def bufferEncoder: Encoder[GramD2Buf] = Encoders.product[GramD2Buf]
+    def outputEncoder: Encoder[GramD2Buf] = Encoders.product[GramD2Buf]
   }
 
   /** Soft-DTW barycenter objective: Σ softDTW(center_cid, x) with gradient
@@ -324,22 +369,28 @@ object DistributedBary {
     * the reference's Σ‖Xp∓µ‖ comparison. */
   def shapeByCluster(rows: Dataset[(Int, Array[Double])],
                      centers: Array[Array[Double]]): Map[Int, Array[Double]] = {
-    import breeze.linalg.{DenseMatrix, DenseVector, eigSym}
     aggByCluster(rows, new GramAgg(centers)).map { case (cid, b) =>
-      val sz = centers(cid).length
-      val s = new DenseMatrix[Double](sz, sz, b.gram)
-      val q = DenseMatrix.tabulate(sz, sz)((i, j) =>
-        (if (i == j) 1.0 else 0.0) - 1.0 / sz)
-      val m = q.t * s * q
-      val es = eigSym(m)
-      val idx = es.eigenvalues.toArray.zipWithIndex.maxBy(_._1)._2
-      val vec = es.eigenvectors(::, idx).toArray
-      var dot = 0.0
-      var i = 0
-      while (i < sz) { dot += b.xsum(i) * vec(i); i += 1 }
-      val signed = if (dot < 0) vec.map(-_) else vec
-      cid -> Kernels.scaleMeanVariance(Kernels.uni(signed)).map(_(0))
+      cid -> finishShapeEig(b.gram, b.xsum, centers(cid).length)
     }
+  }
+
+  /** eigSym shape finisher over an accumulated gram/xsum pair — shared by
+    * the plain and the inertia-fused gram passes (identical float path). */
+  private def finishShapeEig(gram: Array[Double], xsum: Array[Double],
+                             sz: Int): Array[Double] = {
+    import breeze.linalg.{DenseMatrix, eigSym}
+    val s = new DenseMatrix[Double](sz, sz, gram)
+    val q = DenseMatrix.tabulate(sz, sz)((i, j) =>
+      (if (i == j) 1.0 else 0.0) - 1.0 / sz)
+    val m = q.t * s * q
+    val es = eigSym(m)
+    val idx = es.eigenvalues.toArray.zipWithIndex.maxBy(_._1)._2
+    val vec = es.eigenvectors(::, idx).toArray
+    var dot = 0.0
+    var i = 0
+    while (i < sz) { dot += xsum(i) * vec(i); i += 1 }
+    val signed = if (dot < 0) vec.map(-_) else vec
+    Kernels.scaleMeanVariance(Kernels.uni(signed)).map(_(0))
   }
 
   /** Deterministic power-iteration variant of [[shapeByCluster]]: the
@@ -379,7 +430,16 @@ object DistributedBary {
                           centers: Array[Array[Double]],
                           steps: Int = 60): Map[Int, Array[Double]] = {
     aggByCluster(rows, new GramAgg(centers)).map { case (cid, b) =>
-      val sz = centers(cid).length
+      cid -> finishShapePower(b.gram, b.xsum, centers(cid).length, steps)
+    }
+  }
+
+  /** Power-method shape finisher (the oracle-replayable deterministic
+    * eigenvector route) — shared by the plain and the inertia-fused gram
+    * passes (identical float path). */
+  private def finishShapePower(gram: Array[Double], xsum: Array[Double],
+                               sz: Int, steps: Int): Array[Double] = {
+    locally {
       // M = S − rowMean_i − rowMean_j + grandMean  (Q = I − J/sz, S sym.)
       val rowMean = new Array[Double](sz)
       var g = 0.0
@@ -387,14 +447,14 @@ object DistributedBary {
       while (i < sz) {
         var s = 0.0
         var j = 0
-        while (j < sz) { s += b.gram(i * sz + j); j += 1 }
+        while (j < sz) { s += gram(i * sz + j); j += 1 }
         rowMean(i) = s / sz
         g += s
         i += 1
       }
       val grand = g / (sz.toDouble * sz)
       val m = Array.tabulate(sz, sz)((p, q) =>
-        b.gram(p * sz + q) - rowMean(p) - rowMean(q) + grand)
+        gram(p * sz + q) - rowMean(p) - rowMean(q) + grand)
       var v = powerInit(sz)
       var t = 0
       while (t < steps) {
@@ -419,10 +479,34 @@ object DistributedBary {
       }
       var dot = 0.0
       i = 0
-      while (i < sz) { dot += b.xsum(i) * v(i); i += 1 }
+      while (i < sz) { dot += xsum(i) * v(i); i += 1 }
       val signed = if (dot < 0) v.map(-_) else v
-      cid -> Kernels.scaleMeanVariance(Kernels.uni(signed)).map(_(0))
+      Kernels.scaleMeanVariance(Kernels.uni(signed)).map(_(0))
     }
+  }
+
+  /** KShape gram + Σd² fused pass (VERDICT r17 #6, guide §1.2): one job per
+    * Lloyd iteration computes BOTH the per-cluster shape grams and the
+    * inertia numerator that used to be a separate reduce over the same
+    * cached assignment. Rows carry the SBD distance already computed by the
+    * assignment map, so the distances are bit-identical to the two-job path
+    * by construction (no cross-path recompute); the shape finishers are the
+    * shared float paths above. Returns (shapes, Σd² over all rows) — the
+    * Σd² total folds the k per-cluster sums in ascending cluster order. */
+  def shapesWithInertia(rows: Dataset[(Int, Double, Array[Double])],
+                        centers: Array[Array[Double]],
+                        steps: Int): (Map[Int, Array[Double]], Double) = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val agg = new GramD2Agg(centers)
+    val bufs = rows.groupByKey(_._1).agg(agg.toColumn).collect().toMap
+    val shapes = bufs.map { case (cid, b) =>
+      val sz = centers(cid).length
+      cid -> (if (steps > 0) finishShapePower(b.gram, b.xsum, sz, steps)
+              else finishShapeEig(b.gram, b.xsum, sz))
+    }
+    val d2 = bufs.toSeq.sortBy(_._1).map(_._2.d2).sum
+    (shapes, d2)
   }
 
   /** Whole-dataset DBA (MM variant) — `dba.py:394-604` distributed: init

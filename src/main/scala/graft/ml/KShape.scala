@@ -75,21 +75,22 @@ class KShape(val k: Int, val maxIter: Int = 20, val tol: Double = 1e-6,
     var done = false
     while (iter < maxIter && !done) {
       val bc = spark.sparkContext.broadcast(centroids)
-      val assigned = data.map { case (id, vs) =>
+      // assignment + inertia + shape extraction fused into ONE job per
+      // iteration (VERDICT r17 #6, guide §1.2): the SBD distance computed
+      // by the assignment map rides the row into the gram aggregation,
+      // which accumulates Σd² alongside the sz×sz gram — the former
+      // two-job shape (cache + inertia reduce + gram pass) recomputed
+      // nothing but still paid a second scheduling round trip and the
+      // cache materialization. Distances are bit-identical by
+      // construction (KShapeInertiaFuseSpec locks the whole trace).
+      val assigned = data.map { case (_, vs) =>
         val (c, d) = KShape.nearest(vs, bc.value)
-        (id, c, d, vs)
-      }.cache()
-      inertia = assigned.map(r => r._3 * r._3).reduce(_ + _) / n
-      // shape extraction: one streaming gram pass per iteration — the
-      // sz×sz buffer is cluster-size-independent (DistributedBary)
-      val updated =
-        if (shapeSteps > 0)
-          DistributedBary.shapeByClusterPower(
-            assigned.map(t => (t._2, t._4)), centroids, shapeSteps)
-        else DistributedBary.shapeByCluster(
-          assigned.map(t => (t._2, t._4)), centroids)
+        (c, d, vs)
+      }
+      val (updated, d2sum) =
+        DistributedBary.shapesWithInertia(assigned, centroids, shapeSteps)
+      inertia = d2sum / n
       centroids = Array.tabulate(k)(c => updated.getOrElse(c, centroids(c)))
-      assigned.unpersist()
       if (prevInertia - inertia < tol) done = true
       prevInertia = inertia
       iter += 1

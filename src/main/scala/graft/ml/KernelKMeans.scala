@@ -204,13 +204,19 @@ class KernelKMeans(val k: Int, val maxIter: Int = 10, val tol: Double = 1e-6,
     if (needModel) {
       if (!needInertia)
         lastInertia = labels.agg(sum("d2")).head().getDouble(0)
-      // within-cluster constant of the FINAL labels (predict-time term3)
+      // within-cluster constant of the FINAL labels (predict-time term3).
+      // |c| comes from the n-row labels relation, NOT a countDistinct over
+      // the n²-scale within-cluster gram rows (countDistinct forced an
+      // expand + two-phase dedup over the pair relation; the member count
+      // is the same integer — every member owns its diagonal row).
+      val csz = labels.groupBy(col("cluster")).agg(count(lit(1)).as("csz"))
       term3Map = gram
         .join(labels.select(col("series_id").as("left_id"), col("cluster").as("lc")), "left_id")
         .join(labels.select(col("series_id").as("right_id"), col("cluster").as("rc")), "right_id")
         .where(col("lc") === col("rc"))
         .groupBy(col("lc").as("cluster"))
-        .agg(sum("k_ij").as("s3"), countDistinct("left_id").as("csz"))
+        .agg(sum("k_ij").as("s3"))
+        .join(broadcast(csz), "cluster")
         .select(col("cluster"), (col("s3") / (col("csz") * col("csz"))).as("t3"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     }

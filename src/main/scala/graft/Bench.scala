@@ -35,8 +35,10 @@ object Bench {
     * the FULL query set at the canonical core count on a quiet host;
     * everything else is diverted to a self-describing side file. */
   def targetFor(subsetRun: Boolean, cpus: String, canonCpus: String,
-                loadWarn: Boolean, cleanOnDisk: Boolean): String =
+                loadWarn: Boolean, cleanOnDisk: Boolean,
+                sfIsCanon: Boolean = true): String =
     if (subsetRun) "BENCH_LOCAL_SUBSET.json"
+    else if (!sfIsCanon) "BENCH_LOCAL_ALTSF.json" // e.g. a /tmp sf1 corpus
     else if (cpus != canonCpus) s"BENCH_LOCAL_C$cpus.json"
     else if (loadWarn && cleanOnDisk) "BENCH_LOCAL_DIRTY.json"
     else "BENCH_LOCAL.json"
@@ -176,9 +178,11 @@ object Bench {
     // full run on canonical cores is diverted to BENCH_LOCAL_DIRTY.json
     // when a clean canonical already exists.
     val canonCpus = sys.env.getOrElse("SPARK_GRAFT_CANON_CPUS", "32")
+    val canonSf = sys.env.getOrElse("SPARK_GRAFT_CANON_SF", "/root/testdata/sf0.1")
     val cleanOnDisk = scala.util.Try(java.nio.file.Files.readString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"))).toOption.exists(isCleanRecord)
-    val target = targetFor(args.nonEmpty, cpus, canonCpus, loadWarn, cleanOnDisk)
+    val target = targetFor(args.nonEmpty, cpus, canonCpus, loadWarn, cleanOnDisk,
+      sfIsCanon = sfDir == canonSf)
     if (target != "BENCH_LOCAL.json")
       System.err.println(s"[bench] record diverted to $target " +
         s"(subset=${args.nonEmpty}, cpus=$cpus/canon=$canonCpus, " +

@@ -57,6 +57,11 @@ class BenchGuardSpec extends AnyFunSuite {
     // subset beats every other rule (even load-warned non-canonical cores)
     assert(Bench.targetFor(subsetRun = true, cpus = "8", canonCpus = "32",
       loadWarn = true, cleanOnDisk = true) == "BENCH_LOCAL_SUBSET.json")
+    // a full run over a NON-CANONICAL corpus (an sf1 scratch dir) must not
+    // clobber the sf0.1 canonical either — the r18 variant of the clobber
+    assert(Bench.targetFor(subsetRun = false, cpus = "32", canonCpus = "32",
+      loadWarn = false, cleanOnDisk = true, sfIsCanon = false)
+      == "BENCH_LOCAL_ALTSF.json")
   }
 
   test("per-query repeat divergence (VERDICT r16 #2)") {
